@@ -1,38 +1,582 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from
+SURVEY.md §2, implemented in ``teleharvest_spark`` (Spark-first,
+DataFrame/Catalyst); ``oracle_sql()`` holds the DuckDB-equivalent
+ANSI SQL. Column names and float rounding are aligned on both sides
+so the driver's order-insensitive value hash matches.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from teleharvest_spark.config import CheckSuite
+from teleharvest_spark.functions import text as TXT
+from teleharvest_spark.functions.vectors import cosine
+from teleharvest_spark.operators import (
+    dedup,
+    drift,
+    merge,
+    referential,
+    similarity,
+    uniqueness,
+    watermark,
+)
+
+# ---------------------------------------------------------------------------
+# shared constants (mirrored verbatim in the oracle SQL)
+# ---------------------------------------------------------------------------
+ALLOWED_DOC_SOURCES = [f"src{i}" for i in range(15)]  # src15..src19 are "rogue"
+STOP_WORDS = ["spark", "merge"]  # reference F5: settings.py:17-21 pattern
+MIN_LEN = 200  # reference: PROCESSOR_MIN_LEN=200, settings.py:13
+EVENTS_CUTOFF = "2024-01-20 00:00:00"  # watermark snapshot boundary
+SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds
+LOW_PRICE = 50_000.0  # F6-analogue threshold on orders
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# queries — one per operator family
+# ---------------------------------------------------------------------------
+
+def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule single-pass per-partition stats (SURVEY §2.4 A1-A6).
+
+    Exact stats here (oracle-comparable); the GK/HLL sketch variants
+    live in teleharvest_spark.operators.stats.partition_stats and are
+    exercised by pytest.
+    """
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.countDistinct("doc_id").alias("distinct_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+    )
+
+
+def q_cascade_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level check cascade F1-F5 with first-failing-reason ordering
+    (reference: processor.py:97-135 — null payload, cleanup regex,
+    min-length, stop words)."""
+    docs = _load(spark, sf_dir, "documents")
+    cleaned = TXT.strip_trailing_link(F.col("text"))
+    stop_hit = TXT.stop_word_check(F.col("text"), STOP_WORDS)
+    first_fail = (
+        F.when(F.col("text").isNull(), F.lit("null_text"))
+        .when(F.col("text") == "", F.lit("empty_text"))
+        .when(F.length(cleaned) < MIN_LEN, F.lit("too_short"))
+        .when(stop_hit.isNotNull(), F.lit("stop_word"))
+    )
+    reason = (
+        F.when(F.col("text").isNull(), F.lit("text is NULL"))
+        .when(F.col("text") == "", F.lit("text is empty"))
+        .when(
+            F.length(cleaned) < MIN_LEN,
+            F.concat(F.lit("len="), F.length(cleaned).cast("string"), F.lit(f" < {MIN_LEN}")),
+        )
+        .when(stop_hit.isNotNull(), F.concat(F.lit("stop word "), stop_hit))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            first_fail.alias("check_name"),
+            reason.alias("reason"),
+        )
+        .where(F.col("check_name").isNotNull())
+    )
+
+
+def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase dedup on a key (north-rule A5) — duplicate
+    l_orderkey groups on lineitem."""
+    li = _load(spark, sf_dir, "lineitem")
+    return uniqueness.duplicate_keys(li, key="l_orderkey").select(
+        "l_orderkey", F.col("dup_count").cast("long").alias("dup_count")
+    )
+
+
+def q_referential_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast anti-join referential check (J3): documents whose
+    source is outside the allowed dimension."""
+    docs = _load(spark, sf_dir, "documents")
+    dim = spark.createDataFrame([(s,) for s in ALLOWED_DOC_SOURCES], "source string")
+    viol = referential.referential_violations(docs, dim, key="source")
+    return viol.select(F.col("doc_id").cast("long").alias("doc_id"), "source", "check_name")
+
+
+def q_watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental scan above per-key high-water marks (S1/J4/A1):
+    watermark = max event_id per type before the cutoff snapshot; rows
+    returned = strictly newer events."""
+    ev = _load(spark, sf_dir, "events")
+    wm = watermark.high_water_marks(
+        ev.where(F.col("ts") < F.lit(EVENTS_CUTOFF).cast("timestamp")),
+        key="event_type",
+        seq="event_id",
+    )
+    inc = watermark.incremental_scan(ev, wm, key="event_type", seq="event_id")
+    return inc.select("event_type", "event_id")
+
+
+def q_lookback_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded lookback floor (A2/O2): per-type min of the first 1000
+    event ids ascending (reference: get_first_message_id,
+    models/message.py:91-110)."""
+    ev = _load(spark, sf_dir, "events")
+    return watermark.lookback_floor(ev, key="event_type", seq="event_id", limit=1000)
+
+
+def q_latest_exempt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 exemption semantics (O3): per-customer latest order is exempt
+    from the low-value check (reference: is_last_message,
+    processor.py:76-78,116-119)."""
+    orders = _load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    flagged = orders.withColumn("is_latest", F.row_number().over(w) == 1)
+    return (
+        flagged.where((F.col("o_totalprice") < LOW_PRICE) & (~F.col("is_latest")))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style aggregate (headline scan+agg). Per-row products
+    are cast to DECIMAL before summing so the aggregate is exact and
+    order-independent (floating sums are not)."""
+    li = _load(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_reactions_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM over a nested/JSON payload (A3/C5 analogue: reactions-sum,
+    telegram_service.py:41-46; JSON boundary message.py:61)."""
+    ev = _load(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    return ev.groupBy("event_type").agg(F.sum(k).alias("props_k_sum"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + cumsum
+    — the batch form of session_window)."""
+    ev = _load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast
+    # is a pure reinterpretation matching DuckDB's epoch_us
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = micros - F.lag(micros).over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0))
+    sess = F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_similarity_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: max cosine of each unpublished embedding vs the published
+    baseline population (reference: embedding_service.py:34-45,
+    processor.py:159-178). label<5 plays 'published'."""
+    emb = _load(spark, sf_dir, "embeddings")
+    pub = emb.where(F.col("label") < 5)
+    unpub = emb.where(F.col("label") >= 5)
+    ms = similarity.max_similarity(unpub, pub)
+    return ms.select(F.col("probe_id").alias("vec_id"), F.round("max_sim", 6).alias("max_sim"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN baseline) for a probe set."""
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 20)
+    return similarity.brute_force_topk(probes, emb, k=5).select(
+        "probe_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-head dedup: sha256 of the lowercased 60-char prefix
+    (groups with >1 member)."""
+    docs = _load(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.substring(F.col("text"), 1, 60)), 256)
+    return (
+        docs.select(F.col("doc_id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert / MERGE-INTO emulation (S5/J2: models/message.py:
+    170-189) — refresh o_totalprice for sampled keys, skip-absent,
+    unknown columns ignored."""
+    orders = _load(spark, sf_dir, "orders")
+    updates = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            # additive refresh: exact in binary floating point, so no
+            # engine-specific rounding enters the oracle comparison
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            F.lit("ignored").alias("not_a_column"),
+        )
+    )
+    merged = merge.merge_upsert(orders, updates, keys=["o_orderkey"])
+    return merged.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace + BPE-ish token counts, language-ID
+    heuristic, quality score — all codegen expressions."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).cast("long").alias("n_words"),
+        TXT.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+        TXT.lang_id(F.col("text")).alias("lang_pred"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (approximate — rows-only check;
+    pytest verifies recall vs the exact Jaccard pairs)."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "est_jaccard"
+    )
+
+
+def q_drift_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS + PSI drift of each source's n_chars distribution vs the
+    global corpus (north-rule drift; Arrow UDF over aggregated
+    histograms — see operators/drift.py)."""
+    docs = _load(spark, sf_dir, "documents").withColumn("n_tok", F.col("n_chars").cast("int"))
+    hist = drift.ntok_histogram(docs, key="source")
+    base = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    m = drift.drift_metrics(hist, base)
+    return m.select("source", F.round("ks", 6).alias("ks"), F.round("psi", 6).alias("psi"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full check-suite verdict pass over documents at
+    sf0.001 (stats + cascade violations rolled into per-source verdicts)."""
+    sf_dir = "/root/testdata/sf0.001"
+    stats = q_stats_profile(spark, sf_dir)
+    viol = q_cascade_documents(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).alias("violation_rows")
+    )
+    return (
+        stats.join(viol, "source", "left")
+        .fillna({"violation_rows": 0})
+        .withColumn(
+            "verdict",
+            F.when(F.col("violation_rows") > 0, F.lit("fail")).otherwise(F.lit("pass")),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "stats_profile": q_stats_profile,
+        "cascade_documents": q_cascade_documents,
+        "uniqueness": q_uniqueness,
+        "referential_anti": q_referential_anti,
+        "watermark_incremental": q_watermark_incremental,
+        "lookback_floor": q_lookback_floor,
+        "latest_exempt": q_latest_exempt,
+        "pricing_summary": q_pricing_summary,
+        "reactions_sum": q_reactions_sum,
+        "sessionize": q_sessionize,
+        "similarity_max": q_similarity_max,
+        "ann_topk": q_ann_topk,
+        "dedup_exact": q_dedup_exact,
+        "merge_upsert": q_merge_upsert,
+        "token_stats": q_token_stats,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "drift_ntok": q_drift_ntok,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_ALLOWED_SQL = ", ".join(f"'{s}'" for s in ALLOWED_DOC_SOURCES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "stats_profile": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS row_count,
+                   CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS null_text,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_docs,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS median_chars
+            FROM documents GROUP BY source
+        """,
+        "cascade_documents": f"""
+            WITH c AS (
+              SELECT doc_id, source, text,
+                     regexp_replace(text, '\\s*\\[.*?\\]\\(https?://[^)]+\\)$', '', 'gm') AS cleaned
+              FROM documents
+            )
+            SELECT doc_id, source,
+                   CASE WHEN text IS NULL THEN 'null_text'
+                        WHEN text = '' THEN 'empty_text'
+                        WHEN length(cleaned) < {MIN_LEN} THEN 'too_short'
+                        WHEN regexp_matches(text, 'spark') THEN 'stop_word'
+                        WHEN regexp_matches(text, 'merge') THEN 'stop_word'
+                   END AS check_name,
+                   CASE WHEN text IS NULL THEN 'text is NULL'
+                        WHEN text = '' THEN 'text is empty'
+                        WHEN length(cleaned) < {MIN_LEN} THEN 'len=' || length(cleaned) || ' < {MIN_LEN}'
+                        WHEN regexp_matches(text, 'spark') THEN 'stop word spark'
+                        WHEN regexp_matches(text, 'merge') THEN 'stop word merge'
+                   END AS reason
+            FROM c
+            WHERE text IS NULL OR text = '' OR length(cleaned) < {MIN_LEN}
+               OR regexp_matches(text, 'spark') OR regexp_matches(text, 'merge')
+        """,
+        "uniqueness": """
+            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS dup_count
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "referential_anti": f"""
+            SELECT doc_id, source, 'unknown_source' AS check_name
+            FROM documents
+            WHERE source IS NULL OR source NOT IN ({_ALLOWED_SQL})
+        """,
+        "watermark_incremental": f"""
+            WITH wm AS (
+              SELECT event_type, max(event_id) AS last_seq
+              FROM events WHERE ts < TIMESTAMP '{EVENTS_CUTOFF}'
+              GROUP BY event_type
+            )
+            SELECT e.event_type, e.event_id
+            FROM events e LEFT JOIN wm ON e.event_type = wm.event_type
+            WHERE e.event_id > coalesce(wm.last_seq, -4611686018427387904)
+        """,
+        "lookback_floor": """
+            WITH ranked AS (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+              FROM events
+            )
+            SELECT event_type, min(event_id) AS first_seq
+            FROM ranked WHERE rn <= 1000 GROUP BY event_type
+        """,
+        "latest_exempt": f"""
+            WITH flagged AS (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                     ) = 1 AS is_latest
+              FROM orders
+            )
+            SELECT o_orderkey, o_custkey FROM flagged
+            WHERE o_totalprice < {LOW_PRICE} AND NOT is_latest
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "reactions_sum": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS props_k_sum
+            FROM events GROUP BY event_type
+        """,
+        "sessionize": f"""
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, event_id,
+                     CAST(sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
+        "similarity_max": """
+            WITH p AS (SELECT vec_id, embedding pe FROM embeddings WHERE label >= 5),
+                 b AS (SELECT embedding be FROM embeddings WHERE label < 5),
+                 ex AS (SELECT p.vec_id, b.be, unnest(p.pe)::DOUBLE x, unnest(b.be)::DOUBLE y
+                        FROM p, b),
+                 dots AS (SELECT vec_id, be, sum(x*y) d, sqrt(sum(x*x)) nx, sqrt(sum(y*y)) ny
+                          FROM ex GROUP BY vec_id, be)
+            SELECT vec_id,
+                   round(coalesce(max(CASE WHEN nx > 0 AND ny > 0 THEN d/(nx*ny) ELSE 0 END), 0), 6) AS max_sim
+            FROM dots GROUP BY vec_id
+        """,
+        "ann_topk": """
+            WITH p AS (SELECT vec_id pid, embedding pe FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id nid, embedding ce FROM embeddings),
+                 ex AS (SELECT pid, nid, unnest(pe)::DOUBLE x, unnest(ce)::DOUBLE y
+                        FROM p, c WHERE pid <> nid),
+                 sims AS (
+                   SELECT pid, nid,
+                          CASE WHEN sqrt(sum(x*x)) > 0 AND sqrt(sum(y*y)) > 0
+                               THEN sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) ELSE 0 END AS sim
+                   FROM ex GROUP BY pid, nid
+                 ),
+                 ranked AS (
+                   SELECT pid AS probe_id, nid AS neighbor_id,
+                          row_number() OVER (PARTITION BY pid ORDER BY sim DESC, nid) AS rank
+                   FROM sims
+                 )
+            SELECT probe_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "dedup_exact": """
+            SELECT sha256(lower(substr(text, 1, 60))) AS content_hash,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "merge_upsert": """
+            WITH u AS (
+              SELECT o_orderkey, o_totalprice + 1000.0 AS new_price
+              FROM orders WHERE o_orderkey % 10 = 0
+            )
+            SELECT o.o_orderkey,
+                   coalesce(u.new_price, o.o_totalprice) AS o_totalprice,
+                   o.o_orderstatus
+            FROM orders o LEFT JOIN u ON o.o_orderkey = u.o_orderkey
+        """,
+        "token_stats": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                          ELSE len(string_split_regex(trim(coalesce(text,'')), '\s+')) END AS n_words,
+                     len(regexp_extract_all(coalesce(text,''), '\w+|[^\w\s]')) AS n_bpe_ish,
+                     len(regexp_extract_all(lower(coalesce(text,'')), '\b(the|and|of|to|is|that)\b')) AS h_en,
+                     len(regexp_extract_all(lower(coalesce(text,'')), '\b(el|la|de|que|los|una)\b')) AS h_es,
+                     len(regexp_extract_all(lower(coalesce(text,'')), '\b(le|la|les|des|est|une)\b')) AS h_fr,
+                     len(regexp_extract_all(lower(coalesce(text,'')), '\b(der|die|und|das|ist|ein)\b')) AS h_de,
+                     length(coalesce(text,'')) AS n_chars_c,
+                     len(regexp_extract_all(coalesce(text,''), '[^\w\s]')) AS n_punct
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_bpe_ish AS BIGINT) AS n_bpe_ish,
+                   CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                        WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                        WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                        WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                        ELSE 'de' END AS lang_pred,
+                   round(
+                     least(n_chars_c / 500.0, 1.0) * 0.4
+                     + greatest(0.0, 1.0 - (CASE WHEN n_chars_c > 0 THEN n_punct::DOUBLE / n_chars_c ELSE 0 END) * 5.0) * 0.2
+                     + least((CASE WHEN n_words > 0 THEN h_en::DOUBLE / n_words ELSE 0 END) * 4.0, 1.0) * 0.2
+                     + (CASE WHEN n_words > 0 AND n_chars_c::DOUBLE / n_words BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.2
+                   , 6) AS quality
+            FROM t
+        """,
+        "ngram_jaccard": r"""
+            WITH words AS (
+              SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\s+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                       list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                     i -> array_to_string(w[i:i+2], ' ')))
+                     ELSE [array_to_string(w, ' ')] END AS shingles
+              FROM words
+            ), posts AS (
+              SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh
+            ), inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n n_a, b.n n_b, count(*) AS n_int
+              FROM posts a JOIN posts b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(n_int::DOUBLE / (n_a + n_b - n_int), 6) AS jaccard
+            FROM inter
+            WHERE n_int::DOUBLE / (n_a + n_b - n_int) >= 0.5
+        """,
+        # minhash_pairs: approximate (hash-family-specific) — rows-only.
+        # drift_ntok: KS/PSI — oracle below recomputes the same histogram math.
+        "drift_ntok": """
+            WITH hist AS (
+              SELECT source, least(CAST(floor(n_chars / 128) AS INT), 127) AS bucket,
+                     count(*) AS cnt
+              FROM documents GROUP BY 1, 2
+            ), base AS (
+              SELECT bucket, CAST(sum(cnt) AS DOUBLE) AS bcnt FROM hist GROUP BY 1
+            ), aligned AS (
+              SELECT h.source, coalesce(h.bucket, b.bucket) AS bucket,
+                     coalesce(h.cnt, 0)::DOUBLE AS cnt, coalesce(b.bcnt, 0) AS bcnt
+              FROM (SELECT s.source, b2.bucket, hist.cnt
+                    FROM (SELECT DISTINCT source FROM hist) s
+                    CROSS JOIN (SELECT DISTINCT bucket FROM base) b2
+                    LEFT JOIN hist ON hist.source = s.source AND hist.bucket = b2.bucket) h
+              JOIN base b ON b.bucket = h.bucket
+            ), norm AS (
+              SELECT source, bucket,
+                     cnt / sum(cnt) OVER (PARTITION BY source) AS p,
+                     bcnt / sum(bcnt) OVER (PARTITION BY source) AS q
+              FROM aligned
+            ), cums AS (
+              SELECT source,
+                     abs(sum(p) OVER (PARTITION BY source ORDER BY bucket)
+                         - sum(q) OVER (PARTITION BY source ORDER BY bucket)) AS cdiff,
+                     (greatest(p, 1e-6) - greatest(q, 1e-6))
+                       * ln(greatest(p, 1e-6) / greatest(q, 1e-6)) AS psi_term
+              FROM norm
+            )
+            SELECT source, round(max(cdiff), 6) AS ks, round(sum(psi_term), 6) AS psi
+            FROM cums GROUP BY source
+        """,
+    }

@@ -1,0 +1,98 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall time over the headline set; per-query seconds in
+``queries``. Also reports validated sequences/sec for the synthetic
+check-suite run (the north-star metric) under "seq_per_sec".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E
+from teleharvest_spark import datagen
+from teleharvest_spark.config import CheckSuite
+from teleharvest_spark.plans import suite as suite_plan
+from teleharvest_spark.session import get_spark
+
+HEADLINE = [
+    "stats_profile",
+    "cascade_documents",
+    "uniqueness",
+    "referential_anti",
+    "pricing_summary",
+    "sessionize",
+    "similarity_max",
+    "ann_topk",
+    "ngram_jaccard",
+    "minhash_pairs",
+    "drift_ntok",
+    "merge_upsert",
+]
+
+SUITE_ROWS = int(os.environ.get("SPARK_GRAFT_SUITE_ROWS", "2000000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="teleharvest_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # materialize the full plan
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # north-star: validated sequences/sec over the synthetic fact table
+    check = CheckSuite(
+        banned_tokens=datagen.BANNED_IDS, allowed_sources=tuple(datagen.SOURCES)
+    )
+    seqs = datagen.generate_sequences(spark, SUITE_ROWS, check)
+    seqs.write.mode("overwrite").parquet("/tmp/bench_sequences.parquet")
+    stored = spark.read.parquet("/tmp/bench_sequences.parquet")
+    t0 = time.perf_counter()
+    res = suite_plan.run_suite(stored, check)
+    n_viol = res.violations.count()
+    n_verd = res.verdicts.count()
+    suite_sec = round(time.perf_counter() - t0, 3)
+    timings["check_suite_full"] = suite_sec
+    seq_per_sec = round(SUITE_ROWS / suite_sec, 1)
+    print(
+        f"# check_suite_full: {SUITE_ROWS} rows, {n_viol} violations, "
+        f"{n_verd} partitions in {suite_sec}s = {seq_per_sec} seq/s",
+        file=sys.stderr,
+    )
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "seq_per_sec": seq_per_sec,
+                "suite_rows": SUITE_ROWS,
+                "cores": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

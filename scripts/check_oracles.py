@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark at sf0.01 and its
+``oracle_sql()`` twin on DuckDB over the same parquet, then compares
+row count, column names, and an order-insensitive value hash —
+approximating CORRECTNESS_r{N}.json so mismatches surface before the
+driver sees them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: ints → int64, floats → float64 (rounded upstream)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    payload = df.to_csv(index=False, float_format="%.9g").encode()
+    return hashlib.sha256(payload).hexdigest()[:16]
+
+
+def main(only: list[str] | None = None) -> int:
+    import __spark_entry__ as E
+    from teleharvest_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception:
+            print(f"[ERR ] {name}: spark query raised")
+            traceback.print_exc()
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"[ROWS] {name}: {len(sdf)} rows (no oracle — rows-only check)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"[ERR ] {name}: oracle SQL raised")
+            traceback.print_exc()
+            failures += 1
+            continue
+        s, o = norm_frame(sdf), norm_frame(odf)
+        cols_ok = list(s.columns) == list(o.columns)
+        rows_ok = len(s) == len(o)
+        hash_ok = cols_ok and rows_ok and value_hash(s) == value_hash(o)
+        status = "OK  " if hash_ok else "FAIL"
+        print(f"[{status}] {name}: spark={len(s)} oracle={len(o)} cols={'=' if cols_ok else 'DIFF'}")
+        if not hash_ok:
+            failures += 1
+            if cols_ok and rows_ok:
+                diff = (s != o) & ~(s.isna() & o.isna())
+                bad = diff.any(axis=1)
+                print("  first diffs (spark vs oracle):")
+                print(pd.concat([s[bad].head(3), o[bad].head(3)], keys=["spark", "oracle"]))
+            else:
+                print("  spark cols:", list(s.columns))
+                print("  oracle cols:", list(o.columns))
+    print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))

@@ -1,0 +1,69 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+Runs the SAME full check-suite job on the SAME parquet input at two
+parallelism levels (local[8] = N, local[32] = 4N) in separate JVMs
+(subprocess per level so Spark configs don't bleed), and reports
+throughput at both plus efficiency = T(4N) / (4 × T(N)).
+
+Usage: python scripts/scaling_bench.py [rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+DATA = "/tmp/scaling_sequences.parquet"
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from teleharvest_spark.session import get_spark
+from teleharvest_spark.config import CheckSuite
+from teleharvest_spark import datagen
+from teleharvest_spark.plans import suite as suite_plan
+
+cores = int(sys.argv[1]); data = sys.argv[2]; rows = int(sys.argv[3]); gen = sys.argv[4] == "gen"
+spark = get_spark(app_name=f"scaling_{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=max(cores, 8))
+check = CheckSuite(banned_tokens=datagen.BANNED_IDS,
+                   allowed_sources=tuple(datagen.SOURCES))
+if gen:
+    datagen.generate_sequences(spark, rows, check).write.mode("overwrite").parquet(data)
+df = spark.read.parquet(data)
+t0 = time.perf_counter()
+res = suite_plan.run_suite(df, check)
+nv = res.violations.count()
+np_ = res.verdicts.count()
+wall = time.perf_counter() - t0
+print(json.dumps({"cores": cores, "rows": rows, "wall_sec": round(wall, 3),
+                  "seq_per_sec": round(rows / wall, 1),
+                  "violations": nv, "partitions": np_}))
+"""
+
+
+def run(cores: int, gen: bool) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cores), DATA, str(ROWS), "gen" if gen else "read"],
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = run(8, gen=True)   # generation happens once, timed region excludes it
+    n = run(8, gen=False)  # clean re-run on warmed page cache
+    x4 = run(32, gen=False)
+    eff = x4["seq_per_sec"] / (4 * n["seq_per_sec"])
+    report = {"N": n, "4N": x4, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(report, indent=2))
+    with open("/root/repo/BENCH_scaling.json", "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

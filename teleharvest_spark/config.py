@@ -1,0 +1,56 @@
+"""Declarative check-suite configuration.
+
+Reference analogue: pydantic Settings (settings.py:8-62) — thresholds
+``limit=1000, min_views=50, min_len=200, min_er=0.025, min_score=80,
+min_score_alt=85`` plus comma-split stop-word / channel lists. Here the
+suite is a frozen dataclass; ``suite_hash`` feeds the checkpoint
+manifest so a threshold change invalidates prior verdicts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class CheckSuite:
+    """Thresholds + dimensions for one validation run."""
+
+    # Row-level cascade (reference: processor.py:97-135).
+    min_n_tok: int = 16          # min_len=200 analogue (settings.py:13)
+    max_n_tok: int = 8192
+    banned_tokens: tuple[int, ...] = ()   # stop words (settings.py:17-21)
+    allowed_sources: tuple[str, ...] = () # channels (settings.py:32-34)
+
+    # Per-partition stats thresholds (north_rule single-pass aggregate).
+    max_null_rate: float = 0.01
+    max_dup_rate: float = 0.0
+    # Drift thresholds (KS on n_tok ECDF, PSI on token histogram).
+    max_ks: float = 0.15
+    max_psi: float = 0.25
+
+    # Degraded mode: skip enrichment-dependent checks, rows still pass
+    # with NULL enrichment columns (reference F9: processor.py:121-122,
+    # tests/test_processor.py:410-475).
+    scorer_available: bool = True
+    min_score: int = 80          # strict <=: exactly 80 fails (processor.py:125)
+    min_score_alt: int = 85
+
+    # Late-data lookback depth (reference: PROCESSOR_LIMIT, settings.py:11).
+    lookback_limit: int = 1000
+
+    # Similarity / near-dup knobs.
+    minhash_perms: int = 64
+    minhash_bands: int = 16
+    shingle_k: int = 5
+    neardup_jaccard: float = 0.8
+
+    def suite_hash(self) -> str:
+        """Stable hash of every threshold — manifest lineage key."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=list)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+DEFAULT_SUITE = CheckSuite()

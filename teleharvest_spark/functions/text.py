@@ -1,0 +1,108 @@
+"""Text-analysis functions for training-data pipelines — all codegen.
+
+Implements the reference's scalar surface (SURVEY.md §2.6: regex
+search/replace C1-C2, length C3, guarded division C4) plus the
+pipeline staples: language-ID heuristic, quality scoring, token
+counting, rolling-hash fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Trailing-markdown-link strip — exact reference regex, processor.py:106.
+MARKDOWN_LINK_RE = r"(?m)\s*\[.*?\]\(https?://[^)]+\)$"
+
+# Tiny per-language stopword lists for the n-gram language heuristic.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+}
+
+
+def strip_trailing_link(col: Column) -> Column:
+    """Reference F3 cleanup projection (processor.py:106)."""
+    return F.regexp_replace(col, MARKDOWN_LINK_RE, "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for NULL/empty)."""
+    trimmed = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored token estimate: word pieces + punctuation as the
+    regex `\\w+|[^\\w\\s]` would tokenize."""
+    s = F.coalesce(col, F.lit(""))
+    return F.size(F.regexp_extract_all(s, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Count of language-marker stopword occurrences (word-bounded)."""
+    pat = r"\b(" + "|".join(_LANG_MARKERS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(F.coalesce(col, F.lit(""))), F.lit(pat), 0))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of marker-stopword hit counts,
+    'und' when nothing matches. Deterministic tie-break by language
+    order en > es > fr > de (greatest-first when chain)."""
+    hits = {lang: stopword_hits(col, lang) for lang in _LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    chain = F.when(best == 0, F.lit("und"))
+    for lang in _LANG_MARKERS:  # insertion order = tie-break priority
+        chain = chain.when(hits[lang] == best, F.lit(lang))
+    return chain.otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score from cheap structural signals:
+    length band, punctuation ratio, stopword ratio, mean word length.
+
+    Mirrors the reference's gate stack (length processor.py:107, ER
+    threshold 116-119, score thresholds 124-135) as one deterministic
+    formula instead of an external LLM scorer (U3 is excluded from the
+    engine core per SURVEY.md §2.7).
+    """
+    s = F.coalesce(col, F.lit(""))
+    n_chars = F.length(s)
+    n_words = token_count(s)
+    n_punct = F.size(F.regexp_extract_all(s, F.lit(r"[^\w\s]"), 0))
+    n_stop = stopword_hits(s, "en")
+    len_component = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    # guarded divisions (reference C4: x/y if y else 0, processor.py:116)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    punct_component = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5.0)
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words.cast("double")).otherwise(F.lit(0.0))
+    stop_component = F.least(stop_ratio * 4.0, F.lit(1.0))
+    mean_wlen = F.when(n_words > 0, n_chars.cast("double") / n_words.cast("double")).otherwise(F.lit(0.0))
+    wlen_component = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round(
+        len_component * 0.4 + punct_component * 0.2 + stop_component * 0.2 + wlen_component * 0.2,
+        6,
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 64-bit document fingerprint (content hash of the
+    whitespace-normalized lowercased text) — the cheap rolling-hash
+    style identity used for shard-local dedup."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def stop_word_check(col: Column, stop_words: list[str]) -> Column:
+    """First matching stop word or NULL (reference F5 semantics:
+    contains_stop_words returns the matched word, processor.py:90-95)."""
+    if not stop_words:
+        return F.lit(None).cast("string")
+    s = F.coalesce(col, F.lit(""))
+    chain = F.when(s.rlike(stop_words[0]), F.lit(stop_words[0]))
+    for w in stop_words[1:]:
+        chain = chain.when(s.rlike(w), F.lit(w))
+    return chain.otherwise(F.lit(None).cast("string"))

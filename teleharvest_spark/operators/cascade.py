@@ -1,0 +1,164 @@
+"""Row-level check cascade — strictly-ordered, first-failing-reason.
+
+Reference semantics: ``_process_message`` (processor.py:97-145) applies
+checks in a fixed order with early exit; each failure is logged with
+its reason. Order matters only for *which reason is reported* — the
+pass/fail outcome is the conjunction (SURVEY.md §2.2).
+
+Here every check is a declarative ``Check`` (name + fail-predicate +
+reason expression); the cascade evaluates ALL predicates in one narrow
+``select`` (whole-stage codegen, zero shuffles) and picks the
+first-failing reason by fixed priority — semantically identical to the
+reference's early exit, but vectorized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..config import CheckSuite
+
+VERDICT_COL = "check_verdict"          # boolean: True = pass
+FIRST_FAIL_COL = "first_failed_check"  # string or NULL
+REASON_COL = "fail_reason"             # string or NULL
+FAILED_ALL_COL = "failed_checks"       # array<string>, every failing check
+
+
+@dataclass(frozen=True)
+class Check:
+    """One named check: row FAILS when ``fails`` evaluates true."""
+
+    name: str
+    fails: Column
+    reason: Column  # human-readable reason, evaluated only for failures
+
+
+def sequence_checks(suite: CheckSuite) -> list[Check]:
+    """The ordered cascade for the canonical `sequences` table.
+
+    Ordering mirrors processor.py:97-135 — payload null/empty first
+    (processor.py:98-100), key null/empty second (102-104), then
+    consistency, length bounds (107-109), banned tokens (111-114),
+    unknown source (the J3 referential restriction, processor.py:59,
+    expressed as a row check so violations materialize).
+    """
+    tokens, n_tok, source = F.col("tokens"), F.col("n_tok"), F.col("source")
+    checks = [
+        Check("null_payload", tokens.isNull(), F.lit("tokens is NULL")),
+        Check("empty_payload", F.size(tokens) == 0, F.lit("tokens is empty")),
+        Check(
+            "null_key",
+            source.isNull() | (source == ""),
+            F.lit("source is NULL or empty"),
+        ),
+        Check(
+            "inconsistent_n_tok",
+            n_tok.isNull() | (n_tok != F.size(tokens)),
+            F.concat(
+                F.lit("n_tok="),
+                F.coalesce(n_tok.cast("string"), F.lit("NULL")),
+                F.lit(" != size(tokens)="),
+                F.size(tokens).cast("string"),
+            ),
+        ),
+        Check(
+            "too_short",
+            n_tok < suite.min_n_tok,
+            F.concat(F.lit("n_tok="), n_tok.cast("string"), F.lit(f" < {suite.min_n_tok}")),
+        ),
+        Check(
+            "too_long",
+            n_tok > suite.max_n_tok,
+            F.concat(F.lit("n_tok="), n_tok.cast("string"), F.lit(f" > {suite.max_n_tok}")),
+        ),
+    ]
+    if suite.banned_tokens:
+        banned = F.array([F.lit(int(t)) for t in suite.banned_tokens])
+        first_banned = F.element_at(F.array_intersect(tokens, banned), 1)
+        checks.append(
+            Check(
+                "banned_token",
+                F.arrays_overlap(tokens, banned),
+                F.concat(F.lit("banned token "), first_banned.cast("string")),
+            )
+        )
+    if suite.allowed_sources:
+        checks.append(
+            Check(
+                "unknown_source",
+                ~source.isin(list(suite.allowed_sources)),
+                F.concat(F.lit("source "), source, F.lit(" not in allowed set")),
+            )
+        )
+    return checks
+
+
+def apply_cascade(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Annotate ``df`` with verdict / first-fail / reason / all-failed.
+
+    One narrow projection — no shuffle, no UDF. NULL predicate results
+    count as "did not fail" except where a check's predicate explicitly
+    tests for NULL (reference: `not message.text` treats None and ''
+    the same, processor.py:98).
+    """
+    fail_flags = [F.coalesce(c.fails, F.lit(False)) for c in checks]
+
+    first_fail: Column = F.lit(None).cast("string")
+    reason: Column = F.lit(None).cast("string")
+    # Build the when-chain front-to-back so the FIRST failing check wins,
+    # matching the reference's early-exit reason reporting.
+    chain_name = None
+    chain_reason = None
+    for c, flag in zip(checks, fail_flags):
+        if chain_name is None:
+            chain_name = F.when(flag, F.lit(c.name))
+            chain_reason = F.when(flag, c.reason)
+        else:
+            chain_name = chain_name.when(flag, F.lit(c.name))
+            chain_reason = chain_reason.when(flag, c.reason)
+    if chain_name is not None:
+        first_fail = chain_name.otherwise(F.lit(None).cast("string"))
+        reason = chain_reason.otherwise(F.lit(None).cast("string"))
+
+    failed_all = F.array_compact(
+        F.array(
+            *[
+                F.when(flag, F.lit(c.name)).otherwise(F.lit(None).cast("string"))
+                for c, flag in zip(checks, fail_flags)
+            ]
+        )
+    )
+    verdict = ~F.coalesce(
+        fail_flags[0] if len(fail_flags) == 1 else F.array_contains(F.array(*fail_flags), F.lit(True)),
+        F.lit(False),
+    )
+    return (
+        df.withColumn(FIRST_FAIL_COL, first_fail)
+        .withColumn(REASON_COL, reason)
+        .withColumn(FAILED_ALL_COL, failed_all)
+        .withColumn(VERDICT_COL, verdict)
+    )
+
+
+def violations(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Materialized violation rows (schema.VIOLATIONS).
+
+    The reference only *logs* failures (processor.py:98-134); the engine
+    materializes them with the first-failing reason. ``tokens`` rides
+    along for the token-array-equality invariant.
+    """
+    annotated = apply_cascade(df, checks)
+    out_cols = [
+        F.col("doc_id"),
+        F.col("source"),
+        F.col(FIRST_FAIL_COL).alias("check_name"),
+        F.col(REASON_COL).alias("reason"),
+    ]
+    if "tokens" in df.columns:
+        out_cols.append(F.col("tokens"))
+    else:
+        out_cols.append(F.lit(None).cast("array<int>").alias("tokens"))
+    return annotated.where(F.col(FIRST_FAIL_COL).isNotNull()).select(*out_cols)

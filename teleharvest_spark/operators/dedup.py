@@ -1,0 +1,274 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's PK-uniqueness (models/message.py:34-36), a
+100 TB corpus needs content dedup: exact (hash), MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup. All are
+composition of built-in ops + Arrow UDFs — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+
+MINHASH_SEED = 42
+# 64-bit mixing constants (public splitmix64-style constants).
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, dup_count, doc_ids).
+
+    groupBy on a 256-bit hash — uniform keys, no skew concern; partial
+    aggregation collapses per-task before the shuffle.
+    """
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def shingles(text_col: str, k: int = 5) -> F.Column:
+    """Word k-shingles of lowercased text as array<string> (distinct)."""
+    words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash over word shingles — pure codegen.
+
+    Permutation i is min over shingles of xxhash64(shingle, i); the
+    universal-hash family is approximated by seeded xxhash64, which is
+    the standard Spark-native trick (same family MinHashLSH in MLlib
+    uses modular hashing for).
+    """
+    sh = shingles(text_col, k).alias("_sh")
+    base = df.select(F.col(id_col), sh)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(n_perm)
+        ]
+    )
+    return base.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding, verified by signature
+    Jaccard estimate ≥ threshold.
+
+    shingle→minhash→band→bucket-join: each band's row-slice is hashed
+    to a bucket; pairs sharing ANY band bucket are candidates (standard
+    LSH banding, s-curve at t ≈ (1/bands)^(bands/n_perm)). The join is
+    an equi-join on (band, bucket) — shuffle, no cross product.
+    """
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, k)
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    banded = sigs.select(F.col(id_col), F.col("sig"), band_cols.alias("bb")).select(
+        id_col, "sig", "bb.band", "bb.bucket"
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+    ).cast("double") / F.lit(float(n_perm))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via inverted-index join.
+
+    Distributed exact algorithm: explode distinct shingles → self-join
+    on shingle (the inverted index) → count shared shingles per pair →
+    |A∩B| / (|A|+|B|−|A∩B|). Cost is Σ posting-list² per shingle —
+    fine when shingles are discriminative; LSH (above) is the scale
+    path, this is the exact verifier / oracle.
+    """
+    base = df.select(
+        F.col(id_col), shingles(text_col, k).alias("_sh")
+    ).withColumn("_n", F.size("_sh"))
+    posts = base.select(id_col, "_n", F.explode("_sh").alias("shingle"))
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document over word features (codegen only).
+
+    Each word hashes to 64 bits; the signature bit i is the sign of the
+    sum over words of (+1 if bit i set else −1). Implemented as an
+    Arrow UDF over the per-row word-hash arrays (vectorized numpy
+    popcount — the bit-summing is awkward in pure SQL).
+    """
+    words = F.array_distinct(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    )
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    base = df.select(F.col(id_col), hashes.alias("_wh"))
+
+    @F.pandas_udf(T.LongType())
+    def _sim(col: pd.Series) -> pd.Series:
+        out = np.zeros(len(col), dtype=np.int64)
+        for row_i, arr in enumerate(col):
+            if arr is None or len(arr) == 0:
+                continue
+            a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            acc = np.zeros(bits, dtype=np.int64)
+            for i in range(bits):
+                bit = ((a >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+                acc[i] = int((2 * bit - 1).sum())
+            sig = np.uint64(0)
+            for i in range(bits):
+                if acc[i] >= 0:
+                    sig |= np.uint64(1) << np.uint64(i)
+            out[row_i] = np.int64(sig)
+        return pd.Series(out)
+
+    return base.select(F.col(id_col), _sim("_wh").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Block on 4 chunks of 16 bits: any pair within distance 3 shares at
+    least one exact chunk (pigeonhole) → equi-join per chunk, then
+    exact popcount filter via bit_count.
+    """
+    sigs = simhash(df, text_col, id_col)
+    chunks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                )
+                for c in range(4)
+            ]
+        )
+    )
+    blocked = sigs.select(id_col, "simhash", chunks.alias("cc")).select(
+        id_col, "simhash", "cc.chunk", "cc.ckey"
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the LSH bucket join."""
+    from .similarity import lsh_topk
+
+    top = lsh_topk(df, df, dim=dim, k=10, id_col=id_col, vec_col=vec_col)
+    return (
+        top.where((F.col("sim") >= threshold) & (F.col("probe_id") < F.col("neighbor_id")))
+        .select(F.col("probe_id").alias("id_a"), F.col("neighbor_id").alias("id_b"), "sim")
+    )

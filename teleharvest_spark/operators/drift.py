@@ -1,0 +1,120 @@
+"""Distribution-drift checks: KS statistic + PSI vs a baseline.
+
+Reference analogue: compare each incoming row against the
+published-last-30-days snapshot (processor.py:159-178,
+services/embedding_service.py:34-45) — generalized per north_rule to
+partition-level distribution comparison.
+
+Scale design (10^12 rows): raw rows are NEVER shipped to Python.
+Stage 1 aggregates per-(source, bucket) counts with Spark built-ins
+(map-side partial agg → shuffle of |sources|×|buckets| rows). Stage 2
+runs the KS/PSI math in ONE vectorized ``applyInPandas`` over those
+tiny histogram rows joined with the broadcast baseline — the
+"vectorized pandas/Arrow UDFs" surface required by input_hint, applied
+to sketches, not data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import CheckSuite
+
+N_TOK_BUCKETS = 128
+N_TOK_MAX_FOR_BUCKETS = 16384  # bucket width = 128 tokens
+TOKEN_ID_BUCKETS = 64
+_PSI_EPS = 1e-6
+
+
+def ntok_histogram(df: DataFrame, key: str = "source") -> DataFrame:
+    """Per-source bucket counts of n_tok (fixed-width buckets)."""
+    width = N_TOK_MAX_FOR_BUCKETS // N_TOK_BUCKETS
+    bucket = F.least(
+        F.floor(F.coalesce(F.col("n_tok"), F.lit(0)) / width), F.lit(N_TOK_BUCKETS - 1)
+    ).cast("int")
+    return (
+        df.groupBy(F.col(key).alias(key), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def token_id_histogram(df: DataFrame, key: str = "source") -> DataFrame:
+    """Per-source bucketed token-id histogram.
+
+    Tokens are pre-bucketed per row (narrow ``transform``), then
+    exploded; Spark's partial hash aggregation collapses each task's
+    explosion to ≤ TOKEN_ID_BUCKETS rows before the shuffle.
+    """
+    from ..datagen import VOCAB
+
+    width = max(1, VOCAB // TOKEN_ID_BUCKETS)
+    buckets = F.transform(
+        F.coalesce(F.col("tokens"), F.array().cast("array<int>")),
+        lambda t: F.least(F.floor(t / width), F.lit(TOKEN_ID_BUCKETS - 1)).cast("int"),
+    )
+    return (
+        df.select(F.col(key), F.explode(buckets).alias("bucket"))
+        .groupBy(key, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _drift_metrics_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """KS + PSI for one source's histogram vs the attached baseline.
+
+    Input rows: (source, bucket, cnt, base_cnt) — already joined.
+    KS here is the histogram-ECDF sup-distance (exact when bucket
+    width=1; a ≤width/N approximation otherwise). PSI uses the
+    standard Σ (p-q)·ln(p/q) with epsilon clamping.
+    """
+    src = pdf["source"].iloc[0]
+    p = pdf["cnt"].to_numpy(dtype=np.float64)
+    q = pdf["base_cnt"].to_numpy(dtype=np.float64)
+    pn, qn = p.sum(), q.sum()
+    if pn == 0 or qn == 0:
+        return pd.DataFrame({"source": [src], "ks": [1.0], "psi": [float("inf")]})
+    p, q = p / pn, q / qn
+    # clamp: cumsum float error can push the sup-distance past 1.0
+    ks = float(min(1.0, np.max(np.abs(np.cumsum(p) - np.cumsum(q)))))
+    pc, qc = np.clip(p, _PSI_EPS, None), np.clip(q, _PSI_EPS, None)
+    psi = float(np.sum((pc - qc) * np.log(pc / qc)))
+    return pd.DataFrame({"source": [src], "ks": [ks], "psi": [psi]})
+
+
+def drift_metrics(hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
+    """Per-source (ks, psi) of ``hist`` vs ``baseline_hist``.
+
+    Both inputs are (source|*, bucket, cnt) histograms; the baseline is
+    global (no source column) or per-source. Dense bucket alignment via
+    a full outer join on bucket per source keeps absent buckets at 0.
+    """
+    base_cols = baseline_hist.columns
+    if "source" in base_cols:
+        joined = hist.join(
+            F.broadcast(baseline_hist.withColumnRenamed("cnt", "base_cnt")),
+            ["source", "bucket"],
+            "full_outer",
+        )
+    else:
+        sources = hist.select("source").distinct()
+        dense = sources.crossJoin(
+            F.broadcast(baseline_hist.withColumnRenamed("cnt", "base_cnt"))
+        )
+        joined = hist.join(dense, ["source", "bucket"], "full_outer")
+    joined = joined.fillna({"cnt": 0, "base_cnt": 0})
+    return (
+        joined.groupBy("source")
+        .applyInPandas(_drift_metrics_pdf, schema="source string, ks double, psi double")
+    )
+
+
+def drift_verdicts(metrics: DataFrame, suite: CheckSuite) -> DataFrame:
+    """Threshold the drift metrics into per-partition pass/fail."""
+    return metrics.withColumn(
+        "drift_verdict",
+        F.when(
+            (F.col("ks") <= suite.max_ks) & (F.col("psi") <= suite.max_psi), F.lit("pass")
+        ).otherwise(F.lit("fail")),
+    )

@@ -1,0 +1,68 @@
+"""MERGE INTO (upsert) — Iceberg in production, join-emulation locally.
+
+Reference analogue S5/J2: keyed update — look up by composite PK, set
+given fields, skip if absent, ignore unknown fields
+(models/message.py:170-189). On a real cluster this is Iceberg
+``MERGE INTO`` (one atomic snapshot commit, reference's per-row
+COMMIT removed wholesale — SURVEY.md §4). The local emulation is the
+standard CDC pattern: left join + coalesce + union of unmatched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    insert_unmatched: bool = False,
+) -> DataFrame:
+    """WHEN MATCHED THEN UPDATE SET <update_cols> semantics.
+
+    * Columns in ``updates`` but not in ``target`` are ignored
+      (reference: unknown-field update ignored, message.py:181-183,
+      tests/models/test_message.py:340-356).
+    * Unmatched update rows are skipped unless ``insert_unmatched``
+      (reference: update skips absent rows, message.py:176-179).
+    """
+    tgt_cols = target.columns
+    if update_cols is None:
+        update_cols = [c for c in updates.columns if c not in keys and c in tgt_cols]
+    else:
+        update_cols = [c for c in update_cols if c in tgt_cols]
+
+    upd = updates.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_u_{c}") for c in update_cols],
+    )
+    joined = target.join(upd, keys, "left")
+    merged = joined.select(
+        *[
+            (F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c) if c in update_cols else F.col(c))
+            for c in tgt_cols
+        ]
+    )
+    if insert_unmatched:
+        new_rows = updates.join(target.select(*keys), keys, "left_anti")
+        aligned = new_rows.select(
+            *[
+                (F.col(c) if c in new_rows.columns else F.lit(None)).alias(c)
+                for c in tgt_cols
+            ]
+        )
+        merged = merged.unionByName(aligned)
+    return merged
+
+
+def iceberg_merge_sql(table: str, source_view: str, keys: list[str], update_cols: list[str]) -> str:
+    """The production MERGE statement (emit-only here; Iceberg jars are
+    not in this container — gated per sources/iceberg.py)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+    return (
+        f"MERGE INTO {table} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets}"
+    )

@@ -1,0 +1,138 @@
+"""Similarity operators: max-cosine vs baseline (J1) + ANN top-k.
+
+Reference J1 (SURVEY.md §2.3): for each unpublished row, the max cosine
+similarity of its embedding vs ALL published rows — an O(probes ×
+baseline) Python loop in the reference (embedding_service.py:40-44,
+driver loop processor.py:173-177). Here: ``crossJoin(broadcast(
+baseline))`` + codegen cosine + ``groupBy(max)`` — one shuffle (the
+final per-probe aggregate), broadcast otherwise.
+
+Scale note: broadcast holds while the baseline fits an executor
+(~10M × dim 64 floats ≈ 2.5 GB — partition the probe side freely; a
+larger baseline switches to the LSH-bucketed path below, which turns
+the cross product into an equi-join on signature buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from ..functions.vectors import cosine
+
+ANN_SEED = 42
+
+
+def max_similarity(
+    probes: DataFrame,
+    baseline: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, max_sim) — 0.0 for an empty baseline (reference:
+    embedding_service.py:35-37 returns 0.0)."""
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+    b = baseline.select(F.col(vec_col).alias("bvec"))
+    sims = p.crossJoin(F.broadcast(b)).select(
+        "probe_id", cosine(F.col("pvec"), F.col("bvec")).alias("sim")
+    )
+    agg = sims.groupBy("probe_id").agg(F.max("sim").alias("max_sim"))
+    # Empty-baseline guard: left join back so every probe keeps a row.
+    return (
+        p.select("probe_id")
+        .join(agg, "probe_id", "left")
+        .select("probe_id", F.coalesce("max_sim", F.lit(0.0)).alias("max_sim"))
+    )
+
+
+def brute_force_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per probe (the ANN baseline).
+
+    Deterministic tie-break on neighbor id. Self-matches excluded.
+    """
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    sims = (
+        p.crossJoin(F.broadcast(c))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cosine(F.col("pvec"), F.col("cvec")).alias("sim"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded; generated driver-side)."""
+    rng = np.random.RandomState(ANN_SEED)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_signature(vec_col: str, dim: int, n_planes: int = 16):
+    """Sign-of-projection bit signature as an int column (codegen).
+
+    Random-hyperplane LSH: P[sign match] = 1 - angle/π, so vectors with
+    high cosine land in the same bucket with high probability.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    bits = []
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array([F.lit(float(x)) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("int")
+
+
+def lsh_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket instead of crossJoin.
+
+    At 100 TB the cross product is infeasible; this shuffles both sides
+    once on the signature (2^n_planes buckets) and ranks within bucket.
+    Recall is tunable via n_planes (fewer planes → bigger buckets →
+    higher recall, more compute).
+    """
+    sig = lsh_signature(vec_col, dim, n_planes)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"), sig.alias("bucket")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), sig.alias("bucket")
+    )
+    sims = (
+        p.join(c, "bucket")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cosine(F.col("pvec"), F.col("cvec")).alias("sim"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )

@@ -1,0 +1,63 @@
+"""Single-pass per-partition column stats + threshold verdicts.
+
+North-rule operator: one ``groupBy(source).agg(...)`` pass computing
+min/max/null-rate, Greenwald-Khanna approx quantiles
+(``percentile_approx`` — Spark's implementation IS GK) and
+HyperLogLog++ distinct (``approx_count_distinct``). Reference
+analogue: the scalar threshold checks over views/reactions/len(text)
+(processor.py:107-119,147-157) generalized to partition-level stats
+(SURVEY.md §2.4).
+
+Partial aggregation (map-side combine) is automatic for every one of
+these — at 10^12 rows this is one shuffle of |sources| × sketch-size,
+not of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import CheckSuite
+
+
+def partition_stats(df: DataFrame, key: str = "source") -> DataFrame:
+    """One aggregation pass per partition key over the sequences table."""
+    n_tok = F.col("n_tok")
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.col("tokens").isNull().cast("long")).alias("null_tokens"),
+        F.sum(n_tok.isNull().cast("long")).alias("null_n_tok"),
+        F.min(n_tok).alias("min_n_tok"),
+        F.max(n_tok).alias("max_n_tok"),
+        F.avg(n_tok).alias("avg_n_tok"),
+        F.percentile_approx(n_tok, [0.5, 0.95, 0.99], 10000).alias("ntok_quantiles"),
+        F.approx_count_distinct("doc_id", 0.01).alias("approx_distinct_doc_id"),
+        F.sum(F.coalesce(n_tok.cast("long"), F.lit(0))).alias("total_tokens"),
+    ).withColumn(
+        "null_rate",
+        F.col("null_tokens").cast("double") / F.col("row_count").cast("double"),
+    )
+
+
+def stats_verdicts(stats: DataFrame, suite: CheckSuite) -> DataFrame:
+    """Declarative thresholds over the stats row → per-partition verdict.
+
+    Reference analogue: settings.py:11-16 thresholds driving pass/fail.
+    """
+    failed = F.array_compact(
+        F.array(
+            F.when(F.col("null_rate") > suite.max_null_rate, F.lit("null_rate")),
+            F.when(F.col("min_n_tok") < suite.min_n_tok, F.lit("min_n_tok")),
+            F.when(F.col("max_n_tok") > suite.max_n_tok, F.lit("max_n_tok")),
+            # HLL++ rsd=0.01 → allow 4σ slack before flagging duplicates
+            F.when(
+                F.col("approx_distinct_doc_id").cast("double")
+                < F.col("row_count").cast("double") * (1.0 - suite.max_dup_rate - 0.04),
+                F.lit("dup_rate"),
+            ),
+        )
+    )
+    return stats.withColumn("failed_stat_checks", failed).withColumn(
+        "stats_verdict",
+        F.when(F.size("failed_stat_checks") == 0, F.lit("pass")).otherwise(F.lit("fail")),
+    )

@@ -1,0 +1,73 @@
+"""Watermark / top-k / incremental-scan operators (SURVEY.md §2.1, §2.5).
+
+Reference analogues: per-channel high-water mark ``get_last_message_id``
+(models/message.py:75-89, ORDER BY id DESC LIMIT 1), bounded lookback
+``get_first_message_id`` (models/message.py:91-110, first `limit` ids
+ascending → min), incremental fetch with (min_id, max_id] bounds
+(services/telegram_service.py:19-39), and the is-last-message flag
+(processor.py:76-78).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def high_water_marks(df: DataFrame, key: str = "source", seq: str = "doc_seq") -> DataFrame:
+    """Per-key max sequence id (A1). One partial-agg shuffle of |keys| rows."""
+    return df.groupBy(key).agg(F.max(seq).alias("last_seq"))
+
+
+def lookback_floor(df: DataFrame, key: str = "source", seq: str = "doc_seq", limit: int = 1000) -> DataFrame:
+    """Per-key min of the first `limit` ids ascending (A2/O2).
+
+    Window + row_number ≤ limit → min. Matches message.py:91-110: the
+    floor of the bounded late-data refresh window.
+    """
+    w = W.partitionBy(key).orderBy(F.asc(seq))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= limit)
+        .groupBy(key)
+        .agg(F.min(seq).alias("first_seq"))
+    )
+
+
+def incremental_scan(
+    df: DataFrame,
+    watermarks: DataFrame,
+    key: str = "source",
+    seq: str = "doc_seq",
+) -> DataFrame:
+    """Rows strictly above each key's watermark (S1/J4).
+
+    Watermarks are config-sized → broadcast; keys absent from the
+    watermark table scan from the beginning (left join, coalesce -inf).
+    At scale the seq predicate prunes parquet row groups via min/max
+    stats — the Spark form of the reference's `min_id` API bound.
+    """
+    wm = watermarks.select(F.col(key), F.col("last_seq"))
+    return (
+        df.join(F.broadcast(wm), key, "left")
+        .where(F.col(seq) > F.coalesce(F.col("last_seq"), F.lit(-(1 << 62))))
+        .drop("last_seq")
+    )
+
+
+def with_latest_flag(df: DataFrame, key: str = "source", seq: str = "doc_seq") -> DataFrame:
+    """is_latest = row_number()==1 over desc(seq) per key (O3).
+
+    Feeds the F6 exemption: the newest row per channel is exempt from
+    the engagement-rate check (processor.py:76-78, 116-119).
+    """
+    w = W.partitionBy(key).orderBy(F.desc(seq))
+    return df.withColumn("is_latest", F.row_number().over(w) == 1)
+
+
+def top_k_per_group(
+    df: DataFrame, key: str, order_col: str, k: int, ascending: bool = False
+) -> DataFrame:
+    """Generic per-group top-k with deterministic ordering (O1/O2)."""
+    ordering = F.asc(order_col) if ascending else F.desc(order_col)
+    w = W.partitionBy(key).orderBy(ordering)
+    return df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the validation engine.
+
+Local-mode settings mirror what a 1000-executor cluster submit would
+set per-executor; partitioning knobs are centralized here so bench and
+tests share one config surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for local[N] on a 32-core / 128 GiB box; on a real
+# cluster spark-submit overrides master/memory and the rest still apply.
+_BASE_CONF: dict[str, str] = {
+    # AQE: runtime coalescing + skew-join splitting (north_rule requires
+    # explicit skew handling; AQE covers joins, manual salting covers
+    # hot-key groupBy — see operators/uniqueness.py).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas UDF / toPandas boundary (input_hint: no
+    # per-row Python).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamps for oracle comparison (DuckDB is UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # Don't let tiny local runs fan out 200 shuffle partitions.
+    "spark.sql.shuffle.partitions": "32",
+    # 128 MiB input splits — matches Iceberg/Parquet row-group sizing at
+    # the 100 TB target; harmless locally.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+}
+
+
+def get_spark(
+    app_name: str = "teleharvest_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.master(master).appName(app_name)
+    conf = dict(_BASE_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

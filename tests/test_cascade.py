@@ -1,0 +1,100 @@
+"""Check-cascade semantics — mirrors the reference's edge-case tests
+(tests/test_processor.py: short text 108-112, no text 147-151, no
+channel 199-203, stop word 207-211, boundary strictness 155-168)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from teleharvest_spark.config import CheckSuite
+from teleharvest_spark.operators import cascade
+
+SUITE = CheckSuite(min_n_tok=4, max_n_tok=10, banned_tokens=(99,), allowed_sources=("a", "b"))
+
+ROWS = [
+    # doc_id, tokens, n_tok, source, expected_first_fail
+    ("ok", [1, 2, 3, 4], 4, "a", None),                      # boundary: == min passes
+    ("null_tok", None, None, "a", "null_payload"),
+    ("empty_tok", [], 0, "a", "empty_payload"),
+    ("null_src", [1, 2, 3, 4], 4, None, "null_key"),
+    ("empty_src", [1, 2, 3, 4], 4, "", "null_key"),
+    ("short", [1, 2, 3], 3, "a", "too_short"),               # min-1 fails (strict <)
+    ("long", list(range(11)), 11, "a", "too_long"),
+    ("badcount", [1, 2, 3, 4], 5, "a", "inconsistent_n_tok"),
+    ("banned", [1, 99, 3, 4], 4, "a", "banned_token"),
+    ("rogue", [1, 2, 3, 4], 4, "zz", "unknown_source"),
+    # ordering: null payload wins over bad source (processor.py:98 first)
+    ("order1", None, None, "zz", "null_payload"),
+    # ordering: too_short reported before banned (F4 before F5)
+    ("order2", [99, 1], 2, "a", "too_short"),
+]
+
+
+@pytest.fixture(scope="module")
+def annotated(spark):
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in ROWS],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    return cascade.apply_cascade(df, cascade.sequence_checks(SUITE)).collect()
+
+
+def test_first_fail_reasons(annotated):
+    got = {r["doc_id"]: r[cascade.FIRST_FAIL_COL] for r in annotated}
+    want = {r[0]: r[4] for r in ROWS}
+    assert got == want
+
+
+def test_verdict_is_conjunction(annotated):
+    for r in annotated:
+        assert r[cascade.VERDICT_COL] == (r[cascade.FIRST_FAIL_COL] is None)
+
+
+def test_failed_checks_collects_all(annotated):
+    by_id = {r["doc_id"]: r for r in annotated}
+    # 'order2' fails too_short AND banned_token — both collected
+    assert set(by_id["order2"][cascade.FAILED_ALL_COL]) == {"too_short", "banned_token"}
+    assert by_id["ok"][cascade.FAILED_ALL_COL] == []
+
+
+def test_violations_preserve_token_arrays(spark):
+    """Per-row invariant vs reference: token-array equality on
+    violation rows (BASELINE.json input_hint)."""
+    df = spark.createDataFrame(
+        [("banned", [1, 99, 3, 4], 4, "a")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    v = cascade.violations(df, cascade.sequence_checks(SUITE)).collect()
+    assert len(v) == 1
+    assert v[0]["tokens"] == [1, 99, 3, 4]
+    assert v[0]["check_name"] == "banned_token"
+    assert v[0]["reason"] == "banned token 99"
+
+
+def test_boundary_strictness(spark):
+    """n_tok == min passes, min-1 fails; == max passes, max+1 fails —
+    matches the reference's strict `<=`-fails semantics
+    (processor.py:125, tests 155-168 analogue)."""
+    df = spark.createDataFrame(
+        [
+            ("eq_min", [1] * 4, 4, "a"),
+            ("under", [1] * 3, 3, "a"),
+            ("eq_max", [1] * 10, 10, "a"),
+            ("over", [1] * 11, 11, "a"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    got = {
+        r["doc_id"]: r[cascade.FIRST_FAIL_COL]
+        for r in cascade.apply_cascade(df, cascade.sequence_checks(SUITE)).collect()
+    }
+    assert got == {"eq_min": None, "under": "too_short", "eq_max": None, "over": "too_long"}
+
+
+def test_degraded_mode_suite_hash_changes():
+    """F9: scorer availability is suite config; hash must change so the
+    manifest re-validates (processor.py:121-122 analogue)."""
+    on = CheckSuite(scorer_available=True)
+    off = CheckSuite(scorer_available=False)
+    assert on.suite_hash() != off.suite_hash()

@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from teleharvest_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different content about spark dataframes and catalyst optimizer rules"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (5, "another unrelated document talking about minhash signatures and lsh banding"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    groups = dedup.exact_duplicates(_docs(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 4]
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(_docs(spark), k=3, threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert (3, 5) not in pairs
+
+
+def test_minhash_agrees_with_exact_on_extremes(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+             dedup.minhash_lsh_pairs(_docs(spark), k=3, threshold=0.5).collect()}
+    assert pairs[(1, 4)] == 1.0  # identical docs always collide
+    assert (3, 5) not in pairs
+
+
+def test_minhash_recall_vs_exact(spark, sequences):
+    """On the documents testdata: every exact-Jaccard≥0.8 pair must be
+    found by LSH (banding threshold ~0.55 for 16 bands × 4 rows)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in
+              dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).collect()}
+    missed = exact - approx
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH recall too low: missed {missed}"
+
+
+def test_simhash_identical_distance_zero(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_docs(spark)).collect()}
+    assert sigs[1] == sigs[4]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_near_pairs(_docs(spark), max_hamming=3).collect()}
+    assert pairs[(1, 4)] == 0
+
+
+def test_embedding_near_dups(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    v = rng.randn(16).astype(np.float32)
+    rows = [
+        (1, v.tolist(), 0),
+        (2, (v + rng.randn(16).astype(np.float32) * 0.001).tolist(), 0),
+        (3, rng.randn(16).astype(np.float32).tolist(), 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.embedding_near_dups(df, threshold=0.99, dim=16).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)

@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from teleharvest_spark import datagen
+from teleharvest_spark.operators import drift
+
+
+def test_drifted_partition_flagged(spark, sequences, suite):
+    clean = sequences.where(
+        F.col("source").isin([s for s in datagen.SOURCES if s != datagen.DRIFTED_SOURCE])
+    )
+    base = drift.ntok_histogram(clean).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    m = drift.drift_verdicts(
+        drift.drift_metrics(drift.ntok_histogram(sequences), base), suite
+    )
+    rows = {r["source"]: r for r in m.collect()}
+    assert rows[datagen.DRIFTED_SOURCE]["drift_verdict"] == "fail"
+    assert rows[datagen.DRIFTED_SOURCE]["ks"] > suite.max_ks
+    for s in datagen.SOURCES[:7]:
+        assert rows[s]["drift_verdict"] == "pass", (s, rows[s]["ks"], rows[s]["psi"])
+
+
+def test_identical_distribution_zero_drift(spark, suite):
+    df = spark.createDataFrame(
+        [(f"d{i}", [1] * (i % 7 + 1), i % 7 + 1, "x") for i in range(200)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    hist = drift.ntok_histogram(df)
+    base = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    m = drift.drift_metrics(hist, base).collect()
+    assert abs(m[0]["ks"]) < 1e-12
+    assert abs(m[0]["psi"]) < 1e-9
+
+
+def test_ks_bounds(spark, sequences):
+    base = drift.ntok_histogram(sequences).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    m = drift.drift_metrics(drift.ntok_histogram(sequences), base).collect()
+    for r in m:
+        assert 0.0 <= r["ks"] <= 1.0
+        assert r["psi"] >= 0.0 or r["psi"] != r["psi"]  # psi ≥ 0 (or NaN never)
+
+
+def test_token_id_histogram_total(spark):
+    df = spark.createDataFrame(
+        [("d1", [0, 1, 49000], 3, "x"), ("d2", [5], 1, "x")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    h = drift.token_id_histogram(df).collect()
+    assert sum(r["cnt"] for r in h) == 4

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from teleharvest_spark import datagen
+from teleharvest_spark.config import CheckSuite
+from teleharvest_spark.plans import manifest as M, suite as S
+
+
+def test_resume_skips_validated_partitions(spark, sequences, suite, tmp_path):
+    res = S.run_suite(sequences, suite)
+    snaps = M.snapshot_of_partitions(sequences)
+    M.append_manifest_rows(spark, str(tmp_path), res.verdicts, snaps, suite, "run1")
+    man = M.read_manifest(spark, str(tmp_path))
+    assert man.count() == snaps.count()
+    # identical input + identical suite → nothing pending
+    assert M.pending_partitions(snaps, man, suite).count() == 0
+
+
+def test_snapshot_advance_requeues(spark, sequences, suite, tmp_path):
+    res = S.run_suite(sequences, suite)
+    snaps = M.snapshot_of_partitions(sequences)
+    M.append_manifest_rows(spark, str(tmp_path), res.verdicts, snaps, suite, "run1")
+    man = M.read_manifest(spark, str(tmp_path))
+    # one partition gains a row → exactly that partition re-queues
+    extra = spark.createDataFrame(
+        [("doc_new", [1] * 20, 20, "src_03")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    grown = sequences.unionByName(extra)
+    pend = M.pending_partitions(M.snapshot_of_partitions(grown), man, suite)
+    assert [r["partition"] for r in pend.collect()] == ["src_03"]
+
+
+def test_suite_change_requeues_everything(spark, sequences, suite, tmp_path):
+    res = S.run_suite(sequences, suite)
+    snaps = M.snapshot_of_partitions(sequences)
+    M.append_manifest_rows(spark, str(tmp_path), res.verdicts, snaps, suite, "run1")
+    man = M.read_manifest(spark, str(tmp_path))
+    changed = CheckSuite(
+        banned_tokens=suite.banned_tokens,
+        allowed_sources=suite.allowed_sources,
+        min_n_tok=suite.min_n_tok + 1,
+    )
+    assert M.pending_partitions(snaps, man, changed).count() == snaps.count()
+
+
+def test_run_suite_verdicts_cover_all_sources(spark, sequences, suite):
+    res = S.run_suite(sequences, suite)
+    verdict_sources = {r["source"] for r in res.verdicts.collect()}
+    data_sources = {r["source"] for r in sequences.select("source").distinct().collect()}
+    assert verdict_sources == data_sources
+    # violations present for every planted class
+    names = {r["check_name"] for r in res.violations.select("check_name").distinct().collect()}
+    assert {
+        "null_payload",
+        "empty_payload",
+        "null_key",
+        "too_short",
+        "too_long",
+        "inconsistent_n_tok",
+        "banned_token",
+        "unknown_source",
+        "duplicate_key",
+    } <= names

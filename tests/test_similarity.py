@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from teleharvest_spark.operators import similarity
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_max_similarity_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8).astype(np.float32)
+    probes = rng.randn(5, 8).astype(np.float32)
+    bdf = _emb(spark, [(i, base[i].tolist(), 0) for i in range(20)])
+    pdf = _emb(spark, [(100 + i, probes[i].tolist(), 1) for i in range(5)])
+    got = {r["probe_id"]: r["max_sim"] for r in similarity.max_similarity(pdf, bdf).collect()}
+
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    pn = probes / np.linalg.norm(probes, axis=1, keepdims=True)
+    want = (pn @ bn.T).max(axis=1)
+    for i in range(5):
+        assert abs(got[100 + i] - want[i]) < 1e-5
+
+
+def test_empty_baseline_yields_zero(spark):
+    """Reference: empty published set → similarity 0.0
+    (embedding_service.py:35-37, tests/services/test_embedding_service.py:57-73)."""
+    pdf = _emb(spark, [(1, [1.0, 0.0], 1)])
+    empty = _emb(spark, []).where(F.lit(False))
+    got = similarity.max_similarity(pdf, empty).collect()
+    assert got[0]["max_sim"] == 0.0
+
+
+def test_brute_force_topk_excludes_self_and_ranks(spark):
+    vs = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [0.0, 1.0], 0),
+            (4, [1.0, 0.05], 0),
+        ],
+    )
+    top = similarity.brute_force_topk(vs.where(F.col("vec_id") == 1), vs, k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])] == [4, 2]
+    assert all(r["neighbor_id"] != 1 for r in top)
+
+
+def test_lsh_topk_recall_on_tight_clusters(spark):
+    """Near-identical vectors land in the same bucket — LSH must find
+    them (the designed use: near-dup retrieval, not far-field ANN)."""
+    rng = np.random.RandomState(11)
+    centers = rng.randn(10, 16).astype(np.float32)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(3):  # 3 members per tight cluster
+            rows.append((vid, (c + rng.randn(16).astype(np.float32) * 0.01).tolist(), 0))
+            vid += 1
+    df = _emb(spark, rows)
+    top = similarity.lsh_topk(df, df, dim=16, k=2, n_planes=8)
+    got = {(r["probe_id"], r["neighbor_id"]) for r in top.collect()}
+    # every member should retrieve at least one same-cluster sibling
+    hits = 0
+    for pid in range(vid):
+        cluster = pid // 3
+        sibs = {cluster * 3 + j for j in range(3)} - {pid}
+        if any((pid, s) in got for s in sibs):
+            hits += 1
+    assert hits / vid >= 0.9

@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from teleharvest_spark.config import CheckSuite
+from teleharvest_spark.operators import stats
+
+
+def test_partition_stats_exact_small(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", [1, 2], 2, "a"),
+            ("d2", [1, 2, 3], 3, "a"),
+            ("d3", None, None, "a"),
+            ("d4", [5], 1, "b"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    rows = {r["source"]: r for r in stats.partition_stats(df).collect()}
+    a = rows["a"]
+    assert a["row_count"] == 3
+    assert a["null_tokens"] == 1
+    assert a["min_n_tok"] == 2 and a["max_n_tok"] == 3
+    assert abs(a["null_rate"] - 1 / 3) < 1e-12
+    assert a["total_tokens"] == 5
+    assert rows["b"]["row_count"] == 1
+
+
+def test_stats_verdicts_thresholds(spark, sequences, suite):
+    v = stats.stats_verdicts(stats.partition_stats(sequences), suite)
+    rows = {r["source"]: r for r in v.collect()}
+    # planted too_short/too_long rows exist in big sources → min/max trip
+    assert rows["src_00"]["stats_verdict"] == "fail"
+    assert "min_n_tok" in rows["src_00"]["failed_stat_checks"]
+    # HLL distinct should be within 5% of row count (dups are ~0.1%)
+    a = rows["src_00"]
+    assert abs(a["approx_distinct_doc_id"] - a["row_count"]) / a["row_count"] < 0.05
+
+
+def test_clean_partition_passes(spark):
+    suite = CheckSuite(min_n_tok=1, max_n_tok=100)
+    df = spark.createDataFrame(
+        [(f"d{i}", [1] * 5, 5, "clean") for i in range(100)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    v = stats.stats_verdicts(stats.partition_stats(df), suite).collect()
+    assert v[0]["stats_verdict"] == "pass"
+    assert v[0]["failed_stat_checks"] == []

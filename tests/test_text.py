@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from teleharvest_spark.functions import text as TXT
+
+
+def _one(spark, s, col):
+    df = spark.createDataFrame([(s,)], "text string")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_strip_trailing_link_matches_reference(spark):
+    """Exact semantics of processor.py:106 — trailing markdown link
+    (and only trailing) removed, multiline anchored."""
+    assert _one(spark, "hello [x](https://a.b)", TXT.strip_trailing_link(F.col("text"))) == "hello"
+    assert (
+        _one(spark, "keep [x](https://a.b) middle", TXT.strip_trailing_link(F.col("text")))
+        == "keep [x](https://a.b) middle"
+    )
+    assert _one(spark, "no link at all", TXT.strip_trailing_link(F.col("text"))) == "no link at all"
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", TXT.token_count(F.col("text"))) == 3
+    assert _one(spark, "", TXT.token_count(F.col("text"))) == 0
+    assert _one(spark, None, TXT.token_count(F.col("text"))) == 0
+    assert _one(spark, "  x  ", TXT.token_count(F.col("text"))) == 1
+
+
+def test_bpe_ish_token_count(spark):
+    assert _one(spark, "don't stop!", TXT.bpe_ish_token_count(F.col("text"))) == 5
+    # don / ' / t / stop / !
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat and the dog of the house", TXT.lang_id(F.col("text"))) == "en"
+    assert _one(spark, "el gato de la casa que una", TXT.lang_id(F.col("text"))) == "es"
+    assert _one(spark, "der hund und die katze ist ein", TXT.lang_id(F.col("text"))) == "de"
+    assert _one(spark, "zzz qqq www", TXT.lang_id(F.col("text"))) == "und"
+
+
+def test_stop_word_first_match(spark):
+    """Reference F5: the FIRST configured word that matches is the
+    reason (processor.py:90-95)."""
+    col = TXT.stop_word_check(F.col("text"), ["alpha", "beta"])
+    assert _one(spark, "has beta and alpha", col) == "alpha"  # list order, not text order
+    assert _one(spark, "has beta only", col) == "beta"
+    assert _one(spark, "clean", col) is None
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog walked to the park and that was nice " * 10,), ("!!!???",), (None,)],
+        "text string",
+    )
+    vals = [r["q"] for r in df.select(TXT.quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals[0] > vals[1]  # prose beats punctuation soup
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    a = _one(spark, "Hello   World", TXT.fingerprint(F.col("text")))
+    b = _one(spark, "  hello world ", TXT.fingerprint(F.col("text")))
+    c = _one(spark, "hello worlds", TXT.fingerprint(F.col("text")))
+    assert a == b
+    assert a != c

@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from teleharvest_spark.operators import merge, watermark
+
+
+def _seq(spark):
+    return spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 10), ("c", 5)],
+        "source string, doc_seq long",
+    )
+
+
+def test_high_water_and_incremental(spark):
+    df = _seq(spark)
+    wm = watermark.high_water_marks(df)
+    marks = {r["source"]: r["last_seq"] for r in wm.collect()}
+    assert marks == {"a": 3, "b": 10, "c": 5}
+    # new batch: only rows above the mark survive; unseen keys fully pass
+    batch = spark.createDataFrame(
+        [("a", 3), ("a", 4), ("b", 11), ("d", 1)], "source string, doc_seq long"
+    )
+    got = sorted(
+        (r["source"], r["doc_seq"])
+        for r in watermark.incremental_scan(batch, wm).collect()
+    )
+    assert got == [("a", 4), ("b", 11), ("d", 1)]
+
+
+def test_lookback_floor_limit(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(1, 11)], "source string, doc_seq long"
+    )
+    got = watermark.lookback_floor(df, limit=3).collect()
+    assert got[0]["first_seq"] == 1
+    df2 = spark.createDataFrame(
+        [("a", i) for i in range(5, 20)], "source string, doc_seq long"
+    )
+    assert watermark.lookback_floor(df2, limit=3).collect()[0]["first_seq"] == 5
+
+
+def test_latest_flag(spark):
+    df = _seq(spark)
+    got = {
+        (r["source"], r["doc_seq"]): r["is_latest"]
+        for r in watermark.with_latest_flag(df).collect()
+    }
+    assert got[("a", 3)] is True and got[("a", 1)] is False and got[("b", 10)] is True
+
+
+def test_merge_updates_matched_only(spark):
+    """Reference S5 semantics (models/message.py:170-189): update
+    matched, skip absent, ignore unknown fields."""
+    target = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20)], "id long, name string, val long"
+    )
+    updates = spark.createDataFrame(
+        [(1, 99, "IGNORED"), (3, 77, "IGNORED")], "id long, val long, bogus string"
+    )
+    got = {r["id"]: r for r in merge.merge_upsert(target, updates, ["id"]).collect()}
+    assert set(got) == {1, 2}          # absent id=3 skipped
+    assert got[1]["val"] == 99         # matched updated
+    assert got[1]["name"] == "x"       # untouched column preserved
+    assert got[2]["val"] == 20         # unmatched target row intact
+    assert "bogus" not in merge.merge_upsert(target, updates, ["id"]).columns
+
+
+def test_merge_insert_unmatched(spark):
+    target = spark.createDataFrame([(1, "x")], "id long, name string")
+    updates = spark.createDataFrame([(2, "z")], "id long, name string")
+    got = merge.merge_upsert(target, updates, ["id"], insert_unmatched=True)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]
