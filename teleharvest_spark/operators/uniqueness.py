@@ -33,7 +33,12 @@ def duplicate_keys(df: DataFrame, key: str = "doc_id", salt: int = DEFAULT_SALT)
     xxhash64(source, n_tok) % salt — duplicates of one doc_id landing in
     the same bucket is fine (counts still sum correctly in phase 2).
     """
-    other = [c for c in df.columns if c != key]
+    # Salt from scalar columns only: hashing the tokens array would
+    # force the parquet reader to decode it, defeating column pruning
+    # (the array decode IS the scan cost — see plans/suite.py).
+    other = [
+        c for (c, t) in df.dtypes if c != key and not t.startswith(("array", "map", "struct"))
+    ]
     salt_col = (
         (F.abs(F.xxhash64(*[F.col(c) for c in other])) % salt)
         if other

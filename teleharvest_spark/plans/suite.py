@@ -41,9 +41,64 @@ def run_suite(
     rows are additive.
     """
     checks = cascade.sequence_checks(suite)
-    cascade_viol = cascade.violations(sequences, checks)
-    uniq_viol = uniqueness.uniqueness_violations(sequences, key="doc_id")
-    violations = cascade_viol.unionByName(uniq_viol)
+    # Duplicate-key detection runs on a column-pruned scan (doc_id +
+    # scalar salt inputs — the tokens array is never decoded here; the
+    # array decode IS the scan cost, ~33s/2M rows measured). The dup
+    # set is persisted and counted so the fused join below can pick
+    # broadcast (usual case: tiny dup set — no shuffle of the fact)
+    # vs shuffle join (adversarial corpus: 10^9 dup keys at 10^12 rows
+    # won't fit an executor). Without the explicit hint the static
+    # plan would sort-merge-join and shuffle-write the whole fact.
+    dups = uniqueness.duplicate_keys(sequences, key="doc_id").persist()
+    dups_side = dups if dups.count() > 5_000_000 else F.broadcast(dups)
+
+    # ONE full decode of the tokens column produces BOTH violation
+    # classes: the cascade flags are a narrow projection, the dup flag
+    # a join against the (usually tiny) dup-key set, and each row
+    # explodes into 0-2 violation rows (cascade + duplicate_key are
+    # additive, matching the union semantics the tests pin). The tiny
+    # output (~0.1% of rows) is persisted so verdict assembly and
+    # caller-side counts never re-scan the fact.
+    annotated = cascade.apply_cascade(sequences, checks).join(dups_side, "doc_id", "left")
+    vstruct = F.explode(
+        F.array_compact(
+            F.array(
+                F.when(
+                    F.col(cascade.FIRST_FAIL_COL).isNotNull(),
+                    F.struct(
+                        F.col(cascade.FIRST_FAIL_COL).alias("check_name"),
+                        F.col(cascade.REASON_COL).alias("reason"),
+                    ),
+                ),
+                F.when(
+                    F.col("dup_count").isNotNull(),
+                    F.struct(
+                        F.lit("duplicate_key").alias("check_name"),
+                        F.concat(
+                            F.lit("doc_id seen "),
+                            F.col("dup_count").cast("string"),
+                            F.lit(" times"),
+                        ).alias("reason"),
+                    ),
+                ),
+            )
+        )
+    )
+    violations = (
+        annotated.select(
+            "doc_id",
+            "source",
+            (
+                F.col("tokens")
+                if "tokens" in sequences.columns
+                else F.lit(None).cast("array<int>").alias("tokens")
+            ),
+            vstruct.alias("_v"),
+        )
+        .select("doc_id", "source", F.col("_v.check_name"), F.col("_v.reason"), "tokens")
+        .select("doc_id", "source", "check_name", "reason", "tokens")
+        .persist()
+    )
 
     part_stats = stats.stats_verdicts(stats.partition_stats(sequences), suite)
 

@@ -19,7 +19,14 @@ def test_queries_have_oracles_or_are_flagged(spark):
     assert set(os_) <= set(qs)
     # every oracle-less query is a documented approximate op
     no_oracle = set(qs) - set(os_)
-    assert no_oracle <= {"minhash_pairs"}
+    assert no_oracle <= {
+        "minhash_pairs",
+        "simhash_pairs",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "embedding_near_dups",
+        "stats_sketch",
+    }
 
 
 def test_each_query_returns_rows_at_sf0001(spark):
