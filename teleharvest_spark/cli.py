@@ -1,0 +1,110 @@
+"""spark-submit entrypoint for a full validation run.
+
+Cluster usage (north_rule packaging contract):
+
+    scripts/package.sh            # → dist/teleharvest_spark.zip
+    spark-submit \
+        --master yarn --deploy-mode cluster \
+        --py-files dist/teleharvest_spark.zip \
+        scripts/run_validation.py \
+        --input /data/sequences --output /data/validation \
+        --run-id 2026-08-16a --resume
+
+Reads the sequences table (parquet path here; Iceberg table name on a
+cluster with the runtime jars — see sources/iceberg.py), runs the full
+check suite (cascade + uniqueness + stats + verdicts), writes the
+violations and verdicts tables, and appends checkpoint-manifest rows so
+a re-run with ``--resume`` skips partitions whose snapshot and suite
+hash are unchanged (reference analogue: watermark re-derivation,
+processor.py:60-63, and bounded lookback refresh, processor.py:65-71).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from .config import CheckSuite
+from .plans import manifest as mf
+from .plans import suite as suite_plan
+from .session import get_spark
+
+
+def build_suite(path: str | None) -> CheckSuite:
+    """Suite from a JSON file of threshold overrides (driver-side read,
+    reference analogue: Settings/.env, settings.py:8-62)."""
+    if not path:
+        return CheckSuite()
+    with open(path, encoding="utf-8") as f:
+        overrides = json.load(f)
+    for k in ("banned_tokens", "allowed_sources"):
+        if k in overrides:
+            overrides[k] = tuple(overrides[k])
+    return CheckSuite(**overrides)
+
+
+def run(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    suite: CheckSuite,
+    run_id: str,
+    resume: bool = False,
+) -> dict:
+    sequences = spark.read.parquet(input_path)
+
+    snapshots = mf.snapshot_of_partitions(sequences)
+    if resume:
+        manifest = mf.read_manifest(spark, output_path)
+        pending = mf.pending_partitions(snapshots, manifest, suite)
+        pending_sources = [r["partition"] for r in pending.select("partition").collect()]
+        if not pending_sources:
+            return {"run_id": run_id, "validated_rows": 0, "skipped": True}
+        sequences = sequences.where(
+            F.coalesce(F.col("source"), F.lit("__null__")).isin(pending_sources)
+        )
+        snapshots = snapshots.where(F.col("partition").isin(pending_sources))
+
+    t0 = time.perf_counter()
+    res = suite_plan.run_suite(sequences, suite)
+    res.violations.write.mode("append").parquet(f"{output_path}/violations")
+    res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
+    mf.append_manifest_rows(spark, output_path, res.verdicts, snapshots, suite, run_id)
+    n_rows = sequences.count()
+    wall = time.perf_counter() - t0
+    report = {
+        "run_id": run_id,
+        "validated_rows": n_rows,
+        "violations": res.violations.count(),
+        "partitions": res.verdicts.count(),
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+        "suite_hash": suite.suite_hash(),
+        "skipped": False,
+    }
+    res.violations.unpersist()
+    return report
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="teleharvest-validate")
+    ap.add_argument("--input", required=True, help="sequences table path (parquet)")
+    ap.add_argument("--output", required=True, help="output root (violations/verdicts/manifest)")
+    ap.add_argument("--suite-json", default=None, help="JSON file of CheckSuite overrides")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--resume", action="store_true", help="skip partitions already in the manifest")
+    ap.add_argument("--master", default=None, help="override master (default: existing session / local)")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name=f"validate-{args.run_id}", master=args.master)
+    report = run(spark, args.input, args.output, build_suite(args.suite_json), args.run_id, args.resume)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,6 +96,14 @@ def fingerprint(col: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def parse_score(col: Column) -> Column:
+    """Reference C6: lenient scorer-reply parse —
+    ``float(response.replace('"','').strip())``, None on ValueError
+    (services/openai_service.py:56-59). ``try_cast`` gives the
+    None-on-garbage semantics without ANSI exceptions."""
+    return F.trim(F.regexp_replace(F.coalesce(col, F.lit("")), '"', "")).try_cast("float")
+
+
 def stop_word_check(col: Column, stop_words: list[str]) -> Column:
     """First matching stop word or NULL (reference F5 semantics:
     contains_stop_words returns the matched word, processor.py:90-95)."""

@@ -102,6 +102,44 @@ def sequence_checks(suite: CheckSuite) -> list[Check]:
     return checks
 
 
+def scored_checks(suite: CheckSuite) -> list[Check]:
+    """F7-F9 — thresholds over enrichment scores (reference:
+    processor.py:121-135).
+
+    Exact reference semantics: strict ``<=`` (a score of exactly
+    min_score FAILS — settings.py:15, asserted
+    tests/test_processor.py:155-168) and NULL scores FAIL (``score is
+    None or score <= min_score``). F9 degraded mode: when the scorer is
+    unavailable (``credits_available=False``, processor.py:34-35,
+    121-122) the score checks are NOT part of the suite — rows pass
+    with NULL scores (tests/test_processor.py:410-475). Returned empty
+    here so callers concatenate ``sequence_checks + scored_checks``.
+    """
+    if not suite.scorer_available:
+        return []
+    score, alt = F.col("score"), F.col("score_alt")
+    return [
+        Check(
+            "low_score",
+            score.isNull() | (score <= suite.min_score),
+            F.concat(
+                F.lit("score "),
+                F.coalesce(score.cast("string"), F.lit("NULL")),
+                F.lit(f" <= {suite.min_score}"),
+            ),
+        ),
+        Check(
+            "low_score_alt",
+            alt.isNull() | (alt <= suite.min_score_alt),
+            F.concat(
+                F.lit("score_alt "),
+                F.coalesce(alt.cast("string"), F.lit("NULL")),
+                F.lit(f" <= {suite.min_score_alt}"),
+            ),
+        ),
+    ]
+
+
 def apply_cascade(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     """Annotate ``df`` with verdict / first-fail / reason / all-failed.
 

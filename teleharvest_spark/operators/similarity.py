@@ -30,18 +30,24 @@ def max_similarity(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, max_sim) — 0.0 for an empty baseline (reference:
-    embedding_service.py:35-37 returns 0.0)."""
+    embedding_service.py:35-37 returns 0.0).
+
+    LEFT OUTER broadcast nested-loop join instead of crossJoin +
+    join-back: an empty baseline leaves every probe one row with a
+    NULL partner (→ max NULL → coalesce 0.0), so no second join is
+    needed to preserve probes — `.explain` shows one BNLJ + the final
+    aggregate exchange, no SortMergeJoin.
+    """
     p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
-    b = baseline.select(F.col(vec_col).alias("bvec"))
-    sims = p.crossJoin(F.broadcast(b)).select(
-        "probe_id", cosine(F.col("pvec"), F.col("bvec")).alias("sim")
+    # null-embedding baseline rows are skipped, as the reference's
+    # `if message.embedding` guard does (embedding_service.py:40-41)
+    b = baseline.where(F.col(vec_col).isNotNull()).select(F.col(vec_col).alias("bvec"))
+    sims = p.join(F.broadcast(b), F.lit(True), "left_outer").select(
+        "probe_id",
+        F.when(F.col("bvec").isNotNull(), cosine(F.col("pvec"), F.col("bvec"))).alias("sim"),
     )
-    agg = sims.groupBy("probe_id").agg(F.max("sim").alias("max_sim"))
-    # Empty-baseline guard: left join back so every probe keeps a row.
-    return (
-        p.select("probe_id")
-        .join(agg, "probe_id", "left")
-        .select("probe_id", F.coalesce("max_sim", F.lit(0.0)).alias("max_sim"))
+    return sims.groupBy("probe_id").agg(
+        F.coalesce(F.max("sim"), F.lit(0.0)).alias("max_sim")
     )
 
 

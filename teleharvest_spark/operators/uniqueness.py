@@ -22,26 +22,34 @@ from pyspark.sql import DataFrame, functions as F
 DEFAULT_SALT = 16
 
 
-def duplicate_keys(df: DataFrame, key: str = "doc_id", salt: int = DEFAULT_SALT) -> DataFrame:
+def duplicate_keys(
+    df: DataFrame,
+    key: str = "doc_id",
+    salt: int = DEFAULT_SALT,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
     """Keys appearing more than once → (key, dup_count).
 
-    Deterministic salt = hash of a secondary column when present, else
-    a hash of the full row spread via ``spark_partition_id`` is unsafe
-    (not deterministic across parallelism) — so we hash the key with
-    monotonic row position REMOVED: use xxhash64 of the *other* columns.
-    For the sequences table (doc_id, tokens, n_tok, source) the salt is
-    xxhash64(source, n_tok) % salt — duplicates of one doc_id landing in
-    the same bucket is fine (counts still sum correctly in phase 2).
+    Deterministic salt: ``spark_partition_id`` would not be stable
+    across parallelism levels, so the salt hashes *other* column
+    values — duplicates of one doc_id spread across ≤``salt`` buckets
+    (same-bucket collisions are fine: phase 2 sums the partials).
+
+    ``salt_cols`` defaults to the first two scalar non-key columns:
+    hashing arrays would force the parquet reader to decode them, and
+    hashing every column drags the full row width through the scan —
+    the pruned ReadSchema (key + 2 scalars) IS the point of running
+    uniqueness as its own pass (see plans/suite.py).
     """
-    # Salt from scalar columns only: hashing the tokens array would
-    # force the parquet reader to decode it, defeating column pruning
-    # (the array decode IS the scan cost — see plans/suite.py).
-    other = [
-        c for (c, t) in df.dtypes if c != key and not t.startswith(("array", "map", "struct"))
-    ]
+    if salt_cols is None:
+        salt_cols = [
+            c
+            for (c, t) in df.dtypes
+            if c != key and not t.startswith(("array", "map", "struct"))
+        ][:2]
     salt_col = (
-        (F.abs(F.xxhash64(*[F.col(c) for c in other])) % salt)
-        if other
+        (F.abs(F.xxhash64(*[F.col(c) for c in salt_cols])) % salt)
+        if salt_cols
         else F.lit(0)
     )
     partial = (

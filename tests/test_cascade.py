@@ -92,6 +92,45 @@ def test_boundary_strictness(spark):
     assert got == {"eq_min": None, "under": "too_short", "eq_max": None, "over": "too_long"}
 
 
+SCORED_ROWS = [
+    # doc_id, score, score_alt, expected_first_fail (suite defaults 80/85)
+    ("pass", 81, 86, None),
+    ("eq_min_fails", 80, 86, "low_score"),        # strict <=: exactly 80 FAILS
+    ("null_score_fails", None, 86, "low_score"),  # score is None → fail
+    ("eq_alt_fails", 81, 85, "low_score_alt"),
+    ("null_alt_fails", 81, None, "low_score_alt"),
+    ("order", 10, 10, "low_score"),               # F7 reported before F8
+]
+
+
+def test_scored_checks_strict_le_and_null_fails(spark):
+    """F7/F8 exact semantics (processor.py:124-135, settings.py:15-16;
+    reference tests 155-185: exactly-80 fails, None fails)."""
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in SCORED_ROWS],
+        "doc_id string, score int, score_alt int",
+    )
+    got = {
+        r["doc_id"]: r[cascade.FIRST_FAIL_COL]
+        for r in cascade.apply_cascade(df, cascade.scored_checks(CheckSuite())).collect()
+    }
+    assert got == {r[0]: r[3] for r in SCORED_ROWS}
+
+
+def test_degraded_mode_rows_pass_with_null_scores(spark):
+    """F9: scorer unavailable → score checks excluded; rows with NULL
+    scores PASS (processor.py:121-122, tests/test_processor.py:410-475
+    — easy to get wrong as verdict=fail, SURVEY.md §7)."""
+    suite = CheckSuite(scorer_available=False)
+    assert cascade.scored_checks(suite) == []
+    df = spark.createDataFrame(
+        [("d1", None, None)], "doc_id string, score int, score_alt int"
+    )
+    rows = cascade.apply_cascade(df, cascade.scored_checks(suite)).collect()
+    assert rows[0][cascade.VERDICT_COL] is True
+    assert rows[0][cascade.FIRST_FAIL_COL] is None
+
+
 def test_degraded_mode_suite_hash_changes():
     """F9: scorer availability is suite config; hash must change so the
     manifest re-validates (processor.py:121-122 analogue)."""

@@ -1,0 +1,52 @@
+from __future__ import annotations
+
+import json
+
+from teleharvest_spark import cli, datagen
+from teleharvest_spark.config import CheckSuite
+
+
+def test_cli_run_and_resume(spark, suite, tmp_path):
+    """Full job → outputs land; immediate re-run with resume skips
+    everything (reference analogue: watermark re-derivation means a
+    second run fetches nothing, processor.py:60-63)."""
+    inp = str(tmp_path / "seqs")
+    out = str(tmp_path / "out")
+    datagen.generate_sequences(spark, 5_000, suite).write.parquet(inp)
+
+    r1 = cli.run(spark, inp, out, suite, run_id="r1")
+    assert r1["validated_rows"] == 5_000
+    assert r1["violations"] > 0
+    assert not r1["skipped"]
+    assert spark.read.parquet(f"{out}/violations").count() == r1["violations"]
+    assert spark.read.parquet(f"{out}/verdicts/r1").count() == r1["partitions"]
+
+    r2 = cli.run(spark, inp, out, suite, run_id="r2", resume=True)
+    assert r2["skipped"] and r2["validated_rows"] == 0
+
+
+def test_cli_resume_revalidates_changed_suite(spark, suite, tmp_path):
+    """A threshold change invalidates the manifest (suite hash differs)
+    → everything re-runs."""
+    inp = str(tmp_path / "seqs")
+    out = str(tmp_path / "out")
+    datagen.generate_sequences(spark, 2_000, suite).write.parquet(inp)
+    cli.run(spark, inp, out, suite, run_id="r1")
+
+    tighter = CheckSuite(
+        banned_tokens=suite.banned_tokens,
+        allowed_sources=suite.allowed_sources,
+        min_n_tok=suite.min_n_tok + 1,
+    )
+    r2 = cli.run(spark, inp, out, tighter, run_id="r2", resume=True)
+    assert not r2["skipped"]
+    assert r2["validated_rows"] == 2_000
+
+
+def test_suite_json_roundtrip(tmp_path):
+    p = tmp_path / "suite.json"
+    p.write_text(json.dumps({"min_n_tok": 32, "banned_tokens": [1, 2]}))
+    s = cli.build_suite(str(p))
+    assert s.min_n_tok == 32
+    assert s.banned_tokens == (1, 2)
+    assert cli.build_suite(None) == CheckSuite()

@@ -49,6 +49,44 @@ def test_brute_force_topk_excludes_self_and_ranks(spark):
     assert all(r["neighbor_id"] != 1 for r in top)
 
 
+def test_ivf_topk_recall_on_tight_clusters(spark):
+    """IVF with n_probe close to n_cells must retrieve same-cluster
+    siblings of near-identical vectors (the near-dup retrieval use)."""
+    rng = np.random.RandomState(13)
+    centers = rng.randn(8, 16).astype(np.float32)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(3):
+            rows.append((vid, (c + rng.randn(16).astype(np.float32) * 0.01).tolist(), 0))
+            vid += 1
+    df = _emb(spark, rows)
+    top = similarity.ivf_topk(df, df, dim=16, k=2, n_cells=4, n_probe=2)
+    got = {(r["probe_id"], r["neighbor_id"]) for r in top.collect()}
+    hits = 0
+    for pid in range(vid):
+        cluster = pid // 3
+        sibs = {cluster * 3 + j for j in range(3)} - {pid}
+        if any((pid, s) in got for s in sibs):
+            hits += 1
+    assert hits / vid >= 0.9
+
+
+def test_ivf_topk_sims_match_exact_cosine(spark):
+    """Returned sims must equal the exact cosine — IVF approximates the
+    candidate set, never the metric."""
+    rng = np.random.RandomState(17)
+    mat = rng.randn(12, 8).astype(np.float32)
+    df = _emb(spark, [(i, mat[i].tolist(), 0) for i in range(12)])
+    got = similarity.ivf_topk(df, df, dim=8, k=3, n_cells=3, n_probe=3).collect()
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    assert len(got) > 0
+    for r in got:
+        assert abs(r["sim"] - sims[r["probe_id"], r["neighbor_id"]]) < 1e-4
+        assert r["probe_id"] != r["neighbor_id"]
+
+
 def test_lsh_topk_recall_on_tight_clusters(spark):
     """Near-identical vectors land in the same bucket — LSH must find
     them (the designed use: near-dup retrieval, not far-field ANN)."""

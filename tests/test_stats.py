@@ -37,6 +37,26 @@ def test_stats_verdicts_thresholds(spark, sequences, suite):
     assert abs(a["approx_distinct_doc_id"] - a["row_count"]) / a["row_count"] < 0.05
 
 
+def test_sketch_tolerance_vs_exact(spark):
+    """GK quantiles (percentile_approx, accuracy 10000) and HLL++
+    (rsd 0.01) must land within tight tolerance of the exact values —
+    the contract q_stats_sketch's rows-only driver check leans on."""
+    df = spark.range(0, 20_000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 1000).cast("int").alias("n_tok"),
+        F.lit("s").alias("source"),
+    )
+    got = df.groupBy("source").agg(
+        F.percentile_approx("n_tok", [0.25, 0.5, 0.95], 10000).alias("q"),
+        F.approx_count_distinct("doc_id", 0.01).alias("ad"),
+    ).collect()[0]
+    # n_tok cycles 0..999 uniformly: exact quantiles 249.75/499.5/949.05
+    assert abs(got["q"][0] - 250) <= 5
+    assert abs(got["q"][1] - 500) <= 5
+    assert abs(got["q"][2] - 949) <= 5
+    assert abs(got["ad"] - 20_000) / 20_000 < 0.04
+
+
 def test_clean_partition_passes(spark):
     suite = CheckSuite(min_n_tok=1, max_n_tok=100)
     df = spark.createDataFrame(

@@ -65,3 +65,13 @@ def test_fingerprint_normalizes_whitespace(spark):
     c = _one(spark, "hello worlds", TXT.fingerprint(F.col("text")))
     assert a == b
     assert a != c
+
+
+def test_parse_score_lenient(spark):
+    """C6: quote-strip + trim + float parse, None on garbage
+    (openai_service.py:56-59; reference tests 57-74)."""
+    col = TXT.parse_score(F.col("text"))
+    assert _one(spark, '"85"', col) == 85.0
+    assert _one(spark, "  90 ", col) == 90.0
+    assert _one(spark, "not a number", col) is None
+    assert _one(spark, None, col) is None
