@@ -36,6 +36,11 @@ HEADLINE = [
     "minhash_pairs",
     "drift_ntok",
     "merge_upsert",
+    "window_tumbling",
+    "multimodal_meta",
+    "fingerprint_dups",
+    "ann_ivf_topk",
+    "simhash_pairs",
 ]
 
 SUITE_ROWS = int(os.environ.get("SPARK_GRAFT_SUITE_ROWS", "2000000"))

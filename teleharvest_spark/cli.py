@@ -54,6 +54,7 @@ def run(
     suite: CheckSuite,
     run_id: str,
     resume: bool = False,
+    drift: bool = True,
 ) -> dict:
     sequences = spark.read.parquet(input_path)
 
@@ -70,7 +71,7 @@ def run(
         snapshots = snapshots.where(F.col("partition").isin(pending_sources))
 
     t0 = time.perf_counter()
-    res = suite_plan.run_suite(sequences, suite)
+    res = suite_plan.run_suite(sequences, suite, drift_vs_global=drift)
     res.violations.write.mode("append").parquet(f"{output_path}/violations")
     res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
     mf.append_manifest_rows(spark, output_path, res.verdicts, snapshots, suite, run_id)
@@ -97,11 +98,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--suite-json", default=None, help="JSON file of CheckSuite overrides")
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--resume", action="store_true", help="skip partitions already in the manifest")
+    ap.add_argument("--no-drift", action="store_true", help="skip the KS/PSI drift check")
     ap.add_argument("--master", default=None, help="override master (default: existing session / local)")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"validate-{args.run_id}", master=args.master)
-    report = run(spark, args.input, args.output, build_suite(args.suite_json), args.run_id, args.resume)
+    report = run(
+        spark,
+        args.input,
+        args.output,
+        build_suite(args.suite_json),
+        args.run_id,
+        args.resume,
+        drift=not args.no_drift,
+    )
     print(json.dumps(report))
     return 0
 

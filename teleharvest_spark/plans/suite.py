@@ -31,6 +31,7 @@ def run_suite(
     sequences: DataFrame,
     suite: CheckSuite,
     baseline_hist: DataFrame | None = None,
+    drift_vs_global: bool = False,
 ) -> ValidationResult:
     """Run every check family over the sequences table.
 
@@ -102,9 +103,18 @@ def run_suite(
 
     part_stats = stats.stats_verdicts(stats.partition_stats(sequences), suite)
 
+    # Drift baseline: an explicit trusted histogram (production: the
+    # published/validated era), or — drift_vs_global — the current
+    # corpus's own pooled n_tok histogram, flagging sources whose
+    # distribution diverges from the rest (the reference's
+    # compare-against-published pattern, processor.py:159-178). The
+    # histogram pass prunes to (source, n_tok); KS/PSI math runs in one
+    # applyInPandas over ≤ |sources|×128 rows.
     drift_v = None
-    if baseline_hist is not None:
+    if baseline_hist is not None or drift_vs_global:
         hist = drift.ntok_histogram(sequences)
+        if baseline_hist is None:
+            baseline_hist = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
         drift_v = drift.drift_verdicts(drift.drift_metrics(hist, baseline_hist), suite)
 
     # per-source violation counts (small agg over the violations set).

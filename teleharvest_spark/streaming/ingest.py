@@ -10,7 +10,11 @@ two execution modes.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..config import CheckSuite
 from ..operators import cascade
@@ -44,4 +48,72 @@ def streaming_violation_counts(
         .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), F.col(cascade.FIRST_FAIL_COL).alias("check_name"))
         .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "_ingest_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Cross-microbatch key dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key in state only
+    until the event-time watermark passes it — the streaming form of
+    the PK-uniqueness check (reference: duplicate insert rejected by
+    the store, models/message.py:34-36) with state that does NOT grow
+    with the corpus.
+    """
+    keys = keys or ["doc_id"]
+    if ts_col not in stream.columns:
+        stream = stream.withColumn(ts_col, F.current_timestamp())
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stateful_high_water(
+    stream: DataFrame,
+    key: str = "source",
+    seq: str = "seq",
+) -> DataFrame:
+    """Custom stateful operator: per-key high-water-mark filter.
+
+    The reference re-derives `min_id = get_last_message_id(channel)`
+    per run and fetches only newer rows (processor.py:60-62,
+    models/message.py:75-89). As a continuous operator, the watermark
+    lives in ``applyInPandasWithState`` state: each key's group keeps
+    ``last_seq``; rows with ``seq <= last_seq`` (replays / overlapping
+    re-drops) are dropped, and the mark ratchets forward. Arrow-batched
+    — the per-group work is a vectorized pandas filter, no per-row
+    Python.
+    """
+
+    def fn(
+        key_tuple: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        high = last
+        for pdf in pdfs:
+            fresh = pdf if last is None else pdf[pdf[seq] > last]
+            if len(fresh):
+                mx = int(fresh[seq].max())
+                high = mx if high is None else max(high, mx)
+                yield fresh.assign(**{key: key_tuple[0]})
+        if high is not None:
+            state.update((high,))
+
+    out_schema = ", ".join(
+        f"{c} {t}" for c, t in stream.dtypes if c != key
+    ) + f", {key} string"
+    return (
+        stream.groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="last_seq long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -48,3 +48,17 @@ def test_token_id_histogram_total(spark):
     )
     h = drift.token_id_histogram(df).collect()
     assert sum(r["cnt"] for r in h) == 4
+
+
+def test_run_suite_drift_vs_global_flags_drifted_source(spark, sequences, suite):
+    """drift_vs_global: the planted src_07 (n_tok mean ×2) must fail
+    the KS/PSI check against the pooled corpus histogram."""
+    from teleharvest_spark.plans import suite as suite_plan
+
+    res = suite_plan.run_suite(sequences, suite, drift_vs_global=True)
+    rows = {r["source"]: r for r in res.verdicts.collect()}
+    res.violations.unpersist()
+    assert rows["src_07"]["drift_verdict"] == "fail"
+    assert rows["src_07"]["verdict"] == "fail"
+    # a non-drifted mid-size source passes the drift dimension
+    assert rows["src_03"]["drift_verdict"] == "pass"

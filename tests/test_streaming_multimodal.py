@@ -63,3 +63,62 @@ def test_frame_sample(spark):
 def test_resize_is_stubbed(spark):
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(_assets(spark), 224, 224)
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Duplicate doc_ids arriving in a later drop are suppressed while
+    the key is inside the watermark window."""
+    drop = tmp_path / "dedup_drop"
+    rows1 = [(f"doc_{i}", [1, 2, 3], 3, "src_00") for i in range(10)]
+    spark.createDataFrame(
+        rows1, "doc_id string, tokens array<int>, n_tok int, source string"
+    ).write.mode("append").parquet(str(drop))
+
+    from teleharvest_spark.streaming import ingest
+
+    stream = ingest.stream_sequences(spark, str(drop))
+    dd = ingest.streaming_dedup(stream, keys=["doc_id"], watermark="1 hour")
+    q = dd.writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try:
+        q.processAllAvailable()
+        # second drop: 5 replays + 5 new
+        rows2 = [(f"doc_{i}", [9, 9, 9], 3, "src_00") for i in range(5)] + [
+            (f"doc_{i}", [1, 2, 3], 3, "src_00") for i in range(10, 15)
+        ]
+        spark.createDataFrame(
+            rows2, "doc_id string, tokens array<int>, n_tok int, source string"
+        ).write.mode("append").parquet(str(drop))
+        q.processAllAvailable()
+        got = spark.sql("SELECT doc_id FROM dedup_out").collect()
+    finally:
+        q.stop()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == len(set(ids)) == 15  # 10 originals + 5 new, replays dropped
+
+
+def test_stateful_high_water_filters_replays(spark, tmp_path):
+    """applyInPandasWithState watermark: rows at or below a key's
+    high-water mark are dropped on later microbatches (reference
+    semantics: fetch only id > last stored id, processor.py:60-62)."""
+    drop = tmp_path / "hw_drop"
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10)], "source string, seq long"
+    ).write.mode("append").parquet(str(drop))
+
+    from teleharvest_spark.streaming import ingest
+
+    stream = spark.readStream.schema("source string, seq long").parquet(str(drop))
+    hw = ingest.stateful_high_water(stream, key="source", seq="seq")
+    q = hw.writeStream.outputMode("append").format("memory").queryName("hw_out").start()
+    try:
+        q.processAllAvailable()
+        # replays (a,1), (a,2), (b,10) + fresh (a,3), (b,11)
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("a", 3), ("b", 10), ("b", 11)],
+            "source string, seq long",
+        ).write.mode("append").parquet(str(drop))
+        q.processAllAvailable()
+        got = {(r["source"], r["seq"]) for r in spark.sql("SELECT * FROM hw_out").collect()}
+    finally:
+        q.stop()
+    assert got == {("a", 1), ("a", 2), ("b", 10), ("a", 3), ("b", 11)}
