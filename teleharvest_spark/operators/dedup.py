@@ -165,22 +165,44 @@ def ngram_jaccard_pairs(
     fine when shingles are discriminative; LSH (above) is the scale
     path, this is the exact verifier / oracle.
 
-    Two shuffle-volume cuts, both semantics-preserving: (1) the index
-    key is xxhash64(shingle), not the string — 8 bytes through the
-    shuffle instead of ~5 words (collision odds ≪ 2⁻⁴⁰ at any
-    realistic posting volume); (2) since J(A,B) ≤ min/max sizes, the
-    size-ratio bound `min(n_a,n_b) ≥ t·max(n_a,n_b)` rides in the join
-    condition, dropping hopeless pairs during the hash-join probe
-    before they hit the pair-count aggregate.
+    Lossless cost cuts (the result is still EXACT at ``threshold``):
+
+    1. **Prefix filtering** (AllPairs/PPJoin): with shingles ordered by
+       global rarity, any pair with J ≥ t must share one of each doc's
+       first ``n − ⌈t·n⌉ + 1`` shingles — so only that prefix enters
+       the inverted index, shrinking Σ posting² by ~(1−t)² and keeping
+       the hottest (most common) shingles out of the index entirely.
+    2. The index key is xxhash64(shingle) — 8 bytes through the
+       shuffle (collision odds ≪ 2⁻⁴⁰ at realistic volumes).
+    3. Size-ratio bound ``min(n_a,n_b) ≥ t·max(n_a,n_b)`` (since
+       J ≤ min/max) rides in the join condition.
+    4. Candidates carry only ids; the exact |A∩B| is computed by
+       re-attaching the full shingle-hash arrays to the surviving
+       pairs (native ``array_intersect``), not by counting join rows.
     """
-    base = df.select(
-        F.col(id_col), shingles(text_col, k).alias("_sh")
-    ).withColumn("_n", F.size("_sh"))
-    posts = base.select(
-        id_col, "_n", F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("shingle")
+    base = (
+        df.select(
+            F.col(id_col),
+            F.array_sort(F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))).alias("_sh"),
+        )
+        .withColumn("_n", F.size("_sh"))
+        .persist()
     )
-    a, b = posts.alias("a"), posts.alias("b")
-    inter = (
+    posts = base.select(id_col, "_n", F.explode("_sh").alias("shingle"))
+
+    # global document frequency → rarity rank per shingle
+    dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = posts.join(dfreq, "shingle")
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
+    )
+    prefix_len = F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")).cast("int") + 1
+    prefix = ranked.withColumn("_rn", rn).where(F.col("_rn") <= prefix_len).select(
+        id_col, "_n", "shingle"
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -190,19 +212,22 @@ def ngram_jaccard_pairs(
                 >= F.lit(float(threshold)) * F.greatest(F.col("a._n"), F.col("b._n")).cast("double")
             ),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._n").alias("n_a"),
-            F.col("b._n").alias("n_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), F.col("_n").alias("n_a"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), F.col("_n").alias("n_b"))
+    verified = cand.join(sa, "id_a").join(sb, "id_b").withColumn(
+        "n_inter", F.size(F.array_intersect("_sh_a", "_sh_b"))
     )
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ).cast("double")
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
+        verified.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
