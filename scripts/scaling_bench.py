@@ -34,15 +34,15 @@ check = CheckSuite(banned_tokens=datagen.BANNED_IDS,
 if gen:
     datagen.generate_sequences(spark, rows, check).write.mode("overwrite").parquet(data)
 df = spark.read.parquet(data)
-# two untimed warmup passes: JIT compilation of the generated scan code
+# three untimed warmup passes: JIT compilation of the generated scan code
 # dominates a fresh JVM's first pass (105s -> 8s measured); steady state
 # is the honest estimator at both parallelism levels.
-for _ in range(2):
-    warm = suite_plan.run_suite(df, check)
+for _ in range(3):
+    warm = suite_plan.run_suite(df, check, drift_vs_global=True)
     warm.violations.count(); warm.verdicts.count()
     warm.violations.unpersist()
 t0 = time.perf_counter()
-res = suite_plan.run_suite(df, check)
+res = suite_plan.run_suite(df, check, drift_vs_global=True)
 nv = res.violations.count()
 np_ = res.verdicts.count()
 wall = time.perf_counter() - t0

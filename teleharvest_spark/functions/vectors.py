@@ -52,6 +52,52 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def embed_text_udf(dim: int = 64):
+    """U1 — embedding generation as a pandas UDF (reference:
+    SentenceTransformer('paraphrase-MiniLM-L6-v2').encode,
+    services/embedding_service.py:15-32; None on empty/error).
+
+    The model isn't in this container, so the encoder is a
+    deterministic hash-seeded unit vector per text — the Arrow batch
+    path, NULL/empty handling, and per-executor init pattern are the
+    real design; a production deployment swaps ``_encode_batch`` for
+    a lazily-initialized (once per Python worker, NOT per batch)
+    sentence-transformers model.
+    """
+
+    def _encode_batch(texts: pd.Series) -> np.ndarray:
+        # zlib.crc32, NOT hash(): Python string hashing is salted per
+        # process, which would make embeddings differ across executors
+        import zlib
+
+        seeds = np.fromiter(
+            (
+                0
+                if (t is None or t == "")
+                else (zlib.crc32(t.encode("utf-8")) or 1)
+                for t in texts
+            ),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        out = np.zeros((len(texts), dim), dtype=np.float32)
+        for i, s in enumerate(seeds):  # seeding is per-row; math is batch
+            if s:
+                out[i] = np.random.RandomState(s).randn(dim).astype(np.float32)
+        norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+        return out / norms
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        mat = _encode_batch(texts)
+        empty = texts.isna() | (texts == "")
+        return pd.Series(
+            [None if e else row.tolist() for e, row in zip(empty, mat)]
+        )
+
+    return udf
+
+
 def from_json_vector(col: Column) -> Column:
     """Legacy boundary: JSON-string → array<float> (reference stores
     embeddings as json.dumps lists, models/message.py:61)."""

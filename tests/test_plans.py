@@ -1,0 +1,66 @@
+"""Physical-plan regression guards — the scale properties the engine
+promises must be visible in `.explain`, not just fast today."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pyspark.sql.functions as F
+
+from teleharvest_spark.operators import uniqueness
+from teleharvest_spark.plans import suite as suite_plan
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_suite_violations_join_is_broadcast_not_smj(spark, suite, tmp_path):
+    """The fused dup-key join must broadcast the (tiny) dup set — a
+    SortMergeJoin here would shuffle-write the whole fact including the
+    tokens arrays."""
+    from teleharvest_spark import datagen
+
+    path = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 5_000, suite).write.parquet(path)
+    stored = spark.read.parquet(path)
+    res = suite_plan.run_suite(stored, suite)
+    plan = _plan_of(res.violations)
+    res.violations.unpersist()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_duplicate_keys_scan_prunes_wide_columns(spark, tmp_path):
+    """Uniqueness detection must not decode payload columns: the
+    ReadSchema of its parquet scan carries the key + ≤2 scalar salt
+    inputs, never the tokens array."""
+    path = str(tmp_path / "wide")
+    spark.createDataFrame(
+        [("d1", [1, 2], 2, "a", 1.5)],
+        "doc_id string, tokens array<int>, n_tok int, source string, extra double",
+    ).write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = _plan_of(uniqueness.duplicate_keys(stored, key="doc_id"))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas, plan
+    assert all("tokens" not in l for l in read_schemas), read_schemas
+
+
+def test_referential_stats_single_shuffle(spark, suite, tmp_path):
+    """partition_stats is one partial+final aggregate: exactly one
+    exchange above the scan (map-side combine does the heavy lifting —
+    at 10^12 rows the shuffle carries |sources| × sketch rows)."""
+    from teleharvest_spark import datagen
+    from teleharvest_spark.operators import stats
+
+    path = str(tmp_path / "seqs2")
+    datagen.generate_sequences(spark, 2_000, suite).write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = _plan_of(stats.partition_stats(stored))
+    n_exchanges = sum(1 for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l)
+    assert n_exchanges == 1, plan
