@@ -79,13 +79,11 @@ def main() -> None:
     # run; drift included — the north-star metric covers the FULL suite
     for _ in range(3):
         warm = suite_plan.run_suite(stored, check, drift_vs_global=True)
-        warm.violations.count()
-        warm.verdicts.count()
-        warm.violations.unpersist()
+        warm.materialize()
+        warm.cleanup()
     t0 = time.perf_counter()
     res = suite_plan.run_suite(stored, check, drift_vs_global=True)
-    n_viol = res.violations.count()
-    n_verd = res.verdicts.count()
+    n_viol, n_verd = res.materialize()
     suite_sec = round(time.perf_counter() - t0, 3)
     timings["check_suite_full"] = suite_sec
     seq_per_sec = round(SUITE_ROWS / suite_sec, 1)

@@ -39,12 +39,11 @@ df = spark.read.parquet(data)
 # is the honest estimator at both parallelism levels.
 for _ in range(3):
     warm = suite_plan.run_suite(df, check, drift_vs_global=True)
-    warm.violations.count(); warm.verdicts.count()
-    warm.violations.unpersist()
+    warm.materialize()
+    warm.cleanup()
 t0 = time.perf_counter()
 res = suite_plan.run_suite(df, check, drift_vs_global=True)
-nv = res.violations.count()
-np_ = res.verdicts.count()
+nv, np_ = res.materialize()
 wall = time.perf_counter() - t0
 print(json.dumps({"cores": cores, "rows": rows, "wall_sec": round(wall, 3),
                   "seq_per_sec": round(rows / wall, 1),

@@ -1,0 +1,128 @@
+"""Paired two-parallelism scaling evidence on a noisy shared host.
+
+The sandbox host carries external load (load-average spikes with no
+local process consuming CPU), so single-shot measurements at each
+parallelism level are dominated by whenever the neighbors wake up.
+This harness keeps ONE warmed JVM per level alive and alternates timed
+runs N, 4N, N, 4N, ... so both levels sample the same contention
+windows; the reported figure is the median of per-pair efficiencies
+e_i = wall_N_i / (4 × wall_4N_i), plus the best-case pair.
+
+Usage: python scripts/scaling_paired.py [rows] [pairs] [N_cores] [4N_cores]
+Writes BENCH_scaling.json.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import subprocess
+import sys
+
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+PAIRS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+N_CORES = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+N4_CORES = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+DATA = f"/tmp/scaling_sequences_{ROWS}.parquet"
+
+CHILD = r'''
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from teleharvest_spark.session import get_spark
+from teleharvest_spark.config import CheckSuite
+from teleharvest_spark import datagen
+from teleharvest_spark.plans import suite as suite_plan
+
+cores = int(sys.argv[1]); data = sys.argv[2]; rows = int(sys.argv[3]); gen = sys.argv[4] == "gen"
+spark = get_spark(app_name=f"scaling_{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=max(cores, 8))
+check = CheckSuite(banned_tokens=datagen.BANNED_IDS,
+                   allowed_sources=tuple(datagen.SOURCES))
+if gen:
+    datagen.generate_sequences(spark, rows, check).write.mode("overwrite").parquet(data)
+df = spark.read.parquet(data)
+
+def one_run():
+    t0 = time.perf_counter()
+    res = suite_plan.run_suite(df, check, drift_vs_global=True)
+    res.materialize()
+    wall = time.perf_counter() - t0
+    res.cleanup()
+    spark._jvm.System.gc()
+    return wall
+
+# JIT warmup (untimed)
+for _ in range(2):
+    one_run()
+print("READY", flush=True)
+for line in sys.stdin:
+    if line.strip() != "run":
+        break
+    print(json.dumps({"wall": round(one_run(), 2)}), flush=True)
+'''
+
+
+def start(cores: int, gen: bool) -> subprocess.Popen:
+    p = subprocess.Popen(
+        [sys.executable, "-c", CHILD, str(cores), DATA, str(ROWS), "gen" if gen else "read"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    while True:
+        line = p.stdout.readline()
+        if not line:
+            raise RuntimeError(f"child {cores} died during warmup")
+        if line.strip() == "READY":
+            return p
+
+
+def timed_run(p: subprocess.Popen) -> float:
+    p.stdin.write("run\n")
+    p.stdin.flush()
+    while True:
+        line = p.stdout.readline()
+        if not line:
+            raise RuntimeError("child died mid-run")
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)["wall"]
+
+
+def main() -> None:
+    import os
+    gen = not os.path.isdir(DATA)
+    n8 = start(N_CORES, gen=gen)
+    n32 = start(N4_CORES, gen=False)
+    pairs = []
+    for i in range(PAIRS):
+        w8 = timed_run(n8)
+        w32 = timed_run(n32)
+        eff = round(w8 / (4 * w32), 3)
+        pairs.append({"wall_8": w8, "wall_32": w32, "efficiency": eff})
+        print(json.dumps(pairs[-1]), flush=True)
+    for p in (n8, n32):
+        p.stdin.close()
+        p.wait(timeout=60)
+    effs = [p["efficiency"] for p in pairs]
+    best_pair = max(pairs, key=lambda p: p["efficiency"])
+    report = {
+        "protocol": (
+            "paired alternating runs, one warmed JVM per level, full "
+            "drift-inclusive check suite, same input; median pairwise "
+            "efficiency controls for external host load"
+        ),
+        "rows": ROWS,
+        "pairs": pairs,
+        "median_efficiency": round(statistics.median(effs), 3),
+        "best_pair": best_pair,
+        "N_cores": N_CORES,
+        "4N_cores": N4_CORES,
+        "median_seq_per_sec_N": round(ROWS / statistics.median([p["wall_8"] for p in pairs]), 1),
+        "median_seq_per_sec_4N": round(ROWS / statistics.median([p["wall_32"] for p in pairs]), 1),
+    }
+    print(json.dumps(report, indent=2))
+    with open("/root/repo/BENCH_scaling.json", "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -87,7 +87,7 @@ def run(
         "suite_hash": suite.suite_hash(),
         "skipped": False,
     }
-    res.violations.unpersist()
+    res.cleanup()
     return report
 
 

@@ -25,6 +25,33 @@ class ValidationResult:
     violations: DataFrame  # schema.VIOLATIONS
     verdicts: DataFrame    # per-source verdict + metrics
     stats: DataFrame       # raw per-partition stats
+    _cached: tuple = ()    # internal: persisted DataFrames to release
+    _overlap: tuple = ()   # internal: persisted branches independent of violations
+
+    def cleanup(self, blocking: bool = True) -> None:
+        """Release every DataFrame run_suite persisted (violations AND
+        the dup-key set — leaking the latter across repeated runs
+        churns the block manager)."""
+        for df in self._cached:
+            df.unpersist(blocking)
+
+    def materialize(self) -> tuple[int, int]:
+        """(violation_rows, verdict_rows) with independent DAG branches
+        submitted from concurrent threads: the verdict side's small
+        pruned scans (stats, drift histogram — persisted, independent
+        of violations) overlap the violations side's big tokens decode
+        instead of queueing behind it; the final verdict assembly then
+        reads only caches. Verdicts itself depends on the persisted
+        violations, so counting the two naively in parallel would
+        double-run the big scan."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            fv = ex.submit(self.violations.count)
+            fs = ex.submit(lambda: [df.count() for df in self._overlap])
+            nv = fv.result()
+            fs.result()
+        return nv, self.verdicts.count()
 
 
 def run_suite(
@@ -101,7 +128,9 @@ def run_suite(
         .persist()
     )
 
-    part_stats = stats.stats_verdicts(stats.partition_stats(sequences), suite)
+    # persisted: tiny (one row per source), independent of violations —
+    # materialize() overlaps this scan with the big tokens decode
+    part_stats = stats.stats_verdicts(stats.partition_stats(sequences), suite).persist()
 
     # Drift baseline: an explicit trusted histogram (production: the
     # published/validated era), or — drift_vs_global — the current
@@ -111,11 +140,16 @@ def run_suite(
     # histogram pass prunes to (source, n_tok); KS/PSI math runs in one
     # applyInPandas over ≤ |sources|×128 rows.
     drift_v = None
+    hist = None
     if baseline_hist is not None or drift_vs_global:
-        hist = drift.ntok_histogram(sequences)
+        # persist the (≤ |sources|×128-row) histogram: deriving the
+        # pooled baseline from it would otherwise re-scan the fact
+        hist = drift.ntok_histogram(sequences).persist()
         if baseline_hist is None:
             baseline_hist = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
-        drift_v = drift.drift_verdicts(drift.drift_metrics(hist, baseline_hist), suite)
+        drift_v = drift.drift_verdicts(
+            drift.drift_metrics(hist, baseline_hist), suite
+        ).persist()
 
     # per-source violation counts (small agg over the violations set).
     # NULL is a legitimate partition value here (null_key violations) —
@@ -153,4 +187,13 @@ def run_suite(
             F.lit("fail"),
         ).otherwise(F.lit("pass")),
     )
-    return ValidationResult(violations=violations, verdicts=verdicts, stats=part_stats)
+    overlap = (part_stats,) + ((drift_v,) if drift_v is not None else ())
+    return ValidationResult(
+        violations=violations,
+        verdicts=verdicts,
+        stats=part_stats,
+        _cached=(violations, dups)
+        + overlap
+        + ((hist,) if hist is not None else ()),
+        _overlap=overlap,
+    )

@@ -27,9 +27,12 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Don't let tiny local runs fan out 200 shuffle partitions.
     "spark.sql.shuffle.partitions": "32",
-    # 128 MiB input splits — matches Iceberg/Parquet row-group sizing at
-    # the 100 TB target; harmless locally.
-    "spark.sql.files.maxPartitionBytes": "134217728",
+    # 64 MiB input splits: tokens-array tables decode slowly enough that
+    # wave quantization dominates at 128 MiB (8.2 GB → 66 splits on 32
+    # cores = 2 waves + a 2-task straggler tail ≈ 45% idle in the last
+    # wave). Smaller splits keep splits ≫ cores so the tail is one short
+    # task; at the 100 TB target splits ≫ cores holds either way.
+    "spark.sql.files.maxPartitionBytes": "67108864",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }

@@ -57,7 +57,7 @@ def test_run_suite_drift_vs_global_flags_drifted_source(spark, sequences, suite)
 
     res = suite_plan.run_suite(sequences, suite, drift_vs_global=True)
     rows = {r["source"]: r for r in res.verdicts.collect()}
-    res.violations.unpersist()
+    res.cleanup()
     assert rows["src_07"]["drift_verdict"] == "fail"
     assert rows["src_07"]["verdict"] == "fail"
     # a non-drifted mid-size source passes the drift dimension

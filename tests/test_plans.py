@@ -30,7 +30,7 @@ def test_suite_violations_join_is_broadcast_not_smj(spark, suite, tmp_path):
     stored = spark.read.parquet(path)
     res = suite_plan.run_suite(stored, suite)
     plan = _plan_of(res.violations)
-    res.violations.unpersist()
+    res.cleanup()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
