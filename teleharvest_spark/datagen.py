@@ -94,12 +94,18 @@ def generate_sequences(
 
     # --- tokens: array derived from (id, position) hashes ----------------
     # transform(sequence(...)) is JVM-side; element j of row i is
-    # xxhash64(i, j) % VOCAB — deterministic and partition-independent.
+    # xxhash64(i, j) % modulus — deterministic and partition-independent.
+    # The drifted source draws from HALF the vocab (FIXTURES.md T1:
+    # "token-id histogram reweighted") so PSI on token-id buckets flags
+    # exactly that partition; both moduli stay below the banned-id
+    # range [50000, 50020) so only the planted slot rows carry banned
+    # tokens.
+    tok_modulus = F.when(
+        F.col("source") == DRIFTED_SOURCE, F.lit(24500)
+    ).otherwise(F.lit(49000))
     tok_expr = F.transform(
         F.sequence(F.lit(1), F.col("n_tok")),
-        # stay below the banned-id range [50000, 50020) so only the
-        # planted slot rows carry banned tokens
-        lambda j: (F.abs(F.xxhash64(F.col("id"), j)) % 49000).cast("int"),
+        lambda j: (F.abs(F.xxhash64(F.col("id"), j)) % tok_modulus).cast("int"),
     )
     banned_lit = F.lit(int(BANNED_IDS[0]))
 

@@ -85,14 +85,21 @@ def append_manifest_rows(
 ) -> None:
     """Record one manifest row per validated partition (append-only;
     latest (partition, suite_hash) wins on read via max snapshot)."""
-    metrics = F.map_from_arrays(
-        F.array(F.lit("row_count"), F.lit("violation_rows"), F.lit("null_rate")),
-        F.array(
-            F.col("row_count").cast("double"),
-            F.col("violation_rows").cast("double"),
-            F.col("null_rate").cast("double"),
-        ),
-    )
+    # FIXTURES.md T5 metrics map: core counts + p50/distinct always,
+    # ks/psi when the run included the drift check.
+    keys = [F.lit("row_count"), F.lit("violation_rows"), F.lit("null_rate"),
+            F.lit("p50_n_tok"), F.lit("distinct_doc_id")]
+    vals = [
+        F.col("row_count").cast("double"),
+        F.col("violation_rows").cast("double"),
+        F.col("null_rate").cast("double"),
+        F.element_at("ntok_quantiles", 1).cast("double"),
+        F.col("approx_distinct_doc_id").cast("double"),
+    ]
+    if "ks" in verdicts.columns:
+        keys += [F.lit("ks_stat"), F.lit("psi")]
+        vals += [F.col("ks").cast("double"), F.col("psi").cast("double")]
+    metrics = F.map_from_arrays(F.array(*keys), F.array(*vals))
     rows = (
         verdicts.select(
             F.coalesce(F.col("source"), F.lit("__null__")).alias("partition"),

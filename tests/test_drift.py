@@ -62,3 +62,18 @@ def test_run_suite_drift_vs_global_flags_drifted_source(spark, sequences, suite)
     assert rows["src_07"]["verdict"] == "fail"
     # a non-drifted mid-size source passes the drift dimension
     assert rows["src_03"]["drift_verdict"] == "pass"
+
+
+def test_token_id_drift_flags_drifted_source(spark, sequences, suite):
+    """PSI on token-id buckets: src_07 draws from half the vocab
+    (FIXTURES.md T1 'token-id histogram reweighted') and must be the
+    partition the token-level drift check flags."""
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark.operators import drift
+
+    hist = drift.token_id_histogram(sequences)
+    base = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    rows = {r["source"]: r for r in drift.drift_metrics(hist, base).collect()}
+    assert rows["src_07"]["psi"] > suite.max_psi
+    assert rows["src_03"]["psi"] <= suite.max_psi
