@@ -389,11 +389,12 @@ def q_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 6 over 64-bit signatures,
-    pigeonhole-blocked on 16-bit chunks). Hash-family-specific ⇒
-    rows-only; pytest verifies the blocking recall invariant."""
+    """SimHash near-dup pairs (Hamming ≤ 4 over 64-bit signatures,
+    pigeonhole-blocked on max_hamming+1 bit-blocks — lossless).
+    Hash-family-specific ⇒ rows-only; pytest pins blocked == brute
+    force."""
     docs = _load(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=6).select(
+    return dedup.simhash_near_pairs(docs, max_hamming=4).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "hamming"
     )
 

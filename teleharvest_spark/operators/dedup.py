@@ -276,24 +276,28 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs with Hamming distance ≤ max_hamming.
+    """Near-dup pairs with Hamming distance ≤ max_hamming — COMPLETE.
 
-    Block on 4 chunks of 16 bits: any pair within distance 3 shares at
-    least one exact chunk (pigeonhole) → equi-join per chunk, then
-    exact popcount filter via bit_count.
+    Pigeonhole blocking sized to the bound: with ``max_hamming + 1``
+    bit-blocks, any pair within the distance must agree exactly on at
+    least one block (d flips can dirty at most d blocks) → equi-join
+    per block, then exact popcount filter via bit_count. A fixed
+    4-block scheme would silently lose recall for max_hamming > 3.
     """
     sigs = simhash(df, text_col, id_col)
-    chunks = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
-                )
-                for c in range(4)
-            ]
-        )
-    )
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    blocks = []
+    for c in range(n_blocks):
+        start = c * width
+        # last block absorbs the remainder bits
+        w = 64 - start if c == n_blocks - 1 else width
+        shifted = F.shiftrightunsigned(F.col("simhash"), start)
+        # w == 64 (max_hamming == 0): the whole signature is the key —
+        # a 64-bit all-ones mask doesn't fit a Spark long literal
+        key = shifted if w >= 64 else shifted.bitwiseAND(F.lit((1 << w) - 1))
+        blocks.append(F.struct(F.lit(c).alias("chunk"), key.alias("ckey")))
+    chunks = F.explode(F.array(*blocks))
     blocked = sigs.select(id_col, "simhash", chunks.alias("cc")).select(
         id_col, "simhash", "cc.chunk", "cc.ckey"
     )

@@ -73,3 +73,31 @@ def test_embedding_near_dups(spark):
              dedup.embedding_near_dups(df, threshold=0.99, dim=16).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_simhash_blocking_complete_vs_bruteforce(spark):
+    """Pigeonhole blocking must be lossless: blocked pairs == the full
+    O(n²) Hamming-threshold pairs, for a bound ABOVE the old fixed
+    4-block guarantee (max_hamming=5 needs 6 blocks)."""
+    import itertools
+
+    from teleharvest_spark.functions import text as TXT
+
+    texts = [
+        " ".join(f"w{(i * 7 + j) % 23}" for j in range(12 + i % 5))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 5:
+            want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_pairs(df, max_hamming=5).collect()
+    }
+    assert got == want
+    assert want  # non-vacuous: the fixture must contain near pairs
