@@ -36,7 +36,24 @@ class Check:
     reason: Column  # human-readable reason, evaluated only for failures
 
 
-def sequence_checks(suite: CheckSuite) -> list[Check]:
+BOUND_MIN_COL = "_min_n_tok_src"  # per-source overrides (FIXTURES.md T2)
+BOUND_MAX_COL = "_max_n_tok_src"
+
+
+def with_source_bounds(sequences: DataFrame, source_dim: DataFrame) -> DataFrame:
+    """Attach per-source length bounds from the allowed-source
+    dimension (FIXTURES.md T2: `source, min_n_tok, max_n_tok`) via a
+    broadcast join; rows whose source is absent (rogue/null) keep NULL
+    overrides and fall back to the suite's global thresholds."""
+    dim = source_dim.select(
+        "source",
+        F.col("min_n_tok").alias(BOUND_MIN_COL),
+        F.col("max_n_tok").alias(BOUND_MAX_COL),
+    )
+    return sequences.join(F.broadcast(dim), "source", "left")
+
+
+def sequence_checks(suite: CheckSuite, per_source_bounds: bool = False) -> list[Check]:
     """The ordered cascade for the canonical `sequences` table.
 
     Ordering mirrors processor.py:97-135 — payload null/empty first
@@ -44,8 +61,20 @@ def sequence_checks(suite: CheckSuite) -> list[Check]:
     consistency, length bounds (107-109), banned tokens (111-114),
     unknown source (the J3 referential restriction, processor.py:59,
     expressed as a row check so violations materialize).
+
+    With ``per_source_bounds`` the length checks compare against the
+    dimension columns attached by :func:`with_source_bounds`
+    (per-source overrides, global thresholds as fallback) — the
+    reference's per-run thresholds (settings.py:11-16) generalized to
+    a per-partition dimension.
     """
     tokens, n_tok, source = F.col("tokens"), F.col("n_tok"), F.col("source")
+    if per_source_bounds:
+        min_b = F.coalesce(F.col(BOUND_MIN_COL), F.lit(suite.min_n_tok))
+        max_b = F.coalesce(F.col(BOUND_MAX_COL), F.lit(suite.max_n_tok))
+    else:
+        min_b = F.lit(suite.min_n_tok)
+        max_b = F.lit(suite.max_n_tok)
     checks = [
         Check("null_payload", tokens.isNull(), F.lit("tokens is NULL")),
         Check("empty_payload", F.size(tokens) == 0, F.lit("tokens is empty")),
@@ -66,13 +95,13 @@ def sequence_checks(suite: CheckSuite) -> list[Check]:
         ),
         Check(
             "too_short",
-            n_tok < suite.min_n_tok,
-            F.concat(F.lit("n_tok="), n_tok.cast("string"), F.lit(f" < {suite.min_n_tok}")),
+            n_tok < min_b,
+            F.concat(F.lit("n_tok="), n_tok.cast("string"), F.lit(" < "), min_b.cast("string")),
         ),
         Check(
             "too_long",
-            n_tok > suite.max_n_tok,
-            F.concat(F.lit("n_tok="), n_tok.cast("string"), F.lit(f" > {suite.max_n_tok}")),
+            n_tok > max_b,
+            F.concat(F.lit("n_tok="), n_tok.cast("string"), F.lit(" > "), max_b.cast("string")),
         ),
     ]
     if suite.banned_tokens:

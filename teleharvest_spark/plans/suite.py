@@ -59,6 +59,7 @@ def run_suite(
     suite: CheckSuite,
     baseline_hist: DataFrame | None = None,
     drift_vs_global: bool = False,
+    source_dim: DataFrame | None = None,
 ) -> ValidationResult:
     """Run every check family over the sequences table.
 
@@ -68,7 +69,15 @@ def run_suite(
     is both (matches the reference's in-order reporting); uniqueness
     rows are additive.
     """
-    checks = cascade.sequence_checks(suite)
+    # Optional per-source threshold overrides (FIXTURES.md T2): the
+    # dimension broadcast-joins onto the fact for the cascade only —
+    # the pruned uniqueness/stats/drift scans stay joins-free.
+    if source_dim is not None:
+        cascade_input = cascade.with_source_bounds(sequences, source_dim)
+        checks = cascade.sequence_checks(suite, per_source_bounds=True)
+    else:
+        cascade_input = sequences
+        checks = cascade.sequence_checks(suite)
     # Duplicate-key detection runs on a column-pruned scan (doc_id +
     # scalar salt inputs — the tokens array is never decoded here; the
     # array decode IS the scan cost, ~33s/2M rows measured). The dup
@@ -87,7 +96,7 @@ def run_suite(
     # additive, matching the union semantics the tests pin). The tiny
     # output (~0.1% of rows) is persisted so verdict assembly and
     # caller-side counts never re-scan the fact.
-    annotated = cascade.apply_cascade(sequences, checks).join(dups_side, "doc_id", "left")
+    annotated = cascade.apply_cascade(cascade_input, checks).join(dups_side, "doc_id", "left")
     vstruct = F.explode(
         F.array_compact(
             F.array(

@@ -137,3 +137,54 @@ def test_degraded_mode_suite_hash_changes():
     on = CheckSuite(scorer_available=True)
     off = CheckSuite(scorer_available=False)
     assert on.suite_hash() != off.suite_hash()
+
+
+def test_per_source_bound_overrides(spark):
+    """FIXTURES.md T2: the allowed-source dimension carries per-source
+    min/max_n_tok; rows compare against their source's bound, falling
+    back to the suite global for sources absent from the dimension."""
+    suite = CheckSuite(min_n_tok=4, max_n_tok=100)
+    dim = spark.createDataFrame(
+        [("a", 10, 100), ("b", 4, 20)],
+        "source string, min_n_tok int, max_n_tok int",
+    )
+    df = spark.createDataFrame(
+        [
+            ("a_under", [1] * 5, 5, "a"),     # 5 < a's min 10 → fail
+            ("b_ok", [1] * 5, 5, "b"),        # 5 ≥ b's min 4 → pass
+            ("b_over", [1] * 21, 21, "b"),    # 21 > b's max 20 → fail
+            ("zz_global", [1] * 5, 5, "zz"),  # no dim row → global min 4 → pass
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    joined = cascade.with_source_bounds(df, dim)
+    got = {
+        r["doc_id"]: (r[cascade.FIRST_FAIL_COL], r[cascade.REASON_COL])
+        for r in cascade.apply_cascade(
+            joined, cascade.sequence_checks(suite, per_source_bounds=True)
+        ).collect()
+    }
+    assert got["a_under"] == ("too_short", "n_tok=5 < 10")
+    assert got["b_ok"][0] is None
+    assert got["b_over"] == ("too_long", "n_tok=21 > 20")
+    assert got["zz_global"][0] is None
+
+
+def test_run_suite_with_source_dim(spark, suite):
+    """End-to-end: run_suite(source_dim=...) applies the per-source
+    bounds and the violations table drops the helper columns."""
+    from teleharvest_spark.plans import suite as suite_plan
+
+    dim = spark.createDataFrame(
+        [("a", 10, 100)], "source string, min_n_tok int, max_n_tok int"
+    )
+    df = spark.createDataFrame(
+        [("d1", [1] * 5, 5, "a"), ("d2", [1] * 50, 50, "a")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    loose = CheckSuite(min_n_tok=1, max_n_tok=1000, allowed_sources=("a",))
+    res = suite_plan.run_suite(df, loose, source_dim=dim)
+    viol = res.violations.collect()
+    res.cleanup()
+    assert [ (v["doc_id"], v["check_name"]) for v in viol ] == [("d1", "too_short")]
+    assert set(res.violations.columns) == {"doc_id", "source", "check_name", "reason", "tokens"}
