@@ -426,6 +426,30 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dups(emb, threshold=0.3, dim=64)
 
 
+def q_cascade_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source threshold overrides (FIXTURES.md T2 / cascade.
+    with_source_bounds): sources src0-src4 demand ≥600 chars, the rest
+    fall back to the global 200 — violations report the effective
+    bound."""
+    docs = _load(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(
+        [(f"src{i}", 600) for i in range(5)], "source string, min_chars int"
+    )
+    eff_min = F.coalesce(F.col("min_chars"), F.lit(MIN_LEN))
+    n = F.coalesce(F.length("text"), F.lit(0))
+    return (
+        docs.join(F.broadcast(dim), "source", "left")
+        .where(n < eff_min)
+        .select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.lit("len="), n.cast("string"), F.lit(" < "), eff_min.cast("string")
+            ).alias("reason"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full check-suite verdict pass over documents at
     sf0.001 (stats + cascade violations rolled into per-source verdicts)."""
@@ -473,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "cascade_per_source": q_cascade_per_source,
     }
 
 
@@ -738,6 +763,17 @@ def oracle_sql() -> dict[str, str]:
                    FROM ex GROUP BY ia, ib
                  )
             SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.35
+        """,
+        "cascade_per_source": f"""
+            SELECT doc_id, source,
+                   'len=' || CAST(coalesce(length(text), 0) AS VARCHAR)
+                   || ' < '
+                   || CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                                THEN 600 ELSE {MIN_LEN} END AS VARCHAR) AS reason
+            FROM documents
+            WHERE coalesce(length(text), 0) <
+                  CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                       THEN 600 ELSE {MIN_LEN} END
         """,
         # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk /
         # embedding_near_dups: approximate (hash-family- or

@@ -55,8 +55,10 @@ def run(
     run_id: str,
     resume: bool = False,
     drift: bool = True,
+    source_dim_path: str | None = None,
 ) -> dict:
     sequences = spark.read.parquet(input_path)
+    source_dim = spark.read.parquet(source_dim_path) if source_dim_path else None
 
     snapshots = mf.snapshot_of_partitions(sequences)
     if resume:
@@ -71,7 +73,9 @@ def run(
         snapshots = snapshots.where(F.col("partition").isin(pending_sources))
 
     t0 = time.perf_counter()
-    res = suite_plan.run_suite(sequences, suite, drift_vs_global=drift)
+    res = suite_plan.run_suite(
+        sequences, suite, drift_vs_global=drift, source_dim=source_dim
+    )
     res.violations.write.mode("append").parquet(f"{output_path}/violations")
     res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
     mf.append_manifest_rows(spark, output_path, res.verdicts, snapshots, suite, run_id)
@@ -99,6 +103,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--resume", action="store_true", help="skip partitions already in the manifest")
     ap.add_argument("--no-drift", action="store_true", help="skip the KS/PSI drift check")
+    ap.add_argument(
+        "--source-dim",
+        default=None,
+        help="parquet path of (source, min_n_tok, max_n_tok) per-source overrides",
+    )
     ap.add_argument("--master", default=None, help="override master (default: existing session / local)")
     args = ap.parse_args(argv)
 
@@ -111,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         args.run_id,
         args.resume,
         drift=not args.no_drift,
+        source_dim_path=args.source_dim,
     )
     print(json.dumps(report))
     return 0
