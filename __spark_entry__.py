@@ -450,6 +450,37 @@ def q_cascade_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate: per (returnflag, linestatus) plus per-flag and
+    grand-total rows — the hierarchical form of the stats pass
+    (partial aggregation handles each grouping set in one shuffle)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers ordering in BOTH 1995 and 1996
+    (INTERSECT) minus those also ordering in 1997 (EXCEPT)."""
+    orders = _load(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.where(F.year("o_orderdate") == y).select("o_custkey").distinct()
+
+    return year(1995).intersect(year(1996)).exceptAll(year(1997)).select("o_custkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full check-suite verdict pass over documents at
     sf0.001 (stats + cascade violations rolled into per-source verdicts)."""
@@ -498,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "cascade_per_source": q_cascade_per_source,
+        "stats_rollup": q_stats_rollup,
+        "set_ops": q_set_ops,
     }
 
 
@@ -774,6 +807,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE coalesce(length(text), 0) <
                   CASE WHEN source IN ('src0','src1','src2','src3','src4')
                        THEN 600 ELSE {MIN_LEN} END
+        """,
+        "stats_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "set_ops": """
+            SELECT o_custkey FROM (
+              SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+              INTERSECT
+              SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            )
+            EXCEPT ALL
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
         """,
         # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk /
         # embedding_near_dups: approximate (hash-family- or
