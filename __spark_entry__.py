@@ -22,6 +22,7 @@ from teleharvest_spark.config import CheckSuite
 from teleharvest_spark.functions import text as TXT
 from teleharvest_spark.functions.vectors import cosine
 from teleharvest_spark.operators import (
+    asof,
     dedup,
     drift,
     merge,
@@ -481,6 +482,28 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return year(1995).intersect(year(1996)).exceptAll(year(1997)).select("o_custkey")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event picks the
+    user's latest view event at-or-before it (left-outer). The right
+    side is deduped to one row per (user, ts) so the pick is
+    deterministic on both engines; oracle uses DuckDB's native
+    ASOF LEFT JOIN."""
+    ev = _load(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof.asof_join(left, right, key="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_asof").alias("matched_ts"),
+        F.round("view_value_asof", 6).alias("matched_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full check-suite verdict pass over documents at
     sf0.001 (stats + cascade violations rolled into per-source verdicts)."""
@@ -531,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_per_source": q_cascade_per_source,
         "stats_rollup": q_stats_rollup,
         "set_ops": q_set_ops,
+        "asof_join": q_asof_join,
     }
 
 
@@ -824,6 +848,20 @@ def oracle_sql() -> dict[str, str]:
             )
             EXCEPT ALL
             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        """,
+        "asof_join": """
+            WITH r AS (
+              SELECT user_id, ts, max(value) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2
+            ), l AS (
+              SELECT event_id, user_id, ts
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT l.event_id, l.user_id,
+                   r.ts AS matched_ts,
+                   round(r.view_value, 6) AS matched_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
         """,
         # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk /
         # embedding_near_dups: approximate (hash-family- or
