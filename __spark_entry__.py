@@ -504,6 +504,20 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/rangejoin.py): per purchase, the
+    count of the user's view events in the preceding hour."""
+    from teleharvest_spark.operators import rangejoin
+
+    ev = _load(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    out = rangejoin.windowed_count(
+        left, right, key="user_id", window_seconds=3600, out_col="n_views_1h"
+    )
+    return out.select("event_id", "user_id", "n_views_1h")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full check-suite verdict pass over documents at
     sf0.001 (stats + cascade violations rolled into per-source verdicts)."""
@@ -555,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_rollup": q_stats_rollup,
         "set_ops": q_set_ops,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -862,6 +877,20 @@ def oracle_sql() -> dict[str, str]:
                    round(r.view_value, 6) AS matched_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "range_join": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), r AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'view'
+            )
+            SELECT l.event_id, l.user_id,
+                   CAST(count(r.ts) AS BIGINT) AS n_views_1h
+            FROM l LEFT JOIN r
+              ON l.user_id = r.user_id
+             AND r.ts >= l.ts - INTERVAL 1 HOUR
+             AND r.ts < l.ts
+            GROUP BY 1, 2
         """,
         # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk /
         # embedding_near_dups: approximate (hash-family- or
