@@ -178,7 +178,9 @@ def q_reactions_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUM over a nested/JSON payload (A3/C5 analogue: reactions-sum,
     telegram_service.py:41-46; JSON boundary message.py:61)."""
     ev = _load(spark, sf_dir, "events")
-    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    # robust JSON path extraction (not a regex over key spelling) —
+    # get_json_object is the built-in C5 boundary at identical cost
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return ev.groupBy("event_type").agg(F.sum(k).alias("props_k_sum"))
 
 
@@ -485,15 +487,13 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each purchase event picks the
     user's latest view event at-or-before it (left-outer). The right
-    side is deduped to one row per (user, ts) so the pick is
-    deterministic on both engines; oracle uses DuckDB's native
-    ASOF LEFT JOIN."""
+    side is RAW view events — duplicate (user, ts) rows are resolved
+    deterministically by the operator itself (greatest payload struct),
+    mirrored in the oracle's explicit (ts DESC, value DESC) pick."""
     ev = _load(spark, sf_dir, "events")
     left = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
-    right = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("view_value"))
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
     )
     out = asof.asof_join(left, right, key="user_id", left_ts="ts", right_ts="ts")
     return out.select(
@@ -516,6 +516,156 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, key="user_id", window_seconds=3600, out_col="n_views_1h"
     )
     return out.select("event_id", "user_id", "n_views_1h")
+
+
+def _event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with deterministic synthesized engagement metrics
+    (views/reactions/forwards) — the fresh 're-fetch' side of the
+    reference's telegram boundary (telegram_service.py:49-60). Shared
+    by metrics_refresh and engagement_rate; mirrored verbatim in the
+    oracle SQL."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100).alias("views"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("reactions"),
+        (F.col("event_id") % 11).alias("forwards"),
+    )
+
+
+def q_metrics_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 3 (F10 + A2 + S5): the late-data metrics-refresh
+    pipeline (reference fetch_and_update_metrics, processor.py:65-71).
+    Stored state = events before the snapshot cutoff carrying stale
+    metrics; the fresh re-fetch supplies new metrics; only rows in the
+    exclusive (lookback floor, watermark) window that pass the F10
+    validity predicate (views truthy AND reactions truthy,
+    processor.py:147-157) update exactly views/reactions/forwards."""
+    from teleharvest_spark.operators import refresh
+
+    fresh = _event_metrics(spark, sf_dir)
+    stored = (
+        fresh.where(F.col("ts") < F.lit(EVENTS_CUTOFF).cast("timestamp"))
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("event_id") % 97).alias("views"),
+            (F.col("event_id") % 13).alias("reactions"),
+            (F.col("event_id") % 7).alias("forwards"),
+        )
+    )
+    merged = refresh.metrics_refresh(
+        stored,
+        fresh.drop("ts"),
+        key="event_type",
+        seq="event_id",
+        limit=1000,
+    )
+    return merged.select("event_id", "event_type", "views", "reactions", "forwards")
+
+
+def q_engagement_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: engagement-rate check with latest-row exemption (reference
+    processor.py:116-119 — er = (reactions+forwards)/views if views
+    else 0; fail when er < min_er AND views > min_views AND NOT
+    last_message). Violations with the computed er."""
+    from teleharvest_spark.operators import refresh
+    from teleharvest_spark.operators.cascade import FIRST_FAIL_COL, apply_cascade
+
+    suite = CheckSuite()  # min_er=0.025, min_views=50 (settings.py:12-14)
+    m = watermark.with_latest_flag(
+        _event_metrics(spark, sf_dir), key="event_type", seq="event_id"
+    )
+    annotated = apply_cascade(m, [refresh.engagement_check(suite)])
+    er = refresh.engagement_rate(
+        F.col("views"), F.col("reactions"), F.col("forwards")
+    )
+    return (
+        annotated.where(F.col(FIRST_FAIL_COL).isNotNull())
+        .select("event_id", "event_type", F.round(er, 6).alias("er"))
+    )
+
+
+def q_cascade_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8: score thresholds with the reference's exact semantics —
+    strict <= (exactly min_score FAILS) and NULL scores FAIL
+    (processor.py:125,133; tests/test_processor.py:155-185). Scores are
+    synthesized deterministically from doc_id (the scorer is an
+    external LLM boundary — SURVEY §2.7 U3)."""
+    from teleharvest_spark.operators.cascade import (
+        FIRST_FAIL_COL,
+        REASON_COL,
+        apply_cascade,
+        scored_checks,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("doc_id") % 101)
+        .alias("score"),
+        F.when(F.col("doc_id") % 23 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("doc_id") * 7) % 101)
+        .alias("score_alt"),
+    )
+    annotated = apply_cascade(scored, scored_checks(CheckSuite()))
+    return annotated.where(F.col(FIRST_FAIL_COL).isNotNull()).select(
+        "doc_id",
+        "score",
+        "score_alt",
+        F.col(FIRST_FAIL_COL).alias("check_name"),
+        F.col(REASON_COL).alias("reason"),
+    )
+
+
+def q_cascade_degraded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 degraded mode: scorer unavailable ⇒ the score checks drop out
+    of the suite and rows PASS with NULL scores (processor.py:121-122,
+    tests/test_processor.py:410-475); real checks (length) still fire.
+    Output: per-row verdict over ALL rows."""
+    from teleharvest_spark.operators.cascade import (
+        Check,
+        FIRST_FAIL_COL,
+        VERDICT_COL,
+        apply_cascade,
+        scored_checks,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        F.lit(None).cast("long").alias("score"),      # scorer down ⇒ NULL scores
+        F.lit(None).cast("long").alias("score_alt"),
+    )
+    degraded = CheckSuite(scorer_available=False)
+    checks = [
+        Check(
+            "too_short",
+            F.col("n_chars") < MIN_LEN,
+            F.concat(F.lit("n_chars="), F.col("n_chars").cast("string")),
+        )
+    ] + scored_checks(degraded)  # == [] — F9 gate
+    annotated = apply_cascade(scored, checks)
+    return annotated.select(
+        "doc_id",
+        F.col(FIRST_FAIL_COL).alias("check_name"),
+        F.col(VERDICT_COL).alias("verdict"),
+    )
+
+
+def q_date_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: ingest-boundary datetime formatting (reference
+    telegram_service.py:55 strftime) — functions.text.format_ts."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        TXT.format_ts(F.col("ts")).alias("ts_str"),
+        TXT.format_ts(F.col("ts"), "yyyy-MM-dd").alias("day_str"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -570,6 +720,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "metrics_refresh": q_metrics_refresh,
+        "engagement_rate": q_engagement_rate,
+        "cascade_scored": q_cascade_scored,
+        "cascade_degraded": q_cascade_degraded,
+        "date_fmt": q_date_fmt,
     }
 
 
@@ -667,7 +822,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "reactions_sum": """
             SELECT event_type,
-                   CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS props_k_sum
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS props_k_sum
             FROM events GROUP BY event_type
         """,
         "sessionize": f"""
@@ -866,17 +1021,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "asof_join": """
             WITH r AS (
-              SELECT user_id, ts, max(value) AS view_value
-              FROM events WHERE event_type = 'view' GROUP BY 1, 2
+              SELECT user_id, ts, value AS view_value
+              FROM events WHERE event_type = 'view'
             ), l AS (
               SELECT event_id, user_id, ts
               FROM events WHERE event_type = 'purchase'
+            ), picked AS (
+              SELECT l.event_id, l.user_id,
+                     r.ts AS matched_ts, r.view_value,
+                     row_number() OVER (
+                       PARTITION BY l.event_id
+                       ORDER BY r.ts DESC, r.view_value DESC
+                     ) AS rn
+              FROM l LEFT JOIN r
+                ON l.user_id = r.user_id AND r.ts <= l.ts
             )
-            SELECT l.event_id, l.user_id,
-                   r.ts AS matched_ts,
-                   round(r.view_value, 6) AS matched_value
-            FROM l ASOF LEFT JOIN r
-              ON l.user_id = r.user_id AND r.ts <= l.ts
+            SELECT event_id, user_id, matched_ts,
+                   round(view_value, 6) AS matched_value
+            FROM picked WHERE rn = 1
         """,
         "range_join": """
             WITH l AS (
@@ -928,5 +1090,94 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, round(max(cdiff), 6) AS ks, round(sum(psi_term), 6) AS psi
             FROM cums GROUP BY source
+        """,
+        "metrics_refresh": f"""
+            WITH fresh AS (
+              SELECT event_id, event_type, ts,
+                     CAST(floor(value * 100) AS BIGINT) AS views,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS reactions,
+                     event_id % 11 AS forwards
+              FROM events
+            ), stored AS (
+              SELECT event_id, event_type,
+                     event_id % 97 AS views,
+                     event_id % 13 AS reactions,
+                     event_id % 7 AS forwards
+              FROM fresh WHERE ts < TIMESTAMP '{EVENTS_CUTOFF}'
+            ), fl AS (
+              SELECT event_type, min(event_id) AS first_seq FROM (
+                SELECT event_type, event_id,
+                       row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+                FROM stored
+              ) WHERE rn <= 1000 GROUP BY event_type
+            ), wm AS (
+              SELECT event_type, max(event_id) AS last_seq FROM stored GROUP BY event_type
+            ), upd AS (
+              SELECT f.event_id, f.event_type, f.views, f.reactions, f.forwards
+              FROM fresh f
+              JOIN fl ON f.event_type = fl.event_type
+              JOIN wm ON f.event_type = wm.event_type
+              WHERE f.event_id > fl.first_seq AND f.event_id < wm.last_seq
+                AND f.views IS NOT NULL AND f.views != 0
+                AND f.reactions IS NOT NULL AND f.reactions != 0
+            )
+            SELECT s.event_id, s.event_type,
+                   coalesce(u.views, s.views) AS views,
+                   coalesce(u.reactions, s.reactions) AS reactions,
+                   coalesce(u.forwards, s.forwards) AS forwards
+            FROM stored s LEFT JOIN upd u
+              ON s.event_id = u.event_id AND s.event_type = u.event_type
+        """,
+        "engagement_rate": """
+            WITH m AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS views,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS reactions,
+                     event_id % 11 AS forwards,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY event_id DESC
+                     ) = 1 AS is_latest
+              FROM events
+            ), e AS (
+              SELECT *,
+                     CASE WHEN views IS NOT NULL AND views != 0
+                          THEN (coalesce(reactions, 0) + coalesce(forwards, 0))::DOUBLE / views
+                          ELSE 0.0 END AS er
+              FROM m
+            )
+            SELECT event_id, event_type, round(er, 6) AS er
+            FROM e
+            WHERE er < 0.025 AND views > 50 AND NOT is_latest
+        """,
+        "cascade_scored": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0 THEN NULL ELSE doc_id % 101 END AS score,
+                     CASE WHEN doc_id % 23 = 0 THEN NULL ELSE (doc_id * 7) % 101 END AS score_alt
+              FROM documents
+            )
+            SELECT doc_id, score, score_alt,
+                   CASE WHEN score IS NULL OR score <= 80 THEN 'low_score'
+                        WHEN score_alt IS NULL OR score_alt <= 85 THEN 'low_score_alt'
+                   END AS check_name,
+                   CASE WHEN score IS NULL OR score <= 80
+                        THEN 'score ' || coalesce(CAST(score AS VARCHAR), 'NULL') || ' <= 80'
+                        WHEN score_alt IS NULL OR score_alt <= 85
+                        THEN 'score_alt ' || coalesce(CAST(score_alt AS VARCHAR), 'NULL') || ' <= 85'
+                   END AS reason
+            FROM s
+            WHERE score IS NULL OR score <= 80 OR score_alt IS NULL OR score_alt <= 85
+        """,
+        "cascade_degraded": f"""
+            SELECT doc_id,
+                   CASE WHEN n_chars < {MIN_LEN} THEN 'too_short' END AS check_name,
+                   NOT coalesce(n_chars < {MIN_LEN}, FALSE) AS verdict
+            FROM documents
+        """,
+        "date_fmt": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+                   strftime(ts, '%Y-%m-%d') AS day_str
+            FROM events
         """,
     }

@@ -61,12 +61,25 @@ def run(
     source_dim = spark.read.parquet(source_dim_path) if source_dim_path else None
 
     snapshots = mf.snapshot_of_partitions(sequences)
+    baseline_hist = None
     if resume:
         manifest = mf.read_manifest(spark, output_path)
         pending = mf.pending_partitions(snapshots, manifest, suite)
         pending_sources = [r["partition"] for r in pending.select("partition").collect()]
         if not pending_sources:
             return {"run_id": run_id, "validated_rows": 0, "skipped": True}
+        if drift:
+            # The drift_vs_global baseline must pool the FULL table, not
+            # just the pending partitions: with a single pending source
+            # the filtered pool would be that source compared against
+            # itself (KS/PSI ≈ 0) and the gate would silently pass.
+            from .operators import drift as drift_ops
+
+            baseline_hist = (
+                drift_ops.ntok_histogram(sequences)
+                .groupBy("bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
         sequences = sequences.where(
             F.coalesce(F.col("source"), F.lit("__null__")).isin(pending_sources)
         )
@@ -74,7 +87,11 @@ def run(
 
     t0 = time.perf_counter()
     res = suite_plan.run_suite(
-        sequences, suite, drift_vs_global=drift, source_dim=source_dim
+        sequences,
+        suite,
+        baseline_hist=baseline_hist,
+        drift_vs_global=drift,
+        source_dim=source_dim,
     )
     res.violations.write.mode("append").parquet(f"{output_path}/violations")
     res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")

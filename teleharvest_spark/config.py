@@ -38,6 +38,11 @@ class CheckSuite:
     min_score: int = 80          # strict <=: exactly 80 fails (processor.py:125)
     min_score_alt: int = 85
 
+    # F6 engagement-rate check (processor.py:116-119, settings.py:12-14):
+    # fail when er < min_er AND views > min_views AND NOT is_latest.
+    min_er: float = 0.025
+    min_views: int = 50
+
     # Late-data lookback depth (reference: PROCESSOR_LIMIT, settings.py:11).
     lookback_limit: int = 1000
 

@@ -114,3 +114,10 @@ def stop_word_check(col: Column, stop_words: list[str]) -> Column:
     for w in stop_words[1:]:
         chain = chain.when(s.rlike(w), F.lit(w))
     return chain.otherwise(F.lit(None).cast("string"))
+
+
+def format_ts(col: Column, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
+    """Reference C7: ingest-boundary datetime formatting —
+    ``msg.date.strftime("%Y-%m-%d %H:%M:%S")``
+    (services/telegram_service.py:55). Pure codegen expression."""
+    return F.date_format(col, fmt)

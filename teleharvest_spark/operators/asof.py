@@ -13,6 +13,22 @@ the event-time order — the standard union-window as-of, linear in
 (right_ts == left_ts) count as matches: right rows sort before left
 rows at equal timestamps.
 
+Two correctness properties the naive per-column fill gets wrong:
+
+* **Atomicity**: the matched right row is carried as ONE struct and
+  unpacked after the fill. Filling each column independently with
+  ``last(ignorenulls)`` stitches fields from *different* right rows
+  whenever the matched row has a NULL field (that field would be
+  pulled from an older row while ``ts_asof`` comes from the newer one
+  — a row that never existed). The struct itself is non-null for every
+  right row even when its fields are NULL, so ``last(ignorenulls)``
+  over the struct picks the matched row wholesale.
+* **Determinism under duplicate (key, right_ts)**: ties are broken by
+  the greatest payload struct (field-order comparison), so which
+  duplicate wins is a pure function of the data, not of partitioning.
+  Requires the right payload columns to be orderable types (Spark
+  structs compare field-by-field; arrays are orderable, maps are not).
+
 At 10^12 rows the single key-shuffle is the floor for a general as-of;
 when both sides are bucketed/sorted by (key, ts) in Iceberg, the
 shuffle drops out (storage-partitioned join).
@@ -23,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 _TAG = "_asof_side"  # 0 = right (visible to later lefts), 1 = left
+_PAYLOAD = "_asof_r"  # struct of all carried right columns
 
 
 def asof_join(
@@ -45,36 +62,41 @@ def asof_join(
 
     left_payload = [c for c in left.columns if c not in (key, left_ts)]
     r_out = [right_ts] + right_cols
+    r_dtypes = dict(right.dtypes)
+    struct_type = "struct<" + ",".join(f"`{c}`:{r_dtypes[c]}" for c in r_out) + ">"
 
     l_side = left.select(
         F.col(key),
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias(_TAG),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in r_out],
+        F.lit(None).cast(struct_type).alias(_PAYLOAD),
     )
     r_side = right.select(
         F.col(key),
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias(_TAG),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"_r_{c}") for c in r_out],
+        F.struct(*[F.col(c) for c in r_out]).alias(_PAYLOAD),
     )
 
+    # Right rows (tag 0) sort before left rows (tag 1) at equal ts so a
+    # tie counts as a match; among duplicate right rows the struct is
+    # the final key, so last() deterministically takes the max payload.
     w = (
         W.partitionBy(key)
-        .orderBy(F.col("_asof_ts"), F.col(_TAG))
+        .orderBy(F.col("_asof_ts"), F.col(_TAG), F.col(_PAYLOAD))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    filled = l_side.unionByName(r_side)
-    for c in r_out:
-        filled = filled.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    filled = l_side.unionByName(r_side).withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
     return (
         filled.where(F.col(_TAG) == 1)
         .select(
             key,
             F.col("_asof_ts").alias(left_ts),
             *left_payload,
-            *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in r_out],
+            *[F.col(f"{_PAYLOAD}.{c}").alias(f"{c}{suffix}") for c in r_out],
         )
     )

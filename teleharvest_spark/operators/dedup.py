@@ -17,6 +17,27 @@ MINHASH_SEED = 42
 _MERSENNE = (1 << 61) - 1
 
 
+def _release(result: DataFrame, intermediates: list[DataFrame],
+             cache_handles: list | None) -> DataFrame:
+    """Persisted-intermediate lifetime policy (no block-manager leaks).
+
+    * ``cache_handles`` given → lazy result; the persisted
+      intermediates are appended and the CALLER unpersists (the
+      ValidationResult.cleanup() pattern, plans/suite.py).
+    * default → the (small — candidate pairs ≪ corpus) result is
+      materialized eagerly with ``localCheckpoint`` and every
+      intermediate is unpersisted immediately, so repeated invocations
+      in a long-lived session leave nothing in the CacheManager.
+    """
+    if cache_handles is not None:
+        cache_handles.extend(intermediates)
+        return result
+    out = result.localCheckpoint(eager=True)
+    for df in intermediates:
+        df.unpersist()
+    return out
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical texts: (content_hash, dup_count, doc_ids).
 
@@ -78,6 +99,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 5,
     threshold: float = 0.8,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding, verified by signature
     Jaccard estimate ≥ threshold.
@@ -143,11 +165,12 @@ def minhash_lsh_pairs(
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
     ).cast("double") / F.lit(float(n_perm))
-    return (
+    result = (
         cand.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
+    return _release(result, [sigs], cache_handles)
 
 
 def ngram_jaccard_pairs(
@@ -156,6 +179,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.5,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via inverted-index join.
 
@@ -226,11 +250,12 @@ def ngram_jaccard_pairs(
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ).cast("double")
-    return (
+    result = (
         verified.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _release(result, [base], cache_handles)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
@@ -253,24 +278,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
     @F.pandas_udf(T.LongType())
     def _sim(col: pd.Series) -> pd.Series:
-        lengths = np.fromiter((0 if a is None else len(a) for a in col), dtype=np.int64, count=len(col))
-        if lengths.sum() == 0:
-            return pd.Series(np.zeros(len(col), dtype=np.int64))
-        flat = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in col if a is not None and len(a)]
-        ).astype(np.uint64)
-        pm = (((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int8) * 2 - 1).astype(np.int32)
-        offsets = np.zeros(len(col), dtype=np.int64)
-        np.cumsum(lengths[:-1], out=offsets[1:])
-        # reduceat needs strictly valid segment starts; empty rows share
-        # the next row's start and are zeroed afterwards
-        acc = np.add.reduceat(pm, np.minimum(offsets, max(len(flat) - 1, 0)), axis=0)
-        acc[lengths == 0] = -1  # all bits 0 for empty/null rows
-        sig_bits = (acc >= 0).astype(np.uint64)
-        sigs = (sig_bits << shifts).sum(axis=1, dtype=np.uint64)
-        return pd.Series(sigs.astype(np.int64))
+        return _simhash_kernel(col, shifts)
 
     return base.select(F.col(id_col), _sim("_wh").alias("simhash"))
+
+
+def _simhash_kernel(col: pd.Series, shifts: np.ndarray) -> pd.Series:
+    """Whole-batch SimHash bit-vote reduction (module-level so the
+    empty-row edge cases are unit-testable without a Spark round-trip).
+
+    Rows are word-hash arrays; output is the 64-bit signature per row.
+    """
+    lengths = np.fromiter((0 if a is None else len(a) for a in col), dtype=np.int64, count=len(col))
+    if lengths.sum() == 0:
+        return pd.Series(np.zeros(len(col), dtype=np.int64))
+    flat = np.concatenate(
+        [np.asarray(a, dtype=np.int64) for a in col if a is not None and len(a)]
+    ).astype(np.uint64)
+    pm = (((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int8) * 2 - 1).astype(np.int32)
+    offsets = np.zeros(len(col), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    # reduceat only over the start offsets of NON-empty rows (every
+    # such offset is a valid index into flat), scattered back —
+    # clamping empty-row offsets instead silently truncates the last
+    # non-empty row's segment whenever the batch ends with empty/null
+    # arrays.
+    nonempty = lengths > 0
+    acc = np.full((len(col), len(shifts)), -1, dtype=np.int64)  # empty → all bits 0
+    acc[nonempty] = np.add.reduceat(pm, offsets[nonempty], axis=0)
+    sig_bits = (acc >= 0).astype(np.uint64)
+    sigs = (sig_bits << shifts).sum(axis=1, dtype=np.uint64)
+    return pd.Series(sigs.astype(np.int64))
 
 
 def simhash_near_pairs(

@@ -33,3 +33,33 @@ def test_asof_is_left_total(spark):
     out = asof.asof_join(left, right, key="user").collect()
     assert len(out) == 50
     assert sum(1 for r in out if r["value_asof"] is not None) == 25  # ts 25..49
+
+
+def test_asof_atomic_struct_fill(spark):
+    """The matched right row is taken ATOMICALLY: when the latest right
+    row has a NULL payload field, that NULL must be carried — not
+    back-filled from an older right row (a row that never existed)."""
+    left = _ts(spark, [("u", 10, "x")], "user string, ts long, tag string")
+    right = _ts(
+        spark,
+        [("u", 5, 1.0), ("u", 8, None)],
+        "user string, ts long, value double",
+    )
+    row = asof.asof_join(left, right, key="user").collect()[0]
+    assert row["ts_asof"] == 8
+    assert row["value_asof"] is None  # NOT 1.0 stitched from the ts=5 row
+
+
+def test_asof_deterministic_on_duplicate_right_ts(spark):
+    """Duplicate right rows at the same (key, ts): the greatest payload
+    struct wins — a pure function of the data, independent of
+    partitioning."""
+    left = _ts(spark, [("u", 10, "x")], "user string, ts long, tag string")
+    right = _ts(
+        spark,
+        [("u", 8, 1.0), ("u", 8, 2.0), ("u", 8, None)],
+        "user string, ts long, value double",
+    )
+    for _ in range(3):  # repeat — the pick must be stable
+        row = asof.asof_join(left, right.repartition(7), key="user").collect()[0]
+        assert (row["ts_asof"], row["value_asof"]) == (8, 2.0)

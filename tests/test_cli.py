@@ -50,3 +50,28 @@ def test_suite_json_roundtrip(tmp_path):
     assert s.min_n_tok == 32
     assert s.banned_tokens == (1, 2)
     assert cli.build_suite(None) == CheckSuite()
+
+
+def test_cli_resume_drift_uses_full_baseline(spark, suite, tmp_path):
+    """On resume, the drift_vs_global baseline must pool the FULL table
+    — a single pending partition compared against itself would give
+    KS/PSI ≈ 0 and silently pass the gate."""
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "seqs")
+    out = str(tmp_path / "out")
+    seqs = datagen.generate_sequences(spark, 5_000, suite)
+    seqs.write.parquet(inp)
+    cli.run(spark, inp, out, suite, run_id="r1")
+
+    # late data lands in the drifted partition only → it alone re-queues
+    seqs.where(F.col("source") == "src_07").write.mode("append").parquet(inp)
+    r2 = cli.run(spark, inp, out, suite, run_id="r2", resume=True)
+    assert not r2["skipped"]
+    assert r2["partitions"] == 1
+
+    verd = spark.read.parquet(f"{out}/verdicts/r2").collect()
+    assert len(verd) == 1 and verd[0]["source"] == "src_07"
+    # src_07's n_tok is drifted (mean ×2, datagen) — vs the full-table
+    # baseline KS must be clearly nonzero; self-compare would be ~0.
+    assert verd[0]["ks"] > 0.05

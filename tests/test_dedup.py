@@ -101,3 +101,56 @@ def test_simhash_blocking_complete_vs_bruteforce(spark):
     }
     assert got == want
     assert want  # non-vacuous: the fixture must contain near pairs
+
+
+def test_simhash_kernel_trailing_empty_rows():
+    """The reduceat segmentation must not truncate the last non-empty
+    row's segment when the batch ends with empty/null arrays."""
+    import numpy as np
+    import pandas as pd
+
+    from teleharvest_spark.operators.dedup import _simhash_kernel
+
+    shifts = np.arange(64, dtype=np.uint64)
+    h = [7, -12345678901234, 42]
+    alone = _simhash_kernel(pd.Series([h]), shifts)
+    padded = _simhash_kernel(pd.Series([h, [], None]), shifts)
+    assert padded.iloc[0] == alone.iloc[0]  # full segment summed
+    assert padded.iloc[1] == 0 and padded.iloc[2] == 0
+    # empty rows interleaved (segment boundaries shared with next row)
+    mixed = _simhash_kernel(pd.Series([[], h, [], [5], []]), shifts)
+    assert mixed.iloc[1] == alone.iloc[0]
+    assert mixed.iloc[0] == 0 and mixed.iloc[2] == 0 and mixed.iloc[4] == 0
+
+
+def test_pair_ops_leave_no_cached_plans(spark):
+    """minhash_lsh_pairs / ngram_jaccard_pairs must not leak persisted
+    intermediates: after repeated default-mode invocations the
+    CacheManager is empty (localCheckpoint blocks are RDD-level and
+    GC-managed, not CacheManager entries)."""
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    for _ in range(3):
+        assert dedup.minhash_lsh_pairs(df, k=3).count() >= 0
+        assert dedup.ngram_jaccard_pairs(df, k=3).count() >= 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_pair_ops_caller_owned_handles(spark):
+    """cache_handles mode: intermediates are handed to the caller
+    (lazy result) and unpersist cleanly."""
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(i, f"one two three four five six {i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    handles: list = []
+    out = dedup.minhash_lsh_pairs(df, k=3, threshold=0.5, cache_handles=handles)
+    assert handles, "intermediates must be appended to the caller's list"
+    out.count()
+    for h in handles:
+        h.unpersist(True)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
