@@ -41,9 +41,45 @@ HEADLINE = [
     "fingerprint_dups",
     "ann_ivf_topk",
     "simhash_pairs",
+    "metrics_refresh",
+    "engagement_rate",
 ]
 
 SUITE_ROWS = int(os.environ.get("SPARK_GRAFT_SUITE_ROWS", "2000000"))
+
+
+def approx_recall(spark, sf_dir: str, qs) -> dict[str, float]:
+    """Recall of every approximate operator vs its exact verifier, so
+    approximate-op quality is tracked round-over-round (not just pinned
+    once in pytest).
+
+    * ann_lsh_topk / ann_ivf_topk vs ann_topk (brute force): mean
+      recall@5 over the probe set.
+    * minhash_pairs (LSH candidates ≥ t) vs ngram_jaccard (exact pairs
+      ≥ t): pair-set recall.
+    """
+    out: dict[str, float] = {}
+    exact = qs["ann_topk"](spark, sf_dir).toPandas()
+    ex_sets = exact.groupby("probe_id")["neighbor_id"].apply(set).to_dict()
+    n_exact = sum(len(s) for s in ex_sets.values())
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+        ap = qs[name](spark, sf_dir).toPandas()
+        ap_sets = ap.groupby("probe_id")["neighbor_id"].apply(set).to_dict()
+        hit = sum(
+            len(ex_sets[p] & ap_sets.get(p, set())) for p in ex_sets
+        )
+        out[f"{name}_recall@5"] = round(hit / n_exact, 4) if n_exact else 1.0
+
+    exact_pairs = {
+        (r.id_a, r.id_b) for r in qs["ngram_jaccard"](spark, sf_dir).toPandas().itertuples()
+    }
+    mh_pairs = {
+        (r.id_a, r.id_b) for r in qs["minhash_pairs"](spark, sf_dir).toPandas().itertuples()
+    }
+    out["minhash_pair_recall"] = (
+        round(len(exact_pairs & mh_pairs) / len(exact_pairs), 4) if exact_pairs else 1.0
+    )
+    return out
 
 
 def main() -> None:
@@ -93,6 +129,9 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    recall = approx_recall(spark, sf_dir, qs)
+    print(f"# recall: {recall}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
     print(
@@ -106,6 +145,7 @@ def main() -> None:
                 "seq_per_sec": seq_per_sec,
                 "suite_rows": SUITE_ROWS,
                 "cores": int(cpus),
+                "recall": recall,
             }
         )
     )
