@@ -10,7 +10,8 @@ of pre-tokenized training sequences —
   HyperLogLog++ distinct via ``approx_count_distinct``),
 * a strictly-ordered row-level check cascade with first-failing-reason
   violation rows (reference: ``processor.py:97-145``),
-* uniqueness on ``doc_id`` via salted two-phase hash-aggregate dedup,
+* uniqueness on ``doc_id`` via partial-agg hash-aggregate dedup
+  (salting measured and rejected for counts — operators/uniqueness.py),
 * referential integrity of ``source`` via broadcast anti-join,
 * distribution drift (KS statistic, PSI) in vectorized Arrow UDFs,
 * max-cosine-similarity vs a broadcast baseline population

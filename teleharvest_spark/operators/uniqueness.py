@@ -1,18 +1,25 @@
-"""Uniqueness check on ``doc_id`` — salted two-phase hash-aggregate dedup.
+"""Uniqueness check on ``doc_id`` — partial-agg hash-aggregate dedup.
 
 Reference analogue: composite PK (id, channel) enforced by the store
 (models/message.py:34-36) — a duplicate insert errors. Here the engine
 *detects* duplicates at scale and materializes every row of a
 duplicated key as a violation (north_rule A5, SURVEY.md §2.4).
 
-Why two phases: ``groupBy(doc_id).count()`` alone shuffles every row
-once, hashed by doc_id; when key frequency is skewed (one doc_id
-duplicated millions of times — adversarial but real in crawl data),
-one reducer gets the hot key. AQE splits skewed JOIN partitions but
-NOT skewed groupBy hot keys, so phase 1 pre-aggregates on
-(doc_id, salt) — partial counts spread across SALT buckets — and
-phase 2 sums the ≤SALT partials per key. For the normal case the extra
-phase is one cheap aggregate over already-tiny partials.
+Skew strategy — MEASURED, not assumed (scripts/salt_ab.py, 1e8 rows,
+local[32]): for an ALGEBRAIC aggregate like count, Spark's map-side
+partial aggregation already collapses a hot key to ONE partial row per
+task before the shuffle, so a hot reducer never materializes. An
+explicit (key, salt) pre-aggregation phase — whose phase-1 output is
+~N rows whenever keys are mostly unique, i.e. a SECOND full N-row
+shuffle plus the decode cost of the salt-input columns — measured:
+
+    uniform (every key ×2):   plain 7.4 s   salted 10.5 s
+    hot (one key = 10% of N): plain 6.3 s   salted 27.3 s
+
+Plain partial-agg groupBy wins both distributions, so it is the
+default. ``salted_partial_counts`` remains for the case that actually
+needs it: NON-algebraic aggregates (collect_list, exact distinct
+structs) whose partials cannot collapse map-side.
 """
 
 from __future__ import annotations
@@ -22,24 +29,36 @@ from pyspark.sql import DataFrame, functions as F
 DEFAULT_SALT = 16
 
 
-def duplicate_keys(
+def duplicate_keys(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Keys appearing more than once → (key, dup_count).
+
+    One column-pruned scan (just ``key``), one shuffle of ≤ one partial
+    row per (task, distinct key) — hot keys collapse map-side
+    (HashAggregate partial_count), so no salting is needed for count.
+    """
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def salted_partial_counts(
     df: DataFrame,
     key: str = "doc_id",
     salt: int = DEFAULT_SALT,
     salt_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Keys appearing more than once → (key, dup_count).
+    """Two-phase (key, salt) pre-aggregation — ONLY for non-algebraic
+    aggregates where map-side combine can't collapse a hot key (e.g.
+    per-key collect_list at 10^12 rows). For plain counts this is
+    strictly slower (see module docstring); duplicate_keys is the
+    count path.
 
     Deterministic salt: ``spark_partition_id`` would not be stable
     across parallelism levels, so the salt hashes *other* column
-    values — duplicates of one doc_id spread across ≤``salt`` buckets
-    (same-bucket collisions are fine: phase 2 sums the partials).
-
-    ``salt_cols`` defaults to the first two scalar non-key columns:
-    hashing arrays would force the parquet reader to decode them, and
-    hashing every column drags the full row width through the scan —
-    the pruned ReadSchema (key + 2 scalars) IS the point of running
-    uniqueness as its own pass (see plans/suite.py).
+    values — duplicates of one key spread across ≤``salt`` buckets
+    (same-bucket collisions are fine: phase 2 merges the partials).
     """
     if salt_cols is None:
         salt_cols = [
@@ -52,25 +71,20 @@ def duplicate_keys(
         if salt_cols
         else F.lit(0)
     )
-    partial = (
+    return (
         df.select(F.col(key), salt_col.alias("_salt"))
         .groupBy(key, "_salt")
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
-    return (
-        partial.groupBy(key)
-        .agg(F.sum("_partial").alias("dup_count"))
-        .where(F.col("dup_count") > 1)
-    )
 
 
-def uniqueness_violations(df: DataFrame, key: str = "doc_id", salt: int = DEFAULT_SALT) -> DataFrame:
+def uniqueness_violations(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """All rows belonging to duplicated keys, as violation rows.
 
     The dup-key set is usually tiny relative to the table → broadcast
     semi-join back against the fact (no second full shuffle).
     """
-    dups = duplicate_keys(df, key=key, salt=salt)
+    dups = duplicate_keys(df, key=key)
     hit = df.join(F.broadcast(dups), key, "inner")
     return hit.select(
         F.col(key).alias("doc_id"),

@@ -6,8 +6,8 @@ minus the network boundaries: read → one narrow check-cascade stage →
 broadcast joins → two small aggregates → verdict assembly. The fact
 table is scanned ONCE for the row-level work and once for histograms;
 all joins against dimensions are broadcast; the only row-volume
-shuffle is the uniqueness aggregate (salted, see
-operators/uniqueness.py).
+shuffle is the uniqueness aggregate (map-side partial agg collapses
+hot keys before it — measured in operators/uniqueness.py).
 """
 
 from __future__ import annotations
@@ -78,9 +78,9 @@ def run_suite(
     else:
         cascade_input = sequences
         checks = cascade.sequence_checks(suite)
-    # Duplicate-key detection runs on a column-pruned scan (doc_id +
-    # scalar salt inputs — the tokens array is never decoded here; the
-    # array decode IS the scan cost, ~33s/2M rows measured). The dup
+    # Duplicate-key detection runs on a column-pruned scan (doc_id
+    # only — the tokens array is never decoded here; the array decode
+    # IS the scan cost, ~33s/2M rows measured). The dup
     # set is persisted and counted so the fused join below can pick
     # broadcast (usual case: tiny dup set — no shuffle of the fact)
     # vs shuffle join (adversarial corpus: 10^9 dup keys at 10^12 rows

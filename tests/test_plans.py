@@ -37,8 +37,8 @@ def test_suite_violations_join_is_broadcast_not_smj(spark, suite, tmp_path):
 
 def test_duplicate_keys_scan_prunes_wide_columns(spark, tmp_path):
     """Uniqueness detection must not decode payload columns: the
-    ReadSchema of its parquet scan carries the key + ≤2 scalar salt
-    inputs, never the tokens array."""
+    ReadSchema of its parquet scan carries just the key, never the
+    tokens array."""
     path = str(tmp_path / "wide")
     spark.createDataFrame(
         [("d1", [1, 2], 2, "a", 1.5)],

@@ -5,10 +5,8 @@ import pyspark.sql.functions as F
 from teleharvest_spark.operators import uniqueness
 
 
-def test_salted_equals_plain_groupby(spark, sequences):
-    """The two-phase salted aggregate must be semantically identical to
-    the naive groupBy-count (it only changes the shuffle shape)."""
-    salted = {
+def test_duplicate_keys_matches_naive_semantics(spark, sequences):
+    got = {
         r["doc_id"]: r["dup_count"]
         for r in uniqueness.duplicate_keys(sequences, key="doc_id").collect()
     }
@@ -19,8 +17,26 @@ def test_salted_equals_plain_groupby(spark, sequences):
         .where(F.col("cnt") > 1)
         .collect()
     }
-    assert salted == plain
-    assert len(salted) > 0  # datagen plants ~0.1% dups
+    assert got == plain
+    assert len(got) > 0  # datagen plants ~0.1% dups
+
+
+def test_salted_partials_merge_to_exact_counts(spark, sequences):
+    """The opt-in salted phase (for non-algebraic aggregates) must
+    merge back to the exact per-key counts."""
+    merged = {
+        r["doc_id"]: r["n"]
+        for r in uniqueness.salted_partial_counts(sequences, key="doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum("_partial").alias("n"))
+        .where(F.col("n") > 1)
+        .collect()
+    }
+    plain = {
+        r["doc_id"]: r["dup_count"]
+        for r in uniqueness.duplicate_keys(sequences, key="doc_id").collect()
+    }
+    assert merged == plain
 
 
 def test_violations_cover_every_row_of_dup_keys(spark):
