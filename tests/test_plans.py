@@ -64,3 +64,27 @@ def test_referential_stats_single_shuffle(spark, suite, tmp_path):
     plan = _plan_of(stats.partition_stats(stored))
     n_exchanges = sum(1 for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l)
     assert n_exchanges == 1, plan
+
+
+def test_metrics_refresh_broadcasts_bounds_and_updates(spark, tmp_path):
+    """The refresh pipeline must never sort-merge-join the fact table:
+    per-key bounds (|keys| rows) and the windowed update set (≤ limit
+    rows/key) are both broadcast; the stored side streams."""
+    from teleharvest_spark.operators import refresh
+
+    path = str(tmp_path / "stored")
+    spark.createDataFrame(
+        [("ch", s, s % 5, s % 3, s % 2) for s in range(2000)],
+        "source string, doc_seq int, views int, reactions int, forwards int",
+    ).write.parquet(path)
+    stored = spark.read.parquet(path)
+    fresh = stored.select(
+        "source", "doc_seq",
+        (F.col("views") + 1).alias("views"),
+        (F.col("reactions") + 1).alias("reactions"),
+        (F.col("forwards") + 1).alias("forwards"),
+    )
+    out = refresh.metrics_refresh(stored, fresh, key="source", seq="doc_seq", limit=100)
+    plan = _plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
