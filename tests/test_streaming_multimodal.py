@@ -122,3 +122,57 @@ def test_stateful_high_water_filters_replays(spark, tmp_path):
     finally:
         q.stop()
     assert got == {("a", 1), ("a", 2), ("b", 10), ("a", 3), ("b", 11)}
+
+
+def test_streaming_metrics_refresh_two_microbatches(spark, tmp_path):
+    """Entry point 3 in continuous mode: each micro-batch of metric
+    observations upserts the stored table via foreachBatch; F10-invalid
+    observations never land; within a batch the highest obs_seq wins."""
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark.streaming import refresh as srefresh
+
+    target = str(tmp_path / "stored")
+    obs = tmp_path / "obs"
+    obs.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("ch", s, 1, 1, 1) for s in range(4)],
+        "source string, doc_seq int, views int, reactions int, forwards int",
+    ).write.parquet(target)
+
+    schema = (
+        "source string, doc_seq int, views int, reactions int, forwards int, _obs_seq int"
+    )
+
+    def drop(rows, name):
+        # append part-files into the WATCHED directory (the file source
+        # does not recurse into non-partition subdirectories)
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(str(obs))
+        q = srefresh.start_refresh_stream(
+            spark, str(obs), schema, target, ckpt, key="source", seq="doc_seq"
+        )
+        q.awaitTermination()  # availableNow trigger drains and stops
+
+    # batch 1: valid update for seq 1; invalid (views=0) for seq 2;
+    # duplicate observations for seq 3 — higher _obs_seq must win
+    drop(
+        [
+            ("ch", 1, 100, 10, 5, 1),
+            ("ch", 2, 0, 20, 6, 1),
+            ("ch", 3, 300, 30, 7, 1),
+            ("ch", 3, 333, 33, 8, 2),
+        ],
+        "b1",
+    )
+    got = {r["doc_seq"]: r for r in spark.read.parquet(target).collect()}
+    assert (got[1]["views"], got[1]["reactions"]) == (100, 10)
+    assert got[2]["views"] == 1  # invalid observation skipped
+    assert (got[3]["views"], got[3]["reactions"]) == (333, 33)  # latest obs wins
+
+    # batch 2: late valid update for seq 2 arrives → now applied
+    drop([("ch", 2, 200, 22, 9, 3)], "b2")
+    got = {r["doc_seq"]: r for r in spark.read.parquet(target).collect()}
+    assert (got[2]["views"], got[2]["reactions"]) == (200, 22)
+    assert got[0]["views"] == 1  # untouched rows keep stale metrics
+    assert len(got) == 4
