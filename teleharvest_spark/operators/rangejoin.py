@@ -66,6 +66,9 @@ def windowed_count(
     )
     # LEFT join keeps unmatched probe rows, so zero-match left rows
     # survive to the aggregate with count 0 — no second pass over left.
+    # Group on the surrogate id ALONE (left columns ride along via
+    # first(): identical within a group, and non-groupable types like
+    # maps would break a multi-column groupBy).
     return (
         probe.join(
             r,
@@ -75,7 +78,10 @@ def windowed_count(
             & (F.col("_r_us") < F.col("_l_us")),
             "left",
         )
-        .groupBy(_RID, *[F.col(f"{c}") for c in left.columns])
-        .agg(F.count(F.col("_r_us")).alias(out_col))
+        .groupBy(_RID)
+        .agg(
+            *[F.first(c, ignorenulls=False).alias(c) for c in left.columns],
+            F.count(F.col("_r_us")).alias(out_col),
+        )
         .drop(_RID)
     )
