@@ -13,8 +13,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 MINHASH_SEED = 42
-# 64-bit mixing constants (public splitmix64-style constants).
-_MERSENNE = (1 << 61) - 1
 
 
 def _release(result: DataFrame, intermediates: list[DataFrame],
@@ -63,6 +61,44 @@ def shingles(text_col: str, k: int = 5) -> F.Column:
     )).otherwise(F.array(F.concat_ws(" ", words)))
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants) over a
+    uint64 array — the per-permutation integer mix."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _minhash_seeds(n_perm: int) -> np.ndarray:
+    return _splitmix64(
+        np.arange(MINHASH_SEED, MINHASH_SEED + n_perm, dtype=np.uint64)
+        * np.uint64(0x9E3779B97F4A7C15)
+    )
+
+
+def _minhash_kernel(col: pd.Series, seeds: np.ndarray) -> pd.Series:
+    """Whole-batch MinHash: one flat (ΣM,) mix + min-reduceat per
+    permutation — no per-row Python, bounded memory (one permutation's
+    column in flight at a time, not an (M × n_perm) matrix)."""
+    n_perm = len(seeds)
+    lengths = np.fromiter(
+        (0 if a is None else len(a) for a in col), dtype=np.int64, count=len(col)
+    )
+    out = np.zeros((len(col), n_perm), dtype=np.uint64)  # empty/null rows → 0-sig
+    if lengths.sum():
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in col if a is not None and len(a)]
+        ).astype(np.uint64)
+        offsets = np.zeros(len(col), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        nonempty = lengths > 0
+        starts = offsets[nonempty]
+        for i, s in enumerate(seeds):
+            out[nonempty, i] = np.minimum.reduceat(_splitmix64(flat ^ s), starts)
+    return pd.Series(list(out.view(np.int64)))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -70,25 +106,29 @@ def minhash_signatures(
     n_perm: int = 64,
     k: int = 5,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) MinHash over word shingles — pure codegen.
+    """(id, sig: array<bigint>) MinHash over word shingles.
 
-    Each shingle string is hashed ONCE to a 64-bit base value; the
-    n_perm permutations are seeded xxhash64 over that bigint (integer
-    re-hash ≫ cheaper than re-hashing the string n_perm times — the
-    same universal-family approximation MLlib's MinHashLSH makes with
-    modular hashing).
+    Each shingle string is hashed ONCE JVM-side (xxhash64 — one codegen
+    HOF pass); the n_perm permutations are seeded splitmix64 mixes of
+    that 64-bit base value, computed in ONE Arrow batch per partition
+    (universal-family approximation, same as MLlib's MinHashLSH with
+    modular hashing). The previous expression-tree form — n_perm
+    array_min(transform(...)) HOFs — evaluates 64 INTERPRETED passes
+    per row (the known Catalyst HOF trap, cf. simhash/ivf rewrites);
+    the Arrow kernel replaces them with 64 vectorized numpy passes over
+    the flattened batch.
     """
     sh = shingles(text_col, k).alias("_sh")
     base = df.select(
         F.col(id_col), F.transform(sh, lambda s: F.xxhash64(s)).alias("_sh64")
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sh64"), lambda h, i=i: F.xxhash64(h, F.lit(i))))
-            for i in range(n_perm)
-        ]
-    )
-    return base.select(F.col(id_col), sig.alias("sig"))
+    seeds = _minhash_seeds(n_perm)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _mh(col: pd.Series) -> pd.Series:
+        return _minhash_kernel(col, seeds)
+
+    return base.select(F.col(id_col), _mh("_sh64").alias("sig"))
 
 
 def minhash_lsh_pairs(
