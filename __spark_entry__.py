@@ -664,6 +664,19 @@ def q_cascade_degraded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic per-group top-k (O1/O2 generalized:
+    watermark.top_k_per_group) — each customer's 3 priciest orders,
+    order-key tiebreak for determinism."""
+    orders = _load(spark, sf_dir, "orders")
+    top = watermark.top_k_per_group(
+        orders, key="o_custkey", order_col="o_totalprice", k=3, tiebreak="o_orderkey"
+    )
+    return top.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_date_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7: ingest-boundary datetime formatting (reference
     telegram_service.py:55 strftime) — functions.text.format_ts."""
@@ -732,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_scored": q_cascade_scored,
         "cascade_degraded": q_cascade_degraded,
         "date_fmt": q_date_fmt,
+        "topk_per_group": q_topk_per_group,
     }
 
 
@@ -1186,5 +1200,16 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
                    strftime(ts, '%Y-%m-%d') AS day_str
             FROM events
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                     ) AS rank
+              FROM orders
+            ) WHERE rank <= 3
         """,
     }

@@ -65,9 +65,21 @@ def with_latest_flag(df: DataFrame, key: str = "source", seq: str = "doc_seq") -
 
 
 def top_k_per_group(
-    df: DataFrame, key: str, order_col: str, k: int, ascending: bool = False
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak: str | None = None,
 ) -> DataFrame:
-    """Generic per-group top-k with deterministic ordering (O1/O2)."""
-    ordering = F.asc(order_col) if ascending else F.desc(order_col)
-    w = W.partitionBy(key).orderBy(ordering)
+    """Generic per-group top-k (O1/O2).
+
+    Pass ``tiebreak`` (a unique column) whenever ``order_col`` can
+    repeat within a group — row_number over a non-unique ordering is
+    otherwise partitioning-dependent.
+    """
+    ordering = [F.asc(order_col) if ascending else F.desc(order_col)]
+    if tiebreak is not None:
+        ordering.append(F.asc(tiebreak))
+    w = W.partitionBy(key).orderBy(*ordering)
     return df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
