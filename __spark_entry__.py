@@ -664,6 +664,17 @@ def q_cascade_degraded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_token_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level distribution drift (north rule: "PSI on token
+    histograms"): each source's word distribution vs the pooled corpus,
+    exact vocabulary-keyed form (drift.word_psi; the 10^12-row path is
+    the hash-bucketed token_id_histogram → drift_metrics)."""
+    from teleharvest_spark.operators import drift
+
+    docs = _load(spark, sf_dir, "documents")
+    return drift.word_psi(docs).select("source", F.round("psi", 6).alias("psi"))
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic per-group top-k (O1/O2 generalized:
     watermark.top_k_per_group) — each customer's 3 priciest orders,
@@ -746,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_degraded": q_cascade_degraded,
         "date_fmt": q_date_fmt,
         "topk_per_group": q_topk_per_group,
+        "drift_token_psi": q_drift_token_psi,
     }
 
 
@@ -1211,5 +1223,31 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rank
               FROM orders
             ) WHERE rank <= 3
+        """,
+        "drift_token_psi": r"""
+            WITH words AS (
+              SELECT source,
+                     unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS w
+              FROM documents
+            ), cnt AS (
+              SELECT source, w, count(*) AS c FROM words GROUP BY 1, 2
+            ), tot AS (
+              SELECT source, sum(c) AS t FROM cnt GROUP BY 1
+            ), vocab AS (
+              SELECT w, sum(c) AS gc FROM cnt GROUP BY 1
+            ), gtot AS (
+              SELECT sum(gc) AS gt FROM vocab
+            ), aligned AS (
+              SELECT s.source,
+                     greatest(coalesce(c.c, 0)::DOUBLE / t.t, 1e-6) AS p,
+                     greatest(v.gc::DOUBLE / gtot.gt, 1e-6) AS q
+              FROM (SELECT DISTINCT source FROM cnt) s
+              CROSS JOIN vocab v
+              CROSS JOIN gtot
+              LEFT JOIN cnt c ON c.source = s.source AND c.w = v.w
+              JOIN tot t ON t.source = s.source
+            )
+            SELECT source, round(sum((p - q) * ln(p / q)), 6) AS psi
+            FROM aligned GROUP BY source
         """,
     }

@@ -70,6 +70,10 @@ def _drift_metrics_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     standard Σ (p-q)·ln(p/q) with epsilon clamping.
     """
     src = pdf["source"].iloc[0]
+    # KS cumsums in bucket order — sort explicitly rather than relying
+    # on the upstream join's physical output ordering (plan-dependent:
+    # an SMJ happens to emit sorted keys, a broadcast join does not).
+    pdf = pdf.sort_values("bucket")
     p = pdf["cnt"].to_numpy(dtype=np.float64)
     q = pdf["base_cnt"].to_numpy(dtype=np.float64)
     pn, qn = p.sum(), q.sum()
@@ -118,3 +122,46 @@ def drift_verdicts(metrics: DataFrame, suite: CheckSuite) -> DataFrame:
             (F.col("ks") <= suite.max_ks) & (F.col("psi") <= suite.max_psi), F.lit("pass")
         ).otherwise(F.lit("fail")),
     )
+
+
+def word_psi(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "source",
+    eps: float = _PSI_EPS,
+) -> DataFrame:
+    """Token-level PSI of each partition's word distribution vs the
+    pooled corpus — the north rule's "PSI on token histograms" in its
+    exact, vocabulary-keyed form (oracle-comparable in plain SQL).
+
+    Pure codegen aggregates: explode → two partial-agg counts → dense
+    alignment (sources × vocab, vocab side broadcast) → one PSI sum.
+    No Python in the path. At 10^12 rows the vocabulary-keyed form is
+    replaced by the hash-bucketed ``token_id_histogram`` (bounded
+    TOKEN_ID_BUCKETS state) feeding ``drift_metrics`` — identical math,
+    sketch-sized shuffle.
+    """
+    # trim before splitting: leading/trailing whitespace yields empty
+    # tokens with engine-specific placement (Java split vs others)
+    words = F.explode(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    ).alias("w")
+    cnt = df.select(F.col(key), words).groupBy(key, "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = cnt.groupBy(key).agg(F.sum("cnt").alias("t"))
+    vocab = cnt.groupBy("w").agg(F.sum("cnt").alias("gc"))
+    gtot = vocab.agg(F.sum("gc").alias("gt"))
+
+    dense = (
+        cnt.select(key).distinct()
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(gtot))
+    )
+    aligned = dense.join(cnt, [key, "w"], "left").join(F.broadcast(tot), key)
+    p = F.greatest(
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / F.col("t"), F.lit(eps)
+    )
+    q = F.greatest(F.col("gc").cast("double") / F.col("gt"), F.lit(eps))
+    term = (p - q) * F.log(p / q)
+    return aligned.groupBy(key).agg(F.sum(term).alias("psi"))
