@@ -699,6 +699,46 @@ def q_date_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERING: exact n-gram-Jaccard near-dup pairs →
+    connected components (alternating large-star/small-star,
+    operators/components.py) → canonical doc per cluster. The cluster
+    step is what near-dup pair generators feed at 100 TB — near-dup
+    is not transitive, so dedup acts on components, not pairs."""
+    from teleharvest_spark.operators import components
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    comp = components.connected_components(pairs, src="id_a", dst="id_b")
+    return components.canonical_docs(comp).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined train/val/test split (operators/sampling.py):
+    md5 hash-carving on doc_id — reproducible under repartitioning,
+    appends, and across engines; zero shuffles."""
+    from teleharvest_spark.operators import sampling
+
+    docs = _load(spark, sf_dir, "documents")
+    return sampling.split_assign(docs, key="doc_id").select("doc_id", "source", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sample: exactly min(k, |group|) rows
+    chosen by md5 rank (operators/sampling.py) — the eval-set carve
+    of a training pipeline."""
+    from teleharvest_spark.operators import sampling
+
+    docs = _load(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, key="doc_id", group="source", k=5).select(
+        "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full check-suite verdict pass over documents at
     sf0.001 (stats + cascade violations rolled into per-source verdicts)."""
@@ -758,6 +798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_fmt": q_date_fmt,
         "topk_per_group": q_topk_per_group,
         "drift_token_psi": q_drift_token_psi,
+        "dup_clusters": q_dup_clusters,
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1249,5 +1292,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, round(sum((p - q) * ln(p / q)), 6) AS psi
             FROM aligned GROUP BY source
+        """,
+        # connected components via transitive closure (tractable at
+        # sf0.01; Spark side is the O(log^2 n)-round star algorithm)
+        "dup_clusters": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\s+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                       list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                     i -> array_to_string(w[i:i+2], ' ')))
+                     ELSE [array_to_string(w, ' ')] END AS shingles
+              FROM words
+            ), posts AS (
+              SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh
+            ), inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n n_a, b.n n_b, count(*) AS n_int
+              FROM posts a JOIN posts b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              WHERE n_int::DOUBLE / (n_a + n_b - n_int) >= 0.5
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(n, r) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT reach.n, e.v FROM reach JOIN edges e ON reach.r = e.u
+            ), comp AS (
+              SELECT n AS doc_id, least(n, min(r)) AS component
+              FROM reach GROUP BY n
+            )
+            SELECT c.doc_id, c.component, s.cluster_size
+            FROM comp c
+            JOIN (
+              SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component
+            ) s USING (component)
+        """,
+        "split_assign": """
+            SELECT doc_id, source,
+                   CASE WHEN doc_id IS NULL THEN NULL
+                        WHEN b < 52428 THEN 'train'
+                        WHEN b < 58981 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS b
+              FROM documents
+            )
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 5
         """,
     }

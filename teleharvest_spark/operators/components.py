@@ -1,0 +1,137 @@
+"""Connected components over near-duplicate pair edges — duplicate
+CLUSTERING for training-data dedup.
+
+The pair generators (``dedup.ngram_jaccard_pairs``, ``minhash_lsh_pairs``,
+``simhash_near_pairs``, ``embedding_near_dups``) emit EDGES; an actual
+dedup pipeline must group edges into clusters and pick one canonical
+document per cluster (near-duplication is not transitive, so clusters
+chain: a~b, b~c keeps c even when a!~c — cluster-level dedup is the
+published practice for web-scale corpora).
+
+Reference analogue: the store-enforced PK uniqueness
+(``/root/reference/models/message.py:34-36``) is the degenerate exact
+form; this operator is its near-dup generalization.
+
+Algorithm: **alternating large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Each round is
+two shuffle stages (groupBy min-label + equi-join back); converges in
+O(log^2 n) rounds on any graph and ~2-4 rounds on dedup graphs (small,
+dense clusters). This is THE scale-correct choice for 10^12 rows:
+
+* no driver-side state — the edge list never leaves the cluster;
+* per-round cost is one hash aggregation + one broadcast-or-shuffle
+  join on the node id (uniformly distributed → no skew);
+* label-propagation alternatives need O(diameter) rounds and ship the
+  full adjacency every round; recursive CTEs don't exist in Spark.
+
+Iterative-plan hygiene: every round ends in an eager
+``localCheckpoint`` — without it the lineage (and Catalyst analysis
+time) doubles per round; on a real cluster use
+``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+executor-replicated truncation instead.
+
+Convergence test: xor-of-hash + count signature of the edge set
+(change ⇒ signature change with probability 1 - 2^-64; the pytest
+suite additionally pins exact results vs brute-force components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "canonical_docs"]
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    """(count, xor-of-xxhash64) — order-insensitive edge-set fingerprint.
+
+    ANSI-safe: bit_xor aggregation never overflows (sum of hashes
+    would, under Spark 4 ANSI mode).
+    """
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0).cast("long")
+        ).alias("sig"),
+    ).collect()[0]
+    return row["n"], row["sig"]
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, min(Γ(u) ∪ {u})) for every directed neighbor v > u."""
+    adj = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = adj.groupBy("src").agg(F.least(F.first("src"), F.min("dst")).alias("m"))
+    return (
+        adj.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small, then point every small neighbor (and
+    the center) at the minimum of the neighborhood."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    center = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return nbr.union(center).where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """``(node, component)`` for every node incident to an edge;
+    ``component`` is the minimum node id of the node's component
+    (deterministic canonical label under any partitioning).
+
+    ``edges`` is an undirected pair list (each pair once is enough —
+    both stars symmetrize internally). Self-loops are ignored.
+    """
+    cur = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _signature(cur)
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nsig = _signature(nxt)
+        cur.unpersist()
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:  # pragma: no cover - max_iters is far above the O(log^2 n) bound
+        raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+    # converged edge set is a star forest: (child, root) + implicit roots
+    roots = cur.select(F.col("dst").alias("node")).distinct()
+    members = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    out = members.unionByName(
+        roots.select("node", F.col("node").alias("component"))
+    ).distinct()
+    result = out.localCheckpoint(eager=True)
+    cur.unpersist()
+    return result
+
+
+def canonical_docs(components: DataFrame) -> DataFrame:
+    """Per-cluster summary: ``(node, component, cluster_size)`` — the
+    dedup policy "keep ``component`` (min doc id), drop the rest" reads
+    straight off this. One map-side-combinable aggregate + a broadcast-
+    size join back (cluster count << node count)."""
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return components.join(sizes, "component").select("node", "component", "cluster_size")

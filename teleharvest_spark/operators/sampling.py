@@ -1,0 +1,95 @@
+"""Deterministic splitting and stratified sampling for training-data
+pipelines.
+
+A 100 TB corpus needs its train/val/test split and its eval samples to
+be (a) reproducible across runs and engines, (b) stable under
+re-partitioning, appends, and resumes, and (c) computable without a
+global shuffle. ``rand()`` fails all three (seeded rand is
+partition-layout dependent); Spark's ``sampleBy`` fails (a)/(b) the
+same way. The standard fix is CONTENT-DEFINED assignment: hash the
+stable row key and carve the hash space.
+
+Reference analogue: the reference's only "sampling" is the bounded
+lookback window (``/root/reference/models/message.py:91-110``); the
+hash-split generalizes its determinism requirement (same rows → same
+outcome on every re-run) to fractional assignment.
+
+Scale notes: both operators are one narrow projection (md5 is a
+codegen expression) — the split adds ZERO shuffles; the stratified
+sample adds exactly one (the per-group top-k window on the hash),
+which is the minimum for an exact per-group k. md5 over the key is
+engine-portable (identical lowercase hex in Spark, DuckDB, Python
+hashlib), which is what makes the assignment verifiable by an
+independent oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+__all__ = ["hash_bucket", "split_assign", "stratified_sample"]
+
+_BUCKETS = 65536  # 4 hex digits of the md5 — plenty of split resolution
+
+
+def hash_bucket(key: Column) -> Column:
+    """Deterministic bucket in [0, 65536) from the md5 of the key's
+    string form. Content-defined: independent of partitioning, task
+    order, Spark version, and engine (DuckDB: ``('0x' ||
+    substr(md5(k), 1, 4))::INT``)."""
+    hx = F.md5(F.encode(key.cast("string"), "UTF-8"))
+    return F.conv(F.substring(hx, 1, 4), 16, 10).cast("int")
+
+
+def split_assign(
+    df: DataFrame,
+    key: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    out_col: str = "split",
+) -> DataFrame:
+    """Add ``out_col`` ∈ {'train','val','test'} by hash-carving.
+
+    Boundaries are rounded to 1/65536 resolution; the exact fractions
+    are ``floor(train*65536)/65536`` etc. — document the realized
+    fraction, don't pretend to more precision than the bucket count.
+    Rows with a NULL key get NULL split (a NULL doc_id is a cascade
+    violation upstream, not silently 'train').
+    """
+    if not (0 < train < 1 and 0 < val < 1 and train + val < 1):
+        raise ValueError("need 0 < train, val and train + val < 1")
+    b = hash_bucket(F.col(key))
+    t_hi = int(train * _BUCKETS)
+    v_hi = t_hi + int(val * _BUCKETS)
+    assignment = (
+        F.when(F.col(key).isNull(), F.lit(None).cast("string"))
+        .when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(out_col, assignment)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str = "doc_id",
+    group: str = "source",
+    k: int = 10,
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, chosen by md5
+    rank — a deterministic per-stratum sample (same rows every run and
+    on every engine). Ties on the full key are impossible (md5 of
+    distinct strings collides with probability ~0); ``key`` breaks
+    ties between equal keys' duplicates deterministically.
+
+    One shuffle (window by ``group``); at 10^12 rows prefer a two-phase
+    rank (per-partition top-k, then global top-k of candidates) — the
+    generic ``watermark.top_k_per_group`` documents that pattern; here
+    the hash IS the order column so the same operator applies.
+    """
+    hx = F.md5(F.encode(F.col(key).cast("string"), "UTF-8"))
+    w = W.partitionBy(group).orderBy(hx.asc(), F.col(key).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

@@ -1,0 +1,73 @@
+"""Deterministic hash split + stratified sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from teleharvest_spark.operators import sampling
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_split_matches_python_md5_model(spark):
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["split"] for r in sampling.split_assign(df).collect()}
+    for i in range(300):
+        b = int(_md5(str(i))[:4], 16)
+        want = "train" if b < 52428 else ("val" if b < 58981 else "test")
+        assert got[i] == want, (i, b, got[i], want)
+
+
+def test_split_stable_under_repartition(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in sampling.split_assign(df).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_assign(df.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_split_null_key_gets_null_split(spark):
+    df = spark.createDataFrame([(None,), ("x",)], "doc_id string")
+    rows = {r["doc_id"]: r["split"] for r in sampling.split_assign(df).collect()}
+    assert rows[None] is None and rows["x"] in {"train", "val", "test"}
+
+
+def test_split_rejects_bad_fractions(spark):
+    import pytest
+
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        sampling.split_assign(df, train=0.9, val=0.2)
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    s1 = sampling.stratified_sample(df, k=4)
+    got1 = sorted((r["source"], r["doc_id"]) for r in s1.collect())
+    # exactly k per group
+    per = {}
+    for src, _ in got1:
+        per[src] = per.get(src, 0) + 1
+    assert per == {"s0": 4, "s1": 4, "s2": 4}
+    # deterministic under different parallelism
+    s2 = sampling.stratified_sample(df.repartition(17), k=4)
+    got2 = sorted((r["source"], r["doc_id"]) for r in s2.collect())
+    assert got1 == got2
+    # matches the python md5-rank model
+    for src in ("s0", "s1", "s2"):
+        ids = [i for i, s in rows if s == src]
+        want = sorted(ids, key=lambda i: (_md5(str(i)), i))[:4]
+        assert sorted(i for s, i in got1 if s == src) == sorted(want)
+
+
+def test_stratified_sample_small_group_returns_all(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
+    got = sampling.stratified_sample(df, k=10).groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"a": 2, "b": 1}
