@@ -739,6 +739,44 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (operators/packing.py): concatenate
+    per-source documents into capacity-2048 packs in doc_id order —
+    the pad-minimizing sample-packing step of an LLM pipeline. The
+    sequential fold is a per-group Arrow batch; the oracle replays the
+    same recurrence as a recursive CTE."""
+    from teleharvest_spark.operators import packing
+
+    docs = _load(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        docs, key="doc_id", group="source", size_col="n_chars", capacity=2048
+    ).select("doc_id", "source", "pack_id")
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic terms by TF-IDF (operators/terms.py),
+    linear-idf variant for exact cross-engine arithmetic."""
+    from teleharvest_spark.operators import terms
+
+    docs = _load(spark, sf_dir, "documents")
+    t = terms.top_terms(docs, text_col="text", group="source", k=5, idf="linear")
+    return t.select(
+        "source", "term", F.round("tfidf", 6).alias("tfidf"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_quantile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source [p05, p95] length-band filter (stats.quantile_trim):
+    outlier trimming with per-key bounds broadcast back."""
+    from teleharvest_spark.operators import stats as STATS
+
+    docs = _load(spark, sf_dir, "documents")
+    return STATS.quantile_trim(docs, value_col="n_chars", key="source").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full check-suite verdict pass over documents at
     sf0.001 (stats + cascade violations rolled into per-source verdicts)."""
@@ -801,6 +839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "top_terms": q_top_terms,
+        "quantile_trim": q_quantile_trim,
     }
 
 
@@ -1357,5 +1398,60 @@ def oracle_sql() -> dict[str, str]:
                      ) AS sample_rank
               FROM documents
             ) WHERE sample_rank <= 5
+        """,
+        # greedy packing recurrence replayed row-by-row per source
+        "pack_sequences": """
+            WITH RECURSIVE ordered AS (
+              SELECT source, doc_id, coalesce(n_chars, 0) AS n,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ), st AS (
+              SELECT source, doc_id, n, rn, n AS acc, CAST(0 AS BIGINT) AS pack
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.source, o.doc_id, o.n, o.rn,
+                     CASE WHEN st.acc + o.n > 2048 THEN o.n ELSE st.acc + o.n END,
+                     CASE WHEN st.acc + o.n > 2048 THEN st.pack + 1 ELSE st.pack END
+              FROM st JOIN ordered o
+                ON o.source = st.source AND o.rn = st.rn + 1
+            )
+            SELECT doc_id, source, pack AS pack_id FROM st
+        """,
+        "top_terms": r"""
+            WITH words AS (
+              SELECT source,
+                     unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS term
+              FROM documents
+            ), w2 AS (
+              SELECT source, term FROM words WHERE term != ''
+            ), tf AS (
+              SELECT source, term, count(*) AS tf FROM w2 GROUP BY 1, 2
+            ), dfq AS (
+              SELECT term, count(DISTINCT source) AS df FROM tf GROUP BY 1
+            ), ng AS (
+              SELECT count(DISTINCT source) AS n FROM tf
+            ), scored AS (
+              SELECT tf.source, tf.term, tf.tf::DOUBLE * ng.n / dfq.df AS s
+              FROM tf CROSS JOIN ng JOIN dfq ON tf.term = dfq.term
+            )
+            SELECT source, term, round(s, 6) AS tfidf, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT source, term, s,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY s DESC, term
+                     ) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "quantile_trim": """
+            WITH b AS (
+              SELECT source,
+                     quantile_cont(n_chars, 0.05) AS lo,
+                     quantile_cont(n_chars, 0.95) AS hi
+              FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN b ON d.source = b.source
+            WHERE d.n_chars IS NOT NULL AND d.n_chars >= b.lo AND d.n_chars <= b.hi
         """,
     }

@@ -1,0 +1,84 @@
+"""Greedy sequence packing — group short training sequences into
+fixed-capacity packs (the "sample packing" step of an LLM data
+pipeline: minimize pad tokens by concatenating documents up to the
+context length).
+
+Reference analogue: none (the reference trains nothing); this is one
+of the beyond-reference training-pipeline operators. The semantics
+implemented is the standard deterministic streaming greedy: scan the
+group in a stable key order, open a new pack whenever the next
+sequence would overflow ``capacity`` (an oversized single sequence
+gets its own pack — truncation is the tokenizer's job, not the
+packer's).
+
+Why ``applyInPandas`` and not pure column expressions: greedy
+reset-on-overflow is a sequential recurrence (pack boundary depends on
+the full running state, not a prefix sum — ``floor(cumsum/cap)`` would
+SPLIT documents across packs, which changes training semantics), so it
+cannot be a window function. It CAN be a per-group fold, which is
+exactly the grouped-map surface: Arrow ships each group as one
+zero-copy batch, the fold is a tight numpy-array loop over int64s,
+and groups run executor-parallel.
+
+Scale notes (100 TB): parallelism == number of groups, so the group
+key must be finer than ``source`` at real scale — pass
+``shard_col`` (e.g. a hash-bucket of doc_id, `sampling.hash_bucket`)
+to pack within (source, shard); packs never span shards, which costs
+<1 pack of padding per shard and keeps every group executor-sized.
+The single shuffle is the groupBy; the fold is O(group) with no
+further exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pack_sequences"]
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str = "doc_id",
+    group: str = "source",
+    size_col: str = "n_tok",
+    capacity: int = 2048,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """``(key, group[, shard], pack_id)`` — pack id is dense per group
+    (0, 1, 2, ...) in ascending ``key`` order; NULL sizes count as 0.
+
+    Deterministic under any partitioning: the fold order is the sorted
+    ``key`` within each group, never task order.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    group_cols = [group] + ([shard_col] if shard_col else [])
+    proj = df.select(
+        *group_cols,
+        F.col(key).alias("__key"),
+        F.coalesce(F.col(size_col), F.lit(0)).cast("long").alias("__n"),
+    )
+    out_schema = ", ".join(
+        f"`{c}` {proj.schema[c].dataType.simpleString()}" for c in group_cols
+    ) + f", `{key}` {df.schema[key].dataType.simpleString()}, pack_id bigint"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__key", kind="mergesort")
+        sizes = pdf["__n"].to_numpy()
+        packs = np.zeros(len(sizes), dtype=np.int64)
+        acc, pack = 0, 0
+        for i, n in enumerate(sizes):  # sequential recurrence by design
+            if i > 0 and acc + n > capacity:
+                pack += 1
+                acc = n
+            else:
+                acc += n
+            packs[i] = pack
+        out = pdf[group_cols].copy()
+        out[key] = pdf["__key"].to_numpy()
+        out["pack_id"] = packs
+        return out
+
+    return proj.groupBy(*group_cols).applyInPandas(_pack, out_schema)

@@ -39,6 +39,41 @@ def partition_stats(df: DataFrame, key: str = "source") -> DataFrame:
     )
 
 
+def quantile_trim(
+    df: DataFrame,
+    value_col: str,
+    key: str = "source",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies within the per-``key``
+    [lo, hi] quantile band — outlier-length trimming, a standard
+    training-corpus quality filter (drop the truncated stubs and the
+    boilerplate mega-docs per source, not globally: sources have
+    different length regimes).
+
+    Two aggregation passes over |keys| rows of bounds + one broadcast
+    join back (the bounds side is partition-cardinality — always
+    broadcastable), so the data is scanned twice but never shuffled.
+    ``exact=True`` uses the exact ``percentile`` aggregate (oracle-
+    comparable, single-pass sort-based per group); at 10^12 rows use
+    ``exact=False`` → Greenwald-Khanna ``percentile_approx``, which is
+    a bounded-memory mergeable sketch.
+    """
+    pct = "percentile" if exact else "percentile_approx"
+    v = F.col(value_col)
+    bounds = df.groupBy(key).agg(
+        F.expr(f"{pct}({value_col}, {lo})").alias("__lo"),
+        F.expr(f"{pct}({value_col}, {hi})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), key)
+        .where(v.isNotNull() & (v >= F.col("__lo")) & (v <= F.col("__hi")))
+        .drop("__lo", "__hi")
+    )
+
+
 def stats_verdicts(stats: DataFrame, suite: CheckSuite) -> DataFrame:
     """Declarative thresholds over the stats row → per-partition verdict.
 
