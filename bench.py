@@ -43,6 +43,10 @@ HEADLINE = [
     "simhash_pairs",
     "metrics_refresh",
     "engagement_rate",
+    "dup_clusters",
+    "pack_sequences",
+    "split_assign",
+    "top_terms",
 ]
 
 SUITE_ROWS = int(os.environ.get("SPARK_GRAFT_SUITE_ROWS", "2000000"))

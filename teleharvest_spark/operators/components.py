@@ -84,11 +84,50 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr.union(center).where(F.col("src") != F.col("dst")).distinct()
 
 
+def _driver_union_find(cur: DataFrame) -> DataFrame:
+    """Small-graph fast path: union-find over a bounded collect.
+
+    Near-dup edge sets are usually tiny relative to the corpus (the
+    LSH stages already collapsed the candidates), and each distributed
+    star round costs several fixed-latency Spark jobs — on a graph of
+    a few hundred thousand edges the driver finishes in milliseconds
+    where the star rounds cost seconds of scheduling. Same min-label
+    result, same determinism. The collect is bounded by
+    ``driver_threshold`` (same pattern as the IVF centroid collect,
+    similarity.py)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in cur.collect():
+        ru, rv = find(row["src"]), find(row["dst"])
+        if ru != rv:
+            # union by min so every root IS the component's min label
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    data = [(n, find(n)) for n in parent]
+    schema = (
+        f"node {cur.schema['src'].dataType.simpleString()}, "
+        f"component {cur.schema['dst'].dataType.simpleString()}"
+    )
+    out = cur.sparkSession.createDataFrame(data, schema)
+    cur.unpersist()
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """``(node, component)`` for every node incident to an edge;
     ``component`` is the minimum node id of the node's component
@@ -96,6 +135,11 @@ def connected_components(
 
     ``edges`` is an undirected pair list (each pair once is enough —
     both stars symmetrize internally). Self-loops are ignored.
+
+    Graphs with at most ``driver_threshold`` edges run union-find on
+    the driver (bounded collect — see ``_driver_union_find``); larger
+    graphs run the distributed star rounds. Set ``driver_threshold=0``
+    to force the distributed path.
     """
     cur = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -105,6 +149,8 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     sig = _signature(cur)
+    if sig[0] <= driver_threshold:
+        return _driver_union_find(cur)
     for _ in range(max_iters):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         nsig = _signature(nxt)

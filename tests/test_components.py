@@ -26,11 +26,21 @@ def _uf_components(edges):
 
 def test_components_simple_chain(spark):
     e = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    for thr in (200_000, 0):
+        got = {
+            (r["node"], r["component"])
+            for r in components.connected_components(e, driver_threshold=thr).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_components_string_nodes_driver_path(spark):
+    e = spark.createDataFrame([("b", "a"), ("b", "c")], "src string, dst string")
     got = {
         (r["node"], r["component"])
         for r in components.connected_components(e).collect()
     }
-    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a")}
 
 
 def test_components_self_loops_dups_and_reversed_edges(spark):
@@ -46,6 +56,8 @@ def test_components_self_loops_dups_and_reversed_edges(spark):
 
 
 def test_components_random_graphs_match_union_find(spark):
+    """Both execution paths (driver union-find fast path AND the
+    distributed star rounds) against an independent model."""
     rng = random.Random(7)
     for trial in range(4):
         n = rng.randint(5, 40)
@@ -54,16 +66,19 @@ def test_components_random_graphs_match_union_find(spark):
             for _ in range(rng.randint(1, 60))
         ]
         e = spark.createDataFrame(edges, "src long, dst long")
-        got = {
-            (r["node"], r["component"])
-            for r in components.connected_components(e).collect()
-        }
         model = {
             (n_, c) for n_, c in _uf_components(
                 [(u, v) for u, v in edges if u != v]
             ).items()
         }
-        assert got == model, f"trial {trial}: {sorted(got) } != {sorted(model)}"
+        for thr in (200_000, 0):  # fast path, then forced star rounds
+            got = {
+                (r["node"], r["component"])
+                for r in components.connected_components(
+                    e, driver_threshold=thr
+                ).collect()
+            }
+            assert got == model, f"trial {trial} thr={thr}"
 
 
 def test_canonical_docs_sizes(spark):
