@@ -739,6 +739,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-guarded split (sampling.leakage_safe_split):
+    near-dup clusters (dup_clusters' components) are split-atomic — no
+    train/test leakage through near-duplicates; singletons fall back
+    to the plain content-defined carve."""
+    from teleharvest_spark.operators import components, sampling
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    comp = components.connected_components(pairs, src="id_a", dst="id_b")
+    return sampling.leakage_safe_split(docs, comp, key="doc_id").select(
+        "doc_id", "source", "split"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing (operators/packing.py): concatenate
     per-source documents into capacity-2048 packs in doc_id order —
@@ -842,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "top_terms": q_top_terms,
         "quantile_trim": q_quantile_trim,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -1442,6 +1458,50 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "leakage_safe_split": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\s+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                       list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                     i -> array_to_string(w[i:i+2], ' ')))
+                     ELSE [array_to_string(w, ' ')] END AS shingles
+              FROM words
+            ), posts AS (
+              SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh
+            ), inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, a.n n_a, b.n n_b, count(*) AS n_int
+              FROM posts a JOIN posts b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              WHERE n_int::DOUBLE / (n_a + n_b - n_int) >= 0.5
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(n, r) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT reach.n, e.v FROM reach JOIN edges e ON reach.r = e.u
+            ), comp AS (
+              SELECT n AS doc_id, least(n, min(r)) AS component
+              FROM reach GROUP BY n
+            )
+            SELECT d.doc_id, d.source,
+                   CASE WHEN b < 52428 THEN 'train'
+                        WHEN b < 58981 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT d.doc_id, d.source,
+                     ('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id)
+                                              AS VARCHAR)), 1, 4))::INT AS b
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+            ) d
         """,
         "quantile_trim": """
             WITH b AS (

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-__all__ = ["hash_bucket", "split_assign", "stratified_sample"]
+__all__ = ["hash_bucket", "split_assign", "stratified_sample", "leakage_safe_split"]
 
 _BUCKETS = 65536  # 4 hex digits of the md5 — plenty of split resolution
 
@@ -68,6 +68,48 @@ def split_assign(
         .otherwise(F.lit("test"))
     )
     return df.withColumn(out_col, assignment)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    key: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that keeps every near-duplicate CLUSTER on
+    one side — the contamination guard: if a train doc has a near-dup
+    in test, the eval leaks (memorization scores as generalization).
+
+    ``components`` is ``operators.components.connected_components``
+    output (``node``, ``component``). The split key becomes the
+    cluster's canonical label for clustered docs and the doc's own key
+    for singletons, then the same md5 carve as ``split_assign`` — so
+    the split stays content-defined AND cluster-atomic.
+
+    Cost: one left join against the components frame (duplicate
+    clusters are a small fraction of the corpus → broadcastable;
+    at worst it's an equi-join on the uniformly-hashed key), then the
+    same zero-shuffle hash projection.
+    """
+    if not (0 < train < 1 and 0 < val < 1 and train + val < 1):
+        raise ValueError("need 0 < train, val and train + val < 1")
+    comp = components.select(
+        F.col("node").alias(key), F.col("component").alias("__comp")
+    )
+    joined = df.join(F.broadcast(comp), key, "left")
+    effective = F.coalesce(F.col("__comp"), F.col(key))
+    b = hash_bucket(effective)
+    t_hi = int(train * _BUCKETS)
+    v_hi = t_hi + int(val * _BUCKETS)
+    assignment = (
+        F.when(F.col(key).isNull(), F.lit(None).cast("string"))
+        .when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return joined.withColumn(out_col, assignment).drop("__comp")
 
 
 def stratified_sample(

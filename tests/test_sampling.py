@@ -67,6 +67,46 @@ def test_stratified_sample_exact_k_and_deterministic(spark):
         assert sorted(i for s, i in got1 if s == src) == sorted(want)
 
 
+def test_leakage_safe_split_clusters_are_atomic(spark):
+    from teleharvest_spark.operators import components
+
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(40)], "doc_id long, source string"
+    )
+    # clusters {0,1,2} and {10,11}; everything else singleton
+    edges = spark.createDataFrame([(0, 1), (1, 2), (10, 11)], "src long, dst long")
+    comp = components.connected_components(edges)
+    out = sampling.leakage_safe_split(docs, comp)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 40
+    # cluster members share the split of their canonical label
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11]
+    # clustered docs use the COMPONENT hash (doc 1's own hash may differ)
+    b = int(_md5("0")[:4], 16)
+    want = "train" if b < 52428 else ("val" if b < 58981 else "test")
+    assert got[0] == want
+    # singletons match plain split_assign
+    plain = {
+        r["doc_id"]: r["split"] for r in sampling.split_assign(docs).collect()
+    }
+    for i in range(3, 10):
+        assert got[i] == plain[i]
+
+
+def test_leakage_safe_split_rejects_bad_fractions(spark):
+    import pytest
+
+    from teleharvest_spark.operators import components
+
+    docs = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    comp = components.connected_components(
+        spark.createDataFrame([(1, 2)], "src long, dst long")
+    )
+    with pytest.raises(ValueError):
+        sampling.leakage_safe_split(docs, comp, train=0.99, val=0.5)
+
+
 def test_stratified_sample_small_group_returns_all(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
     got = sampling.stratified_sample(df, k=10).groupBy("source").count().collect()
