@@ -117,6 +117,7 @@ def stratified_sample(
     key: str = "doc_id",
     group: str = "source",
     k: int = 10,
+    salt: int | None = None,
 ) -> DataFrame:
     """Exactly ``min(k, group size)`` rows per group, chosen by md5
     rank — a deterministic per-stratum sample (same rows every run and
@@ -124,14 +125,22 @@ def stratified_sample(
     distinct strings collides with probability ~0); ``key`` breaks
     ties between equal keys' duplicates deterministically.
 
-    One shuffle (window by ``group``); at 10^12 rows prefer a two-phase
-    rank (per-partition top-k, then global top-k of candidates) — the
-    generic ``watermark.top_k_per_group`` documents that pattern; here
-    the hash IS the order column so the same operator applies.
+    Delegates to ``watermark.top_k_per_group``: ``salt=None`` is one
+    window shuffle by ``group``; pass ``salt=S`` when a group is hot
+    (one source holding a large table fraction) to run the lossless
+    salted two-phase rank — no task then sees more than
+    |group|/S + S·k rows.
     """
+    from .watermark import top_k_per_group
+
     hx = F.md5(F.encode(F.col(key).cast("string"), "UTF-8"))
-    w = W.partitionBy(group).orderBy(hx.asc(), F.col(key).asc())
-    return (
-        df.withColumn("sample_rank", F.row_number().over(w))
-        .where(F.col("sample_rank") <= k)
+    out = top_k_per_group(
+        df.withColumn("__h", hx),
+        key=group,
+        order_col="__h",
+        k=k,
+        ascending=True,
+        tiebreak=key,
+        salt=salt,
     )
+    return out.withColumnRenamed("rank", "sample_rank").drop("__h")

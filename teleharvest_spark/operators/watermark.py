@@ -71,15 +71,38 @@ def top_k_per_group(
     k: int,
     ascending: bool = False,
     tiebreak: str | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Generic per-group top-k (O1/O2).
 
     Pass ``tiebreak`` (a unique column) whenever ``order_col`` can
     repeat within a group — row_number over a non-unique ordering is
     otherwise partitioning-dependent.
+
+    ``salt=None`` is one window shuffle keyed by ``key`` — correct,
+    but a HOT group (one key holding a large fraction of the table)
+    serializes through a single window task; AQE cannot split a skewed
+    window partition the way it splits skewed joins. ``salt=S`` runs
+    the salted two-phase form: phase 1 windows over ``(key, salt)``
+    with the salt derived from ``xxhash64(tiebreak or order_col)`` —
+    spreading the hot group over S tasks — and keeps each cell's local
+    top-k (any global top-k row is also top-k in its cell, so this is
+    lossless); phase 2 re-windows only the ≤ S·k survivors per group.
+    Two shuffles, but no task ever sees more than |group|/S + S·k
+    rows. Pick S ≈ cluster parallelism / |hot groups|.
     """
     ordering = [F.asc(order_col) if ascending else F.desc(order_col)]
     if tiebreak is not None:
         ordering.append(F.asc(tiebreak))
+    if salt is not None:
+        if salt < 1:
+            raise ValueError("salt must be >= 1")
+        cell = F.pmod(F.xxhash64(F.col(tiebreak or order_col)), F.lit(salt))
+        w1 = W.partitionBy(F.col(key), cell).orderBy(*ordering)
+        df = (
+            df.withColumn("_crk", F.row_number().over(w1))
+            .where(F.col("_crk") <= k)
+            .drop("_crk")
+        )
     w = W.partitionBy(key).orderBy(*ordering)
     return df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

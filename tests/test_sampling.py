@@ -107,6 +107,32 @@ def test_leakage_safe_split_rejects_bad_fractions(spark):
         sampling.leakage_safe_split(docs, comp, train=0.99, val=0.5)
 
 
+def test_salted_topk_matches_plain(spark):
+    """The lossless salted two-phase rank returns byte-identical
+    results to the single-window form, on skewed data with ties."""
+    from teleharvest_spark.operators.watermark import top_k_per_group
+
+    rows = [(i, "hot" if i % 10 != 9 else f"s{i % 3}", (i * 13) % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+    plain = top_k_per_group(df, key="source", order_col="v", k=7, tiebreak="doc_id")
+    salted = top_k_per_group(
+        df, key="source", order_col="v", k=7, tiebreak="doc_id", salt=8
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    import pytest
+
+    with pytest.raises(ValueError):
+        top_k_per_group(df, key="source", order_col="v", k=7, salt=0)
+
+
+def test_stratified_sample_salted_matches_plain(spark):
+    rows = [(i, f"s{i % 2}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(map(tuple, sampling.stratified_sample(df, k=6).collect()))
+    b = sorted(map(tuple, sampling.stratified_sample(df, k=6, salt=16).collect()))
+    assert a == b
+
+
 def test_stratified_sample_small_group_returns_all(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
     got = sampling.stratified_sample(df, k=10).groupBy("source").count().collect()
