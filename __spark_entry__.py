@@ -792,6 +792,36 @@ def q_quantile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): per-user event-type
+    counts. The explicit values list matters at scale — without it
+    Spark runs an extra distinct-collect job over the pivot column
+    before it can even plan; with it the pivot compiles straight to
+    one hash aggregate of conditional counts (single shuffle,
+    map-side combinable)."""
+    ev = _load(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (2h size, 1h slide): each event lands
+    in exactly size/slide windows — F.window expands rows then one
+    hash aggregate; the overlap factor (2x here) is the planned cost."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full check-suite verdict pass over documents at
     sf0.001 (stats + cascade violations rolled into per-source verdicts)."""
@@ -858,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "quantile_trim": q_quantile_trim,
         "leakage_safe_split": q_leakage_safe_split,
+        "pivot_counts": q_pivot_counts,
+        "window_sliding": q_window_sliding,
     }
 
 
@@ -1502,6 +1534,26 @@ def oracle_sql() -> dict[str, str]:
                                               AS VARCHAR)), 1, 4))::INT AS b
               FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             ) d
+        """,
+        "pivot_counts": """
+            SELECT user_id,
+                   CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+                   CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+                   CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+                   CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+                   CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        # every event is in exactly two 2h/1h windows: the one starting
+        # at its truncated hour and the one an hour earlier
+        "window_sliding": """
+            WITH expanded AS (
+              SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+              UNION ALL
+              SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+            )
+            SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+            FROM expanded GROUP BY 1, 2
         """,
         "quantile_trim": """
             WITH b AS (
