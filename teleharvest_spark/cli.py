@@ -32,6 +32,7 @@ from .config import CheckSuite
 from .plans import manifest as mf
 from .plans import suite as suite_plan
 from .session import get_spark
+from .sources.writer import write_partitioned
 
 
 def build_suite(path: str | None) -> CheckSuite:
@@ -93,7 +94,18 @@ def run(
         drift_vs_global=drift,
         source_dim=source_dim,
     )
-    res.violations.write.mode("append").parquet(f"{output_path}/violations")
+    # violations land hive-partitioned by source with bounded file
+    # counts — the common failure-triage read ("show me src_07's
+    # violations") then prunes whole directories, and a hot failing
+    # source can't produce one giant task-shaped file
+    write_partitioned(
+        res.violations,
+        f"{output_path}/violations",
+        partition_by=("source",),
+        files_per_partition=4,
+        sort_within="doc_id",
+        mode="append",
+    )
     res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
     mf.append_manifest_rows(spark, output_path, res.verdicts, snapshots, suite, run_id)
     n_rows = sequences.count()
