@@ -117,3 +117,26 @@ def stateful_high_water(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "source",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich (or referentially check) a stream
+    against a batch dimension table.
+
+    The static side is RE-RESOLVED every microbatch — a dimension
+    update (new allowed source, changed threshold row) takes effect on
+    the next batch without restarting the query. Spark plans this as a
+    stateless broadcast hash join per batch: no streaming state, no
+    watermark needed (this is the streaming form of J3,
+    reference processor.py:59 / settings.py:32-34).
+
+    ``how='left'`` enriches; ``how='left_anti'`` yields the stream's
+    referential VIOLATIONS (rows whose key is absent from the
+    dimension); ``how='left_semi'`` keeps only known-key rows.
+    """
+    return stream.join(F.broadcast(dim), key, how)

@@ -176,3 +176,46 @@ def test_streaming_metrics_refresh_two_microbatches(spark, tmp_path):
     assert (got[2]["views"], got[2]["reactions"]) == (200, 22)
     assert got[0]["views"] == 1  # untouched rows keep stale metrics
     assert len(got) == 4
+
+
+def test_stream_static_enrich_and_referential(spark, tmp_path):
+    """Stream-static broadcast join: enrichment picks up the dimension,
+    anti-join yields referential violations, and a SECOND drop is
+    processed by the same query (multi-batch)."""
+    from pyspark.sql import functions as F
+
+    drop = tmp_path / "drop2"
+    drop.mkdir()
+    dim = spark.createDataFrame(
+        [("src_00", "tier1"), ("src_01", "tier2")], "source string, tier string"
+    )
+    schema = "doc_id string, source string, n_tok int"
+    spark.createDataFrame(
+        [("d1", "src_00", 5), ("d2", "rogue", 7)], schema
+    ).write.mode("overwrite").parquet(str(drop / "b1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(drop / "*"))
+    enriched = ingest.enrich_with_dimension(stream, dim, how="left")
+    viol = ingest.enrich_with_dimension(stream, dim, how="left_anti")
+    q1 = enriched.writeStream.format("memory").queryName("enr").outputMode("append").start()
+    q2 = viol.writeStream.format("memory").queryName("ref_viol").outputMode("append").start()
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        enr = {r["doc_id"]: r["tier"] for r in spark.sql("SELECT * FROM enr").collect()}
+        assert enr == {"d1": "tier1", "d2": None}
+        v = [r["doc_id"] for r in spark.sql("SELECT * FROM ref_viol").collect()]
+        assert v == ["d2"]
+        # second microbatch
+        spark.createDataFrame(
+            [("d3", "src_01", 9), ("d4", "ghost", 1)], schema
+        ).write.mode("overwrite").parquet(str(drop / "b2"))
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        enr = {r["doc_id"]: r["tier"] for r in spark.sql("SELECT * FROM enr").collect()}
+        assert enr["d3"] == "tier2" and enr["d4"] is None
+        v = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM ref_viol").collect())
+        assert v == ["d2", "d4"]
+    finally:
+        q1.stop()
+        q2.stop()
