@@ -797,16 +797,18 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (wide conditional aggregation): per-user event-type
-    counts. The explicit values list matters at scale — without it
-    Spark runs an extra distinct-collect job over the pivot column
-    before it can even plan; with it the pivot compiles straight to
-    one hash aggregate of conditional counts (single shuffle,
-    map-side combinable)."""
+    counts, written as explicit conditional counts — ONE map-side-
+    combinable hash aggregate, one exchange. `.pivot(values).count()`
+    plans strictly worse (verified via explain: a pre-aggregate keyed
+    by (user, type) THEN a pivotfirst aggregate — two exchanges), and
+    without the values list it adds a planning-time distinct-collect
+    job on top; the plan-shape test pins the single-exchange form."""
     ev = _load(spark, sf_dir, "events")
-    wide = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
-    return wide.select(
-        "user_id",
-        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ]
     )
 
 

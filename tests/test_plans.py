@@ -88,3 +88,67 @@ def test_metrics_refresh_broadcasts_bounds_and_updates(spark, tmp_path):
     plan = _plan_of(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_split_assign_adds_no_exchange(spark, tmp_path):
+    """The hash split is a pure projection: zero exchanges above the
+    scan — assigning 10^12 rows costs one narrow pass."""
+    from teleharvest_spark.operators import sampling
+
+    path = str(tmp_path / "docs_split")
+    spark.createDataFrame(
+        [(1, "s", "t")], "doc_id long, source string, text string"
+    ).write.parquet(path)
+    plan = _plan_of(sampling.split_assign(spark.read.parquet(path)))
+    assert "Exchange" not in plan, plan
+
+
+def test_pivot_conditional_agg_single_exchange(spark, tmp_path):
+    """The conditional-count pivot form is one partial+final hash
+    aggregate (a single exchange). `.pivot(values).count()` plans two
+    exchanges (pre-aggregate by (key, pivot col) then pivotfirst) —
+    this test pins that the query uses the cheaper shape."""
+    path = str(tmp_path / "ev_pivot")
+    spark.createDataFrame(
+        [(1, "click"), (1, "view"), (2, "click")], "user_id long, event_type string"
+    ).write.parquet(path)
+    wide = spark.read.parquet(path).groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+    )
+    plan = _plan_of(wide)
+    # each physical node appears once as "(N) Exchange" in the detail
+    # section (the tree rendering would double-count it)
+    assert plan.count(") Exchange") == 1, plan
+
+
+def test_quantile_trim_broadcasts_bounds(spark, tmp_path):
+    """The per-key bounds side is partition-cardinality — it must come
+    back as a broadcast join, never a shuffle of the fact table."""
+    from teleharvest_spark.operators.stats import quantile_trim
+
+    path = str(tmp_path / "docs_trim")
+    spark.createDataFrame(
+        [(i, "s", i * 10) for i in range(50)], "doc_id long, source string, n_chars long"
+    ).write.parquet(path)
+    plan = _plan_of(quantile_trim(spark.read.parquet(path), value_col="n_chars"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_writer_shuffle_is_single_repartition(spark, tmp_path):
+    """write_partitioned plans exactly one exchange (the layout
+    repartition) above the scan."""
+    from teleharvest_spark.sources.writer import write_partitioned
+    import glob
+
+    path = str(tmp_path / "w_src")
+    spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(100)], "doc_id long, source string"
+    ).write.parquet(path)
+    out = str(tmp_path / "w_out")
+    write_partitioned(spark.read.parquet(path), out, files_per_partition=2)
+    # layout contract visible on disk: at most 2 files per partition dir
+    for d in glob.glob(f"{out}/source=*"):
+        n = len([f for f in glob.glob(f"{d}/*") if f.endswith(".parquet")])
+        assert 1 <= n <= 2, (d, n)
