@@ -824,6 +824,29 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user rolling mean of `value` over the
+    trailing hour (event-time range frame, not row counts) — the
+    window-FRAME operator family (distinct from lag/tumbling/sliding).
+    One shuffle keyed by user_id; the frame scan is a sort-merge sweep
+    within each partition. Decimal-summed to dodge float association
+    order; ts kept as epoch micros so the frame bound is exact
+    arithmetic on both engines."""
+    ev = _load(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)  # trailing hour in micros
+    )
+    avg = F.sum(F.col("value").cast("decimal(18,6)")).over(w) / F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(avg.cast("double"), 6).alias("rolling_avg_1h"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full check-suite verdict pass over documents at
     sf0.001 (stats + cascade violations rolled into per-source verdicts)."""
@@ -892,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "pivot_counts": q_pivot_counts,
         "window_sliding": q_window_sliding,
+        "rolling_avg": q_rolling_avg,
     }
 
 
@@ -1545,6 +1569,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
                    CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
             FROM events GROUP BY user_id
+        """,
+        "rolling_avg": """
+            SELECT event_id, user_id,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                              / count(*) OVER w AS DOUBLE), 6) AS rolling_avg_1h
+            FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+            )
         """,
         # every event is in exactly two 2h/1h windows: the one starting
         # at its truncated hour and the one an hour earlier
