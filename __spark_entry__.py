@@ -1503,7 +1503,7 @@ def oracle_sql() -> dict[str, str]:
             ), dfq AS (
               SELECT term, count(DISTINCT source) AS df FROM tf GROUP BY 1
             ), ng AS (
-              SELECT count(DISTINCT source) AS n FROM tf
+              SELECT count(DISTINCT source) AS n FROM documents WHERE source IS NOT NULL
             ), scored AS (
               SELECT tf.source, tf.term, tf.tf::DOUBLE * ng.n / dfq.df AS s
               FROM tf CROSS JOIN ng JOIN dfq ON tf.term = dfq.term

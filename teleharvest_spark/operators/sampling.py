@@ -88,17 +88,19 @@ def leakage_safe_split(
     for singletons, then the same md5 carve as ``split_assign`` — so
     the split stays content-defined AND cluster-atomic.
 
-    Cost: one left join against the components frame (duplicate
-    clusters are a small fraction of the corpus → broadcastable;
-    at worst it's an equi-join on the uniformly-hashed key), then the
-    same zero-shuffle hash projection.
+    Cost: one left join against the components frame, then the same
+    zero-shuffle hash projection. No broadcast hint on purpose:
+    duplicate clusters are usually a small corpus fraction and AQE
+    broadcasts them, but a pathologically duplicate-heavy corpus must
+    degrade to a shuffle join on the uniformly-hashed key instead of
+    OOMing a forced broadcast.
     """
     if not (0 < train < 1 and 0 < val < 1 and train + val < 1):
         raise ValueError("need 0 < train, val and train + val < 1")
     comp = components.select(
         F.col("node").alias(key), F.col("component").alias("__comp")
     )
-    joined = df.join(F.broadcast(comp), key, "left")
+    joined = df.join(comp, key, "left")
     effective = F.coalesce(F.col("__comp"), F.col(key))
     b = hash_bucket(effective)
     t_hi = int(train * _BUCKETS)

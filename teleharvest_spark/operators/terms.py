@@ -56,7 +56,13 @@ def top_terms(
     ).where(F.col("term") != "")
     tf = words.groupBy(group, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct(group).alias("df"))
-    n_groups = tf.select(group).distinct().count()  # bounded: |groups|
+    # N = distinct non-null group keys in the corpus (whether or not a
+    # group contributes terms). Computed from the column-pruned base
+    # scan — counting it from `tf` instead would execute the whole
+    # explode+aggregate pipeline a second time just for one scalar.
+    n_groups = (
+        df.select(group).where(F.col(group).isNotNull()).distinct().count()
+    )
     scored = tf.join(dfreq, "term")
     if idf == "linear":
         score = F.col("tf").cast("double") * n_groups / F.col("df")

@@ -51,10 +51,32 @@ def write_partitioned(
     """
     if files_per_partition < 1:
         raise ValueError("files_per_partition must be >= 1")
-    bucket_key = sort_within if sort_within else partition_by[-1]
-    bucket = F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(files_per_partition))
+    # the bucket hash must vary WITHIN a partition value — hashing a
+    # partition column would collapse every partition dir to one file.
+    # sort_within is the natural spread key when given; otherwise hash
+    # the remaining (data) columns.
+    spread_cols = (
+        [sort_within]
+        if sort_within
+        else [c for c in df.columns if c not in partition_by]
+    )
+    bucket = (
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in spread_cols]),
+            F.lit(files_per_partition),
+        )
+        if spread_cols
+        else F.lit(0)
+    )
     parts = [F.col(c) for c in partition_by]
-    shuffled = df.repartition(*parts, bucket)
+    # explicit numPartitions: a bare repartition(cols) exchange gets
+    # COALESCED by AQE on small inputs (verified: 3k rows → 1 task →
+    # 1 file per dir regardless of bucket), silently voiding the
+    # file-count contract; AQE leaves user-specified counts alone.
+    # Bucket-combo collisions within a task only merge files (fewer,
+    # larger) — never break the per-dir bound.
+    n_out = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    shuffled = df.repartition(n_out, *parts, bucket)
     if sort_within:
         shuffled = shuffled.sortWithinPartitions(*partition_by, sort_within)
     writer = shuffled.write.mode(mode).partitionBy(*partition_by)

@@ -31,7 +31,9 @@ def test_layout_roundtrip_and_file_counts(spark, tmp_path):
     assert back.groupBy().agg(F.sum("doc_id")).collect()[0][0] == sum(range(3000))
     for s in ("s0", "s1", "s2"):
         n = len(_files(out, f"source={s}/*"))
-        assert 1 <= n <= 3, (s, n)
+        # the spread must actually happen: >1 file per 1000-row
+        # partition (a constant bucket would collapse to exactly 1)
+        assert 2 <= n <= 3, (s, n)
 
 
 def test_partition_pruning_in_plan(spark, tmp_path):
