@@ -1468,7 +1468,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source,
                      row_number() OVER (
                        PARTITION BY source
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
+                                doc_id NULLS FIRST
                      ) AS sample_rank
               FROM documents
             ) WHERE sample_rank <= 5
@@ -1495,7 +1496,7 @@ def oracle_sql() -> dict[str, str]:
             WITH words AS (
               SELECT source,
                      unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS term
-              FROM documents
+              FROM documents WHERE source IS NOT NULL
             ), w2 AS (
               SELECT source, term FROM words WHERE term != ''
             ), tf AS (
@@ -1551,7 +1552,8 @@ def oracle_sql() -> dict[str, str]:
               FROM reach GROUP BY n
             )
             SELECT d.doc_id, d.source,
-                   CASE WHEN b < 52428 THEN 'train'
+                   CASE WHEN d.doc_id IS NULL THEN NULL
+                        WHEN b < 52428 THEN 'train'
                         WHEN b < 58981 THEN 'val'
                         ELSE 'test' END AS split
             FROM (

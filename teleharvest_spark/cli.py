@@ -94,14 +94,21 @@ def run(
         drift_vs_global=drift,
         source_dim=source_dim,
     )
-    # violations land hive-partitioned by source with bounded file
-    # counts — the common failure-triage read ("show me src_07's
-    # violations") then prunes whole directories, and a hot failing
-    # source can't produce one giant task-shaped file
+    # violations land hive-partitioned by a DERIVED dir column with
+    # bounded file counts — the common failure-triage read ("show me
+    # src_07's violations") prunes whole directories, and a hot
+    # failing source can't produce one giant task-shaped file. The
+    # dir key is derived because hive encoding maps both NULL and ''
+    # to __HIVE_DEFAULT_PARTITION__, which would destroy the
+    # empty-vs-null source distinction the cascade separates; the raw
+    # `source` column stays in the data files untouched.
+    dir_col = F.when(F.col("source").isNull(), F.lit("__null__")).when(
+        F.col("source") == "", F.lit("__empty__")
+    ).otherwise(F.col("source"))
     write_partitioned(
-        res.violations,
+        res.violations.withColumn("source_dir", dir_col),
         f"{output_path}/violations",
-        partition_by=("source",),
+        partition_by=("source_dir",),
         files_per_partition=4,
         sort_within="doc_id",
         mode="append",

@@ -41,6 +41,25 @@ def hash_bucket(key: Column) -> Column:
     return F.conv(F.substring(hx, 1, 4), 16, 10).cast("int")
 
 
+def _carve(key_col: Column, effective: Column, train: float, val: float) -> Column:
+    """The ONE definition of the three-way hash carve (shared by
+    ``split_assign`` and ``leakage_safe_split`` so boundary rounding
+    and the NULL-key rule can never fork): NULL key → NULL split (a
+    NULL doc_id is a cascade violation upstream, not silently
+    'train'); otherwise carve ``hash_bucket(effective)``."""
+    if not (0 < train < 1 and 0 < val < 1 and train + val < 1):
+        raise ValueError("need 0 < train, val and train + val < 1")
+    b = hash_bucket(effective)
+    t_hi = int(train * _BUCKETS)
+    v_hi = t_hi + int(val * _BUCKETS)
+    return (
+        F.when(key_col.isNull(), F.lit(None).cast("string"))
+        .when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def split_assign(
     df: DataFrame,
     key: str = "doc_id",
@@ -53,21 +72,9 @@ def split_assign(
     Boundaries are rounded to 1/65536 resolution; the exact fractions
     are ``floor(train*65536)/65536`` etc. — document the realized
     fraction, don't pretend to more precision than the bucket count.
-    Rows with a NULL key get NULL split (a NULL doc_id is a cascade
-    violation upstream, not silently 'train').
+    Rows with a NULL key get NULL split.
     """
-    if not (0 < train < 1 and 0 < val < 1 and train + val < 1):
-        raise ValueError("need 0 < train, val and train + val < 1")
-    b = hash_bucket(F.col(key))
-    t_hi = int(train * _BUCKETS)
-    v_hi = t_hi + int(val * _BUCKETS)
-    assignment = (
-        F.when(F.col(key).isNull(), F.lit(None).cast("string"))
-        .when(b < t_hi, F.lit("train"))
-        .when(b < v_hi, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return df.withColumn(out_col, assignment)
+    return df.withColumn(out_col, _carve(F.col(key), F.col(key), train, val))
 
 
 def leakage_safe_split(
@@ -95,22 +102,12 @@ def leakage_safe_split(
     degrade to a shuffle join on the uniformly-hashed key instead of
     OOMing a forced broadcast.
     """
-    if not (0 < train < 1 and 0 < val < 1 and train + val < 1):
-        raise ValueError("need 0 < train, val and train + val < 1")
     comp = components.select(
         F.col("node").alias(key), F.col("component").alias("__comp")
     )
     joined = df.join(comp, key, "left")
     effective = F.coalesce(F.col("__comp"), F.col(key))
-    b = hash_bucket(effective)
-    t_hi = int(train * _BUCKETS)
-    v_hi = t_hi + int(val * _BUCKETS)
-    assignment = (
-        F.when(F.col(key).isNull(), F.lit(None).cast("string"))
-        .when(b < t_hi, F.lit("train"))
-        .when(b < v_hi, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    assignment = _carve(F.col(key), effective, train, val)
     return joined.withColumn(out_col, assignment).drop("__comp")
 
 

@@ -53,6 +53,12 @@ def quantile_trim(
     boilerplate mega-docs per source, not globally: sources have
     different length regimes).
 
+    Explicit exclusion policy: rows with a NULL ``key`` or NULL
+    ``value_col`` are NOT trim decisions — they are upstream cascade/
+    referential violations and are excluded from the output (the
+    inner join and the value predicate implement exactly that; route
+    such rows through the cascade, not this filter).
+
     Two aggregation passes over |keys| rows of bounds + one broadcast
     join back (the bounds side is partition-cardinality — always
     broadcastable), so the data is scanned twice but never shuffled.

@@ -48,7 +48,11 @@ def top_terms(
     """
     if idf not in ("linear", "log"):
         raise ValueError("idf must be 'linear' or 'log'")
-    words = df.select(
+    # NULL-group rows are excluded up front: they belong to the
+    # referential/cascade violation path, and letting them through
+    # would give their terms df=0 (countDistinct ignores NULL) — a
+    # divide-by-zero under ANSI mode in the idf expression.
+    words = df.where(F.col(group).isNotNull()).select(
         F.col(group),
         F.explode(
             F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")

@@ -75,7 +75,11 @@ def write_partitioned(
     # file-count contract; AQE leaves user-specified counts alone.
     # Bucket-combo collisions within a task only merge files (fewer,
     # larger) — never break the per-dir bound.
-    n_out = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "")
+    try:
+        n_out = int(conf)
+    except ValueError:  # e.g. "auto" on AQE-managed platforms
+        n_out = df.sparkSession.sparkContext.defaultParallelism
     shuffled = df.repartition(n_out, *parts, bucket)
     if sort_within:
         shuffled = shuffled.sortWithinPartitions(*partition_by, sort_within)

@@ -139,3 +139,14 @@ def test_quantile_trim_bounds(spark):
     )
     kept2 = {r["doc_id"] for r in quantile_trim(df2, value_col="v").collect()}
     assert 999 not in kept2
+
+
+def test_top_terms_null_group_rows_excluded(spark):
+    """NULL-group rows must not reach the idf division (df=0 would be
+    an ANSI divide-by-zero) — they're violations, not vocabulary."""
+    df = spark.createDataFrame(
+        [(None, "ghostword ghostword"), ("a", "real")], "source string, text string"
+    )
+    got = terms.top_terms(df, k=10, idf="linear").collect()
+    assert {r["term"] for r in got} == {"real"}
+    assert all(r["source"] == "a" for r in got)

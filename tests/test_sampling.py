@@ -137,3 +137,22 @@ def test_stratified_sample_small_group_returns_all(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
     got = sampling.stratified_sample(df, k=10).groupBy("source").count().collect()
     assert {r["source"]: r["count"] for r in got} == {"a": 2, "b": 1}
+
+
+def test_leakage_and_plain_split_share_null_key_rule(spark):
+    """Both split forms emit NULL split for NULL keys (the shared
+    _carve rule — review finding: the hand-rolled duplicates had
+    drifted on exactly this branch)."""
+    from teleharvest_spark.operators import components
+
+    docs = spark.createDataFrame([(None, "s"), (7, "s")], "doc_id long, source string")
+    comp = components.connected_components(
+        spark.createDataFrame([(1, 2)], "src long, dst long")
+    )
+    plain = {r["doc_id"]: r["split"] for r in sampling.split_assign(docs).collect()}
+    safe = {
+        r["doc_id"]: r["split"]
+        for r in sampling.leakage_safe_split(docs, comp).collect()
+    }
+    assert plain[None] is None and safe[None] is None
+    assert plain[7] == safe[7] is not None
