@@ -187,7 +187,12 @@ def q_reactions_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 30 min starts a new session (lag + cumsum
     — the batch form of session_window)."""
-    ev = _load(spark, sf_dir, "events")
+    ev = _load(spark, sf_dir, "events").where(
+        # sessionization needs an event time and a PK tiebreak; rows
+        # missing either are upstream violations (and ASC NULL
+        # ordering differs across engines — excluded by design)
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast
     # is a pure reinterpretation matching DuckDB's epoch_us
@@ -1020,7 +1025,7 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT user_id, event_id, ts,
                      epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
-              FROM events
+              FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT user_id, event_id,
@@ -1132,10 +1137,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_int::DOUBLE / (n_a + n_b - n_int) >= 0.5
         """,
         "window_tumbling": """
+            -- F.window drops NULL-timestamp rows (no event time, no
+            -- window); the oracle mirrors that explicitly
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         """,
         "multimodal_meta": """
             WITH h AS (
@@ -1253,9 +1260,10 @@ def oracle_sql() -> dict[str, str]:
         # drift_ntok: KS/PSI — oracle below recomputes the same histogram math.
         "drift_ntok": """
             WITH hist AS (
-              SELECT source, least(CAST(floor(n_chars / 128) AS INT), 127) AS bucket,
+              SELECT source,
+                     least(CAST(floor(coalesce(n_chars, 0) / 128) AS INT), 127) AS bucket,
                      count(*) AS cnt
-              FROM documents GROUP BY 1, 2
+              FROM documents WHERE source IS NOT NULL GROUP BY 1, 2
             ), base AS (
               SELECT bucket, CAST(sum(cnt) AS DOUBLE) AS bcnt FROM hist GROUP BY 1
             ), aligned AS (
@@ -1479,7 +1487,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE ordered AS (
               SELECT source, doc_id, coalesce(n_chars, 0) AS n,
                      row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-              FROM documents
+              FROM documents WHERE source IS NOT NULL
             ), st AS (
               SELECT source, doc_id, n, rn, n AS acc, CAST(0 AS BIGINT) AS pack
               FROM ordered WHERE rn = 1
@@ -1586,9 +1594,11 @@ def oracle_sql() -> dict[str, str]:
         # at its truncated hour and the one an hour earlier
         "window_sliding": """
             WITH expanded AS (
-              SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+              SELECT date_trunc('hour', ts) AS window_start, event_type
+              FROM events WHERE ts IS NOT NULL
               UNION ALL
-              SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+              SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type
+              FROM events WHERE ts IS NOT NULL
             )
             SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
             FROM expanded GROUP BY 1, 2

@@ -44,14 +44,14 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256(payload).hexdigest()[:16]
 
 
-def main(only: list[str] | None = None) -> int:
+def main(only: list[str] | None = None, sf_dir: str = SF_DIR) -> int:
     import __spark_entry__ as E
     from teleharvest_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
@@ -59,7 +59,7 @@ def main(only: list[str] | None = None) -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            sdf = fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"[ERR ] {name}: spark query raised")
             traceback.print_exc()

@@ -1,0 +1,81 @@
+"""NULL-fuzz the oracle gate.
+
+The shipped fixtures carry no NULL keys, so any Spark-vs-DuckDB
+divergence on NULL paths (NULLS FIRST/LAST ordering defaults,
+three-valued CASE logic, join null-dropping) stays latent until a
+future dataset trips it — exactly the class of bug a code review
+found twice. This harness builds an adversarial copy of the engine's
+OWN domain tables (documents, events, embeddings) at sf0.001 with
+NULLs injected into every nullable column, then replays the full
+oracle gate against it.
+
+TPC-H tables are copied untouched: their columns are NOT NULL by
+spec, and the engine makes no NULL promises there.
+
+Usage: python scripts/null_fuzz.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import check_oracles
+
+SRC = "/root/testdata/sf0.001"
+DST = "/tmp/sfnull"
+
+# per-table extra rows: every nullable column goes NULL somewhere,
+# including composite patterns (NULL key + real payload and vice versa)
+INJECT = {
+    "documents": """
+        SELECT * FROM '{src}/documents.parquet'
+        UNION ALL BY NAME
+        SELECT * FROM (VALUES
+          (NULL, 'null id document with some words', 'en', 'src3', CAST(33 AS BIGINT)),
+          (900001, NULL, NULL, 'src4', NULL),
+          (900002, 'doc with null source columns here', 'fr', NULL, 31),
+          (NULL, NULL, NULL, NULL, NULL)
+        ) t(doc_id, text, lang, source, n_chars)
+    """,
+    "events": """
+        SELECT * FROM '{src}/events.parquet'
+        UNION ALL BY NAME
+        SELECT * FROM (VALUES
+          (NULL, TIMESTAMP '2024-01-15 12:00:00', CAST(7 AS BIGINT), 'click', 1.5, '{{"k": 3}}'),
+          (CAST(900001 AS BIGINT), NULL, 8, 'view', NULL, NULL),
+          (CAST(900002 AS BIGINT), TIMESTAMP '2024-01-16 01:00:00', NULL, NULL, 2.5, '{{"k": 4}}'),
+          (NULL, NULL, NULL, NULL, NULL, NULL)
+        ) t(event_id, ts, user_id, event_type, value, props)
+    """,
+    "embeddings": """
+        SELECT * FROM '{src}/embeddings.parquet'
+        UNION ALL BY NAME
+        SELECT * FROM (VALUES
+          (NULL, NULL, NULL)
+        ) t(vec_id, embedding, label)
+    """,
+}
+
+
+def build() -> None:
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST)
+    con = duckdb.connect()
+    for t in check_oracles.TABLES:
+        if t in INJECT:
+            q = INJECT[t].format(src=SRC)
+            con.execute(f"COPY ({q}) TO '{DST}/{t}.parquet' (FORMAT parquet)")
+        else:
+            shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+
+if __name__ == "__main__":
+    build()
+    sys.exit(check_oracles.main(sys.argv[1:] or None, sf_dir=DST))

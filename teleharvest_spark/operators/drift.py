@@ -29,13 +29,19 @@ _PSI_EPS = 1e-6
 
 
 def ntok_histogram(df: DataFrame, key: str = "source") -> DataFrame:
-    """Per-source bucket counts of n_tok (fixed-width buckets)."""
+    """Per-source bucket counts of n_tok (fixed-width buckets).
+
+    Rows with a NULL partition key are excluded: drift is a
+    per-partition check and a NULL key is a referential violation for
+    the cascade, not a partition to compare (the same exclusion policy
+    as quantile_trim / top_terms)."""
     width = N_TOK_MAX_FOR_BUCKETS // N_TOK_BUCKETS
     bucket = F.least(
         F.floor(F.coalesce(F.col("n_tok"), F.lit(0)) / width), F.lit(N_TOK_BUCKETS - 1)
     ).cast("int")
     return (
-        df.groupBy(F.col(key).alias(key), bucket.alias("bucket"))
+        df.where(F.col(key).isNotNull())
+        .groupBy(F.col(key).alias(key), bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

@@ -55,6 +55,10 @@ def pack_sequences(
     if capacity <= 0:
         raise ValueError("capacity must be positive")
     group_cols = [group] + ([shard_col] if shard_col else [])
+    # NULL group keys are upstream violations, not packable strata
+    # (the engine-wide exclusion policy — see quantile_trim/top_terms)
+    for c in group_cols:
+        df = df.where(F.col(c).isNotNull())
     proj = df.select(
         *group_cols,
         F.col(key).alias("__key"),
