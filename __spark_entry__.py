@@ -1207,6 +1207,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            -- on EMPTY input the SQL standard (and DuckDB) emit the
+            -- grand-total row; Spark's rollup emits nothing. All real
+            -- rollup groups have count >= 1, so this pins Spark's
+            -- empty-input shape without touching non-empty results
+            HAVING count(*) > 0
         """,
         "set_ops": """
             SELECT o_custkey FROM (

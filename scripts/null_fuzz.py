@@ -13,6 +13,13 @@ TPC-H tables are copied untouched: their columns are NOT NULL by
 spec, and the engine makes no NULL promises there.
 
 Usage: python scripts/null_fuzz.py [query ...]
+       python scripts/null_fuzz.py --empty [query ...]   # zero-row tables
+
+``--empty`` rebuilds every table with its schema and ZERO rows — the
+degenerate input that breaks naive aggregates (element_at on empty,
+div-by-zero means, collect-on-empty driver paths). Queries must run
+and agree (both sides empty or both sides their empty-input identity
+rows).
 """
 
 from __future__ import annotations
@@ -64,18 +71,28 @@ INJECT = {
 }
 
 
-def build() -> None:
-    shutil.rmtree(DST, ignore_errors=True)
-    os.makedirs(DST)
+def build(empty: bool = False) -> str:
+    dst = DST + ("_empty" if empty else "")
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
     con = duckdb.connect()
     for t in check_oracles.TABLES:
-        if t in INJECT:
+        if empty:
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet' WHERE 1=0) "
+                f"TO '{dst}/{t}.parquet' (FORMAT parquet)"
+            )
+        elif t in INJECT:
             q = INJECT[t].format(src=SRC)
-            con.execute(f"COPY ({q}) TO '{DST}/{t}.parquet' (FORMAT parquet)")
+            con.execute(f"COPY ({q}) TO '{dst}/{t}.parquet' (FORMAT parquet)")
         else:
-            shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+            shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    return dst
 
 
 if __name__ == "__main__":
-    build()
-    sys.exit(check_oracles.main(sys.argv[1:] or None, sf_dir=DST))
+    args = sys.argv[1:]
+    empty = "--empty" in args
+    args = [a for a in args if a != "--empty"]
+    dst = build(empty=empty)
+    sys.exit(check_oracles.main(args or None, sf_dir=dst))

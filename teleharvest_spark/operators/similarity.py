@@ -148,6 +148,15 @@ def ivf_topk(
         ],
         dtype=np.float64,
     )
+    if cents.size == 0:  # empty corpus → no cells, no neighbors
+        return (
+            probes.select(
+                F.col(id_col).alias("probe_id"),
+                F.lit(None).cast(probes.schema[id_col].dataType).alias("neighbor_id"),
+                F.lit(0).cast("int").alias("rank"),
+                F.lit(0.0).alias("sim"),
+            ).where(F.lit(False))
+        )
     cents_unit = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
     def _cell_topn(n: int):
