@@ -114,22 +114,32 @@ def main() -> None:
     seqs = datagen.generate_sequences(spark, SUITE_ROWS, check)
     seqs.write.mode("overwrite").parquet("/tmp/bench_sequences.parquet")
     stored = spark.read.parquet("/tmp/bench_sequences.parquet")
-    # three untimed warmup passes (C2 JIT keeps tiering through the
-    # second pass — measured 78s → 27s → 11s → 9.7s), then the timed
-    # run; drift included — the north-star metric covers the FULL suite
-    for _ in range(3):
+    # two untimed warmup passes (C2 JIT keeps tiering through the
+    # second pass — measured 78s → 27s → 11s), then MEDIAN of three
+    # timed runs: the shared host swings 2-6x under neighbor load, and
+    # a single sample can record a loaded run as the round's
+    # throughput; drift included — the north-star metric covers the
+    # FULL suite
+    for _ in range(2):
         warm = suite_plan.run_suite(stored, check, drift_vs_global=True)
         warm.materialize()
         warm.cleanup()
-    t0 = time.perf_counter()
-    res = suite_plan.run_suite(stored, check, drift_vs_global=True)
-    n_viol, n_verd = res.materialize()
-    suite_sec = round(time.perf_counter() - t0, 3)
+    samples = []
+    n_viol = n_verd = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = suite_plan.run_suite(stored, check, drift_vs_global=True)
+        n_viol, n_verd = res.materialize()
+        samples.append(time.perf_counter() - t0)
+        res.cleanup()
+    samples.sort()
+    suite_sec = round(samples[1], 3)  # median of 3
     timings["check_suite_full"] = suite_sec
     seq_per_sec = round(SUITE_ROWS / suite_sec, 1)
     print(
         f"# check_suite_full: {SUITE_ROWS} rows, {n_viol} violations, "
-        f"{n_verd} partitions in {suite_sec}s = {seq_per_sec} seq/s",
+        f"{n_verd} partitions; samples {[round(s, 2) for s in samples]}s "
+        f"→ median {suite_sec}s = {seq_per_sec} seq/s",
         file=sys.stderr,
     )
 
