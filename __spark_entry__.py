@@ -852,6 +852,35 @@ def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((source), (lang)) — two independent stat
+    breakdowns in ONE scan + one Expand (row is duplicated per set
+    map-side, then a single hash aggregate); two separate groupBys
+    would scan the parquet twice."""
+    docs = _load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_gs")
+    return spark.sql(
+        """
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM docs_gs
+        GROUP BY GROUPING SETS ((source), (lang))
+        """
+    )
+
+
+def q_decile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile of n_chars within each source — the quality-tier
+    bucketing form of the O-family (equal-count bins, unlike
+    quantile_trim's value-threshold bins)."""
+    docs = _load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return docs.select(
+        "doc_id", "source", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full check-suite verdict pass over documents at
     sf0.001 (stats + cascade violations rolled into per-source verdicts)."""
@@ -921,6 +950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "window_sliding": q_window_sliding,
         "rolling_avg": q_rolling_avg,
+        "grouping_sets": q_grouping_sets,
+        "decile_assign": q_decile_assign,
     }
 
 
@@ -1607,6 +1638,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
             FROM expanded GROUP BY 1, 2
+        """,
+        "grouping_sets": """
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((source), (lang))
+        """,
+        "decile_assign": """
+            -- Spark window ASC is NULLS FIRST; pin DuckDB to match
+            SELECT doc_id, source,
+                   CAST(ntile(10) OVER (
+                     PARTITION BY source
+                     ORDER BY n_chars NULLS FIRST, doc_id NULLS FIRST
+                   ) AS BIGINT) AS decile
+            FROM documents
         """,
         "quantile_trim": """
             WITH b AS (
