@@ -978,7 +978,7 @@ def oracle_sql() -> dict[str, str]:
         "cascade_documents": f"""
             WITH c AS (
               SELECT doc_id, source, text,
-                     regexp_replace(text, '\\s*\\[.*?\\]\\(https?://[^)]+\\)$', '', 'gm') AS cleaned
+                     regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]*\\[.*?\\]\\(https?://[^)]+\\)$', '', 'gm') AS cleaned
               FROM documents
             )
             SELECT doc_id, source,
@@ -1117,14 +1117,14 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, text,
                      CASE WHEN trim(coalesce(text,'')) = '' THEN 0
-                          ELSE len(string_split_regex(trim(coalesce(text,'')), '\s+')) END AS n_words,
-                     len(regexp_extract_all(coalesce(text,''), '\w+|[^\w\s]')) AS n_bpe_ish,
+                          ELSE len(string_split_regex(trim(coalesce(text,'')), '[ \t\n\x0B\f\r]+')) END AS n_words,
+                     len(regexp_extract_all(coalesce(text,''), '\w+|[^\w \t\n\x0B\f\r]')) AS n_bpe_ish,
                      len(regexp_extract_all(lower(coalesce(text,'')), '\b(the|and|of|to|is|that)\b')) AS h_en,
                      len(regexp_extract_all(lower(coalesce(text,'')), '\b(el|la|de|que|los|una)\b')) AS h_es,
                      len(regexp_extract_all(lower(coalesce(text,'')), '\b(le|la|les|des|est|une)\b')) AS h_fr,
                      len(regexp_extract_all(lower(coalesce(text,'')), '\b(der|die|und|das|ist|ein)\b')) AS h_de,
                      length(coalesce(text,'')) AS n_chars_c,
-                     len(regexp_extract_all(coalesce(text,''), '[^\w\s]')) AS n_punct
+                     len(regexp_extract_all(coalesce(text,''), '[^\w \t\n\x0B\f\r]')) AS n_punct
               FROM documents
             )
             SELECT doc_id,
@@ -1145,7 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": r"""
             WITH words AS (
-              SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\s+') AS w
+              SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0B\f\r]+') AS w
               FROM documents
             ), sh AS (
               SELECT doc_id,
@@ -1200,7 +1200,7 @@ def oracle_sql() -> dict[str, str]:
             WITH n AS (
               SELECT doc_id,
                      regexp_replace(lower(trim(substr(coalesce(text, ''), 1, 60))),
-                                    '\s+', ' ', 'g') AS nt
+                                    '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt
               FROM documents
             )
             SELECT min(doc_id) AS group_min_doc, CAST(count(*) AS BIGINT) AS dup_count
@@ -1429,7 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_token_psi": r"""
             WITH words AS (
               SELECT source,
-                     unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS w
+                     unnest(string_split_regex(trim(lower(coalesce(text, ''))), '[ \t\n\x0B\f\r]+')) AS w
               FROM documents
             ), cnt AS (
               SELECT source, w, count(*) AS c FROM words GROUP BY 1, 2
@@ -1456,7 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         # sf0.01; Spark side is the O(log^2 n)-round star algorithm)
         "dup_clusters": r"""
             WITH RECURSIVE words AS (
-              SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\s+') AS w
+              SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0B\f\r]+') AS w
               FROM documents
             ), sh AS (
               SELECT doc_id,
@@ -1539,7 +1539,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": r"""
             WITH words AS (
               SELECT source,
-                     unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS term
+                     unnest(string_split_regex(lower(coalesce(text, '')), '[ \t\n\x0B\f\r]+')) AS term
               FROM documents WHERE source IS NOT NULL
             ), w2 AS (
               SELECT source, term FROM words WHERE term != ''
@@ -1564,7 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "leakage_safe_split": r"""
             WITH RECURSIVE words AS (
-              SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\s+') AS w
+              SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0B\f\r]+') AS w
               FROM documents
             ), sh AS (
               SELECT doc_id,

@@ -13,7 +13,14 @@ TPC-H tables are copied untouched: their columns are NOT NULL by
 spec, and the engine makes no NULL promises there.
 
 Usage: python scripts/null_fuzz.py [query ...]
-       python scripts/null_fuzz.py --empty [query ...]   # zero-row tables
+       python scripts/null_fuzz.py --empty [query ...]     # zero-row tables
+       python scripts/null_fuzz.py --unicode [query ...]   # exotic text
+
+``--unicode`` injects documents whose text exercises the Spark-vs-
+DuckDB representation seams: emoji + surrogate pairs (UTF-16 code
+units vs code points), CJK (no-whitespace scripts), RTL + bidi marks,
+NBSP/ideographic-space/zero-width characters (Java regex ``\\s`` vs
+RE2), combining diacritics, and very long tokens.
 
 ``--empty`` rebuilds every table with its schema and ZERO rows — the
 degenerate input that breaks naive aggregates (element_at on empty,
@@ -71,18 +78,53 @@ INJECT = {
 }
 
 
-def build(empty: bool = False) -> str:
-    dst = DST + ("_empty" if empty else "")
+# text that stresses UTF-16-vs-UTF-8 length, regex \s dialects, bidi,
+# zero-width chars, combining marks, and token-length extremes
+UNICODE_TEXTS = [
+    "emoji 🎉🎊 pair 👨‍👩‍👧‍👦 flags 🇺🇳 done",
+    "中文没有空格但是很长的一段文字在这里继续下去",
+    "عربي rtl نص with latin mixed in",
+    "nbsp separated words here",
+    "ideographic　space and zero​width joined",
+    "combining áé diacritics café",
+    "tab\tand\nnewline\rand\x0bvertical",
+    "x" * 5000 + " single giant token",
+    "trailing markdown [link](https://example.com/🎉)",
+    "",
+]
+
+
+def build(empty: bool = False, unicode_mode: bool = False) -> str:
+    dst = DST + ("_empty" if empty else ("_unicode" if unicode_mode else ""))
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     con = duckdb.connect()
+    if unicode_mode:
+        import pandas as pd
+
+        extra = pd.DataFrame(
+            {
+                "doc_id": [900100 + i for i in range(len(UNICODE_TEXTS))],
+                "text": UNICODE_TEXTS,
+                "lang": ["xx"] * len(UNICODE_TEXTS),
+                "source": [f"src{i % 5}" for i in range(len(UNICODE_TEXTS))],
+                "n_chars": [len(t) for t in UNICODE_TEXTS],
+            }
+        )
+        con.register("unicode_extra", extra)
     for t in check_oracles.TABLES:
         if empty:
             con.execute(
                 f"COPY (SELECT * FROM '{SRC}/{t}.parquet' WHERE 1=0) "
                 f"TO '{dst}/{t}.parquet' (FORMAT parquet)"
             )
-        elif t in INJECT:
+        elif unicode_mode and t == "documents":
+            con.execute(
+                f"COPY (SELECT * FROM '{SRC}/documents.parquet' "
+                f"UNION ALL BY NAME SELECT * FROM unicode_extra) "
+                f"TO '{dst}/documents.parquet' (FORMAT parquet)"
+            )
+        elif not unicode_mode and t in INJECT:
             q = INJECT[t].format(src=SRC)
             con.execute(f"COPY ({q}) TO '{dst}/{t}.parquet' (FORMAT parquet)")
         else:
@@ -93,6 +135,7 @@ def build(empty: bool = False) -> str:
 if __name__ == "__main__":
     args = sys.argv[1:]
     empty = "--empty" in args
-    args = [a for a in args if a != "--empty"]
-    dst = build(empty=empty)
+    unicode_mode = "--unicode" in args
+    args = [a for a in args if a not in ("--empty", "--unicode")]
+    dst = build(empty=empty, unicode_mode=unicode_mode)
     sys.exit(check_oracles.main(args or None, sf_dir=dst))

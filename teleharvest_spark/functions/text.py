@@ -10,8 +10,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-# Trailing-markdown-link strip — exact reference regex, processor.py:106.
-MARKDOWN_LINK_RE = r"(?m)\s*\[.*?\]\(https?://[^)]+\)$"
+# ONE portable whitespace definition for the whole engine. Java's \s
+# (Spark's codegen regex) matches \x0B where RE2's (DuckDB, Go, many
+# engines) does not — a bare `\s` silently forks engines on
+# vertical-tab input (caught by the --unicode fuzz gate). Every
+# whitespace regex in the engine spells the class out instead.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS = f"[{WS_CHARS}]"
+
+# Trailing-markdown-link strip — reference processor.py:106 semantics,
+# with the whitespace class made explicit (the reference's Python \s
+# additionally matches unicode spaces; the engine pins ASCII).
+MARKDOWN_LINK_RE = rf"(?m){WS}*\[.*?\]\(https?://[^)]+\)$"
 
 # Tiny per-language stopword lists for the n-gram language heuristic.
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -31,7 +41,7 @@ def token_count(col: Column) -> Column:
     """Whitespace token count (0 for NULL/empty)."""
     trimmed = F.trim(F.coalesce(col, F.lit("")))
     return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, WS + "+"))
     )
 
 
@@ -39,7 +49,7 @@ def bpe_ish_token_count(col: Column) -> Column:
     """BPE-flavored token estimate: word pieces + punctuation as the
     regex `\\w+|[^\\w\\s]` would tokenize."""
     s = F.coalesce(col, F.lit(""))
-    return F.size(F.regexp_extract_all(s, F.lit(r"\w+|[^\w\s]"), 0))
+    return F.size(F.regexp_extract_all(s, F.lit(rf"\w+|[^\w{WS_CHARS}]"), 0))
 
 
 def stopword_hits(col: Column, lang: str) -> Column:
@@ -72,7 +82,7 @@ def quality_score(col: Column) -> Column:
     s = F.coalesce(col, F.lit(""))
     n_chars = F.length(s)
     n_words = token_count(s)
-    n_punct = F.size(F.regexp_extract_all(s, F.lit(r"[^\w\s]"), 0))
+    n_punct = F.size(F.regexp_extract_all(s, F.lit(rf"[^\w{WS_CHARS}]"), 0))
     n_stop = stopword_hits(s, "en")
     len_component = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
     # guarded divisions (reference C4: x/y if y else 0, processor.py:116)
@@ -92,7 +102,7 @@ def fingerprint(col: Column) -> Column:
     """Deterministic 64-bit document fingerprint (content hash of the
     whitespace-normalized lowercased text) — the cheap rolling-hash
     style identity used for shard-local dedup."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(F.coalesce(col, F.lit("")))), WS + "+", " ")
     return F.xxhash64(normalized)
 
 

@@ -12,6 +12,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
+from ..functions.text import WS as TXT_WS
+
 MINHASH_SEED = 42
 
 
@@ -72,7 +74,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def shingles(text_col: str, k: int = 5) -> F.Column:
     """Word k-shingles of lowercased text as array<string> (distinct)."""
-    words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TXT_WS + "+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n >= k, F.array_distinct(
@@ -329,7 +331,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     version cost ~9.5s at sf0.1; this is whole-batch numpy).
     """
     words = F.array_distinct(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TXT_WS + "+")
     )
     hashes = F.transform(words, lambda w: F.xxhash64(w))
     base = _spread(df, id_col).select(F.col(id_col), hashes.alias("_wh"))

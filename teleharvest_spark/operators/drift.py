@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import CheckSuite
+from ..functions.text import WS as TXT_WS
 
 N_TOK_BUCKETS = 128
 N_TOK_MAX_FOR_BUCKETS = 16384  # bucket width = 128 tokens
@@ -150,7 +151,7 @@ def word_psi(
     # trim before splitting: leading/trailing whitespace yields empty
     # tokens with engine-specific placement (Java split vs others)
     words = F.explode(
-        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), TXT_WS + "+")
     ).alias("w")
     cnt = df.select(F.col(key), words).groupBy(key, "w").agg(
         F.count(F.lit(1)).alias("cnt")

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from ..functions.text import WS as TXT_WS
+
 __all__ = ["top_terms"]
 
 
@@ -55,7 +57,7 @@ def top_terms(
     words = df.where(F.col(group).isNotNull()).select(
         F.col(group),
         F.explode(
-            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TXT_WS + "+")
         ).alias("term"),
     ).where(F.col("term") != "")
     tf = words.groupBy(group, "term").agg(F.count(F.lit(1)).alias("tf"))
