@@ -295,7 +295,9 @@ def q_drift_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS + PSI drift of each source's n_chars distribution vs the
     global corpus (north-rule drift; Arrow UDF over aggregated
     histograms — see operators/drift.py)."""
-    docs = _load(spark, sf_dir, "documents").withColumn("n_tok", F.col("n_chars").cast("int"))
+    # long, not int: an out-of-int-range n_chars must land in the top
+    # bucket, not abort the ANSI cast
+    docs = _load(spark, sf_dir, "documents").withColumn("n_tok", F.col("n_chars").cast("long"))
     hist = drift.ntok_histogram(docs, key="source")
     base = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
     m = drift.drift_metrics(hist, base)
@@ -311,7 +313,10 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            # try_cast: NaN/±inf/out-of-decimal-range values are
+            # invalid telemetry → NULL, skipped by the sum (an ANSI
+            # plain cast would abort the job on one bad row)
+            F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
@@ -537,11 +542,21 @@ def _event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     by metrics_refresh and engagement_rate; mirrored verbatim in the
     oracle SQL."""
     ev = _load(spark, sf_dir, "events")
+    v = F.col("value")
+    # explicit metric domain: non-finite or absurd telemetry readings
+    # are NULL (invalid), never a silent implicit mapping — Scala's
+    # NaN.toLong = 0 and Inf.toLong = Long.Max would otherwise leak in
+    finite = (
+        ~F.isnan(v)
+        & (v != F.lit(float("inf")))
+        & (v != F.lit(float("-inf")))
+        & (F.abs(v) < F.lit(1e15))
+    )
     return ev.select(
         "event_id",
         "event_type",
         "ts",
-        F.floor(F.col("value") * 100).alias("views"),
+        F.when(finite, F.floor(v * 100)).alias("views"),
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("reactions"),
         (F.col("event_id") % 11).alias("forwards"),
     )
@@ -844,7 +859,8 @@ def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(micros)
         .rangeBetween(-3_600_000_000, 0)  # trailing hour in micros
     )
-    avg = F.sum(F.col("value").cast("decimal(18,6)")).over(w) / F.count(F.lit(1)).over(w)
+    # try_cast: one non-finite value must invalidate itself, not the job
+    avg = F.sum(F.col("value").try_cast("decimal(18,6)")).over(w) / F.count(F.lit(1)).over(w)
     return ev.select(
         "event_id",
         "user_id",
@@ -1172,7 +1188,7 @@ def oracle_sql() -> dict[str, str]:
             -- window); the oracle mirrors that explicitly
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+                   CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         """,
         "multimodal_meta": """
@@ -1297,7 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_ntok": """
             WITH hist AS (
               SELECT source,
-                     least(CAST(floor(coalesce(n_chars, 0) / 128) AS INT), 127) AS bucket,
+                     CAST(least(floor(coalesce(n_chars, 0) / 128), 127) AS INT) AS bucket,
                      count(*) AS cnt
               FROM documents WHERE source IS NOT NULL GROUP BY 1, 2
             ), base AS (
@@ -1329,7 +1345,8 @@ def oracle_sql() -> dict[str, str]:
         "metrics_refresh": f"""
             WITH fresh AS (
               SELECT event_id, event_type, ts,
-                     CAST(floor(value * 100) AS BIGINT) AS views,
+                     CASE WHEN isfinite(value) AND abs(value) < 1e15
+                          THEN CAST(floor(value * 100) AS BIGINT) END AS views,
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS reactions,
                      event_id % 11 AS forwards
               FROM events
@@ -1366,7 +1383,8 @@ def oracle_sql() -> dict[str, str]:
         "engagement_rate": """
             WITH m AS (
               SELECT event_id, event_type,
-                     CAST(floor(value * 100) AS BIGINT) AS views,
+                     CASE WHEN isfinite(value) AND abs(value) < 1e15
+                          THEN CAST(floor(value * 100) AS BIGINT) END AS views,
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS reactions,
                      event_id % 11 AS forwards,
                      row_number() OVER (
@@ -1618,7 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rolling_avg": """
             SELECT event_id, user_id,
-                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                   round(CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) OVER w
                               / count(*) OVER w AS DOUBLE), 6) AS rolling_avg_1h
             FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
             WINDOW w AS (

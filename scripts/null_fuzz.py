@@ -22,6 +22,11 @@ units vs code points), CJK (no-whitespace scripts), RTL + bidi marks,
 NBSP/ideographic-space/zero-width characters (Java regex ``\\s`` vs
 RE2), combining diacritics, and very long tokens.
 
+``--extreme`` injects non-finite and boundary numerics — NaN, ±inf,
+±1e308, denormals into ``events.value``; negative / huge ``n_chars``
+into documents — the values real telemetry produces and ANSI-mode
+casts turn into runtime errors.
+
 ``--empty`` rebuilds every table with its schema and ZERO rows — the
 degenerate input that breaks naive aggregates (element_at on empty,
 div-by-zero means, collect-on-empty driver paths). Queries must run
@@ -94,15 +99,16 @@ UNICODE_TEXTS = [
 ]
 
 
-def build(empty: bool = False, unicode_mode: bool = False) -> str:
-    dst = DST + ("_empty" if empty else ("_unicode" if unicode_mode else ""))
+def build(mode: str = "null") -> str:
+    dst = DST + ("" if mode == "null" else f"_{mode}")
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     con = duckdb.connect()
-    if unicode_mode:
+    extras: dict[str, "object"] = {}
+    if mode == "unicode":
         import pandas as pd
 
-        extra = pd.DataFrame(
+        extras["documents"] = pd.DataFrame(
             {
                 "doc_id": [900100 + i for i in range(len(UNICODE_TEXTS))],
                 "text": UNICODE_TEXTS,
@@ -111,20 +117,47 @@ def build(empty: bool = False, unicode_mode: bool = False) -> str:
                 "n_chars": [len(t) for t in UNICODE_TEXTS],
             }
         )
-        con.register("unicode_extra", extra)
+    elif mode == "extreme":
+        import pandas as pd
+
+        vals = [
+            float("nan"), float("inf"), float("-inf"),
+            1e308, -1e308, 5e-324, -0.0,
+        ]
+        extras["events"] = pd.DataFrame(
+            {
+                "event_id": [900200 + i for i in range(len(vals))],
+                "ts": pd.to_datetime(["2024-01-15 12:00:00"] * len(vals)),
+                "user_id": [11] * len(vals),
+                "event_type": ["click"] * len(vals),
+                "value": vals,
+                "props": ['{"k": 2}'] * len(vals),
+            }
+        )
+        extras["documents"] = pd.DataFrame(
+            {
+                "doc_id": [900300, 900301],
+                "text": ["negative length row", "huge length row"],
+                "lang": ["en", "en"],
+                "source": ["src3", "src4"],
+                "n_chars": [-50, 2**62],
+            }
+        )
+    for name, frame in extras.items():
+        con.register(f"extra_{name}", frame)
     for t in check_oracles.TABLES:
-        if empty:
+        if mode == "empty":
             con.execute(
                 f"COPY (SELECT * FROM '{SRC}/{t}.parquet' WHERE 1=0) "
                 f"TO '{dst}/{t}.parquet' (FORMAT parquet)"
             )
-        elif unicode_mode and t == "documents":
+        elif t in extras:
             con.execute(
-                f"COPY (SELECT * FROM '{SRC}/documents.parquet' "
-                f"UNION ALL BY NAME SELECT * FROM unicode_extra) "
-                f"TO '{dst}/documents.parquet' (FORMAT parquet)"
+                f"COPY (SELECT * FROM '{SRC}/{t}.parquet' "
+                f"UNION ALL BY NAME SELECT * FROM extra_{t}) "
+                f"TO '{dst}/{t}.parquet' (FORMAT parquet)"
             )
-        elif not unicode_mode and t in INJECT:
+        elif mode == "null" and t in INJECT:
             q = INJECT[t].format(src=SRC)
             con.execute(f"COPY ({q}) TO '{dst}/{t}.parquet' (FORMAT parquet)")
         else:
@@ -134,8 +167,10 @@ def build(empty: bool = False, unicode_mode: bool = False) -> str:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    empty = "--empty" in args
-    unicode_mode = "--unicode" in args
-    args = [a for a in args if a not in ("--empty", "--unicode")]
-    dst = build(empty=empty, unicode_mode=unicode_mode)
+    mode = "null"
+    for m in ("empty", "unicode", "extreme"):
+        if f"--{m}" in args:
+            mode = m
+    args = [a for a in args if not a.startswith("--")]
+    dst = build(mode=mode)
     sys.exit(check_oracles.main(args or None, sf_dir=dst))
