@@ -10,7 +10,7 @@ standard CDC pattern: left join + coalesce + union of unmatched.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def merge_upsert(
@@ -27,6 +27,14 @@ def merge_upsert(
       tests/models/test_message.py:340-356).
     * Unmatched update rows are skipped unless ``insert_unmatched``
       (reference: update skips absent rows, message.py:176-179).
+    * Duplicate update keys are resolved DETERMINISTICALLY before the
+      join — greatest update-struct wins (the streaming refresh's
+      winner rule). SQL-standard MERGE raises a cardinality violation
+      on multiple matches; a silent left join would instead FAN OUT
+      each matched target row once per duplicate (data corruption a
+      late-data replay would trigger routinely), so the operator
+      resolves rather than corrupts, and documents the difference from
+      Iceberg's stricter behavior.
     """
     tgt_cols = target.columns
     if update_cols is None:
@@ -34,6 +42,17 @@ def merge_upsert(
     else:
         update_cols = [c for c in update_cols if c in tgt_cols]
 
+    if update_cols:
+        win = W.partitionBy(*keys).orderBy(
+            F.desc(F.struct(*[F.col(c) for c in update_cols]))
+        )
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        updates = updates.dropDuplicates(keys)
     upd = updates.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"_u_{c}") for c in update_cols],

@@ -88,9 +88,13 @@ def test_windowed_count_matches_bruteforce(spark, left, right):
 @PROP
 @given(
     target=st.lists(st.tuples(st.integers(0, 6), VAL), min_size=0, max_size=8),
-    updates=st.lists(st.tuples(st.integers(0, 6), VAL), min_size=0, max_size=6, unique_by=lambda t: t[0]),
+    updates=st.lists(st.tuples(st.integers(0, 6), VAL), min_size=0, max_size=8),
 )
 def test_merge_upsert_matches_model(spark, target, updates):
+    """Duplicate update keys allowed: the operator resolves them with
+    the deterministic greatest-update-struct winner rule instead of
+    fanning out matched target rows (the silent-corruption mode a
+    plain left join would have under a late-data replay)."""
     tdf = spark.createDataFrame(target or [(-1, None)], "k long, v double")
     udf = spark.createDataFrame(updates or [(-1, None)], "k long, v double")
     skey = lambda t: (t[0], t[1] is not None, t[1] if t[1] is not None else 0.0)
@@ -102,10 +106,17 @@ def test_merge_upsert_matches_model(spark, target, updates):
         ),
         key=skey,
     )
-    upd = dict(updates)
-    # matched keys take the update value UNLESS it is NULL (coalesce
-    # keeps the old value — MERGE SET with a non-null source field);
-    # unmatched update keys are skipped; target multiplicity preserved
+    # winner per key: greatest (v,) struct desc — Spark desc is NULLS
+    # LAST, so a non-NULL value beats NULL, larger beats smaller
+    upd: dict = {}
+    for k, v in updates:
+        if k not in upd:
+            upd[k] = v
+        elif upd[k] is None or (v is not None and v > upd[k]):
+            upd[k] = v
+    # matched keys take the winning update value UNLESS it is NULL
+    # (coalesce keeps the old value); unmatched update keys skipped;
+    # target multiplicity preserved — NEVER inflated by duplicates
     model = sorted(
         (
             (k, (upd[k] if upd.get(k) is not None else v) if k in upd else v)
