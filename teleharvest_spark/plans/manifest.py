@@ -55,8 +55,13 @@ def snapshot_of_partitions(sequences: DataFrame) -> DataFrame:
     """(partition, snapshot_id, file_list_hash) derived from content.
 
     Local stand-in for Iceberg partition snapshots: a deterministic
-    hash of each source's (row count, doc_id xor-hash). Any row change
-    changes the hash → the partition re-queues.
+    hash of each source's row count and per-row (doc_id, n_tok)
+    xor-digest. Inserts, deletes, key changes, and any length-changing
+    payload update re-queue the partition; a payload edit that
+    preserves BOTH doc_id and n_tok slips through this cheap proxy —
+    hashing the token arrays would cost the full decode scan the
+    manifest exists to avoid. Production uses the real Iceberg
+    snapshot id, which no edit can dodge.
     """
     return (
         sequences.groupBy(
@@ -65,7 +70,7 @@ def snapshot_of_partitions(sequences: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("_cnt"),
             # bit_xor: order-independent, overflow-free content digest
-            F.expr("bit_xor(xxhash64(doc_id))").alias("_idh"),
+            F.expr("bit_xor(xxhash64(doc_id, coalesce(n_tok, -1)))").alias("_idh"),
         )
         .select(
             "partition",

@@ -63,3 +63,25 @@ def test_run_suite_verdicts_cover_all_sources(spark, sequences, suite):
         "unknown_source",
         "duplicate_key",
     } <= names
+
+
+def test_length_changing_payload_update_requeues(spark, sequences, suite, tmp_path):
+    """An UPDATE that keeps doc_id but changes n_tok (the classic
+    late-data metric refresh) must re-queue its partition — the
+    snapshot digest covers (doc_id, n_tok), not just the key set."""
+    from pyspark.sql import functions as F
+
+    res = S.run_suite(sequences, suite)
+    snaps = M.snapshot_of_partitions(sequences)
+    M.append_manifest_rows(spark, str(tmp_path), res.verdicts, snaps, suite, "run1")
+    man = M.read_manifest(spark, str(tmp_path))
+    # mutate ONE row's n_tok in src_02, same doc_id, same row count
+    victim = sequences.where(F.col("source") == "src_02").limit(1).collect()[0]
+    edited = sequences.withColumn(
+        "n_tok",
+        F.when(
+            F.col("doc_id") == victim["doc_id"], F.col("n_tok") + 1
+        ).otherwise(F.col("n_tok")),
+    )
+    pend = M.pending_partitions(M.snapshot_of_partitions(edited), man, suite)
+    assert [r["partition"] for r in pend.collect()] == ["src_02"]
