@@ -125,3 +125,47 @@ def test_merge_upsert_matches_model(spark, target, updates):
         key=skey,
     )
     assert got == model
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),                      # doc_id (dups allowed)
+            st.sampled_from(["a", "b"]),             # group
+            st.one_of(st.none(), st.integers(0, 12)) # size (NULL → 0)
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_pack_sequences_matches_greedy_model(spark, rows):
+    from teleharvest_spark.operators import packing
+
+    CAP = 10
+    df = spark.createDataFrame(
+        rows or [(-1, "z", 0)], "doc_id long, source string, n_tok long"
+    )
+    got = {
+        (r["source"], r["doc_id"]): r["pack_id"]
+        for r in packing.pack_sequences(df, capacity=CAP).collect()
+        if r["doc_id"] >= 0
+    }
+    # model: per group, ascending doc_id (stable for dup ids), greedy fold
+    model = {}
+    for g in sorted({s for _, s, _ in rows}):
+        grp = sorted(
+            [(d, n if n is not None else 0) for d, s, n in rows if s == g],
+            key=lambda t: t[0],
+        )
+        acc, pack = 0, 0
+        for i, (d, n) in enumerate(grp):
+            if i > 0 and acc + n > CAP:
+                pack += 1
+                acc = n
+            else:
+                acc += n
+            model[(g, d)] = pack
+    # duplicate doc_ids collapse to one dict entry on both sides only
+    # if their pack assignment agrees; compare as dicts built the same way
+    assert got == model
