@@ -1540,7 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": """
             WITH RECURSIVE ordered AS (
               SELECT source, doc_id, coalesce(n_chars, 0) AS n,
-                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id, coalesce(n_chars, 0)) AS rn
               FROM documents WHERE source IS NOT NULL
             ), st AS (
               SELECT source, doc_id, n, rn, n AS acc, CAST(0 AS BIGINT) AS pack

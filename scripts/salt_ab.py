@@ -36,6 +36,20 @@ def plain_dups(df, key):
     )
 
 
+def salted_dups(df, key):
+    """The two-phase salted shape the A/B is meant to measure: phase 1
+    pre-aggregates on (key, salt), phase 2 merges the partials per key.
+    (ADVICE r2: an earlier revision called duplicate_keys here, which
+    commit 4856f9d had already rewritten to the plain path — the A/B
+    was silently measuring plain vs plain.)"""
+    partials = uniqueness.salted_partial_counts(df, key=key)
+    return (
+        partials.groupBy(key)
+        .agg(F.sum("_partial").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="salt_ab", master="local[32]", shuffle_partitions=32)
 
@@ -55,7 +69,7 @@ def main() -> None:
     results: dict[str, float] = {}
     for dist_name, df in (("uniform", uniform), ("hot", hot)):
         for algo_name, fn in (
-            ("salted", lambda d: uniqueness.duplicate_keys(d, key="doc_id")),
+            ("salted", lambda d: salted_dups(d, "doc_id")),
             ("plain", lambda d: plain_dups(d, "doc_id")),
         ):
             fn(df).count()  # warmup (JIT)

@@ -60,6 +60,15 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
 
+    # NULL keys never match in join semantics (oracle: `l.k = r.k` is
+    # NULL-safe-false), but Window.partitionBy groups all NULL keys into
+    # one partition — a NULL-key left row would pick up payload from
+    # NULL-key right rows. Exclude NULL keys from the fill and emit
+    # those left rows unmatched (ADVICE r2).
+    null_left = left.where(F.col(key).isNull())
+    left = left.where(F.col(key).isNotNull())
+    right = right.where(F.col(key).isNotNull())
+
     left_payload = [c for c in left.columns if c not in (key, left_ts)]
     r_out = [right_ts] + right_cols
     r_dtypes = dict(right.dtypes)
@@ -91,7 +100,7 @@ def asof_join(
     filled = l_side.unionByName(r_side).withColumn(
         _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
     )
-    return (
+    matched = (
         filled.where(F.col(_TAG) == 1)
         .select(
             key,
@@ -100,3 +109,10 @@ def asof_join(
             *[F.col(f"{_PAYLOAD}.{c}").alias(f"{c}{suffix}") for c in r_out],
         )
     )
+    unmatched = null_left.select(
+        key,
+        F.col(left_ts),
+        *left_payload,
+        *[F.lit(None).cast(r_dtypes[c]).alias(f"{c}{suffix}") for c in r_out],
+    )
+    return matched.unionByName(unmatched)

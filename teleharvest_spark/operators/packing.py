@@ -49,8 +49,13 @@ def pack_sequences(
     """``(key, group[, shard], pack_id)`` — pack id is dense per group
     (0, 1, 2, ...) in ascending ``key`` order; NULL sizes count as 0.
 
-    Deterministic under any partitioning: the fold order is the sorted
-    ``key`` within each group, never task order.
+    Deterministic under any partitioning: the fold order is sorted
+    (``key``, size) within each group, never task order. The size as a
+    secondary sort key makes duplicate keys with different sizes fold
+    in a data-determined order (ADVICE r2 — a key-only mergesort would
+    leave dup-key ties in Arrow-batch order, so pack_id could vary
+    under repartitioning); the oracle's recurrence orders by the same
+    (key, n) pair.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
@@ -69,7 +74,7 @@ def pack_sequences(
     ) + f", `{key}` {df.schema[key].dataType.simpleString()}, pack_id bigint"
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__key", kind="mergesort")
+        pdf = pdf.sort_values(["__key", "__n"], kind="mergesort")
         sizes = pdf["__n"].to_numpy()
         packs = np.zeros(len(sizes), dtype=np.int64)
         acc, pack = 0, 0

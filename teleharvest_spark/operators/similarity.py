@@ -107,10 +107,26 @@ def lsh_bucket_udf(dim: int, n_planes: int, n_tables: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def udf(vecs: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (m @ planes.T >= 0).astype(np.int64)  # (n, L·b)
-        per_table = bits.reshape(len(m), n_tables, n_planes) @ weights  # (n, L)
-        return pd.Series(list(per_table + offsets))
+        # Guard the batch (ADVICE r2): np.stack crashes on an empty
+        # batch and on NULL/wrong-dim vectors. NULL/malformed embeddings
+        # get an empty bucket array — the row simply never joins, the
+        # same exclusion the NULL-key policy applies elsewhere.
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vecs), dtype=bool, count=len(vecs)
+        )
+        out = np.empty(len(vecs), dtype=object)
+        for i in np.flatnonzero(~ok):
+            out[i] = []
+        if ok.any():
+            m = np.stack([np.asarray(v, dtype=np.float64) for v, g in zip(vecs, ok) if g])
+            bits = (m @ planes.T >= 0).astype(np.int64)  # (n, L·b)
+            per_table = bits.reshape(len(m), n_tables, n_planes) @ weights  # (n, L)
+            rows = per_table + offsets
+            for j, i in enumerate(np.flatnonzero(ok)):
+                out[i] = rows[j]
+        return pd.Series(out)
 
     return udf
 

@@ -22,10 +22,50 @@ foreachBatch gives at-least-once, so the merge must tolerate re-runs.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..operators import refresh as batch_refresh
 from ..operators import merge
+
+_PTR = "_LATEST"  # pointer file naming the live version directory
+_KEEP_VERSIONS = 2  # live + previous (crash window / in-flight readers)
+
+
+def _latest_version(target_path: str) -> str | None:
+    ptr = os.path.join(target_path, _PTR)
+    if os.path.exists(ptr):
+        with open(ptr, encoding="utf-8") as f:
+            return f.read().strip() or None
+    return None
+
+
+def read_stored(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read the live stored table: the ``_LATEST``-pointed version
+    directory, or (before the first micro-batch) the seed parquet at
+    the target root."""
+    v = _latest_version(target_path)
+    return spark.read.parquet(os.path.join(target_path, v) if v else target_path)
+
+
+def _flip_pointer(target_path: str, version: str) -> None:
+    """Atomic pointer swap: write-temp + os.replace (POSIX rename)."""
+    ptr = os.path.join(target_path, _PTR)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(version)
+    os.replace(tmp, ptr)
+
+
+def _gc_versions(target_path: str, live: str) -> None:
+    vers = sorted(
+        d for d in os.listdir(target_path)
+        if d.startswith("v") and os.path.isdir(os.path.join(target_path, d))
+    )
+    for d in vers[:-_KEEP_VERSIONS] if live in vers[-_KEEP_VERSIONS:] else []:
+        shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
 
 
 def refresh_sink(
@@ -42,9 +82,24 @@ def refresh_sink(
     ``obs_seq`` (observation sequence — e.g. fetch timestamp) picks the
     winner among same-key duplicates inside one micro-batch; absent,
     ``seq`` itself is used.
+
+    Local no-MERGE emulation writes the merged table ONCE per batch to
+    a batch-id-scoped version directory, then atomically flips the
+    ``_LATEST`` pointer (ADVICE r2 replaced the staging-write +
+    read-back + in-place overwrite, which both doubled the IO and could
+    truncate the table on a mid-overwrite crash). Crash anywhere before
+    the flip leaves the old version live; checkpoint replay rewrites
+    the same version dir and flips. A replayed batch whose pointer
+    already names its own version is a completed application and
+    short-circuits — also the guard against overwrite-while-reading-
+    self. Production path: Iceberg ``MERGE INTO``
+    (merge.iceberg_merge_sql), one atomic snapshot per batch.
     """
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        vname = f"v{batch_id:012d}"
+        if _latest_version(target_path) == vname:
+            return  # at-least-once replay of a fully-applied batch
         order_col = obs_seq if obs_seq in batch.columns else seq
         valid = batch.where(
             batch_refresh.metrics_validity(F.col("views"), F.col("reactions"))
@@ -57,16 +112,14 @@ def refresh_sink(
         )
         if latest.isEmpty():
             return
-        stored = spark.read.parquet(target_path)
+        stored = read_stored(spark, target_path)
         merged = merge.merge_upsert(
             stored, latest, keys=[key, seq], update_cols=list(metric_cols)
         )
-        # Local parquet has no MERGE: write the merged table to a new
-        # location then swap. (Iceberg production path: MERGE INTO —
-        # merge.iceberg_merge_sql — one atomic snapshot per batch.)
-        tmp = f"{target_path}__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        vdir = os.path.join(target_path, vname)
+        merged.write.mode("overwrite").parquet(vdir)
+        _flip_pointer(target_path, vname)
+        _gc_versions(target_path, vname)
 
     return sink
 

@@ -63,3 +63,22 @@ def test_asof_deterministic_on_duplicate_right_ts(spark):
     for _ in range(3):  # repeat — the pick must be stable
         row = asof.asof_join(left, right.repartition(7), key="user").collect()[0]
         assert (row["ts_asof"], row["value_asof"]) == (8, 2.0)
+
+
+def test_asof_null_key_left_rows_unmatched(spark):
+    """NULL-key left rows come through UNMATCHED (join semantics: NULL
+    never equals NULL) — they must not absorb payload from NULL-key
+    right rows via the window's NULL-grouping (ADVICE r2)."""
+    left = _ts(
+        spark,
+        [(None, 10, "a"), ("u", 10, "b")],
+        "user string, ts long, tag string",
+    )
+    right = _ts(
+        spark,
+        [(None, 5, 9.0), ("u", 5, 1.0)],
+        "user string, ts long, value double",
+    )
+    rows = {r["tag"]: r for r in asof.asof_join(left, right, key="user").collect()}
+    assert rows["a"]["value_asof"] is None and rows["a"]["ts_asof"] is None
+    assert rows["b"]["value_asof"] == 1.0

@@ -109,3 +109,19 @@ def test_lsh_topk_recall_on_tight_clusters(spark):
         if any((pid, s) in got for s in sibs):
             hits += 1
     assert hits / vid >= 0.9
+
+
+def test_lsh_topk_tolerates_null_and_malformed_embeddings(spark):
+    """NULL / wrong-dim embeddings get an empty bucket set and silently
+    drop out of the candidate join instead of crashing the Arrow kernel
+    (ADVICE r2: np.stack on a 0-d None aborted the query)."""
+    rng = np.random.RandomState(3)
+    good = [(int(i), rng.randn(8).astype(np.float32).tolist(), 0) for i in range(20)]
+    bad = [(100, None, 1), (101, [1.0, 2.0], 1)]  # NULL + wrong dim
+    df = _emb(spark, good + bad)
+    out = similarity.lsh_topk(df, df, dim=8, k=3, n_planes=2, n_tables=4).collect()
+    probe_ids = {r["probe_id"] for r in out}
+    neighbor_ids = {r["neighbor_id"] for r in out}
+    assert 100 not in probe_ids and 101 not in probe_ids
+    assert 100 not in neighbor_ids and 101 not in neighbor_ids
+    assert len(probe_ids) > 0  # the good rows still produce neighbors

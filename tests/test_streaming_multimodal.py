@@ -165,17 +165,35 @@ def test_streaming_metrics_refresh_two_microbatches(spark, tmp_path):
         ],
         "b1",
     )
-    got = {r["doc_seq"]: r for r in spark.read.parquet(target).collect()}
+    got = {r["doc_seq"]: r for r in srefresh.read_stored(spark, target).collect()}
     assert (got[1]["views"], got[1]["reactions"]) == (100, 10)
     assert got[2]["views"] == 1  # invalid observation skipped
     assert (got[3]["views"], got[3]["reactions"]) == (333, 33)  # latest obs wins
 
     # batch 2: late valid update for seq 2 arrives → now applied
     drop([("ch", 2, 200, 22, 9, 3)], "b2")
-    got = {r["doc_seq"]: r for r in spark.read.parquet(target).collect()}
+    got = {r["doc_seq"]: r for r in srefresh.read_stored(spark, target).collect()}
     assert (got[2]["views"], got[2]["reactions"]) == (200, 22)
     assert got[0]["views"] == 1  # untouched rows keep stale metrics
     assert len(got) == 4
+
+    # single-write versioned sink (ADVICE r2): each applied batch wrote
+    # the merged table ONCE to its own version dir and flipped _LATEST;
+    # GC keeps the live + previous version only
+    import os
+
+    vdirs = sorted(
+        d for d in os.listdir(target)
+        if d.startswith("v") and os.path.isdir(os.path.join(target, d))
+    )
+    assert len(vdirs) == 2  # two applied batches, ≤ _KEEP_VERSIONS kept
+    with open(os.path.join(target, "_LATEST"), encoding="utf-8") as f:
+        assert f.read().strip() == vdirs[-1]
+    # replaying an already-applied batch short-circuits (no new write)
+    sink = srefresh.refresh_sink(spark, target, key="source", seq="doc_seq")
+    mtime = os.path.getmtime(os.path.join(target, vdirs[-1]))
+    sink(spark.createDataFrame([("ch", 2, 200, 22, 9, 3)], schema), int(vdirs[-1][1:]))
+    assert os.path.getmtime(os.path.join(target, vdirs[-1])) == mtime
 
 
 def test_stream_static_enrich_and_referential(spark, tmp_path):
