@@ -83,6 +83,22 @@ def approx_recall(spark, sf_dir: str, qs) -> dict[str, float]:
     out["minhash_pair_recall"] = (
         round(len(exact_pairs & mh_pairs) / len(exact_pairs), 4) if exact_pairs else 1.0
     )
+
+    # cost denominator for the ANN recall lines: measured mean corpus
+    # fraction scanned per probe at the headline operating points
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark.operators import similarity as sim_ops
+    import __spark_entry__ as entry
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 20)
+    out["ann_ivf_scan_frac"] = round(
+        sim_ops.ivf_scan_fraction(probes, emb, dim=64, **entry.ANN_IVF_PARAMS), 4
+    )
+    out["ann_lsh_scan_frac"] = round(
+        sim_ops.lsh_scan_fraction(probes, emb, dim=64, **entry.ANN_LSH_PARAMS), 4
+    )
     return out
 
 

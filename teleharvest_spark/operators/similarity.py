@@ -131,6 +131,109 @@ def lsh_bucket_udf(dim: int, n_planes: int, n_tables: int):
     return udf
 
 
+def _cell_assign_udf(cents_unit: np.ndarray, n: int):
+    """Arrow-batched cell assignment (top-``n`` nearest centroids per
+    vector): one (batch × dim) @ (dim × n_cells) matmul per batch — the
+    expression-tree alternative (n_cells interpreted HOF cosines per
+    row) measured ~8s at sf0.1; this is ~0.5s. NULL/wrong-dim vectors
+    get an empty cell list and drop out of the join."""
+    dim = cents_unit.shape[1]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vecs), dtype=bool, count=len(vecs)
+        )
+        out = np.empty(len(vecs), dtype=object)
+        for i in np.flatnonzero(~ok):
+            out[i] = []
+        if ok.any():
+            m = np.stack([np.asarray(v, dtype=np.float64) for v, g in zip(vecs, ok) if g])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cents_unit.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n].astype(np.int32)
+            for j, i in enumerate(np.flatnonzero(ok)):
+                out[i] = top[j]
+        return pd.Series(out)
+
+    return udf
+
+
+def train_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int,
+    n_iter: int = 10,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    restarts: int = 4,
+) -> np.ndarray:
+    """Unit-norm (n_cells × dim) IVF centroids via driver-side
+    spherical k-means on a BOUNDED deterministic sample.
+
+    The collect budget is ``sample_size`` rows (id-hash-ordered — the
+    same bounded-collect discipline as the rest of the engine), Lloyd
+    runs in numpy on the driver: O(sample · n_cells · n_iter) flops,
+    milliseconds for the defaults, independent of corpus size — the
+    10^12-row story is unchanged. ``n_iter=0`` degrades to the r2
+    behavior (random corpus rows as centroids), kept for A/B.
+
+    Why train (VERDICT r2 item 1): random-row centroids tile the space
+    where the DATA is dense, not where cell boundaries separate
+    neighbors; a few Lloyd iterations measurably move recall at equal
+    scan fraction (sf0.1 fixture, n_probe = n_cells/2: random-16 0.71 →
+    lloyd-16 0.76 → lloyd-64 0.94 recall@5 — finer trained cells rank
+    candidate cells better even on weakly-structured embeddings).
+    """
+    rows = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(max(sample_size, n_cells))
+        .collect()
+    )
+    samp = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    if samp.size == 0:
+        return np.empty((0, dim), dtype=np.float64)
+    samp = samp / np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-12)
+    k = min(n_cells, len(samp))
+
+    def _lloyd(init_idx: np.ndarray) -> np.ndarray:
+        cents = samp[init_idx[:k]].copy()
+        for _ in range(n_iter):
+            assign = np.argmax(samp @ cents.T, axis=1)
+            for j in range(k):
+                members = samp[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+            cents = cents / np.maximum(
+                np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+            )
+        return cents
+
+    # Seeded multi-restart, best by quantization fit (mean cosine of a
+    # sample point to its assigned centroid): Lloyd's local optima vary
+    # by init and recall tracks the fit — measured over 6 seeded inits
+    # at (k=96, n_probe=48): recall 0.91–0.97, best-by-fit picks 0.94.
+    # Deterministic (seeds derive from ANN_SEED), O(restarts · sample ·
+    # k · n_iter) driver flops — still milliseconds at the defaults.
+    best, best_fit = None, -np.inf
+    for r in range(max(restarts, 1)):
+        perm = (
+            np.arange(len(samp))
+            if r == 0
+            else np.random.RandomState(ANN_SEED + r).permutation(len(samp))
+        )
+        cents = _lloyd(perm)
+        fit = float((samp @ cents.T).max(axis=1).mean())
+        if fit > best_fit:
+            best, best_fit = cents, fit
+    return best
+
+
 def ivf_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -140,31 +243,33 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 10,
+    sample_size: int = 4096,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into Voronoi
-    cells around sampled centroids, search only the probe's nearest
-    ``n_probe`` cells.
+    cells around Lloyd-trained centroids, search only the probe's
+    nearest ``n_probe`` cells.
 
-    The scale path complementary to ``lsh_topk``: centroids are a
-    bounded driver-side sample (n_cells rows — NOT a per-row collect),
-    broadcast as literals into a codegen argmax, so cell assignment is
-    a narrow projection; the join is an equi-join on ``cell`` (one
-    shuffle of each side, 1/n_cells selectivity per probe-cell).
+    The scale path complementary to ``lsh_topk``: centroids come from
+    a bounded driver-side sample (``train_centroids`` — NOT a per-row
+    collect), broadcast into an Arrow argmax, so cell assignment is a
+    narrow projection; the join is an equi-join on ``cell`` (one
+    shuffle of each side, ~n_probe/n_cells selectivity per probe).
     Recall is tunable via n_probe; n_probe == n_cells degrades to the
     exact brute force.
+
+    Measured operating points (sf0.1 fixture, weakly-structured
+    embeddings, recall@5 vs corpus fraction scanned, Spark path with
+    4-restart training — bench.py re-measures both per round):
+    lloyd-64 n_probe 8 → ~0.5 @ 13%, 16 → ~0.75 @ 25%, **32 → 0.92 @
+    49.9%** (the default headline point); lloyd-96 n_probe 48 → 0.91 @
+    50.2%.
     """
-    # deterministic centroid sample: first n_cells corpus rows by id-hash
-    cents = np.array(
-        [
-            [float(x) for x in r[1]]
-            for r in corpus.select(F.col(id_col), F.col(vec_col))
-            .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
-            .limit(n_cells)
-            .collect()
-        ],
-        dtype=np.float64,
+    cents_unit = train_centroids(
+        corpus, dim, n_cells, n_iter=n_iter, sample_size=sample_size,
+        id_col=id_col, vec_col=vec_col,
     )
-    if cents.size == 0:  # empty corpus → no cells, no neighbors
+    if cents_unit.size == 0:  # empty corpus → no cells, no neighbors
         return (
             probes.select(
                 F.col(id_col).alias("probe_id"),
@@ -173,35 +278,18 @@ def ivf_topk(
                 F.lit(0.0).alias("sim"),
             ).where(F.lit(False))
         )
-    cents_unit = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-
-    def _cell_topn(n: int):
-        """Arrow-batched cell assignment: one (batch × dim) @ (dim ×
-        n_cells) matmul per batch — the expression-tree alternative
-        (n_cells interpreted HOF cosines per row) measured ~8s at
-        sf0.1; this is ~0.5s."""
-
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def udf(vecs: pd.Series) -> pd.Series:
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = m @ cents_unit.T
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :n].astype(np.int32)
-            return pd.Series(list(top))
-
-        return udf
 
     # corpus side: single nearest cell
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        F.element_at(_cell_topn(1)(F.col(vec_col)), 1).alias("cell"),
+        F.try_element_at(_cell_assign_udf(cents_unit, 1)(F.col(vec_col)), F.lit(1)).alias("cell"),
     )
     # probe side: n_probe nearest cells, exploded
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("pvec"),
-        F.explode(_cell_topn(n_probe)(F.col(vec_col))).alias("cell"),
+        F.explode(_cell_assign_udf(cents_unit, n_probe)(F.col(vec_col))).alias("cell"),
     )
     sims = (
         p.join(c, "cell")
@@ -262,3 +350,81 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def ivf_scan_fraction(
+    probes: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 10,
+    sample_size: int = 4096,
+) -> float:
+    """Measured mean fraction of the corpus scanned per probe by
+    ``ivf_topk`` at these settings — bench instrumentation, so the
+    recall line in BENCH_r{N} carries its cost denominator.
+
+    Corpus side reduces to n_cells count rows (broadcast); the probe
+    side is one narrow projection — no candidate join is materialized.
+    """
+    cents_unit = train_centroids(
+        corpus, dim, n_cells, n_iter=n_iter, sample_size=sample_size,
+        id_col=id_col, vec_col=vec_col,
+    )
+    if cents_unit.size == 0:
+        return 0.0
+    assign = _cell_assign_udf(cents_unit, 1)
+    probe_assign = _cell_assign_udf(cents_unit, n_probe)
+    cell_counts = (
+        corpus.select(F.try_element_at(assign(F.col(vec_col)), F.lit(1)).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_corpus = corpus.count()
+    probed = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(probe_assign(F.col(vec_col))).alias("cell"),
+    )
+    row = (
+        probed.join(F.broadcast(cell_counts), "cell")
+        .groupBy("probe_id")
+        .agg(F.sum("cnt").alias("scanned"))
+        .agg(F.avg("scanned").alias("avg_scanned"))
+        .collect()[0]
+    )
+    return float(row["avg_scanned"] or 0.0) / max(n_corpus, 1)
+
+
+def lsh_scan_fraction(
+    probes: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Measured mean fraction of the corpus each probe's bucket-join
+    candidate set covers (distinct candidates / corpus) — the cost
+    denominator for the LSH recall line."""
+    buckets = lsh_bucket_udf(dim, n_planes, n_tables)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"),
+    )
+    n_corpus = corpus.count()
+    row = (
+        p.join(c, "bucket")
+        .groupBy("probe_id")
+        .agg(F.count_distinct("neighbor_id").alias("scanned"))
+        .agg(F.avg("scanned").alias("avg_scanned"))
+        .collect()[0]
+    )
+    return float(row["avg_scanned"] or 0.0) / max(n_corpus, 1)
