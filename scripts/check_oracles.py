@@ -44,6 +44,31 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256(payload).hexdigest()[:16]
 
 
+def assert_snapshot_coverage() -> int:
+    """CI-style freeze check (VERDICT r2 item 6): every ``queries()``
+    name must have a row in the LATEST driver CORRECTNESS snapshot —
+    a query added after the snapshot ships ungraded (decile_assign did
+    in r2). Run before round end; nonzero exit lists the uncovered
+    names so the round's NOTES can record them deliberately."""
+    import glob
+    import json
+
+    import __spark_entry__ as E
+
+    snaps = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    if not snaps:
+        print("no CORRECTNESS snapshot found")
+        return 1
+    covered = set(json.load(open(snaps[-1], encoding="utf-8")))
+    missing = sorted(set(E.queries()) - covered)
+    print(f"latest snapshot: {snaps[-1]} ({len(covered)} rows)")
+    if missing:
+        print(f"UNCOVERED queries ({len(missing)}): {missing}")
+        return 1
+    print("all queries covered")
+    return 0
+
+
 def main(only: list[str] | None = None, sf_dir: str = SF_DIR) -> int:
     import __spark_entry__ as E
     from teleharvest_spark.session import get_spark
@@ -96,4 +121,6 @@ def main(only: list[str] | None = None, sf_dir: str = SF_DIR) -> int:
 
 
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--coverage"]:
+        sys.exit(assert_snapshot_coverage())
     sys.exit(main(sys.argv[1:] or None))
