@@ -145,19 +145,48 @@ def main(argv: list[str] | None = None) -> int:
         help="parquet path of (source, min_n_tok, max_n_tok) per-source overrides",
     )
     ap.add_argument("--master", default=None, help="override master (default: existing session / local)")
+    ap.add_argument(
+        "--run-all",
+        action="store_true",
+        help="composed pipeline (reference main.py): validate → "
+        "similarity backfill → metrics refresh, each stage gated by "
+        "its input digest (see pipeline.py)",
+    )
+    ap.add_argument(
+        "--embeddings", default=None, help="run-all: embeddings parquet for the similarity stage"
+    )
+    ap.add_argument(
+        "--metrics-obs", default=None, help="run-all: fresh metric observations parquet"
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"validate-{args.run_id}", master=args.master)
-    report = run(
-        spark,
-        args.input,
-        args.output,
-        build_suite(args.suite_json),
-        args.run_id,
-        args.resume,
-        drift=not args.no_drift,
-        source_dim_path=args.source_dim,
-    )
+    if args.run_all:
+        from . import pipeline
+
+        report = pipeline.run_all(
+            spark,
+            args.input,
+            args.output,
+            build_suite(args.suite_json),
+            args.run_id,
+            embeddings_path=args.embeddings,
+            metrics_obs_path=args.metrics_obs,
+            resume=args.resume,
+            drift=not args.no_drift,
+            source_dim_path=args.source_dim,
+        )
+    else:
+        report = run(
+            spark,
+            args.input,
+            args.output,
+            build_suite(args.suite_json),
+            args.run_id,
+            args.resume,
+            drift=not args.no_drift,
+            source_dim_path=args.source_dim,
+        )
     print(json.dumps(report))
     return 0
 

@@ -1,0 +1,198 @@
+"""Composed end-to-end pipeline — the reference's three entry points
+as ONE resumable program (VERDICT r2 item 2).
+
+Reference ``main.py:18-29`` chains, inside a single process run:
+``processor.fetch_and_process()`` → ``processor.update_similarity()``
+→ ``processor.fetch_and_update_metrics()``. Here the same composition
+runs against one warehouse directory:
+
+    stage 1 "validate"    — full check suite over the sequences table
+                            (cli.run: cascade + uniqueness + stats +
+                            drift, violations + verdicts + manifest);
+                            partition-level resume via the manifest.
+    stage 2 "similarity"  — J1 backfill: max cosine of each unpublished
+                            embedding vs the published baseline
+                            (reference update_similarity,
+                            processor.py:159-178), written to
+                            ``<out>/similarity``.
+    stage 3 "metrics"     — bounded-lookback late-data metrics refresh
+                            (reference fetch_and_update_metrics,
+                            processor.py:65-71) merged into the stored
+                            metrics table at ``<out>/metrics`` via the
+                            versioned single-write pointer-swap sink.
+
+Resumability: each completed stage records ``_pipeline_state/
+<stage>.json`` carrying a DIGEST of the stage's inputs (content
+digests, suite hash). A re-run skips a stage whose digest is
+unchanged; a kill between stages leaves earlier state files intact, so
+the re-run resumes exactly where the previous run died. Digest-keyed
+skipping also makes the whole pipeline idempotent: running it twice is
+byte-identical to running it once (pinned in tests/test_pipeline.py).
+
+Scale note: the state files are O(stages) driver-side JSON; the
+digests are single aggregate scans (count + bit_xor of row hashes —
+map-side partial, no extra shuffle); all data movement stays in the
+stage operators, which carry their own 100 TB plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import CheckSuite
+from .operators import refresh as refresh_ops
+from .operators import similarity as sim_ops
+from .streaming import refresh as vsink
+
+STATE_DIRNAME = "_pipeline_state"
+
+
+def _state_path(output_path: str, stage: str) -> str:
+    return os.path.join(output_path, STATE_DIRNAME, f"{stage}.json")
+
+
+def read_stage_state(output_path: str, stage: str) -> dict | None:
+    p = _state_path(output_path, stage)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def write_stage_state(output_path: str, stage: str, state: dict) -> None:
+    """Atomic (write-temp + rename) so a kill mid-write never leaves a
+    half state file that would wrongly skip the stage."""
+    p = _state_path(output_path, stage)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(state, f)
+    os.replace(tmp, p)
+
+
+def content_digest(df: DataFrame, *cols: str) -> str:
+    """Order-independent content digest of ``cols``: row count +
+    bit_xor of per-row xxhash64 — one aggregate scan, map-side
+    partial."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(f"cast(`{c}` as string)" for c in cols) + "))"
+        ).alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
+
+
+def similarity_backfill(
+    embeddings: DataFrame,
+    published_pred=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stage-2 body: (id, max_sim) for every unpublished row vs the
+    published baseline — the reference's update_similarity loop
+    (processor.py:159-178) as one broadcast join + aggregate."""
+    if published_pred is None:
+        published_pred = F.col("label") < 5
+    pub = embeddings.where(published_pred)
+    unpub = embeddings.where(~published_pred)
+    ms = sim_ops.max_similarity(unpub, pub, id_col=id_col, vec_col=vec_col)
+    return ms.select(
+        F.col("probe_id").alias(id_col), F.round("max_sim", 6).alias("max_sim")
+    )
+
+
+def run_all(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    suite: CheckSuite,
+    run_id: str,
+    embeddings_path: str | None = None,
+    metrics_obs_path: str | None = None,
+    resume: bool = True,
+    drift: bool = True,
+    source_dim_path: str | None = None,
+    stages: tuple[str, ...] = ("validate", "similarity", "metrics"),
+    metrics_key: str = "source",
+    metrics_seq: str = "doc_seq",
+) -> dict:
+    """Run the composed pipeline; returns a per-stage report dict.
+
+    ``stages`` limits which stages run (the kill-between-stages test
+    uses it to simulate a death after stage N; a production kill works
+    the same way because state files gate per-stage).
+    """
+    from . import cli  # late import: cli imports plans which are heavy
+
+    report: dict = {"run_id": run_id, "stages": {}}
+
+    if "validate" in stages:
+        sequences = spark.read.parquet(input_path)
+        digest = content_digest(sequences, "doc_id", "n_tok") + ":" + suite.suite_hash()
+        prev = read_stage_state(output_path, "validate") if resume else None
+        if prev and prev.get("digest") == digest:
+            report["stages"]["validate"] = {"skipped": True}
+        else:
+            # partition-level resume inside the stage rides the manifest
+            r = cli.run(
+                spark, input_path, output_path, suite, run_id,
+                resume=resume, drift=drift, source_dim_path=source_dim_path,
+            )
+            write_stage_state(
+                output_path, "validate",
+                {"digest": digest, "run_id": run_id, "report": r},
+            )
+            report["stages"]["validate"] = r
+
+    if "similarity" in stages and embeddings_path:
+        emb = spark.read.parquet(embeddings_path)
+        digest = content_digest(emb, "vec_id", "label")
+        prev = read_stage_state(output_path, "similarity") if resume else None
+        if prev and prev.get("digest") == digest:
+            report["stages"]["similarity"] = {"skipped": True}
+        else:
+            out = similarity_backfill(emb)
+            sim_path = os.path.join(output_path, "similarity")
+            out.write.mode("overwrite").parquet(sim_path)
+            n = spark.read.parquet(sim_path).count()
+            write_stage_state(
+                output_path, "similarity",
+                {"digest": digest, "run_id": run_id, "rows": n},
+            )
+            report["stages"]["similarity"] = {"rows": n}
+
+    if "metrics" in stages and metrics_obs_path:
+        target = os.path.join(output_path, "metrics")
+        obs = spark.read.parquet(metrics_obs_path)
+        stored = vsink.read_stored(spark, target)
+        digest = content_digest(obs, metrics_key, metrics_seq) + ":" + content_digest(
+            stored, metrics_key, metrics_seq
+        )
+        prev = read_stage_state(output_path, "metrics") if resume else None
+        if prev and prev.get("digest") == digest:
+            report["stages"]["metrics"] = {"skipped": True}
+        else:
+            merged = refresh_ops.metrics_refresh(
+                stored, obs, key=metrics_key, seq=metrics_seq
+            )
+            # versioned single-write + pointer flip (never overwrite the
+            # table being read — the streaming sink's crash-safety story)
+            import hashlib
+
+            vname = "v" + hashlib.md5(digest.encode()).hexdigest()[:12]
+            vdir = os.path.join(target, vname)
+            merged.write.mode("overwrite").parquet(vdir)
+            vsink._flip_pointer(target, vname)
+            vsink._gc_versions(target, vname)
+            n = spark.read.parquet(vdir).count()
+            write_stage_state(
+                output_path, "metrics",
+                {"digest": digest, "run_id": run_id, "rows": n},
+            )
+            report["stages"]["metrics"] = {"rows": n}
+
+    return report
