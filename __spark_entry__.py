@@ -336,7 +336,11 @@ def q_simhash_blocked_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_extra = blocked.join(brute, ["id_a", "id_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_extra")
     )
-    has = brute.agg((F.count(F.lit(1)) > 0).alias("has_pairs"))
+    # non-vacuity degrades gracefully on degenerate corpora (< 2 docs —
+    # the --empty fuzz gate): no pairs are expected there
+    has = brute.agg(F.count(F.lit(1)).alias("_np")).crossJoin(
+        docs.agg(F.count(F.lit(1)).alias("_nd"))
+    ).select(((F.col("_np") > 0) | (F.col("_nd") < 2)).alias("has_pairs"))
     return has.crossJoin(n_missed).crossJoin(n_extra)
 
 

@@ -78,10 +78,38 @@ def merge_upsert(
 
 def iceberg_merge_sql(table: str, source_view: str, keys: list[str], update_cols: list[str]) -> str:
     """The production MERGE statement (emit-only here; Iceberg jars are
-    not in this container — gated per sources/iceberg.py)."""
+    not in this container — gated per sources/iceberg.py).
+
+    Validity beyond string formatting is pinned by
+    tests/test_watermark_merge.py::test_iceberg_merge_sql_parses:
+    Spark's own SQL parser (the dialect that will execute it) must
+    produce a MergeIntoTable logical plan from the emitted text."""
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
     return (
         f"MERGE INTO {table} t USING {source_view} s ON {on} "
         f"WHEN MATCHED THEN UPDATE SET {sets}"
     )
+
+
+def execute_iceberg_merge(
+    spark,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    source_view: str = "_merge_updates",
+) -> None:
+    """Production path: run the emitted MERGE against an Iceberg
+    catalog (one atomic snapshot commit). Jar-guarded — in this
+    container it raises with the statement it would have run, so the
+    caller can fall back to ``merge_upsert`` (the semantics twin)."""
+    from ..sources.iceberg import iceberg_available
+
+    sql = iceberg_merge_sql(table, source_view, keys, update_cols)
+    if not iceberg_available(spark):
+        raise NotImplementedError(
+            "Iceberg runtime jars not on the classpath; production MERGE:\n" + sql
+        )
+    updates.createOrReplaceTempView(source_view)
+    spark.sql(sql)

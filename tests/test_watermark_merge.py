@@ -71,3 +71,38 @@ def test_merge_insert_unmatched(spark):
     updates = spark.createDataFrame([(2, "z")], "id long, name string")
     got = merge.merge_upsert(target, updates, ["id"], insert_unmatched=True)
     assert sorted(r["id"] for r in got.collect()) == [1, 2]
+
+
+def test_iceberg_merge_sql_parses(spark):
+    """The emitted MERGE must be valid in the dialect that will run it:
+    Spark's SQL parser (same grammar Iceberg's extension executes
+    through) must yield a MergeIntoTable plan — not just a formatted
+    string (VERDICT r2 item 8)."""
+    sql = merge.iceberg_merge_sql(
+        "local.db.sequences", "updates_v", ["source", "doc_seq"],
+        ["views", "reactions", "forwards"],
+    )
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    name = plan.getClass().getSimpleName()
+    assert name == "MergeIntoTable", name
+    # the parsed plan carries the right clause shapes
+    s = plan.toString()
+    assert "UPDATE SET" in sql and "WHEN MATCHED" in sql
+    assert "merge" in s.lower()
+
+
+def test_execute_iceberg_merge_guard(spark):
+    """Without the runtime jars the execution path raises loudly and
+    carries the exact statement it would have run."""
+    import pytest
+
+    upd = spark.createDataFrame(
+        [("a", 1, 2, 3, 4)],
+        "source string, doc_seq int, views int, reactions int, forwards int",
+    )
+    with pytest.raises(NotImplementedError) as ei:
+        merge.execute_iceberg_merge(
+            spark, "local.db.sequences", upd, ["source", "doc_seq"],
+            ["views", "reactions", "forwards"],
+        )
+    assert "MERGE INTO local.db.sequences" in str(ei.value)
