@@ -75,7 +75,55 @@ def start(cores: int, gen: bool) -> subprocess.Popen:
             return p
 
 
-def timed_run(p: subprocess.Popen) -> float:
+def _total_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    # user nice system irq softirq steal guest — everything but idle+iowait
+    vals = [int(x) for x in parts[1:11]]
+    return sum(vals) - vals[3] - vals[4]
+
+
+def _subtree_jiffies(root_pids: set[int]) -> int:
+    """Sum utime+stime over every process whose ancestry reaches one of
+    ``root_pids`` — the CPU our own measurement children (and their
+    JVMs/UDF workers) consumed."""
+    import os
+
+    procs: dict[int, tuple[int, int]] = {}  # pid -> (ppid, jiffies)
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        # fields after the parenthesised comm: index from the last ')'
+        rest = s[s.rindex(")") + 2:].split()
+        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    total = 0
+    for pid, (_, jiff) in procs.items():
+        cur = pid
+        seen = set()
+        while cur > 1 and cur not in seen:
+            if cur in root_pids:
+                total += jiff
+                break
+            seen.add(cur)
+            cur = procs.get(cur, (0, 0))[0]
+    return total
+
+
+def timed_run(p: subprocess.Popen, all_children: list[subprocess.Popen]) -> tuple[float, float]:
+    """Returns (wall_sec, external_cores): external_cores is the mean
+    number of host CPUs busy with work that is NOT ours during the run
+    (total busy jiffies minus our children's subtrees) — the per-pair
+    load telemetry VERDICT r2 item 3 asked for."""
+    import time
+
+    roots = {c.pid for c in all_children}
+    t0 = time.monotonic()
+    busy0, ours0 = _total_busy_jiffies(), _subtree_jiffies(roots)
     p.stdin.write("run\n")
     p.stdin.flush()
     while True:
@@ -84,7 +132,13 @@ def timed_run(p: subprocess.Popen) -> float:
             raise RuntimeError("child died mid-run")
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)["wall"]
+            wall = json.loads(line)["wall"]
+            break
+    elapsed = time.monotonic() - t0
+    busy1, ours1 = _total_busy_jiffies(), _subtree_jiffies(roots)
+    hz = 100  # USER_HZ on this kernel
+    ext = max(0.0, ((busy1 - busy0) - (ours1 - ours0)) / hz / max(elapsed, 1e-9))
+    return wall, round(ext, 2)
 
 
 def main() -> None:
@@ -92,27 +146,39 @@ def main() -> None:
     gen = not os.path.isdir(DATA)
     n8 = start(N_CORES, gen=gen)
     n32 = start(N4_CORES, gen=False)
+    kids = [n8, n32]
     pairs = []
     for i in range(PAIRS):
-        w8 = timed_run(n8)
-        w32 = timed_run(n32)
+        w8, ext8 = timed_run(n8, kids)
+        w32, ext32 = timed_run(n32, kids)
         eff = round(w8 / (4 * w32), 3)
-        pairs.append({"wall_8": w8, "wall_32": w32, "efficiency": eff})
+        pairs.append({
+            "wall_8": w8, "wall_32": w32, "efficiency": eff,
+            "ext_cores_8": ext8, "ext_cores_32": ext32,
+        })
         print(json.dumps(pairs[-1]), flush=True)
     for p in (n8, n32):
         p.stdin.close()
         p.wait(timeout=60)
     effs = [p["efficiency"] for p in pairs]
     best_pair = max(pairs, key=lambda p: p["efficiency"])
+    # quiet pairs: both runs saw < 1 external core busy on average
+    quiet = [p for p in pairs if p["ext_cores_8"] < 1.0 and p["ext_cores_32"] < 1.0]
     report = {
         "protocol": (
             "paired alternating runs, one warmed JVM per level, full "
             "drift-inclusive check suite, same input; median pairwise "
-            "efficiency controls for external host load"
+            "efficiency controls for external host load; ext_cores_* = "
+            "measured mean non-our CPUs busy during each run "
+            "(/proc/stat minus our process subtrees)"
         ),
         "rows": ROWS,
         "pairs": pairs,
         "median_efficiency": round(statistics.median(effs), 3),
+        "quiet_pairs": len(quiet),
+        "quiet_median_efficiency": (
+            round(statistics.median([p["efficiency"] for p in quiet]), 3) if quiet else None
+        ),
         "best_pair": best_pair,
         "N_cores": N_CORES,
         "4N_cores": N4_CORES,
@@ -120,7 +186,8 @@ def main() -> None:
         "median_seq_per_sec_4N": round(ROWS / statistics.median([p["wall_32"] for p in pairs]), 1),
     }
     print(json.dumps(report, indent=2))
-    with open("/root/repo/BENCH_scaling.json", "w") as f:
+    out = sys.argv[5] if len(sys.argv) > 5 else "/root/repo/BENCH_scaling_last.json"
+    with open(out, "w") as f:
         json.dump(report, f, indent=2)
 
 
