@@ -329,7 +329,9 @@ def q_simhash_blocked_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("h") <= 4)
         .select("id_a", "id_b")
     )
-    blocked = dedup.simhash_near_pairs(docs, max_hamming=4).select("id_a", "id_b")
+    blocked = dedup.simhash_near_pairs(docs, max_hamming=4, scheme="block_pairs").select(
+        "id_a", "id_b"
+    )
     n_missed = brute.join(blocked, ["id_a", "id_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_missed")
     )
@@ -456,11 +458,16 @@ def q_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 4 over 64-bit signatures,
-    pigeonhole-blocked on max_hamming+1 bit-blocks — lossless).
-    Hash-family-specific ⇒ rows-only; pytest pins blocked == brute
+    pigeonhole-blocked on block PAIRS — lossless; key width ~2x the
+    single-block scheme, so bucket-collision candidates scale
+    ~n²/2^(2·64/(h+2)) instead of ~n²/2^(64/(h+1)) — the insurance
+    that matters at uniform-signature 10^12-row scale. At bench scales
+    wall time is dominated by the TRUE pair output (sf1: ~3.8M pairs
+    in ~3.2s). Hash-family-specific ⇒ rows-only; pytest + the
+    driver-gated simhash_blocked_vs_brute query pin blocked == brute
     force."""
     docs = _load(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=4).select(
+    return dedup.simhash_near_pairs(docs, max_hamming=4, scheme="block_pairs").select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "hamming"
     )
 

@@ -64,9 +64,14 @@ SF1_SUITE_ROWS = int(os.environ.get("SPARK_GRAFT_SF1_SUITE_ROWS", "20000000"))
 
 def build_sf1(spark, base_dir: str) -> None:
     """Deterministic 10x replication of the sf0.1 document/embedding
-    tables: copy i gets doc_id/vec_id offset by i*10^7 and a tweaked
-    text suffix so near-dup structure is preserved within each copy but
-    copies don't all collapse into one dup cluster."""
+    tables. Copy i prefixes EVERY word with ``c{i}_``: the within-copy
+    near-dup structure (shingle Jaccard, simhash bit votes) is exactly
+    preserved, while copies share zero shingles/word-features with each
+    other — so the TRUE pair count scales ~10x, and the sf1 timings
+    measure candidate-generation scaling, not a quadratic explosion of
+    genuine cross-copy duplicates (the first fixture draft used a
+    1-word suffix and 98% of its 5.5M simhash pairs were copy-of-copy
+    self-matches)."""
     from pyspark.sql import functions as F
 
     if os.path.isdir(f"{SF1_DIR}/documents.parquet"):
@@ -74,10 +79,16 @@ def build_sf1(spark, base_dir: str) -> None:
     docs = spark.read.parquet(f"{base_dir}/documents.parquet")
     copies = []
     for i in range(10):
+        # bijective per-token rename (every \S+ run gets a copy tag):
+        # word multiset structure, counts, and within-copy shingle
+        # relations are EXACTLY the original's, so each copy carries the
+        # original corpus's dup structure under fresh token hashes
         copies.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(f" c{i}")).alias("text"),
+                F.regexp_replace(
+                    F.coalesce(F.col("text"), F.lit("")), r"(\S+)", f"$1_q{i}"
+                ).alias("text"),
                 "lang",
                 "source",
                 (F.col("n_chars") + 3).alias("n_chars"),

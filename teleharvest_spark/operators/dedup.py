@@ -373,30 +373,74 @@ def _simhash_kernel(col: pd.Series, shifts: np.ndarray) -> pd.Series:
     return pd.Series(sigs.astype(np.int64))
 
 
-def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
-) -> DataFrame:
-    """Near-dup pairs with Hamming distance ≤ max_hamming — COMPLETE.
-
-    Pigeonhole blocking sized to the bound: with ``max_hamming + 1``
-    bit-blocks, any pair within the distance must agree exactly on at
-    least one block (d flips can dirty at most d blocks) → equi-join
-    per block, then exact popcount filter via bit_count. A fixed
-    4-block scheme would silently lose recall for max_hamming > 3.
-    """
-    sigs = simhash(df, text_col, id_col)
-    n_blocks = max_hamming + 1
-    width = 64 // n_blocks
-    blocks = []
+def _block_keys(n_blocks: int, bits: int = 64) -> list:
+    """Per-block key columns over ``simhash``: (key_col, width)."""
+    width = bits // n_blocks
+    keys = []
     for c in range(n_blocks):
         start = c * width
         # last block absorbs the remainder bits
-        w = 64 - start if c == n_blocks - 1 else width
+        w = bits - start if c == n_blocks - 1 else width
         shifted = F.shiftrightunsigned(F.col("simhash"), start)
-        # w == 64 (max_hamming == 0): the whole signature is the key —
+        # w == bits (one block): the whole signature is the key —
         # a 64-bit all-ones mask doesn't fit a Spark long literal
-        key = shifted if w >= 64 else shifted.bitwiseAND(F.lit((1 << w) - 1))
-        blocks.append(F.struct(F.lit(c).alias("chunk"), key.alias("ckey")))
+        key = shifted if w >= bits else shifted.bitwiseAND(F.lit((1 << w) - 1))
+        keys.append((key, w))
+    return keys
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    scheme: str = "blocks",
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming — COMPLETE
+    under both blocking schemes.
+
+    ``scheme="blocks"`` (h+1 single blocks): d ≤ h flips dirty at most
+    d blocks, so at least one of the h+1 blocks agrees exactly →
+    equi-join per block, exact popcount filter after. Key width is
+    64/(h+1) bits, FIXED in n — candidate volume grows ~(h+1)·n²/2^(64/(h+1)),
+    i.e. quadratically with corpus size (measured 18x wall time for
+    10x docs at 50k docs, BENCH r3 sf1 section).
+
+    ``scheme="block_pairs"`` (the scale path): h+2 blocks — at least
+    TWO blocks agree (d flips dirty ≤ d of h+2), so every qualifying
+    pair agrees on at least one of the C(h+2, 2) block PAIRS. Join
+    keys are the concatenated pair keys: ~2x the bit width per key
+    (≈ 2·64/(h+2)), squaring the bucket count — random-signature
+    candidates ~C(h+2,2)·n²/2^(2·64/(h+2)) vs the single-block
+    scheme's (h+1)·n²/2^(64/(h+1)) (at h=4: 15 keys of ~21 bits vs 5
+    of ~12 → ~256x fewer collisions per bucket for 3x the exploded
+    rows). Measured: on a 50k-doc fixture whose TRUE pair count was
+    5.5M (bucket collisions real), pairs beat blocks 15.8s vs 24.2s;
+    on the corrected fixture (~3.8M true pairs, output-dominated) both
+    land ~3.2-3.8s — the pair scheme is the asymptotic insurance, not
+    a constant-factor win at every density. Losslessness is pinned
+    against brute force in pytest AND the driver-gated
+    ``simhash_blocked_vs_brute`` query.
+    """
+    sigs = simhash(df, text_col, id_col)
+    if scheme == "block_pairs":
+        m = max_hamming + 2
+        keys = _block_keys(m)
+        blocks = []
+        idx = 0
+        for i in range(m):
+            ki, _wi = keys[i]
+            for j in range(i + 1, m):
+                kj, wj = keys[j]
+                ck = F.shiftleft(ki, wj).bitwiseOR(kj)
+                blocks.append(F.struct(F.lit(idx).alias("chunk"), ck.alias("ckey")))
+                idx += 1
+    else:
+        keys = _block_keys(max_hamming + 1)
+        blocks = [
+            F.struct(F.lit(c).alias("chunk"), k.alias("ckey"))
+            for c, (k, _w) in enumerate(keys)
+        ]
     chunks = F.explode(F.array(*blocks))
     blocked = sigs.select(id_col, "simhash", chunks.alias("cc")).select(
         id_col, "simhash", "cc.chunk", "cc.ckey"

@@ -101,6 +101,15 @@ def test_simhash_blocking_complete_vs_bruteforce(spark):
     }
     assert got == want
     assert want  # non-vacuous: the fixture must contain near pairs
+    # the block-PAIR scheme (the large-corpus path) must be equally
+    # lossless: h+2 blocks => at least two agree => some pair agrees
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_pairs(
+            df, max_hamming=5, scheme="block_pairs"
+        ).collect()
+    }
+    assert got_pairs == want
 
 
 def test_simhash_kernel_trailing_empty_rows():
