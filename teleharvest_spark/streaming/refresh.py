@@ -60,12 +60,20 @@ def _flip_pointer(target_path: str, version: str) -> None:
 
 
 def _gc_versions(target_path: str, live: str) -> None:
-    vers = sorted(
+    """Keep the live version plus the most recent predecessor(s) by
+    mtime — version names are not chronological in every producer (the
+    batch pipeline derives them from content digests), so recency must
+    come from the filesystem, and the live version is kept
+    unconditionally."""
+    vers = [
         d for d in os.listdir(target_path)
         if d.startswith("v") and os.path.isdir(os.path.join(target_path, d))
-    )
-    for d in vers[:-_KEEP_VERSIONS] if live in vers[-_KEEP_VERSIONS:] else []:
-        shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
+    ]
+    vers.sort(key=lambda d: os.path.getmtime(os.path.join(target_path, d)))
+    keep = set(vers[-_KEEP_VERSIONS:]) | {live}
+    for d in vers:
+        if d not in keep:
+            shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
 
 
 def refresh_sink(

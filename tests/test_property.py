@@ -151,12 +151,14 @@ def test_pack_sequences_matches_greedy_model(spark, rows):
         for r in packing.pack_sequences(df, capacity=CAP).collect()
         if r["doc_id"] >= 0
     }
-    # model: per group, ascending doc_id (stable for dup ids), greedy fold
+    # model: per group, ascending (doc_id, size) — the operator's
+    # r3 determinism order (dup keys fold in size order, matching the
+    # oracle's ORDER BY doc_id, n) — greedy fold
     model = {}
     for g in sorted({s for _, s, _ in rows}):
         grp = sorted(
             [(d, n if n is not None else 0) for d, s, n in rows if s == g],
-            key=lambda t: t[0],
+            key=lambda t: (t[0], t[1]),
         )
         acc, pack = 0, 0
         for i, (d, n) in enumerate(grp):
@@ -169,3 +171,73 @@ def test_pack_sequences_matches_greedy_model(spark, rows):
     # duplicate doc_ids collapse to one dict entry on both sides only
     # if their pack assignment agrees; compare as dicts built the same way
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# SimHash pigeonhole blocking — key-construction math, Spark-free model
+# ---------------------------------------------------------------------------
+
+def _model_block_keys(sig: int, m: int) -> list[int]:
+    """Pure-Python twin of dedup._block_keys over one signature."""
+    sig &= (1 << 64) - 1
+    width = 64 // m
+    keys = []
+    for c in range(m):
+        start = c * width
+        w = 64 - start if c == m - 1 else width
+        keys.append(((sig >> start) & ((1 << w) - 1), w))
+    return keys
+
+
+def _model_covers(sig_a: int, sig_b: int, h: int, scheme: str) -> bool:
+    if scheme == "block_pairs":
+        m = h + 2
+        ka, kb = _model_block_keys(sig_a, m), _model_block_keys(sig_b, m)
+        return any(
+            ka[i][0] == kb[i][0] and ka[j][0] == kb[j][0]
+            for i in range(m)
+            for j in range(i + 1, m)
+        )
+    m = h + 1
+    ka, kb = _model_block_keys(sig_a, m), _model_block_keys(sig_b, m)
+    return any(ka[c][0] == kb[c][0] for c in range(m))
+
+
+@PROP
+@given(
+    sig=st.integers(min_value=0, max_value=(1 << 64) - 1),
+    flip_bits=st.lists(st.integers(min_value=0, max_value=63), min_size=0, max_size=6, unique=True),
+    h=st.integers(min_value=0, max_value=6),
+)
+def test_pigeonhole_schemes_cover_all_within_bound(sig, flip_bits, h):
+    """ANY pair within Hamming h must share a block (blocks scheme) and
+    a block pair (pairs scheme) — the losslessness that makes the
+    bucketed join complete. Checked directly on the key-extraction
+    math for every h, including the remainder-bit last block."""
+    other = sig
+    for b in flip_bits:
+        other ^= 1 << b
+    d = bin(sig ^ other).count("1")
+    if d <= h:
+        assert _model_covers(sig, other, h, "blocks")
+        assert _model_covers(sig, other, h, "block_pairs")
+
+
+def test_model_matches_spark_block_keys(spark):
+    """The pure-Python model and the Spark column expressions agree on
+    concrete signatures (ties the property test to the real code)."""
+    import pyspark.sql.functions as F
+
+    from teleharvest_spark.operators import dedup
+
+    sigs = [0, -1, 1, 2**63 - 1, -2**63, 0x0123456789ABCDEF]
+    df = spark.createDataFrame([(s,) for s in sigs], "simhash long")
+    for m in (2, 3, 5, 6):
+        cols = dedup._block_keys(m)
+        got = df.select(
+            "simhash", *[k.alias(f"k{c}") for c, (k, _w) in enumerate(cols)]
+        ).collect()
+        for r in got:
+            want = _model_block_keys(r["simhash"] & (1 << 64) - 1, m)
+            for c in range(m):
+                assert (r[f"k{c}"] & (1 << 64) - 1) == want[c][0], (r["simhash"], m, c)
