@@ -291,6 +291,100 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated sketch-accuracy invariant: every GK approximate
+    quantile must land within rank 0.02 of its target (accuracy=10000
+    ⇒ ε=1e-4, so the slack is generous and fixture-independent), and
+    every HLL++ distinct estimate within max(5, 5%) of the exact
+    count. ONE row (n_groups, n_quantile_violations,
+    n_distinct_violations); the oracle derives n_groups from the data
+    and pins the violation counts at zero — the tolerance that was
+    pytest-only for ``stats_sketch`` now sits under the driver's hash
+    gate."""
+    docs = _load(spark, sf_dir, "documents")
+    key = F.coalesce(F.col("source"), F.lit("__null__")).alias("_k")
+    sk = (
+        docs.select(key, "n_chars", "doc_id")
+        .groupBy("_k")
+        .agg(
+            F.percentile_approx("n_chars", [0.25, 0.5, 0.95], 10000).alias("q"),
+            F.approx_count_distinct("doc_id", 0.01).alias("ad"),
+            F.count_distinct("doc_id").alias("ed"),
+            F.count("n_chars").alias("nn"),
+        )
+    )
+    ranks = (
+        docs.select(key, "n_chars")
+        .join(sk.select("_k", "q"), "_k")
+        .groupBy("_k")
+        .agg(
+            *[
+                agg.alias(f"{nm}{i}")
+                for i in (1, 2, 3)
+                for nm, agg in (
+                    ("le", F.count(F.when(F.col("n_chars") <= F.element_at("q", i), 1))),
+                    ("lt", F.count(F.when(F.col("n_chars") < F.element_at("q", i), 1))),
+                )
+            ]
+        )
+    )
+    eps = 0.02
+    targets = {1: 0.25, 2: 0.5, 3: 0.95}
+    joined = sk.join(ranks, "_k")
+    viol = None
+    for i, t in targets.items():
+        ok = (
+            F.element_at("q", i).isNull()
+            | (F.col("nn") == 0)
+            | (
+                (F.col(f"le{i}") / F.col("nn") >= F.lit(t - eps))
+                & (F.col(f"lt{i}") / F.col("nn") <= F.lit(t + eps))
+            )
+        )
+        term = F.when(~ok, 1).otherwise(0)
+        viol = term if viol is None else viol + term
+    dviol = F.when(
+        F.abs(F.col("ad") - F.col("ed"))
+        > F.greatest(F.lit(5), F.col("ed") * F.lit(0.05)),
+        1,
+    ).otherwise(0)
+    # coalesce: sum over an empty (zero-group) table is NULL, but the
+    # empty-input identity for a violation count is 0 (--empty fuzz)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.sum(viol), F.lit(0)).cast("long").alias("n_quantile_violations"),
+        F.coalesce(F.sum(dviol), F.lit(0)).cast("long").alias("n_distinct_violations"),
+    )
+
+
+def q_near_dup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated no-false-positives invariant for the LSH
+    embedding near-dup path: every pair ``embedding_near_dups``
+    emits must appear in the exact cosine ≥ 0.3 pair set (the LSH
+    join can MISS pairs — recall is bench-tracked — but similarity is
+    computed exactly on the survivors, so a false positive means a
+    real bug). ONE row (n_exact, n_false_positives); the oracle
+    recomputes n_exact from scratch in SQL and pins zero false
+    positives."""
+    emb = _load(spark, sf_dir, "embeddings")
+    nd = dedup.embedding_near_dups(emb, threshold=0.3).select("id_a", "id_b")
+    ok = emb.where(F.col("embedding").isNotNull())
+    a = ok.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = ok.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .where(F.col("sim") >= 0.3)
+        .select("id_a", "id_b")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_false = nd.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_false_positives")
+    )
+    return n_exact.crossJoin(n_false)
+
+
 def q_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated MinHash recall invariant (VERDICT r2 item 4): ONE
     row (n_exact, n_missed) where n_missed counts exact-Jaccard ≥ 0.5
@@ -1021,6 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_vs_exact": q_minhash_vs_exact,
         "simhash_blocked_vs_brute": q_simhash_blocked_vs_brute,
+        "sketch_bounds": q_sketch_bounds,
+        "near_dup_subset": q_near_dup_subset,
         "drift_ntok": q_drift_ntok,
         "window_tumbling": q_window_tumbling,
         "multimodal_meta": q_multimodal_meta,
@@ -1295,6 +1391,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_missed
             FROM inter
             WHERE n_int::DOUBLE / (n_a + n_b - n_int) >= 0.5
+        """,
+        # GK/HLL sketch accuracy invariant: n_groups data-derived,
+        # violation counts pinned at zero (bounds generous vs the
+        # sketches' configured ε — see q_sketch_bounds)
+        "sketch_bounds": """
+            SELECT (SELECT count(*) FROM (SELECT source FROM documents GROUP BY source) t)
+                     AS n_groups,
+                   CAST(0 AS BIGINT) AS n_quantile_violations,
+                   CAST(0 AS BIGINT) AS n_distinct_violations
+        """,
+        # LSH near-dup no-false-positives invariant: n_exact recomputed
+        # from scratch (exact cosine >= 0.3 over non-null embeddings)
+        "near_dup_subset": """
+            WITH p AS (SELECT vec_id, embedding e FROM embeddings WHERE embedding IS NOT NULL),
+                 ex AS (SELECT a.vec_id ia, b.vec_id ib,
+                               unnest(a.e)::DOUBLE x, unnest(b.e)::DOUBLE y
+                        FROM p a, p b WHERE a.vec_id < b.vec_id),
+                 sims AS (
+                   SELECT ia, ib,
+                          round(CASE WHEN sqrt(sum(x*x)) > 0 AND sqrt(sum(y*y)) > 0
+                                     THEN sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y)))
+                                     ELSE 0 END, 6) AS sim
+                   FROM ex GROUP BY ia, ib
+                 )
+            SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_false_positives
+            FROM sims WHERE sim >= 0.3
         """,
         # SimHash blocking losslessness: the pair sets are
         # hash-family-specific (seeded Python kernel), so the oracle
