@@ -284,10 +284,23 @@ def ngram_jaccard_pairs(
     )
     prefix_len = F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")).cast("int") + 1
     prefix = ranked.withColumn("_rn", rn).where(F.col("_rn") <= prefix_len).select(
-        id_col, "_n", "shingle"
+        id_col, "_n", "_rn", "shingle"
     )
 
+    # PPJoin positional filter (lossless): a pair with J ≥ t has
+    # overlap ≥ α := t/(1+t)·(n_a+n_b); at the pair's FIRST common
+    # prefix shingle (positions p_a, p_b in the rarity order) the
+    # overlap is bounded by 1 + min(n_a − p_a, n_b − p_b), and that
+    # bound provably ≥ α for the first common token — so requiring it
+    # per joined row keeps a superset of PPJoin's candidates while
+    # dropping matches that can no longer reach the threshold.
+    t = float(threshold)
     a, b = prefix.alias("a"), prefix.alias("b")
+    alpha = F.lit(t / (1.0 + t)) * (F.col("a._n") + F.col("b._n")).cast("double")
+    ubound = (
+        F.lit(1)
+        + F.least(F.col("a._n") - F.col("a._rn"), F.col("b._n") - F.col("b._rn"))
+    ).cast("double")
     cand = (
         a.join(
             b,
@@ -295,8 +308,9 @@ def ngram_jaccard_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (
                 F.least(F.col("a._n"), F.col("b._n")).cast("double")
-                >= F.lit(float(threshold)) * F.greatest(F.col("a._n"), F.col("b._n")).cast("double")
-            ),
+                >= F.lit(t) * F.greatest(F.col("a._n"), F.col("b._n")).cast("double")
+            )
+            & (ubound >= alpha),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
