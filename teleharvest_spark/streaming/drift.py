@@ -1,0 +1,122 @@
+"""Streaming distribution drift — the north-rule KS/PSI check in
+continuous mode.
+
+Batch drift (operators/drift.py) compares each source's n_tok
+histogram against a trusted baseline per validation run. In
+continuous deployment sequences ARRIVE as a stream; this module keeps
+a watermarked event-time-windowed histogram (bounded state — Spark
+drops a window's aggregation state once the watermark passes it) and
+computes KS/PSI per CLOSED window in ``foreachBatch``:
+
+    stream → withWatermark → window(ts) × source × bucket counts
+           → (append mode: a window's counts emit exactly once,
+              after the watermark finalizes it)
+           → foreachBatch: dense-align vs the static baseline
+              histogram, Arrow-batched KS/PSI per (window, source),
+              append to the metrics sink.
+
+Scale: streaming state is |open windows| × |sources| × 128 buckets —
+independent of row volume; the per-batch Python work happens on those
+aggregated rows only (same sketch-sized applyInPandas as the batch
+path). The metrics sink is append-only; replays of a finalized window
+are impossible in append mode (the emit happens once), so the sink
+needs no dedup.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import CheckSuite
+from ..operators import drift as drift_ops
+
+_METRICS_SCHEMA = "window_start timestamp, source string, ks double, psi double"
+
+
+def streaming_ntok_histogram(
+    stream: DataFrame,
+    ts_col: str = "event_ts",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked per-(window, source) n_tok bucket counts.
+
+    NULL-source rows are excluded (drift is a per-partition check; a
+    NULL key is a cascade violation, not a partition — the engine-wide
+    exclusion policy). If ``ts_col`` is absent a processing-time stamp
+    is used (tests drive event time explicitly).
+    """
+    if ts_col not in stream.columns:
+        stream = stream.withColumn(ts_col, F.current_timestamp())
+    width = drift_ops.N_TOK_MAX_FOR_BUCKETS // drift_ops.N_TOK_BUCKETS
+    bucket = F.least(
+        F.floor(F.coalesce(F.col("n_tok"), F.lit(0)) / width),
+        F.lit(drift_ops.N_TOK_BUCKETS - 1),
+    ).cast("int")
+    return (
+        stream.where(F.col("source").isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col("source"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"), "source", "bucket", "cnt"
+        )
+    )
+
+
+def _windowed_metrics_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = drift_ops._drift_metrics_pdf(pdf)
+    out.insert(0, "window_start", pdf["window_start"].iloc[0])
+    return out
+
+
+def windowed_drift_sink(
+    spark: SparkSession,
+    baseline_hist: DataFrame,
+    sink_path: str,
+    suite: CheckSuite | None = None,
+):
+    """foreachBatch body: each batch carries FINALIZED (window, source,
+    bucket, cnt) rows (append mode); dense-align against the static
+    global baseline and append (window, source, ks, psi[, verdict])."""
+    base = baseline_hist.withColumnRenamed("cnt", "base_cnt")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        keys = batch.select("window_start", "source").distinct()
+        dense = keys.crossJoin(F.broadcast(base))
+        joined = batch.join(
+            dense, ["window_start", "source", "bucket"], "full_outer"
+        ).fillna({"cnt": 0, "base_cnt": 0})
+        metrics = joined.groupBy("window_start", "source").applyInPandas(
+            _windowed_metrics_pdf, _METRICS_SCHEMA
+        )
+        if suite is not None:
+            metrics = drift_ops.drift_verdicts(metrics, suite)
+        metrics.write.mode("append").parquet(sink_path)
+
+    return sink
+
+
+def start_windowed_drift(
+    spark: SparkSession,
+    stream: DataFrame,
+    baseline_hist: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    ts_col: str = "event_ts",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    suite: CheckSuite | None = None,
+):
+    """Wire a sequence stream into the windowed drift metrics sink."""
+    hist = streaming_ntok_histogram(stream, ts_col=ts_col, window=window, watermark=watermark)
+    return (
+        hist.writeStream.outputMode("append")
+        .foreachBatch(windowed_drift_sink(spark, baseline_hist, sink_path, suite))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

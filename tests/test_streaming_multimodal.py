@@ -285,3 +285,63 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
         q2.stop()
     got = sorted(r["doc_id"] for r in spark.read.parquet(str(out)).collect())
     assert got == ["a", "b", "c"]  # no duplicates, nothing lost
+
+
+def test_streaming_windowed_drift(spark, tmp_path):
+    """Windowed KS/PSI in continuous mode: a window's metrics emit
+    exactly once, AFTER the watermark finalizes it (append mode), and
+    match the batch drift math on the same counts."""
+    from teleharvest_spark.operators import drift as drift_ops
+    from teleharvest_spark.streaming import drift as sdrift
+
+    drop = tmp_path / "drift_drop"
+    drop.mkdir()
+    sink = str(tmp_path / "drift_metrics")
+    ckpt = str(tmp_path / "drift_ckpt")
+    schema = "doc_id string, n_tok int, source string, event_ts timestamp"
+
+    # baseline: uniform-ish global histogram over two buckets
+    baseline = spark.createDataFrame(
+        [(0, 50), (1, 50)], "bucket int, cnt long"
+    )
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(str(drop))
+        stream = spark.readStream.schema(schema).parquet(str(drop))
+        q = sdrift.start_windowed_drift(
+            spark, stream, baseline, sink, ckpt,
+            window="1 minute", watermark="2 minutes",
+        )
+        q.awaitTermination()
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    late = dt.datetime(2024, 1, 1, 13, 0, 0)
+    width = drift_ops.N_TOK_MAX_FOR_BUCKETS // drift_ops.N_TOK_BUCKETS
+    # window [12:00, 12:01): src_a all in bucket 0 (heavy drift vs the
+    # 50/50 baseline); NULL source excluded
+    rows1 = [(f"d{i}", 10, "src_a", t0) for i in range(20)] + [
+        ("dnull", 10, None, t0)
+    ]
+    run(rows1)
+    # nothing finalized yet: watermark hasn't passed the window
+    import glob as g
+
+    assert not g.glob(f"{sink}/*.parquet")
+
+    # a much later event advances the watermark past [12:00, 12:01)
+    run([("dl", width + 5, "src_a", late)])
+    got = spark.read.parquet(sink).collect()
+    assert len(got) == 1  # exactly one finalized (window, source)
+    r = got[0]
+    assert r["source"] == "src_a"
+    assert r["window_start"] == t0
+    # batch-path parity: same counts through drift_metrics
+    hist = spark.createDataFrame(
+        [("src_a", 0, 20)], "source string, bucket int, cnt long"
+    )
+    want = drift_ops.drift_metrics(hist, baseline).collect()[0]
+    assert abs(r["ks"] - want["ks"]) < 1e-9
+    assert abs(r["psi"] - want["psi"]) < 1e-9
+    assert r["ks"] > 0.4  # all-in-one-bucket vs 50/50 is heavy drift
