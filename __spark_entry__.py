@@ -291,6 +291,57 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_mismatch(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(n_rows, n_mismatch): full-outer compare on (probe_id, rank) of
+    two top-k results — neighbor AND sim must agree row-for-row."""
+    e = exact.select(
+        "probe_id", "rank",
+        F.col("neighbor_id").alias("e_n"), F.col("sim").alias("e_s"),
+    )
+    a = approx.select(
+        "probe_id", "rank",
+        F.col("neighbor_id").alias("a_n"), F.col("sim").alias("a_s"),
+    )
+    j = e.join(a, ["probe_id", "rank"], "full_outer")
+    bad = (
+        ~F.col("e_n").eqNullSafe(F.col("a_n"))
+        | ~F.col("e_s").eqNullSafe(F.col("a_s"))
+    )
+    return e.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+        j.agg(F.coalesce(F.sum(bad.cast("long")), F.lit(0)).alias("n_mismatch"))
+    )
+
+
+def q_ann_ivf_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated ANN exactness anchor: IVF with n_probe == n_cells
+    scans every cell, so it must reproduce the brute-force top-k
+    EXACTLY (same neighbors, sims, tie-breaks). ONE row (n_rows,
+    n_mismatch); the oracle recomputes n_rows via the exact top-k SQL
+    and pins zero mismatches — the approximate operator's machinery
+    (cell assignment, equi-join, dedup, ranking) is thereby hash-gated
+    even though its operating-point recall is fixture-dependent."""
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(probes, emb, k=5)
+    approx = similarity.ivf_topk(
+        probes, emb, dim=64, k=5, n_cells=8, n_probe=8
+    )
+    return _ann_mismatch(exact, approx)
+
+
+def q_ann_lsh_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exactness anchor for the LSH path: with n_planes = 0 every
+    vector lands in one bucket per table (a full scan), so the result
+    must equal brute force exactly."""
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(probes, emb, k=5)
+    approx = similarity.lsh_topk(
+        probes, emb, dim=64, k=5, n_planes=0, n_tables=1
+    )
+    return _ann_mismatch(exact, approx)
+
+
 def q_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated sketch-accuracy invariant: every GK approximate
     quantile must land within rank 0.02 of its target (accuracy=10000
@@ -1117,6 +1168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_blocked_vs_brute": q_simhash_blocked_vs_brute,
         "sketch_bounds": q_sketch_bounds,
         "near_dup_subset": q_near_dup_subset,
+        "ann_ivf_degenerate": q_ann_ivf_degenerate,
+        "ann_lsh_degenerate": q_ann_lsh_degenerate,
         "drift_ntok": q_drift_ntok,
         "window_tumbling": q_window_tumbling,
         "multimodal_meta": q_multimodal_meta,
@@ -1391,6 +1444,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_missed
             FROM inter
             WHERE n_int::DOUBLE / (n_a + n_b - n_int) >= 0.5
+        """,
+        # ANN degenerate-exactness anchors: n_rows recomputed via the
+        # exact top-k SQL; zero mismatches pinned (full-scan configs of
+        # the approximate operators must equal brute force exactly)
+        "ann_ivf_degenerate": """
+            WITH p AS (SELECT vec_id pid, embedding pe FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id nid, embedding ce FROM embeddings),
+                 ex AS (SELECT pid, nid, unnest(pe)::DOUBLE x, unnest(ce)::DOUBLE y
+                        FROM p, c WHERE pid <> nid),
+                 sims AS (
+                   SELECT pid, nid FROM ex GROUP BY pid, nid
+                 ),
+                 ranked AS (
+                   SELECT pid, row_number() OVER (PARTITION BY pid ORDER BY nid) AS rank
+                   FROM sims
+                 )
+            SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_lsh_degenerate": """
+            WITH p AS (SELECT vec_id pid, embedding pe FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id nid, embedding ce FROM embeddings),
+                 ex AS (SELECT pid, nid, unnest(pe)::DOUBLE x, unnest(ce)::DOUBLE y
+                        FROM p, c WHERE pid <> nid),
+                 sims AS (
+                   SELECT pid, nid FROM ex GROUP BY pid, nid
+                 ),
+                 ranked AS (
+                   SELECT pid, row_number() OVER (PARTITION BY pid ORDER BY nid) AS rank
+                   FROM sims
+                 )
+            SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch
+            FROM ranked WHERE rank <= 5
         """,
         # GK/HLL sketch accuracy invariant: n_groups data-derived,
         # violation counts pinned at zero (bounds generous vs the

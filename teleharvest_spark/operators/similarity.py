@@ -101,7 +101,12 @@ def lsh_bucket_udf(dim: int, n_planes: int, n_tables: int):
     alternative (L·b interpreted HOF dot products per row) is ~an
     order of magnitude slower at sf0.1 (cf. ivf_topk's measurement).
     """
-    planes = np.array(_hyperplanes(dim, n_planes * n_tables), dtype=np.float64)
+    # reshape: an EMPTY plane list (n_planes == 0, the degenerate
+    # full-scan config) round-trips through tolist() as shape (0,),
+    # not (0, dim) — the matmul needs the explicit 2-D shape
+    planes = np.array(
+        _hyperplanes(dim, n_planes * n_tables), dtype=np.float64
+    ).reshape(n_planes * n_tables, dim)
     weights = 1 << np.arange(n_planes, dtype=np.int64)
     offsets = np.arange(n_tables, dtype=np.int64) << n_planes
 
