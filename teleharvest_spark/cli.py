@@ -23,16 +23,60 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import CheckSuite
 from .plans import manifest as mf
 from .plans import suite as suite_plan
 from .session import get_spark
 from .sources.writer import write_partitioned
+
+BASELINE_DIRNAME = "_drift_baseline"
+
+
+def _read_stored_baseline(spark: SparkSession, output_path: str) -> DataFrame | None:
+    """The previous run's per-source n_tok histogram (None before the
+    first drift-enabled run) — read via the versioned pointer layout
+    shared with the streaming refresh sink."""
+    from .streaming import refresh as vsink
+
+    bl_dir = os.path.join(output_path, BASELINE_DIRNAME)
+    if vsink._latest_version(bl_dir) is None:
+        return None
+    return vsink.read_stored(spark, bl_dir)
+
+
+def _store_baseline(
+    spark: SparkSession,
+    output_path: str,
+    hist: DataFrame,
+    prev: DataFrame | None,
+    run_id: str,
+) -> None:
+    """Persist this run's histogram as the NEXT run's temporal drift
+    baseline (versioned single write + atomic pointer flip). On a
+    resume-filtered run ``hist`` covers only the revalidated sources,
+    so the stored baseline is merged: previous rows for untouched
+    sources + fresh rows for revalidated ones — the baseline always
+    reflects each source's most recent validation."""
+    from .streaming import refresh as vsink
+
+    bl_dir = os.path.join(output_path, BASELINE_DIRNAME)
+    out = hist
+    if prev is not None:
+        untouched = prev.join(
+            hist.select("source").distinct(), "source", "left_anti"
+        )
+        out = untouched.unionByName(hist)
+    vname = f"v{run_id}"
+    vdir = os.path.join(bl_dir, vname)
+    out.write.mode("overwrite").parquet(vdir)
+    vsink._flip_pointer(bl_dir, vname)
+    vsink._gc_versions(bl_dir, vname)
 
 
 def build_suite(path: str | None) -> CheckSuite:
@@ -57,23 +101,42 @@ def run(
     resume: bool = False,
     drift: bool = True,
     source_dim_path: str | None = None,
+    drift_baseline: str = "global",
 ) -> dict:
+    """``drift_baseline``:
+
+    * ``"global"`` — each source vs the pooled current corpus (cross-
+      source drift, the round-1 behavior).
+    * ``"previous"`` — each source vs ITS OWN histogram from the last
+      drift-enabled run (temporal drift: "did this source's
+      distribution move since the previous validation?" — the
+      production freshness check). First run falls back to global; a
+      source absent from the stored baseline compares against zero
+      counts and fails loudly (novel sources are drift by definition).
+      Every drift-enabled run stores its histogram for the next one.
+    """
     sequences = spark.read.parquet(input_path)
     source_dim = spark.read.parquet(source_dim_path) if source_dim_path else None
 
     snapshots = mf.snapshot_of_partitions(sequences)
     baseline_hist = None
+    prev_baseline = None
+    if drift and drift_baseline == "previous":
+        prev_baseline = _read_stored_baseline(spark, output_path)
+        baseline_hist = prev_baseline
     if resume:
         manifest = mf.read_manifest(spark, output_path)
         pending = mf.pending_partitions(snapshots, manifest, suite)
         pending_sources = [r["partition"] for r in pending.select("partition").collect()]
         if not pending_sources:
             return {"run_id": run_id, "validated_rows": 0, "skipped": True}
-        if drift:
-            # The drift_vs_global baseline must pool the FULL table, not
-            # just the pending partitions: with a single pending source
-            # the filtered pool would be that source compared against
-            # itself (KS/PSI ≈ 0) and the gate would silently pass.
+        if drift and baseline_hist is None:
+            # Global mode only (the temporal baseline is already full-
+            # coverage): the drift_vs_global baseline must pool the
+            # FULL table, not just the pending partitions — with a
+            # single pending source the filtered pool would be that
+            # source compared against itself (KS/PSI ≈ 0) and the gate
+            # would silently pass.
             from .operators import drift as drift_ops
 
             baseline_hist = (
@@ -115,6 +178,8 @@ def run(
     )
     res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
     mf.append_manifest_rows(spark, output_path, res.verdicts, snapshots, suite, run_id)
+    if drift and drift_baseline == "previous" and res.hist is not None:
+        _store_baseline(spark, output_path, res.hist, prev_baseline, run_id)
     n_rows = sequences.count()
     wall = time.perf_counter() - t0
     report = {
@@ -139,6 +204,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--resume", action="store_true", help="skip partitions already in the manifest")
     ap.add_argument("--no-drift", action="store_true", help="skip the KS/PSI drift check")
+    ap.add_argument(
+        "--drift-baseline",
+        choices=("global", "previous"),
+        default="global",
+        help="drift comparator: pooled current corpus (global) or each "
+        "source's own histogram from the last run (previous = temporal "
+        "drift; first run falls back to global)",
+    )
     ap.add_argument(
         "--source-dim",
         default=None,
@@ -186,6 +259,7 @@ def main(argv: list[str] | None = None) -> int:
             args.resume,
             drift=not args.no_drift,
             source_dim_path=args.source_dim,
+            drift_baseline=args.drift_baseline,
         )
     print(json.dumps(report))
     return 0

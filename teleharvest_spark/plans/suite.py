@@ -25,6 +25,7 @@ class ValidationResult:
     violations: DataFrame  # schema.VIOLATIONS
     verdicts: DataFrame    # per-source verdict + metrics
     stats: DataFrame       # raw per-partition stats
+    hist: DataFrame | None = None  # per-(source, bucket) n_tok histogram of THIS run
     _cached: tuple = ()    # internal: persisted DataFrames to release
     _overlap: tuple = ()   # internal: persisted branches independent of violations
 
@@ -201,6 +202,7 @@ def run_suite(
         violations=violations,
         verdicts=verdicts,
         stats=part_stats,
+        hist=hist,
         _cached=(violations, dups)
         + overlap
         + ((hist,) if hist is not None else ()),

@@ -75,3 +75,56 @@ def test_cli_resume_drift_uses_full_baseline(spark, suite, tmp_path):
     # src_07's n_tok is drifted (mean ×2, datagen) — vs the full-table
     # baseline KS must be clearly nonzero; self-compare would be ~0.
     assert verd[0]["ks"] > 0.05
+
+
+def test_temporal_drift_baseline(spark, suite, tmp_path):
+    """drift_baseline='previous': run 2 compares each source against
+    ITS OWN run-1 histogram — a shifted source fails, stable sources
+    pass, and the stored baseline advances run-over-run."""
+    from pyspark.sql import functions as F
+
+    inp1 = str(tmp_path / "seqs1")
+    inp2 = str(tmp_path / "seqs2")
+    out = str(tmp_path / "out")
+    base = datagen.generate_sequences(spark, 3_000, suite)
+    base.write.parquet(inp1)
+    # run 2 input: same distribution EXCEPT src_01 shifts n_tok up 8x
+    base.withColumn(
+        "n_tok",
+        F.when(F.col("source") == "src_01", F.col("n_tok") * 8).otherwise(
+            F.col("n_tok")
+        ),
+    ).write.parquet(inp2)
+
+    r1 = cli.run(
+        spark, inp1, out, suite, run_id="t1", drift_baseline="previous"
+    )
+    assert not r1["skipped"]
+    # baseline stored and pointer live
+    assert (tmp_path / "out" / "_drift_baseline" / "_LATEST").exists()
+
+    r2 = cli.run(
+        spark, inp2, out, suite, run_id="t2", drift_baseline="previous"
+    )
+    v2 = {
+        r["source"]: r
+        for r in spark.read.parquet(f"{out}/verdicts/t2").collect()
+        if r["source"] is not None
+    }
+    assert v2["src_01"]["drift_verdict"] == "fail"  # temporal shift caught
+    assert v2["src_01"]["ks"] > suite.max_ks
+    # a stable hot source matches its own previous histogram ~exactly
+    assert v2["src_00"]["drift_verdict"] == "pass"
+    assert v2["src_00"]["ks"] < 0.05
+
+    # identical re-run vs the NEW baseline (which now holds run-2
+    # histograms): every source self-compares → all pass
+    r3 = cli.run(
+        spark, inp2, out, suite, run_id="t3", drift_baseline="previous"
+    )
+    v3 = {
+        r["source"]: r
+        for r in spark.read.parquet(f"{out}/verdicts/t3").collect()
+        if r["source"] is not None
+    }
+    assert all(v["drift_verdict"] == "pass" for v in v3.values())
