@@ -119,6 +119,7 @@ def run_all(
     stages: tuple[str, ...] = ("validate", "similarity", "metrics"),
     metrics_key: str = "source",
     metrics_seq: str = "doc_seq",
+    drift_baseline: str = "global",
 ) -> dict:
     """Run the composed pipeline; returns a per-stage report dict.
 
@@ -141,6 +142,7 @@ def run_all(
             r = cli.run(
                 spark, input_path, output_path, suite, run_id,
                 resume=resume, drift=drift, source_dim_path=source_dim_path,
+                drift_baseline=drift_baseline,
             )
             write_stage_state(
                 output_path, "validate",
