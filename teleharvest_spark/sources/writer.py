@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["write_partitioned"]
+__all__ = ["write_partitioned", "compact_partitioned"]
 
 
 def write_partitioned(
@@ -87,3 +87,53 @@ def write_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    partition_by: tuple[str, ...] = ("source",),
+    files_per_partition: int = 4,
+    sort_within: str | None = None,
+) -> dict:
+    """Rewrite an append-accumulated partitioned table back to the
+    bounded-file-count layout.
+
+    Every ``mode="append"`` validation run adds up to
+    ``files_per_partition`` files per partition dir (cli.py violations
+    sink), so a long-lived warehouse accretes small files until
+    listing and task scheduling dominate reads. Compaction re-runs the
+    same size-controlled write into a staging directory and swaps it
+    in via two directory renames — the local stand-in for Iceberg's
+    ``rewrite_data_files`` (which makes the swap a single atomic
+    snapshot commit; the brief rename window is the cost of raw
+    parquet). Returns {files_before, files_after, rows}.
+    """
+    import os
+    import shutil
+
+    def _count_files(p: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    before = _count_files(path)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    staging = path.rstrip("/") + "__compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_partitioned(
+        df,
+        staging,
+        partition_by=partition_by,
+        files_per_partition=files_per_partition,
+        sort_within=sort_within,
+        mode="overwrite",
+    )
+    old = path.rstrip("/") + "__precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"files_before": before, "files_after": _count_files(path), "rows": rows}

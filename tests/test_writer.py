@@ -77,3 +77,39 @@ def test_rejects_bad_file_count(spark, tmp_path):
     df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
     with pytest.raises(ValueError):
         write_partitioned(df, str(tmp_path / "x"), files_per_partition=0)
+
+
+def test_compact_partitioned_restores_file_bound(spark, tmp_path):
+    """Three append runs triple the per-partition file count;
+    compaction restores the bound and preserves every row."""
+    from teleharvest_spark.sources.writer import compact_partitioned, write_partitioned
+
+    path = str(tmp_path / "acc")
+    rows = [(f"d{i}", f"src{i % 3}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, v int")
+    for _ in range(3):
+        write_partitioned(
+            df, path, partition_by=("source",), files_per_partition=2,
+            sort_within="doc_id", mode="append",
+        )
+    import os
+
+    def files_in(p):
+        return [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    assert len(files_in(path)) > 2 * 3  # accreted small files
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    rep = compact_partitioned(
+        spark, path, partition_by=("source",), files_per_partition=2,
+        sort_within="doc_id",
+    )
+    assert rep["rows"] == 900
+    assert rep["files_after"] <= 2 * 3  # bound restored per partition dir
+    assert rep["files_after"] < rep["files_before"]
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before  # lossless
