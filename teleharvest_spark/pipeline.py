@@ -133,7 +133,13 @@ def run_all(
 
     if "validate" in stages:
         sequences = spark.read.parquet(input_path)
-        digest = content_digest(sequences, "doc_id", "n_tok") + ":" + suite.suite_hash()
+        # the digest covers everything that changes the stage's output:
+        # input content, thresholds, and the drift-comparator mode
+        digest = (
+            content_digest(sequences, "doc_id", "n_tok")
+            + ":" + suite.suite_hash()
+            + ":" + drift_baseline
+        )
         prev = read_stage_state(output_path, "validate") if resume else None
         if prev and prev.get("digest") == digest:
             report["stages"]["validate"] = {"skipped": True}
