@@ -102,9 +102,18 @@ def metrics_refresh(
 
     Returns the merged stored table.
     """
-    floor = watermark.lookback_floor(stored, key=key, seq=seq, limit=limit)
-    wm = watermark.high_water_marks(stored, key=key, seq=seq)
-    bounds = floor.join(wm, key)  # |keys| rows
+    # ONE partial-agg pass for both bounds: the lookback floor —
+    # min of the first ``limit`` ids ascending, both here
+    # (watermark.lookback_floor) and in the reference
+    # (models/message.py:91-110 takes min over the ascending LIMIT
+    # page) — is identically the per-key global min for any limit ≥ 1,
+    # so the floor needs no window/limit pass at all and the two
+    # separate stored scans (window+agg for floor, agg for watermark)
+    # collapse into a single column-pruned scan with map-side partials.
+    # lookback_floor stays as the standalone parity operator (A2/O2).
+    bounds = stored.groupBy(key).agg(
+        F.min(seq).alias("first_seq"), F.max(seq).alias("last_seq")
+    )  # |keys| rows
 
     windowed = (
         fresh.join(F.broadcast(bounds), key)
