@@ -19,18 +19,19 @@ def high_water_marks(df: DataFrame, key: str = "source", seq: str = "doc_seq") -
 
 
 def lookback_floor(df: DataFrame, key: str = "source", seq: str = "doc_seq", limit: int = 1000) -> DataFrame:
-    """Per-key min of the first `limit` ids ascending (A2/O2).
+    """Per-key lookback floor (A2/O2) — matches message.py:91-110.
 
-    Window + row_number ≤ limit → min. Matches message.py:91-110: the
-    floor of the bounded late-data refresh window.
+    The reference computes min over the ascending-LIMIT page of ids;
+    since the first ``limit`` ascending ids always contain the global
+    minimum, that is identically the per-key MIN for any limit ≥ 1 —
+    so the faithful implementation is one partial-agg groupBy, not a
+    window + row_number pass (which an earlier revision ran: a full
+    per-key sort for a value the map-side partials already produce).
+    ``limit`` is kept in the signature for call-site parity with the
+    reference's API.
     """
-    w = W.partitionBy(key).orderBy(F.asc(seq))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= limit)
-        .groupBy(key)
-        .agg(F.min(seq).alias("first_seq"))
-    )
+    del limit  # semantically inert — see docstring
+    return df.groupBy(key).agg(F.min(seq).alias("first_seq"))
 
 
 def incremental_scan(
