@@ -27,6 +27,11 @@ RE2), combining diacritics, and very long tokens.
 into documents — the values real telemetry produces and ANSI-mode
 casts turn into runtime errors.
 
+``--skew`` makes ``src_00`` hold ~95% of documents/events rows (the
+hot-partition shape the north rule calls out) — results must still
+hash-match the oracle, pinning that AQE/skew handling changes plans,
+never answers.
+
 ``--empty`` rebuilds every table with its schema and ZERO rows — the
 degenerate input that breaks naive aggregates (element_at on empty,
 div-by-zero means, collect-on-empty driver paths). Queries must run
@@ -145,7 +150,35 @@ def build(mode: str = "null") -> str:
         )
     for name, frame in extras.items():
         con.register(f"extra_{name}", frame)
+    if mode == "skew":
+        # documents: src_00 absorbs ~19x duplicated rows (hot source);
+        # events: user 7 absorbs them (hot session/window key). New
+        # surrogate ids keep uniqueness semantics intact.
+        con.execute(
+            f"""COPY (
+                SELECT * FROM '{SRC}/documents.parquet'
+                UNION ALL BY NAME
+                SELECT * REPLACE (
+                    doc_id + 1000000 * (g.i + 1) AS doc_id,
+                    'src_00' AS source
+                )
+                FROM '{SRC}/documents.parquet', generate_series(0, 18) g(i)
+            ) TO '{dst}/documents.parquet' (FORMAT parquet)"""
+        )
+        con.execute(
+            f"""COPY (
+                SELECT * FROM '{SRC}/events.parquet'
+                UNION ALL BY NAME
+                SELECT * REPLACE (
+                    event_id + 1000000 * (g.i + 1) AS event_id,
+                    CAST(7 AS BIGINT) AS user_id
+                )
+                FROM '{SRC}/events.parquet', generate_series(0, 18) g(i)
+            ) TO '{dst}/events.parquet' (FORMAT parquet)"""
+        )
     for t in check_oracles.TABLES:
+        if mode == "skew" and t in ("documents", "events"):
+            continue  # built above
         if mode == "empty":
             con.execute(
                 f"COPY (SELECT * FROM '{SRC}/{t}.parquet' WHERE 1=0) "
@@ -168,7 +201,7 @@ def build(mode: str = "null") -> str:
 if __name__ == "__main__":
     args = sys.argv[1:]
     mode = "null"
-    for m in ("empty", "unicode", "extreme"):
+    for m in ("empty", "unicode", "extreme", "skew"):
         if f"--{m}" in args:
             mode = m
     args = [a for a in args if not a.startswith("--")]

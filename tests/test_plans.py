@@ -152,3 +152,31 @@ def test_writer_shuffle_is_single_repartition(spark, tmp_path):
     for d in glob.glob(f"{out}/source=*"):
         n = len([f for f in glob.glob(f"{d}/*") if f.endswith(".parquet")])
         assert 1 <= n <= 2, (d, n)
+
+
+def test_repeated_suite_runs_leave_no_persisted_rdds(spark, suite):
+    """Block-manager hygiene regression pin (r2 fixed persist leaks):
+    after N suite runs each followed by cleanup(), the CacheManager
+    holds nothing from the suite (localCheckpoint residue is reclaimed
+    by the ContextCleaner on GC and is excluded via storage-level
+    check — persisted DataFrames use MEMORY_AND_DISK deserialized,
+    localCheckpoints use the serialized replicated level)."""
+    from teleharvest_spark import datagen
+    from teleharvest_spark.plans import suite as suite_plan
+
+    df = datagen.generate_sequences(spark, 1_000, suite)
+    for _ in range(3):
+        res = suite_plan.run_suite(df, suite, drift_vs_global=True)
+        res.materialize()
+        res.cleanup()
+    jsc = spark.sparkContext._jsc.sc()
+    # persistentRdds includes localCheckpoint RDDs; count only the
+    # deserialized MEMORY_AND_DISK ones (the persist() signature)
+    it = jsc.getPersistentRDDs().values().iterator()
+    leaked = 0
+    while it.hasNext():
+        rdd = it.next()
+        sl = rdd.getStorageLevel()
+        if sl.deserialized() and sl.useMemory():
+            leaked += 1
+    assert leaked == 0
