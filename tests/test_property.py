@@ -241,3 +241,50 @@ def test_model_matches_spark_block_keys(spark):
             want = _model_block_keys(r["simhash"] & (1 << 64) - 1, m)
             for c in range(m):
                 assert (r[f"k{c}"] & (1 << 64) - 1) == want[c][0], (r["simhash"], m, c)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard with PPJoin prefix + positional filters vs brute
+# ---------------------------------------------------------------------------
+
+WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
+DOC = st.lists(st.sampled_from(WORDS), min_size=0, max_size=8).map(" ".join)
+
+
+@PROP
+@given(
+    docs=st.lists(DOC, min_size=0, max_size=10),
+    thr=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_ngram_jaccard_matches_bruteforce(spark, docs, thr):
+    """The inverted-index join with prefix, size-ratio AND positional
+    filters must return EXACTLY the brute-force shingle-Jaccard ≥ t
+    pair set at every threshold — the filters are candidate pruning,
+    never answer pruning."""
+    from teleharvest_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)] or [(0, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, k=3, threshold=thr).collect()
+    }
+
+    def sh(text):
+        ws = [w for w in text.lower().split() if w]
+        if len(ws) >= 3:
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        return {" ".join(ws)}
+
+    want = {}
+    items = list(enumerate(docs)) or [(0, "x")]
+    for i, (ia, ta) in enumerate(items):
+        for ib, tb in items[i + 1 :]:
+            a, b = sh(ta), sh(tb)
+            inter = len(a & b)
+            j = inter / (len(a) + len(b) - inter)
+            if round(j, 6) >= thr:
+                want[(ia, ib)] = round(j, 6)
+    assert got == want
