@@ -288,3 +288,62 @@ def test_ngram_jaccard_matches_bruteforce(spark, docs, thr):
             if round(j, 6) >= thr:
                 want[(ia, ib)] = round(j, 6)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Drift KS/PSI vectorized kernel vs naive per-bucket recomputation
+# ---------------------------------------------------------------------------
+
+HISTPAIR = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),   # bucket
+        st.integers(min_value=0, max_value=50),  # cnt
+        st.integers(min_value=0, max_value=50),  # base_cnt
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@PROP
+@given(rows=HISTPAIR)
+def test_drift_metrics_match_naive(spark, rows):
+    """The Arrow KS/PSI kernel must agree with a naive loop over the
+    same aligned buckets (clipping and normalization included)."""
+    import math
+
+    from teleharvest_spark.operators import drift as drift_ops
+
+    hist = spark.createDataFrame(
+        [("s", b, c) for b, c, _ in rows], "source string, bucket int, cnt long"
+    )
+    base = spark.createDataFrame(
+        [(b, bc) for b, _, bc in rows], "bucket int, cnt long"
+    )
+    got = drift_ops.drift_metrics(hist, base).collect()[0]
+
+    rows = sorted(rows)  # KS cumsums run in bucket order
+    cnts = [c for _, c, _ in rows]
+    bases = [bc for _, _, bc in rows]
+    n, m = sum(cnts), sum(bases)
+    if n == 0 or m == 0:
+        # spec: an empty side is fully drifted (kernel returns 1.0/inf)
+        assert got["ks"] == 1.0 and math.isinf(got["psi"])
+        return
+    p = [c / n for c in cnts]
+    q = [bc / m for bc in bases]
+    cp = cq = 0.0
+    ks = 0.0
+    for pi, qi in zip(p, q):
+        cp += pi
+        cq += qi
+        ks = max(ks, abs(cp - cq))
+    ks = min(1.0, ks)
+    eps = drift_ops._PSI_EPS
+    psi = sum(
+        (max(pi, eps) - max(qi, eps)) * math.log(max(pi, eps) / max(qi, eps))
+        for pi, qi in zip(p, q)
+    )
+    assert abs(got["ks"] - ks) < 1e-9
+    assert abs(got["psi"] - psi) < 1e-9
