@@ -164,19 +164,23 @@ def test_repeated_suite_runs_leave_no_persisted_rdds(spark, suite):
     from teleharvest_spark import datagen
     from teleharvest_spark.plans import suite as suite_plan
 
+    def persisted_count():
+        # persistentRdds includes localCheckpoint RDDs; count only the
+        # deserialized MEMORY_AND_DISK ones (the persist() signature)
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        n = 0
+        while it.hasNext():
+            sl = it.next().getStorageLevel()
+            if sl.deserialized() and sl.useMemory():
+                n += 1
+        return n
+
+    # delta, not absolute: the session is shared across the test run
+    # and other tests may hold legitimate caches
+    before = persisted_count()
     df = datagen.generate_sequences(spark, 1_000, suite)
     for _ in range(3):
         res = suite_plan.run_suite(df, suite, drift_vs_global=True)
         res.materialize()
         res.cleanup()
-    jsc = spark.sparkContext._jsc.sc()
-    # persistentRdds includes localCheckpoint RDDs; count only the
-    # deserialized MEMORY_AND_DISK ones (the persist() signature)
-    it = jsc.getPersistentRDDs().values().iterator()
-    leaked = 0
-    while it.hasNext():
-        rdd = it.next()
-        sl = rdd.getStorageLevel()
-        if sl.deserialized() and sl.useMemory():
-            leaked += 1
-    assert leaked == 0
+    assert persisted_count() - before == 0
