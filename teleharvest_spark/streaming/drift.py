@@ -65,6 +65,43 @@ def streaming_ntok_histogram(
     )
 
 
+def streaming_token_histogram(
+    stream: DataFrame,
+    ts_col: str = "event_ts",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked per-(window, source) TOKEN-ID bucket counts — the
+    vocab-shift twin of ``streaming_ntok_histogram`` (same emit-once
+    append-mode contract, same sink). Tokens are pre-bucketed per row
+    with a narrow ``transform`` before the explode, so the partial
+    hash aggregation collapses each task's explosion to ≤
+    TOKEN_ID_BUCKETS rows per (window, source) before any shuffle —
+    state stays |open windows| × |sources| × 128 regardless of tokens
+    per row."""
+    from ..datagen import VOCAB
+
+    if ts_col not in stream.columns:
+        stream = stream.withColumn(ts_col, F.current_timestamp())
+    width = max(1, VOCAB // drift_ops.TOKEN_ID_BUCKETS)
+    buckets = F.transform(
+        F.coalesce(F.col("tokens"), F.array().cast("array<int>")),
+        lambda t: F.least(F.floor(t / width), F.lit(drift_ops.TOKEN_ID_BUCKETS - 1)).cast(
+            "int"
+        ),
+    )
+    return (
+        stream.where(F.col("source").isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), "source", F.explode(buckets).alias("bucket"))
+        .groupBy(F.window(F.col(ts_col), window), F.col("source"), F.col("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"), "source", "bucket", "cnt"
+        )
+    )
+
+
 def _windowed_metrics_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     out = drift_ops._drift_metrics_pdf(pdf)
     out.insert(0, "window_start", pdf["window_start"].iloc[0])
@@ -110,9 +147,17 @@ def start_windowed_drift(
     window: str = "1 minute",
     watermark: str = "5 minutes",
     suite: CheckSuite | None = None,
+    histogram: str = "n_tok",
 ):
-    """Wire a sequence stream into the windowed drift metrics sink."""
-    hist = streaming_ntok_histogram(stream, ts_col=ts_col, window=window, watermark=watermark)
+    """Wire a sequence stream into the windowed drift metrics sink.
+
+    ``histogram``: ``"n_tok"`` (length drift) or ``"tokens"``
+    (vocab-shift drift over token-id buckets) — the baseline must be
+    the matching bucketing."""
+    builder = (
+        streaming_token_histogram if histogram == "tokens" else streaming_ntok_histogram
+    )
+    hist = builder(stream, ts_col=ts_col, window=window, watermark=watermark)
     return (
         hist.writeStream.outputMode("append")
         .foreachBatch(windowed_drift_sink(spark, baseline_hist, sink_path, suite))

@@ -345,3 +345,48 @@ def test_streaming_windowed_drift(spark, tmp_path):
     assert abs(r["ks"] - want["ks"]) < 1e-9
     assert abs(r["psi"] - want["psi"]) < 1e-9
     assert r["ks"] > 0.4  # all-in-one-bucket vs 50/50 is heavy drift
+
+
+def test_streaming_token_vocab_drift(spark, tmp_path):
+    """Vocab-shift drift in continuous mode: a window whose token ids
+    come from a different vocab region scores heavy PSI vs the
+    baseline token histogram; emit-once semantics as in the n_tok
+    path."""
+    import datetime as dt
+
+    from teleharvest_spark.operators import drift as drift_ops
+    from teleharvest_spark.streaming import drift as sdrift
+
+    drop = tmp_path / "vocab_drop"
+    drop.mkdir()
+    sink = str(tmp_path / "vocab_metrics")
+    ckpt = str(tmp_path / "vocab_ckpt")
+    schema = "doc_id string, tokens array<int>, source string, event_ts timestamp"
+    width = max(1, 50257 // drift_ops.TOKEN_ID_BUCKETS)
+
+    # baseline: tokens uniformly in buckets 0 and 1
+    baseline = spark.createDataFrame(
+        [(0, 50), (1, 50)], "bucket int, cnt long"
+    )
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(str(drop))
+        stream = spark.readStream.schema(schema).parquet(str(drop))
+        q = sdrift.start_windowed_drift(
+            spark, stream, baseline, sink, ckpt,
+            window="1 minute", watermark="2 minutes", histogram="tokens",
+        )
+        q.awaitTermination()
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    late = dt.datetime(2024, 1, 1, 13, 0, 0)
+    # window [12:00, 12:01): all tokens land in bucket 5 — far from
+    # the baseline's 0/1 mass
+    rows1 = [(f"d{i}", [5 * width + 3] * 4, "src_a", t0) for i in range(10)]
+    run(rows1)
+    run([("dl", [1], "src_a", late)])  # advances the watermark
+
+    got = [r for r in spark.read.parquet(sink).collect() if r["window_start"] == t0]
+    assert len(got) == 1
+    assert got[0]["ks"] == 1.0  # disjoint support → max drift
+    assert got[0]["psi"] > 1.0
