@@ -92,6 +92,62 @@ def build_suite(path: str | None) -> CheckSuite:
     return CheckSuite(**overrides)
 
 
+TOKEN_BASELINE_DIRNAME = "_token_drift_baseline"
+
+
+def token_drift_pass(
+    spark: SparkSession,
+    sequences,
+    output_path: str,
+    suite: CheckSuite,
+    run_id: str,
+) -> dict:
+    """Opt-in temporal VOCAB-shift drift: token-id histogram of this
+    run vs each source's stored histogram from the last pass.
+
+    Deliberately a separate scan from the check suite: the suite's
+    one-decode contract (plans/suite.py) is its throughput floor, and
+    fusing an explode into the fused violations plan would break it —
+    so vocab drift costs one additional decode pass and is opt-in
+    (``--token-drift``). Output: ``<out>/token_drift/<run_id>`` with
+    per-source (ks, psi, drift_verdict); first pass (no stored
+    baseline) writes the baseline and reports no metrics.
+    """
+    from .operators import drift as drift_ops
+    from .streaming import refresh as vsink
+
+    bl_dir = os.path.join(output_path, TOKEN_BASELINE_DIRNAME)
+    hist = drift_ops.token_id_histogram(sequences).persist()
+    prev = None
+    if vsink._latest_version(bl_dir) is not None:
+        prev = vsink.read_stored(spark, bl_dir)
+    report: dict = {"token_drift_baseline": prev is not None}
+    if prev is not None:
+        metrics = drift_ops.drift_verdicts(
+            drift_ops.drift_metrics(hist, prev), suite
+        )
+        out_path = f"{output_path}/token_drift/{run_id}"
+        metrics.write.mode("overwrite").parquet(out_path)
+        rows = spark.read.parquet(out_path)
+        report["token_drift_sources"] = rows.count()
+        report["token_drift_failed"] = rows.where(
+            F.col("drift_verdict") == "fail"
+        ).count()
+    # advance the baseline (merge over untouched sources, as the n_tok
+    # temporal baseline does)
+    out = hist
+    if prev is not None:
+        untouched = prev.join(hist.select("source").distinct(), "source", "left_anti")
+        out = untouched.unionByName(hist)
+    vname = f"v{run_id}"
+    vdir = os.path.join(bl_dir, vname)
+    out.write.mode("overwrite").parquet(vdir)
+    vsink._flip_pointer(bl_dir, vname)
+    vsink._gc_versions(bl_dir, vname)
+    hist.unpersist()
+    return report
+
+
 def run(
     spark: SparkSession,
     input_path: str,
@@ -102,6 +158,7 @@ def run(
     drift: bool = True,
     source_dim_path: str | None = None,
     drift_baseline: str = "global",
+    token_drift: bool = False,
 ) -> dict:
     """``drift_baseline``:
 
@@ -180,6 +237,11 @@ def run(
     mf.append_manifest_rows(spark, output_path, res.verdicts, snapshots, suite, run_id)
     if drift and drift_baseline == "previous" and res.hist is not None:
         _store_baseline(spark, output_path, res.hist, prev_baseline, run_id)
+    token_report = (
+        token_drift_pass(spark, sequences, output_path, suite, run_id)
+        if token_drift
+        else {}
+    )
     n_rows = sequences.count()
     wall = time.perf_counter() - t0
     report = {
@@ -191,6 +253,7 @@ def run(
         "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
         "suite_hash": suite.suite_hash(),
         "skipped": False,
+        **token_report,
     }
     res.cleanup()
     return report
@@ -204,6 +267,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--resume", action="store_true", help="skip partitions already in the manifest")
     ap.add_argument("--no-drift", action="store_true", help="skip the KS/PSI drift check")
+    ap.add_argument(
+        "--token-drift",
+        action="store_true",
+        help="opt-in temporal vocab-shift drift (token-id histograms "
+        "vs the previous pass; costs one extra decode scan)",
+    )
     ap.add_argument(
         "--drift-baseline",
         choices=("global", "previous"),
@@ -260,6 +329,7 @@ def main(argv: list[str] | None = None) -> int:
             drift=not args.no_drift,
             source_dim_path=args.source_dim,
             drift_baseline=args.drift_baseline,
+            token_drift=args.token_drift,
         )
     print(json.dumps(report))
     return 0

@@ -128,3 +128,38 @@ def test_temporal_drift_baseline(spark, suite, tmp_path):
         if r["source"] is not None
     }
     assert all(v["drift_verdict"] == "pass" for v in v3.values())
+
+
+def test_temporal_token_drift(spark, suite, tmp_path):
+    """--token-drift: pass 1 stores the vocab baseline (no metrics);
+    pass 2 on a vocab-shifted source fails that source only."""
+    from pyspark.sql import functions as F
+
+    inp1 = str(tmp_path / "tseqs1")
+    inp2 = str(tmp_path / "tseqs2")
+    out = str(tmp_path / "tout")
+    base = datagen.generate_sequences(spark, 2_000, suite)
+    base.write.parquet(inp1)
+    # collapse src_01's vocab into the first histogram bucket (a
+    # uniform cyclic shift would be histogram-invisible)
+    base.withColumn(
+        "tokens",
+        F.when(
+            F.col("source") == "src_01",
+            F.transform("tokens", lambda t: F.pmod(t, F.lit(700)).cast("int")),
+        ).otherwise(F.col("tokens")),
+    ).write.parquet(inp2)
+
+    r1 = cli.run(spark, inp1, out, suite, run_id="k1", token_drift=True)
+    assert r1["token_drift_baseline"] is False  # first pass: baseline only
+    assert (tmp_path / "tout" / "_token_drift_baseline" / "_LATEST").exists()
+
+    r2 = cli.run(spark, inp2, out, suite, run_id="k2", token_drift=True)
+    assert r2["token_drift_baseline"] is True
+    rows = {
+        r["source"]: r
+        for r in spark.read.parquet(f"{out}/token_drift/k2").collect()
+    }
+    assert rows["src_01"]["drift_verdict"] == "fail"
+    assert rows["src_00"]["drift_verdict"] == "pass"
+    assert r2["token_drift_failed"] >= 1
