@@ -347,3 +347,44 @@ def test_drift_metrics_match_naive(spark, rows):
     )
     assert abs(got["ks"] - ks) < 1e-9
     assert abs(got["psi"] - psi) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Hash split — engine-portable model (md5 carve) and invariants
+# ---------------------------------------------------------------------------
+
+@PROP
+@given(
+    keys=st.lists(
+        st.one_of(st.none(), st.text(alphabet="abc123", min_size=0, max_size=6)),
+        min_size=0,
+        max_size=15,
+    ),
+    fracs=st.sampled_from([(0.8, 0.1), (0.5, 0.25), (0.98, 0.01)]),
+)
+def test_split_assign_matches_md5_model(spark, keys, fracs):
+    """split_assign must equal the pure-Python md5 carve for every key
+    (content-defined: any engine that can md5 a string reproduces the
+    split), with NULL keys getting NULL split."""
+    import hashlib
+
+    from teleharvest_spark.operators import sampling
+
+    train, val = fracs
+    df = spark.createDataFrame([(k,) for k in keys] or [("x",)], "doc_id string")
+    got = {
+        (r["doc_id"], r["split"])
+        for r in sampling.split_assign(df, train=train, val=val).collect()
+    }
+
+    t_hi = int(train * 65536)
+    v_hi = t_hi + int(val * 65536)
+
+    def model(k):
+        if k is None:
+            return None
+        b = int(hashlib.md5(k.encode()).hexdigest()[:4], 16)
+        return "train" if b < t_hi else ("val" if b < v_hi else "test")
+
+    want = {(k, model(k)) for k in (keys or ["x"])}
+    assert got == want
