@@ -456,10 +456,14 @@ def q_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_blocked_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated SimHash blocking-losslessness invariant (VERDICT r2
     item 4): pigeonhole blocking must return EXACTLY the O(n²)
-    Hamming ≤ 4 pair set. ONE row (has_pairs, n_missed, n_extra);
-    has_pairs pins non-vacuity (the fixture does contain near pairs).
-    The brute side is a broadcast self-join — test-scale only (the
-    invariant is what ships; production uses the blocked operator).
+    Hamming ≤ 4 pair set. ONE row (n_missed, n_extra). Non-vacuity
+    (the fixture DOES contain near pairs) is pinned at pytest level on
+    the known fixture (tests/test_entry.py) rather than in the oracle:
+    a fuzz variant that mutates away every near-dup still satisfies
+    blocked ≡ brute, and the old has_pairs=TRUE pin failed it
+    spuriously (ADVICE r3). The brute side is a broadcast self-join —
+    test-scale only (the invariant is what ships; production uses the
+    blocked operator).
     """
     docs = _load(spark, sf_dir, "documents")
     sigs = dedup.simhash(docs).select("doc_id", "simhash")
@@ -483,12 +487,7 @@ def q_simhash_blocked_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_extra = blocked.join(brute, ["id_a", "id_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_extra")
     )
-    # non-vacuity degrades gracefully on degenerate corpora (< 2 docs —
-    # the --empty fuzz gate): no pairs are expected there
-    has = brute.agg(F.count(F.lit(1)).alias("_np")).crossJoin(
-        docs.agg(F.count(F.lit(1)).alias("_nd"))
-    ).select(((F.col("_np") > 0) | (F.col("_nd") < 2)).alias("has_pairs"))
-    return has.crossJoin(n_missed).crossJoin(n_extra)
+    return n_missed.crossJoin(n_extra)
 
 
 def q_drift_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1506,10 +1505,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SimHash blocking losslessness: the pair sets are
         # hash-family-specific (seeded Python kernel), so the oracle
-        # pins the INVARIANT — blocked ≡ brute and non-vacuously so
+        # pins the INVARIANT — blocked ≡ brute (non-vacuity is a
+        # pytest on the known fixture, not an oracle pin: see docstring)
         "simhash_blocked_vs_brute": """
-            SELECT TRUE AS has_pairs,
-                   CAST(0 AS BIGINT) AS n_missed,
+            SELECT CAST(0 AS BIGINT) AS n_missed,
                    CAST(0 AS BIGINT) AS n_extra
         """,
         "window_tumbling": """

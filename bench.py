@@ -64,14 +64,17 @@ SF1_SUITE_ROWS = int(os.environ.get("SPARK_GRAFT_SF1_SUITE_ROWS", "20000000"))
 
 def build_sf1(spark, base_dir: str) -> None:
     """Deterministic 10x replication of the sf0.1 document/embedding
-    tables. Copy i prefixes EVERY word with ``c{i}_``: the within-copy
-    near-dup structure (shingle Jaccard, simhash bit votes) is exactly
+    tables. Copy i SUFFIXES every whitespace-run token with ``_q{i}``
+    (regexp_replace ``(\\S+)`` → ``$1_q{i}``): the within-copy near-dup
+    structure (shingle Jaccard, simhash bit votes) is exactly
     preserved, while copies share zero shingles/word-features with each
     other — so the TRUE pair count scales ~10x, and the sf1 timings
     measure candidate-generation scaling, not a quadratic explosion of
     genuine cross-copy duplicates (the first fixture draft used a
     1-word suffix and 98% of its 5.5M simhash pairs were copy-of-copy
-    self-matches)."""
+    self-matches). n_chars is bumped by a flat +3 — intentionally
+    approximate (one token's worth); nothing downstream derives it
+    from the rewritten text."""
     from pyspark.sql import functions as F
 
     if os.path.isdir(f"{SF1_DIR}/documents.parquet"):

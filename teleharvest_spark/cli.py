@@ -123,8 +123,17 @@ def token_drift_pass(
         prev = vsink.read_stored(spark, bl_dir)
     report: dict = {"token_drift_baseline": prev is not None}
     if prev is not None:
+        # Resume runs pass a partition-filtered ``sequences``: sources
+        # skipped this run are present in the stored baseline but absent
+        # from this run's histogram, and the full-outer alignment would
+        # score them ks=1.0/psi=inf ("all mass vanished"). Those sources
+        # were not validated this run — restrict the metrics to sources
+        # actually observed. Novel sources (in hist, not in baseline)
+        # still fail loudly, as documented.
+        observed = hist.select("source").distinct()
         metrics = drift_ops.drift_verdicts(
-            drift_ops.drift_metrics(hist, prev), suite
+            drift_ops.drift_metrics(hist, prev).join(observed, "source", "semi"),
+            suite,
         )
         out_path = f"{output_path}/token_drift/{run_id}"
         metrics.write.mode("overwrite").parquet(out_path)

@@ -74,9 +74,18 @@ def write_stage_state(output_path: str, stage: str, state: dict) -> None:
 
 
 def content_digest(df: DataFrame, *cols: str) -> str:
-    """Order-independent content digest of ``cols``: row count +
-    bit_xor of per-row xxhash64 — one aggregate scan, map-side
-    partial."""
+    """Order-independent content digest: row count + bit_xor of per-row
+    xxhash64 — one aggregate scan, map-side partial.
+
+    With no ``cols``, digests EVERY column. Stage-skip digests must
+    cover the value columns a stage reads, not just its keys: a metrics
+    refresh whose observations keep the same (key, seq) pairs but carry
+    new view/reaction counts is a different input, and a key-only
+    digest would silently skip the merge under resume (ADVICE r3).
+    Arrays (tokens, embeddings) cast to their deterministic string
+    form, so element changes move the hash too."""
+    if not cols:
+        cols = tuple(df.columns)
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(
@@ -136,7 +145,7 @@ def run_all(
         # the digest covers everything that changes the stage's output:
         # input content, thresholds, and the drift-comparator mode
         digest = (
-            content_digest(sequences, "doc_id", "n_tok")
+            content_digest(sequences)
             + ":" + suite.suite_hash()
             + ":" + drift_baseline
         )
@@ -158,7 +167,7 @@ def run_all(
 
     if "similarity" in stages and embeddings_path:
         emb = spark.read.parquet(embeddings_path)
-        digest = content_digest(emb, "vec_id", "label")
+        digest = content_digest(emb)
         prev = read_stage_state(output_path, "similarity") if resume else None
         if prev and prev.get("digest") == digest:
             report["stages"]["similarity"] = {"skipped": True}
@@ -177,11 +186,21 @@ def run_all(
         target = os.path.join(output_path, "metrics")
         obs = spark.read.parquet(metrics_obs_path)
         stored = vsink.read_stored(spark, target)
-        digest = content_digest(obs, metrics_key, metrics_seq) + ":" + content_digest(
-            stored, metrics_key, metrics_seq
-        )
+        # Skip iff (a) the observations are byte-identical to the last
+        # completed run AND (b) the stored table is exactly the output
+        # that run produced. The merge mutates its own input table, so
+        # a naive digest-of-inputs can never match twice; recording the
+        # OUTPUT digest keeps idempotent re-runs skippable while any
+        # external edit of the stored table (or new obs values under
+        # the same keys — ADVICE r3) forces a re-merge.
+        obs_digest = content_digest(obs)
+        stored_digest = content_digest(stored)
         prev = read_stage_state(output_path, "metrics") if resume else None
-        if prev and prev.get("digest") == digest:
+        if (
+            prev
+            and prev.get("obs_digest") == obs_digest
+            and prev.get("stored_out_digest") == stored_digest
+        ):
             report["stages"]["metrics"] = {"skipped": True}
         else:
             merged = refresh_ops.metrics_refresh(
@@ -191,15 +210,23 @@ def run_all(
             # table being read — the streaming sink's crash-safety story)
             import hashlib
 
-            vname = "v" + hashlib.md5(digest.encode()).hexdigest()[:12]
+            vname = "v" + hashlib.md5(
+                (obs_digest + ":" + stored_digest).encode()
+            ).hexdigest()[:12]
             vdir = os.path.join(target, vname)
             merged.write.mode("overwrite").parquet(vdir)
             vsink._flip_pointer(target, vname)
             vsink._gc_versions(target, vname)
-            n = spark.read.parquet(vdir).count()
+            out_df = spark.read.parquet(vdir)
+            n = out_df.count()
             write_stage_state(
                 output_path, "metrics",
-                {"digest": digest, "run_id": run_id, "rows": n},
+                {
+                    "obs_digest": obs_digest,
+                    "stored_out_digest": content_digest(out_df),
+                    "run_id": run_id,
+                    "rows": n,
+                },
             )
             report["stages"]["metrics"] = {"rows": n}
 

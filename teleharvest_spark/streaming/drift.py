@@ -116,14 +116,25 @@ def windowed_drift_sink(
 ):
     """foreachBatch body: each batch carries FINALIZED (window, source,
     bucket, cnt) rows (append mode); dense-align against the static
-    global baseline and append (window, source, ks, psi[, verdict])."""
+    baseline and append (window, source, ks, psi[, verdict]).
+
+    The baseline may be GLOBAL (bucket, cnt — every source compared
+    against the pooled histogram) or PER-SOURCE (source, bucket, cnt —
+    the shape batch ``drift_metrics`` accepts and the temporal baseline
+    store produces): mirror of drift_metrics' branch, a per-source
+    baseline joins on source instead of cross-joining (a crossJoin
+    there would duplicate the source column and mis-align buckets)."""
+    per_source = "source" in baseline_hist.columns
     base = baseline_hist.withColumnRenamed("cnt", "base_cnt")
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         keys = batch.select("window_start", "source").distinct()
-        dense = keys.crossJoin(F.broadcast(base))
+        if per_source:
+            dense = keys.join(F.broadcast(base), "source")
+        else:
+            dense = keys.crossJoin(F.broadcast(base))
         joined = batch.join(
             dense, ["window_start", "source", "bucket"], "full_outer"
         ).fillna({"cnt": 0, "base_cnt": 0})

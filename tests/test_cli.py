@@ -163,3 +163,47 @@ def test_temporal_token_drift(spark, suite, tmp_path):
     assert rows["src_01"]["drift_verdict"] == "fail"
     assert rows["src_00"]["drift_verdict"] == "pass"
     assert r2["token_drift_failed"] >= 1
+
+
+def test_token_drift_resume_skips_untouched_sources(spark, suite, tmp_path):
+    """ADVICE r3 (cli.py): under --resume, sources skipped this run are
+    in the stored vocab baseline but absent from the run's histogram —
+    they must NOT surface as ks=1.0/psi=inf failures. Only revalidated
+    sources appear in the token_drift output."""
+    from pyspark.sql import functions as F
+
+    inp1 = str(tmp_path / "rseqs1")
+    inp2 = str(tmp_path / "rseqs2")
+    out = str(tmp_path / "rout")
+    base = datagen.generate_sequences(spark, 2_000, suite)
+    base.write.parquet(inp1)
+    r1 = cli.run(spark, inp1, out, suite, run_id="v1", token_drift=True)
+    assert r1["token_drift_baseline"] is False
+
+    # mutate ONLY src_01: collapse its vocab (drift) and append a token
+    # so n_tok moves and the manifest re-queues exactly that partition
+    shifted = F.concat(
+        F.transform("tokens", lambda t: F.pmod(t, F.lit(700)).cast("int")),
+        F.array(F.lit(0).cast("int")),
+    )
+    base.withColumn(
+        "tokens",
+        F.when(F.col("source") == "src_01", shifted).otherwise(F.col("tokens")),
+    ).withColumn(
+        "n_tok",
+        F.when(F.col("source") == "src_01", F.col("n_tok") + 1).otherwise(
+            F.col("n_tok")
+        ),
+    ).write.parquet(inp2)
+
+    r2 = cli.run(spark, inp2, out, suite, run_id="v2", resume=True, token_drift=True)
+    assert r2["token_drift_baseline"] is True
+    rows = {
+        r["source"]: r
+        for r in spark.read.parquet(f"{out}/token_drift/v2").collect()
+    }
+    # untouched sources were not revalidated -> not reported at all
+    assert "src_00" not in rows
+    assert set(rows) == {"src_01"}
+    assert rows["src_01"]["drift_verdict"] == "fail"
+    assert r2["token_drift_failed"] == 1

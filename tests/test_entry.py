@@ -33,3 +33,25 @@ def test_each_query_returns_rows_at_sf0001(spark):
     for name, fn in E.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.count() >= 0, name
+
+
+def test_simhash_invariant_non_vacuous(spark):
+    """The blocked==brute oracle gate proves losslessness; THIS pins
+    that the known fixture actually contains Hamming<=4 pairs, so the
+    gate isn't trivially satisfied by an empty pair set (moved out of
+    the oracle per ADVICE r3 — fuzz variants may legitimately have no
+    near pairs)."""
+    from teleharvest_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = dedup.simhash(docs).select("doc_id", "simhash")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    n = (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) <= 4
+        )
+        .count()
+    )
+    assert n > 0

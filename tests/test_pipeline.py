@@ -133,3 +133,31 @@ def test_run_all_input_change_requeues_stage(spark, suite, tmp_path):
     assert r2["stages"]["validate"].get("skipped")
     assert r2["stages"]["metrics"].get("skipped")
     assert r2["stages"]["similarity"]["rows"] == 31
+
+
+def test_run_all_value_change_requeues_metrics(spark, suite, tmp_path):
+    """ADVICE r3 (pipeline digests): refreshed observations covering the
+    SAME (key, seq) pairs but new metric VALUES must re-run the merge —
+    a key-only digest silently skipped it."""
+    inp, out, embp, obsp = _seed(spark, suite, tmp_path)
+    pipeline.run_all(
+        spark, inp, out, suite, "p1", embeddings_path=embp, metrics_obs_path=obsp
+    )
+    # overwrite obs: identical (source, doc_seq) keys, bigger view counts
+    fresh = [("ch", s, 500 + s, 20, 4) for s in range(1, 9) if s != 3] + [
+        ("ch", 3, 0, 0, 0)
+    ]
+    spark.createDataFrame(
+        fresh, "source string, doc_seq int, views int, reactions int, forwards int"
+    ).write.mode("overwrite").parquet(obsp)
+    r2 = pipeline.run_all(
+        spark, inp, out, suite, "p2", embeddings_path=embp, metrics_obs_path=obsp
+    )
+    assert not r2["stages"]["metrics"].get("skipped")
+    met = {r["doc_seq"]: r for r in vsink.read_stored(spark, f"{out}/metrics").collect()}
+    assert met[4]["views"] == 504  # the NEW values landed
+    # and a third run with nothing changed skips again
+    r3 = pipeline.run_all(
+        spark, inp, out, suite, "p3", embeddings_path=embp, metrics_obs_path=obsp
+    )
+    assert r3["stages"]["metrics"].get("skipped")

@@ -390,3 +390,67 @@ def test_streaming_token_vocab_drift(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["ks"] == 1.0  # disjoint support → max drift
     assert got[0]["psi"] > 1.0
+
+
+def test_streaming_windowed_drift_per_source_baseline(spark, tmp_path):
+    """ADVICE r3 (streaming/drift.py): a PER-SOURCE baseline (source,
+    bucket, cnt — the shape the temporal baseline store produces) must
+    dense-align each source against ITS OWN baseline rows, not
+    cross-join a duplicate source column. src_a matches its baseline
+    (no drift); src_b's mass sits in a bucket its baseline lacks
+    (heavy drift)."""
+    import datetime as dt
+
+    from teleharvest_spark.operators import drift as drift_ops
+    from teleharvest_spark.streaming import drift as sdrift
+
+    drop = tmp_path / "ps_drop"
+    drop.mkdir()
+    sink = str(tmp_path / "ps_metrics")
+    ckpt = str(tmp_path / "ps_ckpt")
+    schema = "doc_id string, n_tok int, source string, event_ts timestamp"
+    width = drift_ops.N_TOK_MAX_FOR_BUCKETS // drift_ops.N_TOK_BUCKETS
+
+    baseline = spark.createDataFrame(
+        [("src_a", 0, 100), ("src_b", 1, 100)],
+        "source string, bucket int, cnt long",
+    )
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(str(drop))
+        stream = spark.readStream.schema(schema).parquet(str(drop))
+        q = sdrift.start_windowed_drift(
+            spark, stream, baseline, sink, ckpt,
+            window="1 minute", watermark="2 minutes",
+        )
+        q.awaitTermination()
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    late = dt.datetime(2024, 1, 1, 13, 0, 0)
+    # src_a: all bucket 0 (== its baseline); src_b: all bucket 0 while
+    # its baseline is bucket 1 (disjoint support)
+    rows1 = [(f"a{i}", 10, "src_a", t0) for i in range(10)] + [
+        (f"b{i}", 10, "src_b", t0) for i in range(10)
+    ]
+    run(rows1)
+    run([("dl", width + 5, "src_a", late), ("dl2", width + 5, "src_b", late)])
+
+    got = {
+        r["source"]: r
+        for r in spark.read.parquet(sink).collect()
+        if r["window_start"] == t0
+    }
+    assert set(got) == {"src_a", "src_b"}
+    assert got["src_a"]["ks"] < 1e-9  # self-match: zero drift
+    assert got["src_b"]["ks"] == 1.0  # disjoint support vs own baseline
+    # batch-math parity for the per-source branch
+    hist = spark.createDataFrame(
+        [("src_a", 0, 10), ("src_b", 0, 10)],
+        "source string, bucket int, cnt long",
+    )
+    want = {
+        r["source"]: r for r in drift_ops.drift_metrics(hist, baseline).collect()
+    }
+    for s in ("src_a", "src_b"):
+        assert abs(got[s]["ks"] - want[s]["ks"]) < 1e-9
+        assert abs(got[s]["psi"] - want[s]["psi"]) < 1e-9
