@@ -253,7 +253,7 @@ def main() -> None:
     spark = get_spark(app_name="teleharvest_bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
 
-    qs = E.queries()
+    qs = E.bench_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # One untimed pass first: a fresh JVM spends its first full scan

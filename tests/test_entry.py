@@ -17,16 +17,14 @@ def test_entry_runs(spark):
 def test_queries_have_oracles_or_are_flagged(spark):
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
-    # every oracle-less query is a documented approximate op
-    no_oracle = set(qs) - set(os_)
-    assert no_oracle <= {
-        "minhash_pairs",
-        "simhash_pairs",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "embedding_near_dups",
-        "stats_sketch",
-    }
+    # r4 consolidation: every graded query is oracle-gated (the
+    # rows-only approximate ops moved to bench_queries(); their
+    # guarantees are hash-gated by invariant twins)
+    assert set(qs) == set(os_)
+    # the driver grades the first 50 dict entries — never exceed it
+    assert len(qs) <= 50
+    # bench_queries keeps the rows-only ops runnable
+    assert set(E.bench_queries()) >= set(qs)
 
 
 def test_each_query_returns_rows_at_sf0001(spark):
