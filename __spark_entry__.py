@@ -480,6 +480,49 @@ def q_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated incremental cross-snapshot dedup invariant (VERDICT
+    r3 item 2): dedup a NEW batch against a stored corpus index
+    (batch-only minhash + bucket equi-join — the corpus compute is
+    never repeated) must equal the FULL recompute restricted to pairs
+    touching the batch. Batch = doc_id ≡ 0 (mod 5); ONE row (n_missed,
+    n_extra), both pinned 0 by the oracle (the pair set is hash-
+    family-specific, so the oracle pins the INVARIANT — the
+    batch-crossing non-vacuity of the fixture is a pytest,
+    tests/test_dedup.py). Reference analogue: the watermark-
+    incremental idiom (processor.py:60-62) applied to dedup."""
+    docs = _load(spark, sf_dir, "documents")
+    is_batch = F.coalesce(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit(False))
+    batch = docs.where(is_batch)
+    corpus = docs.where(~is_batch)
+
+    corp_sigs = dedup.minhash_signatures(corpus, k=3).persist()
+    corp_buckets = dedup.band_buckets(corp_sigs)
+    handles: list = [corp_sigs]
+    inc = dedup.incremental_dedup_pairs(
+        batch, corp_sigs, corp_buckets, k=3, threshold=0.5, cache_handles=handles
+    ).select("id_a", "id_b")
+
+    full = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5, cache_handles=handles)
+    batch_ids = batch.select(F.col("doc_id").alias("_bid"))
+    full_touching = (
+        full.join(batch_ids, full.id_a == F.col("_bid"), "left_semi")
+        .unionByName(full.join(batch_ids, full.id_b == F.col("_bid"), "left_semi"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    n_missed = full_touching.join(inc, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    n_extra = inc.join(full_touching, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_extra")
+    )
+    out = n_missed.crossJoin(n_extra).localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return out
+
+
 def q_simhash_blocked_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated SimHash blocking-losslessness invariant (VERDICT r2
     item 4): pigeonhole blocking must return EXACTLY the O(n²)
@@ -1312,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_blocked_vs_brute": q_simhash_blocked_vs_brute,
         "sketch_bounds": q_sketch_bounds,
         "near_dup_subset": q_near_dup_subset,
+        "dedup_incremental": q_dedup_incremental,
         "ann_degenerate": q_ann_degenerate,
         "drift_ntok": q_drift_ntok,
         "window_tumbling": q_window_tumbling,
@@ -1636,6 +1680,14 @@ def oracle_sql() -> dict[str, str]:
         # pins the INVARIANT — blocked ≡ brute (non-vacuity is a
         # pytest on the known fixture, not an oracle pin: see docstring)
         "simhash_blocked_vs_brute": """
+            SELECT CAST(0 AS BIGINT) AS n_missed,
+                   CAST(0 AS BIGINT) AS n_extra
+        """,
+        # Incremental dedup: batch-vs-stored-index must equal the full
+        # recompute restricted to batch-touching pairs (hash-family-
+        # specific pair set -> the oracle pins the invariant; fixture
+        # non-vacuity is a pytest)
+        "dedup_incremental": """
             SELECT CAST(0 AS BIGINT) AS n_missed,
                    CAST(0 AS BIGINT) AS n_extra
         """,

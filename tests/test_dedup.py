@@ -163,3 +163,56 @@ def test_pair_ops_caller_owned_handles(spark):
     for h in handles:
         h.unpersist(True)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_incremental_dedup_two_batch_append(spark, tmp_path):
+    """Cross-snapshot dedup (VERDICT r3 item 2): ingest corpus -> index,
+    then two successive batches, each deduped against the index WITHOUT
+    recomputing it, each appended after. The union of (corpus-internal
+    pairs + both increments) must equal the one-shot full recompute."""
+    all_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = all_docs.where(F.pmod("doc_id", F.lit(3)) == 0)
+    batch1 = all_docs.where(F.pmod("doc_id", F.lit(3)) == 1)
+    batch2 = all_docs.where(F.pmod("doc_id", F.lit(3)) == 2)
+    idx = str(tmp_path / "dedup_index")
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
+
+    dedup.write_dedup_index(corpus, idx, k=3)
+    sigs, buckets = dedup.read_dedup_index(spark, idx)
+    got = pairs(
+        dedup.incremental_dedup_pairs(batch1, sigs, buckets, k=3, threshold=0.5)
+    )
+    dedup.write_dedup_index(batch1, idx, k=3)  # append batch 1
+    sigs, buckets = dedup.read_dedup_index(spark, idx)
+    got |= pairs(
+        dedup.incremental_dedup_pairs(batch2, sigs, buckets, k=3, threshold=0.5)
+    )
+    got |= pairs(dedup.minhash_lsh_pairs(corpus, k=3, threshold=0.5))
+
+    want = pairs(dedup.minhash_lsh_pairs(all_docs, k=3, threshold=0.5))
+    assert got == want
+    assert len(want) > 0  # fixture non-vacuity
+
+    # index rows accumulated for every ingested doc exactly once
+    n_docs = corpus.count() + batch1.count()
+    assert sigs.count() == n_docs
+    assert buckets.count() == n_docs * 16
+
+
+def test_incremental_dedup_batch_crossing_non_vacuous(spark):
+    """The driver-gated dedup_incremental query's mod-5 split must
+    actually produce batch-crossing near-dup pairs on the fixture
+    (non-vacuity lives here, not in the constant oracle)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    is_batch = F.coalesce(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit(False))
+    corpus = docs.where(~is_batch)
+    corp_sigs = dedup.minhash_signatures(corpus, k=3)
+    corp_buckets = dedup.band_buckets(corp_sigs)
+    inc = dedup.incremental_dedup_pairs(
+        docs.where(is_batch), corp_sigs, corp_buckets, k=3, threshold=0.5
+    )
+    assert inc.count() > 0
