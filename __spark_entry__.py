@@ -23,6 +23,7 @@ from teleharvest_spark.functions import text as TXT
 from teleharvest_spark.functions.vectors import cosine
 from teleharvest_spark.operators import (
     asof,
+    contamination,
     dedup,
     drift,
     merge,
@@ -521,6 +522,21 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in handles:
         h.unpersist()
     return out
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan (VERDICT r3 item 7): eval set =
+    doc_id ≡ 0 (mod 97) — small, broadcastable, and (because the
+    fixture's dup clusters span the split) guaranteed to have training
+    partners sharing shingles. Exact SQL oracle: same word-3-shingle
+    definition as the ngram_jaccard oracle, train×eval shingle join,
+    per-pair intersection counts ≥ 2. Integer columns only in the gate
+    (ratio rounding ties excluded by design — see contamination.py)."""
+    docs = _load(spark, sf_dir, "documents")
+    is_eval = F.coalesce(F.pmod(F.col("doc_id"), F.lit(97)) == 0, F.lit(False))
+    return contamination.contamination_scan(
+        docs.where(~is_eval), docs.where(is_eval), k=3, min_overlap=2
+    ).select("doc_id", "eval_id", "n_overlap", "n_eval")
 
 
 def q_simhash_blocked_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1356,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bounds": q_sketch_bounds,
         "near_dup_subset": q_near_dup_subset,
         "dedup_incremental": q_dedup_incremental,
+        "contamination": q_contamination,
         "ann_degenerate": q_ann_degenerate,
         "drift_ntok": q_drift_ntok,
         "window_tumbling": q_window_tumbling,
@@ -1690,6 +1707,35 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": """
             SELECT CAST(0 AS BIGINT) AS n_missed,
                    CAST(0 AS BIGINT) AS n_extra
+        """,
+        # Contamination scan: exact dual-engine check (same shingle
+        # definition as the ngram_jaccard oracle)
+        "contamination": r"""
+            WITH words AS (
+              SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0B\f\r]+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                       list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                     i -> array_to_string(w[i:i+2], ' ')))
+                     ELSE [array_to_string(w, ' ')] END AS shingles
+              FROM words
+            ), ev AS (
+              SELECT doc_id AS eval_id, len(shingles) AS n_eval,
+                     unnest(shingles) AS shingle
+              FROM sh WHERE coalesce(doc_id % 97 = 0, FALSE)
+            ), tr AS (
+              SELECT doc_id, unnest(shingles) AS shingle
+              FROM sh WHERE NOT coalesce(doc_id % 97 = 0, FALSE)
+            ), inter AS (
+              SELECT tr.doc_id, ev.eval_id, ev.n_eval,
+                     CAST(count(*) AS BIGINT) AS n_overlap
+              FROM tr JOIN ev USING (shingle)
+              GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, eval_id, n_overlap, CAST(n_eval AS BIGINT) AS n_eval
+            FROM inter WHERE n_overlap >= 2
         """,
         # Consolidated (VERDICT r3 item 1): both ANN exactness anchors
         # in one graded query; the CTE is the exact top-k count, the
