@@ -125,3 +125,55 @@ def test_lsh_topk_tolerates_null_and_malformed_embeddings(spark):
     assert 100 not in probe_ids and 101 not in probe_ids
     assert 100 not in neighbor_ids and 101 not in neighbor_ids
     assert len(probe_ids) > 0  # the good rows still produce neighbors
+
+
+def test_ivf_spill_superset_and_degenerate(spark):
+    """Boundary-spilled IVF: (a) with eps=2.0 every corpus vector is
+    dual-assigned, so n_probe=n_cells must still equal brute force
+    (dropDuplicates absorbs the replicas); (b) spill recall is >= the
+    unspilled recall at equal (n_cells, n_probe) on the fixture."""
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = {(r["probe_id"], r["neighbor_id"]) for r in
+             similarity.brute_force_topk(probes, emb, k=5).collect()}
+    full_spill = {(r["probe_id"], r["neighbor_id"]) for r in
+                  similarity.ivf_topk(probes, emb, dim=64, k=5, n_cells=8,
+                                      n_probe=8, spill_eps=2.0).collect()}
+    assert full_spill == exact
+
+    def recall(eps):
+        got = {(r["probe_id"], r["neighbor_id"]) for r in
+               similarity.ivf_topk(probes, emb, dim=64, k=5, n_cells=16,
+                                   n_probe=6, spill_eps=eps).collect()}
+        return len(got & exact)
+
+    assert recall(0.08) >= recall(0.0)
+
+
+def test_lsh_multiprobe_superset_of_exact_bucket(spark):
+    """Multi-probe only ADDS probe keys: its candidate pair set is a
+    superset of the exact-bucket run at equal (b, L), so recall can
+    only rise; and with n_planes=0 (no bits to flip) it degrades to
+    the exact full-scan behavior."""
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 10)
+    base = {(r["probe_id"], r["neighbor_id"]) for r in
+            similarity.lsh_topk(probes, emb, dim=64, k=50, n_planes=10,
+                                n_tables=2).collect()}
+    multi = {(r["probe_id"], r["neighbor_id"]) for r in
+             similarity.lsh_topk(probes, emb, dim=64, k=50, n_planes=10,
+                                 n_tables=2, multiprobe=1).collect()}
+    # every probe's exact-bucket candidates survive under multi-probe
+    # (k=50 is far above candidate counts at b=10 L=2 on 2k vectors)
+    assert base <= multi
+
+    exact = {(r["probe_id"], r["neighbor_id"]) for r in
+             similarity.brute_force_topk(probes, emb, k=5).collect()}
+    degen = {(r["probe_id"], r["neighbor_id"]) for r in
+             similarity.lsh_topk(probes, emb, dim=64, k=5, n_planes=0,
+                                 n_tables=1, multiprobe=1).collect()}
+    assert degen == exact
