@@ -231,11 +231,10 @@ def run(
     # to __HIVE_DEFAULT_PARTITION__, which would destroy the
     # empty-vs-null source distinction the cascade separates; the raw
     # `source` column stays in the data files untouched.
-    dir_col = F.when(F.col("source").isNull(), F.lit("__null__")).when(
-        F.col("source") == "", F.lit("__empty__")
-    ).otherwise(F.col("source"))
+    from .sources.writer import source_dir_col
+
     write_partitioned(
-        res.violations.withColumn("source_dir", dir_col),
+        res.violations.withColumn("source_dir", source_dir_col()),
         f"{output_path}/violations",
         partition_by=("source_dir",),
         files_per_partition=4,

@@ -27,7 +27,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["write_partitioned", "compact_partitioned"]
+__all__ = ["write_partitioned", "compact_partitioned", "source_dir_col"]
+
+
+def source_dir_col(col: str = "source") -> F.Column:
+    """The derived hive-partition key for the violations layout —
+    shared by the batch sink (cli.py) and the streaming sink
+    (streaming/violations.py). Derived because hive encoding maps both
+    NULL and '' to __HIVE_DEFAULT_PARTITION__, which would destroy the
+    empty-vs-null source distinction the cascade separates; the raw
+    ``source`` column stays in the data files untouched."""
+    return (
+        F.when(F.col(col).isNull(), F.lit("__null__"))
+        .when(F.col(col) == "", F.lit("__empty__"))
+        .otherwise(F.col(col))
+    )
 
 
 def write_partitioned(

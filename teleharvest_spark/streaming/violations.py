@@ -1,0 +1,93 @@
+"""Streaming violations writer — land per-row violation records from a
+sequence STREAM in the same partitioned warehouse layout the batch
+validator writes (VERDICT r3 item 5).
+
+The batch path (cli.py) appends violations hive-partitioned by the
+derived ``source_dir`` with bounded file counts (sources/writer.py).
+In continuous ingest the violations arrive per micro-batch; this sink
+writes each batch under its own ``batch_id=<n>`` directory with
+``mode="overwrite"`` — the standard foreachBatch idempotency pattern:
+a REPLAYED batch (restart between sink write and checkpoint commit)
+rewrites the exact same directory instead of appending duplicates.
+Readers see one hive tree (batch_id, source_dir partition columns);
+``compact_partitioned`` folds accumulated batch dirs back to the
+bounded layout, exactly as it folds accumulated batch-mode appends.
+
+Scale: per-batch work is the cascade's narrow projection over the
+micro-batch plus one size-controlled write — no state, no Python.
+Cross-ROW checks don't belong here: streaming uniqueness is
+``ingest.streaming_dedup`` (watermark-bounded state) and cross-batch
+metrics are the windowed drift sink; this sink carries the row-wise
+cascade violations that make up the violations table's bulk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import CheckSuite
+from ..operators import cascade
+from ..sources.writer import source_dir_col, write_partitioned
+
+
+def violation_rows(batch: DataFrame, suite: CheckSuite) -> DataFrame:
+    """Row-wise cascade violation records of one micro-batch, in the
+    batch violations schema (doc_id, source, check_name, reason,
+    tokens) — the per-row invariant (token-array equality with the
+    reference's reported rows) rides along exactly as in
+    plans/suite.py."""
+    annotated = cascade.apply_cascade(batch, cascade.sequence_checks(suite))
+    return annotated.where(F.col(cascade.FIRST_FAIL_COL).isNotNull()).select(
+        "doc_id",
+        "source",
+        F.col(cascade.FIRST_FAIL_COL).alias("check_name"),
+        F.col(cascade.REASON_COL).alias("reason"),
+        (
+            F.col("tokens")
+            if "tokens" in batch.columns
+            else F.lit(None).cast("array<int>")
+        ).alias("tokens"),
+    )
+
+
+def violations_sink(
+    suite: CheckSuite,
+    sink_path: str,
+    files_per_partition: int = 4,
+):
+    """foreachBatch body: cascade the batch, write its violations to
+    ``<sink>/batch_id=<id>`` in the partitioned layout (overwrite —
+    replay-idempotent)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        viol = violation_rows(batch, suite).withColumn(
+            "source_dir", source_dir_col()
+        )
+        write_partitioned(
+            viol,
+            f"{sink_path}/batch_id={batch_id}",
+            partition_by=("source_dir",),
+            files_per_partition=files_per_partition,
+            sort_within="doc_id",
+            mode="overwrite",
+        )
+
+    return sink
+
+
+def start_violations_writer(
+    spark: SparkSession,
+    stream: DataFrame,
+    suite: CheckSuite,
+    sink_path: str,
+    checkpoint: str,
+    files_per_partition: int = 4,
+):
+    """Wire a sequence stream into the partitioned violations table."""
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(violations_sink(suite, sink_path, files_per_partition))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -454,3 +454,70 @@ def test_streaming_windowed_drift_per_source_baseline(spark, tmp_path):
     for s in ("src_a", "src_b"):
         assert abs(got[s]["ks"] - want[s]["ks"]) < 1e-9
         assert abs(got[s]["psi"] - want[s]["psi"]) < 1e-9
+
+
+def test_streaming_violations_writer_layout_and_replay(spark, suite, tmp_path):
+    """VERDICT r3 item 5: streaming violation rows land in the
+    partitioned violations layout (batch_id= / source_dir= hive dirs,
+    bounded files, NULL/'' sources in their own dirs) and a REPLAYED
+    micro-batch rewrites its directory instead of duplicating rows."""
+    import glob as g
+    import os
+
+    from teleharvest_spark import datagen
+    from teleharvest_spark.streaming import ingest
+    from teleharvest_spark.streaming import violations as sv
+
+    drop = tmp_path / "vdrop"
+    drop.mkdir()
+    sink = str(tmp_path / "viol_table")
+    ckpt = str(tmp_path / "viol_ckpt")
+
+    def run():
+        stream = ingest.stream_sequences(spark, str(drop))
+        q = sv.start_violations_writer(spark, stream, suite, sink, ckpt)
+        q.awaitTermination()
+
+    # micro-batch 1: generated mix (contains too_short / null_payload /
+    # unknown_source rows by construction)
+    b1 = datagen.generate_sequences(spark, 1_000, suite)
+    b1.write.mode("append").parquet(str(drop))
+    run()
+    rows1 = spark.read.parquet(sink)
+    n1 = rows1.count()
+    assert n1 > 0
+    assert {"batch_id", "source_dir"} <= set(rows1.columns)  # hive keys
+    # NULL source rows land in their own dir, not __HIVE_DEFAULT_PARTITION__
+    assert rows1.where(F.col("source_dir") == "__null__").count() > 0
+    assert not g.glob(f"{sink}/batch_id=*/__HIVE_DEFAULT_PARTITION__")
+
+    # micro-batch 2: only new files are processed
+    b2 = spark.createDataFrame(
+        [("zz1", None, None, "src_00"), ("zz2", [1] * 400, 400, "rogue_src")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    b2.write.mode("append").parquet(str(drop))
+    run()
+    rows2 = spark.read.parquet(sink)
+    n2 = rows2.count()
+    assert n2 == n1 + 2  # null_payload + unknown_source
+    assert rows2.where(F.col("doc_id") == "zz1").count() == 1
+
+    # bounded file count per (batch, source_dir) leaf dir
+    for d in g.glob(f"{sink}/batch_id=*/source_dir=*"):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert 0 < len(files) <= 4, d
+
+    # token-array parity: violation rows carry the original tokens
+    zz2 = rows2.where(F.col("doc_id") == "zz2").collect()[0]
+    assert zz2["tokens"] == [1] * 400
+    assert zz2["check_name"] == "unknown_source"
+
+    # replay batch 0: invoking the sink body again with the same
+    # batch_id must leave the table row-count-identical (overwrite of
+    # the same directory), not append duplicates. Read with a FRESH
+    # plan — the overwrite swapped batch 0's files, so a pre-replay
+    # DataFrame's file listing is stale (Iceberg's snapshot commit is
+    # the managed fix; cf. compact_partitioned's rename caveat).
+    sv.violations_sink(suite, sink)(b1, 0)
+    assert spark.read.parquet(sink).count() == n2
