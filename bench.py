@@ -58,8 +58,12 @@ SUITE_ROWS = int(os.environ.get("SPARK_GRAFT_SUITE_ROWS", "2000000"))
 # any superlinear term. Opt out with SPARK_GRAFT_SF1=0.
 SF1_ENABLED = os.environ.get("SPARK_GRAFT_SF1", "1") == "1"
 SF1_DIR = "/tmp/sf1_scaled"
-SF1_QUERIES = ["ngram_jaccard", "minhash_pairs", "simhash_pairs", "dup_clusters", "ann_ivf_topk"]
+# VERDICT r3 item 8: the sf1 section times the FULL headline set (not
+# just the 5 most expensive queries) so a superlinear term in a cheap
+# query can't hide behind the big ones.
+SF1_QUERIES = list(HEADLINE)
 SF1_SUITE_ROWS = int(os.environ.get("SPARK_GRAFT_SF1_SUITE_ROWS", "20000000"))
+EVENTLOG_DIR = "/tmp/bench_eventlog"
 
 
 def build_sf1(spark, base_dir: str) -> None:
@@ -77,7 +81,9 @@ def build_sf1(spark, base_dir: str) -> None:
     from the rewritten text."""
     from pyspark.sql import functions as F
 
-    if os.path.isdir(f"{SF1_DIR}/documents.parquet"):
+    if os.path.isdir(f"{SF1_DIR}/documents.parquet") and os.path.isdir(
+        f"{SF1_DIR}/events.parquet"  # full-headline fixture (r4) complete
+    ):
         return
     docs = spark.read.parquet(f"{base_dir}/documents.parquet")
     copies = []
@@ -118,6 +124,34 @@ def build_sf1(spark, base_dir: str) -> None:
     for c in ecopies[1:]:
         eout = eout.unionByName(c)
     eout.repartition(16).write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
+
+    # the remaining headline fact tables, replicated 10x with id-bump:
+    # per-copy key offsets keep every within-copy key relation (dup
+    # groups, per-user sessions, per-order lines) EXACTLY the
+    # original's while copies never collide — the same fixture
+    # principle as the document token rename above. Aggregation
+    # columns (ts, value, flags) are untouched: time-windowed queries
+    # legitimately see 10x rows per window, keyed queries see 10x
+    # groups.
+    bumps = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for table, keys in bumps.items():
+        src = spark.read.parquet(f"{base_dir}/{table}.parquet")
+        tcopies = []
+        for i in range(10):
+            c = src
+            for kcol in keys:
+                c = c.withColumn(kcol, F.col(kcol) + F.lit(i * 10_000_000))
+            tcopies.append(c)
+        tout = tcopies[0]
+        for c in tcopies[1:]:
+            tout = tout.unionByName(c)
+        tout.repartition(32).write.mode("overwrite").parquet(
+            f"{SF1_DIR}/{table}.parquet"
+        )
 
 
 def sf1_section(spark, base_dir: str, qs) -> dict:
@@ -247,11 +281,70 @@ def pack_shard_bench(spark) -> dict:
     return out
 
 
+def memory_telemetry(spark) -> dict:
+    """Peak/current RSS of the JVM (executors live in it on local[N])
+    and peak RSS of the Python driver — the 'no superlinear memory
+    term' evidence next to the sf1 wall times (VERDICT r3 item 8)."""
+
+    def vm(field: str, pid: int) -> int | None:
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith(field):
+                        return int(line.split()[1]) // 1024  # kB → MB
+        except OSError:
+            return None
+        return None
+
+    jvm_pid = int(spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid())
+    return {
+        "jvm_peak_rss_mb": vm("VmHWM", jvm_pid),
+        "jvm_rss_mb": vm("VmRSS", jvm_pid),
+        "driver_py_peak_rss_mb": vm("VmHWM", os.getpid()),
+    }
+
+
+def spill_telemetry() -> dict:
+    """Total task spill over the whole bench run, parsed from the Spark
+    event log (works with spark.ui disabled; .inprogress files are the
+    live run)."""
+    import glob
+
+    mem = disk = 0
+    for path in glob.glob(f"{EVENTLOG_DIR}/*"):
+        try:
+            with open(path) as f:
+                for line in f:
+                    if '"Memory Bytes Spilled"' not in line:
+                        continue
+                    try:
+                        ev = json.loads(line)
+                    except ValueError:
+                        continue
+                    tm = ev.get("Task Metrics") or {}
+                    mem += tm.get("Memory Bytes Spilled", 0)
+                    disk += tm.get("Disk Bytes Spilled", 0)
+        except OSError:
+            continue
+    return {
+        "memory_bytes_spilled_mb": mem // 2**20,
+        "disk_bytes_spilled_mb": disk // 2**20,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    import shutil
+
+    shutil.rmtree(EVENTLOG_DIR, ignore_errors=True)  # spill totals = THIS run
+    os.makedirs(EVENTLOG_DIR, exist_ok=True)
     spark = get_spark(app_name="teleharvest_bench", master=f"local[{cpus}]",
-                      shuffle_partitions=int(cpus))
+                      shuffle_partitions=int(cpus),
+                      extra_conf={
+                          "spark.eventLog.enabled": "true",
+                          "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
+                      })
 
     qs = E.bench_queries()
     timings: dict[str, float] = {}
@@ -331,6 +424,8 @@ def main() -> None:
         "cores": int(cpus),
         "recall": recall,
         "pack_shard": pack_shard,
+        "memory": memory_telemetry(spark),
+        "spill": spill_telemetry(),
     }
     if sf1 is not None:
         payload["sf1"] = sf1
