@@ -446,7 +446,7 @@ def q_near_dup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes n_exact from scratch in SQL and pins zero false
     positives."""
     emb = _load(spark, sf_dir, "embeddings")
-    nd = dedup.embedding_near_dups(emb, threshold=0.3).select("id_a", "id_b")
+    nd = dedup.embedding_near_dups(emb, dim=64, threshold=0.3).select("id_a", "id_b")
     ok = emb.where(F.col("embedding").isNotNull())
     a = ok.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = ok.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -763,7 +763,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via the LSH bucket join
     (approximate ⇒ rows-only; q_cosine_pairs is the exact verifier)."""
     emb = _load(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dups(emb, threshold=0.3, dim=64)
+    return dedup.embedding_near_dups(emb, dim=64, threshold=0.3)
 
 
 def q_cascade_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:

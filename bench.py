@@ -332,6 +332,42 @@ def spill_telemetry() -> dict:
     }
 
 
+def incremental_dedup_bench(spark, sf_dir: str) -> dict:
+    """The cross-snapshot dedup payoff, measured: dedup a 10% batch
+    against a pre-built corpus index (batch-only minhash + bucket
+    equi-join) vs recomputing the full corpus. At 100 TB the full
+    recompute is not an option at all; locally the ratio shows the
+    batch cost tracking |batch|, not |corpus|."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_batch = F.coalesce(F.pmod(F.col("doc_id"), F.lit(10)) == 0, F.lit(False))
+    corpus, batch = docs.where(~is_batch), docs.where(is_batch)
+    idx = "/tmp/bench_dedup_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    dedup.write_dedup_index(corpus, idx, k=3)
+    sigs, buckets = dedup.read_dedup_index(spark, idx)
+
+    out = {}
+    dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).count()  # warm
+    t0 = time.perf_counter()
+    dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).count()
+    out["full_recompute_sec"] = round(time.perf_counter() - t0, 3)
+    dedup.incremental_dedup_pairs(batch, sigs, buckets, k=3, threshold=0.5).count()
+    t0 = time.perf_counter()
+    dedup.incremental_dedup_pairs(batch, sigs, buckets, k=3, threshold=0.5).count()
+    out["batch_vs_index_sec"] = round(time.perf_counter() - t0, 3)
+    out["speedup"] = round(
+        out["full_recompute_sec"] / max(out["batch_vs_index_sec"], 1e-9), 2
+    )
+    print(f"# incremental_dedup: {out}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -405,6 +441,7 @@ def main() -> None:
     print(f"# recall: {recall}", file=sys.stderr)
 
     pack_shard = pack_shard_bench(spark)
+    inc_dedup = incremental_dedup_bench(spark, sf_dir)
 
     sf1 = None
     if SF1_ENABLED and "0.1" in sf_dir:
@@ -424,6 +461,7 @@ def main() -> None:
         "cores": int(cpus),
         "recall": recall,
         "pack_shard": pack_shard,
+        "incremental_dedup": inc_dedup,
         "memory": memory_telemetry(spark),
         "spill": spill_telemetry(),
     }
