@@ -82,6 +82,27 @@ def shingles(text_col: str, k: int = 5) -> F.Column:
     )).otherwise(F.array(F.concat_ws(" ", words)))
 
 
+def token_shingles(tokens_col: str, k: int = 5) -> F.Column:
+    """Distinct k-gram fingerprints of a TOKEN-ID array (array<int>) as
+    array<bigint> — the north-rule payload's native dedup features
+    (input_hint: sequences carry ``tokens array<int32>``; a tokenized
+    corpus dedups over token n-grams directly, no detokenization).
+
+    Each k-window is fingerprinted JVM-side as xxhash64 of its cast
+    string form — one codegen HOF pass, mirroring ``shingles`` +
+    xxhash64 on the text path; rows shorter than k contribute their
+    whole sequence as one gram (same fallback as the text path).
+    """
+    toks = F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    gram = lambda arr: F.xxhash64(arr.cast("array<string>").cast("string"))  # noqa: E731
+    return F.when(
+        n >= k,
+        F.array_distinct(F.transform(idx, lambda i: gram(F.slice(toks, i + 1, k)))),
+    ).otherwise(F.array(gram(toks)))
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain constants) over a
     uint64 array — the per-permutation integer mix."""
@@ -126,8 +147,11 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_perm: int = 64,
     k: int = 5,
+    features: F.Column | None = None,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) MinHash over word shingles.
+    """(id, sig: array<bigint>) MinHash over word shingles — or over
+    any caller-supplied 64-bit feature array (``features``, e.g.
+    ``token_shingles`` for the tokenized-sequence payload).
 
     Each shingle string is hashed ONCE JVM-side (xxhash64 — one codegen
     HOF pass); the n_perm permutations are seeded splitmix64 mixes of
@@ -139,10 +163,10 @@ def minhash_signatures(
     the Arrow kernel replaces them with 64 vectorized numpy passes over
     the flattened batch.
     """
-    sh = shingles(text_col, k).alias("_sh")
-    base = _spread(df, id_col).select(
-        F.col(id_col), F.transform(sh, lambda s: F.xxhash64(s)).alias("_sh64")
-    )
+    if features is None:
+        sh = shingles(text_col, k).alias("_sh")
+        features = F.transform(sh, lambda s: F.xxhash64(s))
+    base = _spread(df, id_col).select(F.col(id_col), features.alias("_sh64"))
     seeds = _minhash_seeds(n_perm)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -369,8 +393,13 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.5,
     cache_handles: list | None = None,
+    features: F.Column | None = None,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard pairs via inverted-index join.
+    """EXACT n-gram Jaccard pairs via inverted-index join — over word
+    shingles of ``text_col``, or over any caller-supplied 64-bit
+    feature array (``features``, e.g. ``token_shingles`` for direct
+    token-n-gram dedup of the pre-tokenized payload; every lossless
+    filter below applies unchanged).
 
     Distributed exact algorithm: explode distinct shingles → self-join
     on shingle (the inverted index) → count shared shingles per pair →
@@ -393,12 +422,11 @@ def ngram_jaccard_pairs(
        re-attaching the full shingle-hash arrays to the surviving
        pairs (native ``array_intersect``), not by counting join rows.
     """
+    if features is None:
+        features = F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
     base = (
         _spread(df, id_col)
-        .select(
-            F.col(id_col),
-            F.array_sort(F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))).alias("_sh"),
-        )
+        .select(F.col(id_col), F.array_sort(features).alias("_sh"))
         .withColumn("_n", F.size("_sh"))
         .persist()
     )

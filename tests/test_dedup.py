@@ -216,3 +216,30 @@ def test_incremental_dedup_batch_crossing_non_vacuous(spark):
         docs.where(is_batch), corp_sigs, corp_buckets, k=3, threshold=0.5
     )
     assert inc.count() > 0
+
+
+def test_token_native_dedup_paths(spark):
+    """Dedup directly over the tokens payload (input_hint: sequences
+    carry array<int32>): exact token-n-gram Jaccard finds planted
+    near-dup token arrays, and the MinHash feature path agrees with
+    the exact path on extremes (identical arrays -> est 1.0; disjoint
+    arrays -> no pair)."""
+    rows = [
+        (1, list(range(100))),
+        (2, list(range(100))),            # exact dup of 1
+        (3, list(range(2, 100)) + [990, 991]),  # near-dup of 1
+        (4, list(range(500, 600))),       # disjoint
+        (5, None),                        # NULL tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    feats = dedup.token_shingles("tokens", 5)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(df, threshold=0.5, features=feats).collect()}
+    assert exact[(1, 2)] == 1.0
+    assert (1, 3) in exact and 0.5 <= exact[(1, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in exact)
+
+    sigs = {r["doc_id"]: r["sig"] for r in
+            dedup.minhash_signatures(df, features=feats).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
