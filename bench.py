@@ -47,6 +47,14 @@ HEADLINE = [
     "pack_sequences",
     "split_assign",
     "top_terms",
+    # round-4 operators (headline total therefore grows vs r3 by the
+    # cost of these two lines — per-query timings stay comparable; the
+    # dedup_incremental invariant query is excluded on purpose: its
+    # wall time is 1x incremental + 1x full recompute + the compare,
+    # which benchmarks the GATE, not the operator — the operator's
+    # cost lives in the "incremental_dedup" section)
+    "contamination",
+    "token_jaccard",
 ]
 
 SUITE_ROWS = int(os.environ.get("SPARK_GRAFT_SUITE_ROWS", "2000000"))

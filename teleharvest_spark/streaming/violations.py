@@ -2,6 +2,11 @@
 sequence STREAM in the same partitioned warehouse layout the batch
 validator writes (VERDICT r3 item 5).
 
+Reference analogue: the per-row check loop reports each failing
+message as it is processed (processor.py:81-137, the in-order check
+cascade); here the same row-wise verdicts land as violation ROWS in
+the warehouse, batch and streaming writing one layout.
+
 The batch path (cli.py) appends violations hive-partitioned by the
 derived ``source_dir`` with bounded file counts (sources/writer.py).
 In continuous ingest the violations arrive per micro-batch; this sink
