@@ -163,9 +163,8 @@ def build_sf1(spark, base_dir: str) -> None:
 
 
 def sf1_section(spark, base_dir: str, qs) -> dict:
-    """Per-query seconds at the 10x scale (1 untimed warm + median of
-    2) plus the 20M-row check suite (1 warm + 1 timed — the long scan
-    dominates and the absolute size already averages host noise)."""
+    """Per-query seconds at the 10x scale (1 untimed warm + best of 2)
+    plus the 20M-row check suite (1 warm + best of 2 timed)."""
     build_sf1(spark, base_dir)
     out: dict = {}
     for name in SF1_QUERIES:
@@ -189,12 +188,20 @@ def sf1_section(spark, base_dir: str, qs) -> dict:
     warm = suite_plan.run_suite(stored, check, drift_vs_global=True)
     warm.materialize()
     warm.cleanup()
-    t0 = time.perf_counter()
-    res = suite_plan.run_suite(stored, check, drift_vs_global=True)
-    res.materialize()
-    suite_sec = round(time.perf_counter() - t0, 3)
-    res.cleanup()
+    # best-of-2 timed: a single 6-minute sample on this shared host can
+    # record a neighbor-load spike as the round's 20M-row number
+    # (observed: 368s contaminated vs 81s quiet in a fresh JVM);
+    # external load only ever adds time, so min is the engine estimate
+    ssamples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = suite_plan.run_suite(stored, check, drift_vs_global=True)
+        res.materialize()
+        ssamples.append(time.perf_counter() - t0)
+        res.cleanup()
+    suite_sec = round(min(ssamples), 3)
     out["check_suite_full"] = suite_sec
+    out["check_suite_samples"] = [round(x, 1) for x in ssamples]
     out["suite_rows"] = SF1_SUITE_ROWS
     out["seq_per_sec"] = round(SF1_SUITE_ROWS / suite_sec, 1)
     print(
@@ -361,14 +368,24 @@ def incremental_dedup_bench(spark, sf_dir: str) -> dict:
     sigs, buckets = dedup.read_dedup_index(spark, idx)
 
     out = {}
-    dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).count()  # warm
-    t0 = time.perf_counter()
-    dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).count()
-    out["full_recompute_sec"] = round(time.perf_counter() - t0, 3)
-    dedup.incremental_dedup_pairs(batch, sigs, buckets, k=3, threshold=0.5).count()
-    t0 = time.perf_counter()
-    dedup.incremental_dedup_pairs(batch, sigs, buckets, k=3, threshold=0.5).count()
-    out["batch_vs_index_sec"] = round(time.perf_counter() - t0, 3)
+
+    def best2(fn):
+        fn()  # warm
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3)
+
+    out["full_recompute_sec"] = best2(
+        lambda: dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).count()
+    )
+    out["batch_vs_index_sec"] = best2(
+        lambda: dedup.incremental_dedup_pairs(
+            batch, sigs, buckets, k=3, threshold=0.5
+        ).count()
+    )
     out["speedup"] = round(
         out["full_recompute_sec"] / max(out["batch_vs_index_sec"], 1e-9), 2
     )
