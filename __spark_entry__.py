@@ -27,6 +27,7 @@ from teleharvest_spark.operators import (
     dedup,
     drift,
     merge,
+    quality,
     referential,
     similarity,
     uniqueness,
@@ -262,14 +263,27 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: whitespace + BPE-ish token counts, language-ID
-    heuristic, quality score — all codegen expressions."""
+    heuristic, quality score (all codegen expressions) joined with the
+    Gopher-style repetition signals (operators/quality.py: duplicate
+    lines/chars, top-bigram coverage, bullet/ellipsis lines — exact
+    integer counts, two two-level hash aggregates)."""
     docs = _load(spark, sf_dir, "documents")
-    return docs.select(
+    base = docs.select(
         "doc_id",
         TXT.token_count(F.col("text")).cast("long").alias("n_words"),
         TXT.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
         TXT.lang_id(F.col("text")).alias("lang_pred"),
         TXT.quality_score(F.col("text")).alias("quality"),
+    )
+    rep = quality.repetition_signals(docs)
+    # LEFT join + coalesce-to-0 mirrors the oracle exactly: NULL
+    # doc_id rows survive with zeroed repetition counts (equality
+    # join, so the NULL group in `rep` stays unmatched on both sides).
+    zero = F.lit(0).cast("bigint")
+    rep_cols = [c for c in rep.columns if c != "doc_id"]
+    return base.join(rep, "doc_id", "left").select(
+        *base.columns,
+        *[F.coalesce(F.col(c), zero).alias(c) for c in rep_cols],
     )
 
 
@@ -1631,8 +1645,36 @@ def oracle_sql() -> dict[str, str]:
                      length(coalesce(text,'')) AS n_chars_c,
                      len(regexp_extract_all(coalesce(text,''), '[^\w \t\n\x0B\f\r]')) AS n_punct
               FROM documents
+            ), ln AS (
+              SELECT doc_id, unnest(string_split(coalesce(text,''), chr(10))) AS line
+              FROM documents
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS c FROM ln GROUP BY doc_id, line
+            ), lsig AS (
+              SELECT doc_id,
+                     sum(c) AS n_lines,
+                     sum(c) - count(*) AS n_dup_lines,
+                     sum(length(line) * c) AS chars_lines,
+                     sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END) AS chars_dup,
+                     sum(CASE WHEN left(line, 1) IN ('-', '*', '•') THEN c ELSE 0 END) AS n_bullet,
+                     sum(CASE WHEN right(line, 3) = '...' THEN c ELSE 0 END) AS n_ellipsis
+              FROM lc GROUP BY doc_id
+            ), wl AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(coalesce(text,'')), '[ \t\n\x0B\f\r]+') END AS w
+              FROM documents
+            ), bgr AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg
+              FROM wl
+            ), bc AS (
+              SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY doc_id, bg
+            ), bsig AS (
+              SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_cnt
+              FROM bc GROUP BY doc_id
             )
-            SELECT doc_id,
+            SELECT t.doc_id,
                    CAST(n_words AS BIGINT) AS n_words,
                    CAST(n_bpe_ish AS BIGINT) AS n_bpe_ish,
                    CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
@@ -1645,8 +1687,18 @@ def oracle_sql() -> dict[str, str]:
                      + greatest(0.0, 1.0 - (CASE WHEN n_chars_c > 0 THEN n_punct::DOUBLE / n_chars_c ELSE 0 END) * 5.0) * 0.2
                      + least((CASE WHEN n_words > 0 THEN h_en::DOUBLE / n_words ELSE 0 END) * 4.0, 1.0) * 0.2
                      + (CASE WHEN n_words > 0 AND n_chars_c::DOUBLE / n_words BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.2
-                   , 6) AS quality
+                   , 6) AS quality,
+                   CAST(coalesce(lsig.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(lsig.n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+                   CAST(coalesce(lsig.chars_lines, 0) AS BIGINT) AS chars_lines,
+                   CAST(coalesce(lsig.chars_dup, 0) AS BIGINT) AS chars_dup,
+                   CAST(coalesce(lsig.n_bullet, 0) AS BIGINT) AS n_bullet,
+                   CAST(coalesce(lsig.n_ellipsis, 0) AS BIGINT) AS n_ellipsis,
+                   CAST(coalesce(bsig.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(bsig.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt
             FROM t
+            LEFT JOIN lsig ON t.doc_id = lsig.doc_id
+            LEFT JOIN bsig ON t.doc_id = bsig.doc_id
         """,
         "ngram_jaccard": r"""
             WITH words AS (

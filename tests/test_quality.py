@@ -1,0 +1,69 @@
+"""operators/quality.py — Gopher-style repetition signals.
+
+Planted-fixture tests: every count is hand-computable. The oracle
+parity of the same signals over the synthetic corpus is covered by
+the graded ``token_stats`` query (scripts/check_oracles.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from teleharvest_spark.operators import quality
+
+
+def _rows(spark, docs):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(docs)])
+    out = quality.repetition_signals(df)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_duplicate_lines_and_chars(spark):
+    # 4 lines: "aa" x2 (dup, 2 chars each), "b", "cc" — no trailing \n
+    r = _rows(spark, ["aa\nb\naa\ncc"])[0]
+    assert r["n_lines"] == 4
+    assert r["n_dup_lines"] == 1          # one occurrence beyond first
+    assert r["chars_lines"] == 2 + 1 + 2 + 2
+    assert r["chars_dup"] == 4            # both "aa" occurrences
+    assert r["n_bullet"] == 0 and r["n_ellipsis"] == 0
+
+
+def test_bullets_ellipsis_and_trailing_newline(spark):
+    # trailing \n yields a final empty line (split keeps trailing empties)
+    r = _rows(spark, ["- item one\n* item two\n• item three\nwait...\n"])[0]
+    assert r["n_lines"] == 5
+    assert r["n_bullet"] == 3
+    assert r["n_ellipsis"] == 1
+    # the lone empty trailing line is unique -> no dup counted
+    assert r["n_dup_lines"] == 0
+
+
+def test_top_bigram_counts(spark):
+    # words: the cat the cat the -> bigrams: "the cat" x2, "cat the" x2
+    r = _rows(spark, ["the cat the cat the"])[0]
+    assert r["n_bigrams"] == 4
+    assert r["top_bigram_cnt"] == 2
+
+
+def test_degenerate_docs(spark):
+    rows = _rows(spark, [None, "", "   ", "one"])
+    for i in range(4):
+        r = rows[i]
+        assert r["n_bigrams"] == 0 and r["top_bigram_cnt"] == 0
+    # NULL/empty text is one empty line; "   " is one 3-char line
+    assert rows[0]["n_lines"] == 1 and rows[0]["chars_lines"] == 0
+    assert rows[1]["n_lines"] == 1
+    assert rows[2]["chars_lines"] == 3
+    assert rows[3]["n_lines"] == 1 and rows[3]["chars_lines"] == 3
+
+
+def test_fractions_thresholds(spark):
+    df = spark.range(1).selectExpr(
+        "cast(id as long) as doc_id",
+        r"'x\nx\nx\ny' as text",
+    ).selectExpr("doc_id", "replace(text, '\\\\n', chr(10)) as text")
+    out = quality.repetition_fractions(df).collect()[0]
+    assert out["n_lines"] == 4 and out["n_dup_lines"] == 2
+    assert abs(out["dup_line_frac"] - 0.5) < 1e-12
+    assert abs(out["dup_line_char_frac"] - 0.75) < 1e-12
+    assert out["bullet_line_frac"] == 0.0
