@@ -150,8 +150,15 @@ def repetition_fractions(
         ratio("chars_dup", "chars_lines").alias("dup_line_char_frac"),
         ratio("n_bullet", "n_lines").alias("bullet_line_frac"),
         ratio("n_ellipsis", "n_lines").alias("ellipsis_line_frac"),
-        (F.when(F.col("n_bigrams") > 0,
-                F.col("top_bigram_cnt").cast("double") * 2.0
-                / (F.col("n_bigrams").cast("double") + 1.0))
-         .otherwise(F.lit(0.0))).alias("top_bigram_frac"),
+        # word-coverage approximation of Gopher's top-2-gram fraction:
+        # each occurrence covers 2 of the n_bigrams+1 words; clamped to
+        # 1.0 because overlapping occurrences ("the the the …") double-
+        # count words.
+        F.least(
+            F.when(F.col("n_bigrams") > 0,
+                   F.col("top_bigram_cnt").cast("double") * 2.0
+                   / (F.col("n_bigrams").cast("double") + 1.0))
+            .otherwise(F.lit(0.0)),
+            F.lit(1.0),
+        ).alias("top_bigram_frac"),
     )

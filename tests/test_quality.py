@@ -67,3 +67,11 @@ def test_fractions_thresholds(spark):
     assert abs(out["dup_line_frac"] - 0.5) < 1e-12
     assert abs(out["dup_line_char_frac"] - 0.75) < 1e-12
     assert out["bullet_line_frac"] == 0.0
+
+
+def test_top_bigram_frac_clamped(spark):
+    # overlapping occurrences would give 2*4/5 = 1.6 -> clamped to 1.0
+    df = spark.createDataFrame([Row(doc_id=0, text="the the the the the")])
+    out = quality.repetition_fractions(df).collect()[0]
+    assert out["top_bigram_cnt"] == 4
+    assert out["top_bigram_frac"] == 1.0
