@@ -19,6 +19,58 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as E
 from teleharvest_spark import datagen
+
+
+def _busy_jiffies() -> tuple[int, int]:
+    """(total_host_busy, our_subtree) jiffies — same accounting as
+    scripts/scaling_paired.py: host busy = everything but idle+iowait;
+    ours = utime+stime of every process whose ancestry reaches this
+    driver (the JVM and its Python UDF workers are our children)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:11]]
+    total = sum(vals) - vals[3] - vals[4]
+    me = os.getpid()
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        rest = s[s.rindex(")") + 2:].split()
+        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    ours = 0
+    for pid, (_, jiff) in procs.items():
+        cur = pid
+        seen: set[int] = set()
+        while cur > 1 and cur not in seen:
+            if cur == me:
+                ours += jiff
+                break
+            seen.add(cur)
+            cur = procs.get(cur, (0, 0))[0]
+    return total, ours
+
+
+class _ExtLoad:
+    """Mean external (non-ours) cores busy over a timed window — the
+    per-sample contamination telemetry the scaling protocol already
+    records, attached to every suite sample so a loaded median is
+    visibly loaded in the BENCH record."""
+
+    def __enter__(self):
+        self._t0 = time.monotonic()
+        self._b0, self._o0 = _busy_jiffies()
+        return self
+
+    def __exit__(self, *exc):
+        wall = max(time.monotonic() - self._t0, 1e-9)
+        b1, o1 = _busy_jiffies()
+        hz = os.sysconf("SC_CLK_TCK")
+        self.cores = round(((b1 - self._b0) - (o1 - self._o0)) / hz / wall, 2)
 from teleharvest_spark.config import CheckSuite
 from teleharvest_spark.plans import suite as suite_plan
 from teleharvest_spark.session import get_spark
@@ -193,15 +245,19 @@ def sf1_section(spark, base_dir: str, qs) -> dict:
     # (observed: 368s contaminated vs 81s quiet in a fresh JVM);
     # external load only ever adds time, so min is the engine estimate
     ssamples = []
+    sext = []
     for _ in range(2):
-        t0 = time.perf_counter()
-        res = suite_plan.run_suite(stored, check, drift_vs_global=True)
-        res.materialize()
-        ssamples.append(time.perf_counter() - t0)
-        res.cleanup()
+        with _ExtLoad() as el:
+            t0 = time.perf_counter()
+            res = suite_plan.run_suite(stored, check, drift_vs_global=True)
+            res.materialize()
+            ssamples.append(time.perf_counter() - t0)
+            res.cleanup()
+        sext.append(el.cores)
     suite_sec = round(min(ssamples), 3)
     out["check_suite_full"] = suite_sec
     out["check_suite_samples"] = [round(x, 1) for x in ssamples]
+    out["check_suite_ext_cores"] = sext
     out["suite_rows"] = SF1_SUITE_ROWS
     out["seq_per_sec"] = round(SF1_SUITE_ROWS / suite_sec, 1)
     print(
@@ -476,13 +532,17 @@ def main() -> None:
         warm.materialize()
         warm.cleanup()
     samples = []
+    ext_cores = []
     n_viol = n_verd = 0
     for _ in range(3):
-        t0 = time.perf_counter()
-        res = suite_plan.run_suite(stored, check, drift_vs_global=True)
-        n_viol, n_verd = res.materialize()
-        samples.append(time.perf_counter() - t0)
-        res.cleanup()
+        with _ExtLoad() as el:
+            t0 = time.perf_counter()
+            res = suite_plan.run_suite(stored, check, drift_vs_global=True)
+            n_viol, n_verd = res.materialize()
+            samples.append(time.perf_counter() - t0)
+            res.cleanup()
+        ext_cores.append(el.cores)
+    raw_samples = [round(s, 2) for s in samples]  # run order, pairs with ext_cores
     samples.sort()
     suite_sec = round(samples[1], 3)  # median of 3
     timings["check_suite_full"] = suite_sec
@@ -518,6 +578,8 @@ def main() -> None:
         "sf": sf,
         "seq_per_sec": seq_per_sec,
         "seq_per_sec_best": seq_per_sec_best,
+        "check_suite_samples": raw_samples,
+        "check_suite_ext_cores": ext_cores,
         "suite_rows": SUITE_ROWS,
         "cores": int(cpus),
         "recall": recall,

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import WS
 
-__all__ = ["repetition_signals", "repetition_fractions"]
+__all__ = ["repetition_signals", "repetition_fractions", "repetition_checks", "repetition_gate"]
 
 _BULLETS = ("-", "*", "•")  # '-', '*', '•'
 
@@ -162,3 +162,52 @@ def repetition_fractions(
             F.lit(1.0),
         ).alias("top_bigram_frac"),
     )
+
+
+def repetition_checks(
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_bigram_frac: float = 0.20,
+):
+    """The Gopher repetition rules as cascade ``Check``s over the
+    fraction columns of :func:`repetition_fractions` (public
+    thresholds: Rae et al. 2021 Table A1 — dup-line 0.30, dup-line
+    chars 0.20, top-2-gram 0.20). Composes with
+    ``cascade.apply_cascade`` so repetition failures ride the same
+    verdict / first-fail / violations contract as every other check
+    (reference early-exit reporting, processor.py:97-145)."""
+    from .cascade import Check
+
+    def over(col: str, bound: float, label: str) -> Check:
+        c = F.col(col)
+        return Check(
+            name=label,
+            fails=c > F.lit(bound),
+            reason=F.format_string(f"{col}=%.4f > {bound}", c),
+        )
+
+    return [
+        over("dup_line_frac", max_dup_line_frac, "dup_line_frac"),
+        over("dup_line_char_frac", max_dup_line_char_frac, "dup_line_char_frac"),
+        over("top_bigram_frac", max_top_bigram_frac, "top_bigram_frac"),
+    ]
+
+
+def repetition_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """``df`` + fraction columns + cascade verdict columns: rows whose
+    repetition signals exceed the (Gopher-default) thresholds carry
+    ``check_verdict = False`` and the first exceeded rule's name /
+    reason. Input columns pass through untouched (join on ``id_col``),
+    so the gate drops into an existing pipeline before tokenization."""
+    from .cascade import apply_cascade
+
+    fr = repetition_fractions(df, text_col=text_col, id_col=id_col).select(
+        id_col, "dup_line_frac", "dup_line_char_frac", "top_bigram_frac"
+    )
+    joined = df.join(fr, id_col, "left")
+    return apply_cascade(joined, repetition_checks(**thresholds))

@@ -69,6 +69,35 @@ def test_fractions_thresholds(spark):
     assert out["bullet_line_frac"] == 0.0
 
 
+def test_repetition_gate_verdicts(spark):
+    from teleharvest_spark.operators.cascade import FIRST_FAIL_COL, VERDICT_COL
+
+    df = spark.createDataFrame(
+        [
+            # 15 distinct words: unique bigrams -> top_bigram_frac
+            # 2/15 < 0.20 (short docs legitimately sit above the Gopher
+            # bigram threshold; a real pipeline orders min-length first)
+            Row(doc_id=0, text="one two three four five\nsix seven eight nine ten\neleven twelve thirteen fourteen fifteen"),
+            # 3 of 4 lines are dups -> dup_line_frac 0.5 > 0.30
+            Row(doc_id=1, text="x\nx\nx\ny"),
+            # overlapping top bigram -> frac clamped 1.0 > 0.20
+            Row(doc_id=2, text="spam spam spam spam spam"),
+            Row(doc_id=3, text=None),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality.repetition_gate(df).select(
+            "doc_id", "text", VERDICT_COL, FIRST_FAIL_COL
+        ).collect()
+    }
+    assert out[0][VERDICT_COL] is True and out[0][FIRST_FAIL_COL] is None
+    assert out[1][VERDICT_COL] is False and out[1][FIRST_FAIL_COL] == "dup_line_frac"
+    assert out[2][VERDICT_COL] is False and out[2][FIRST_FAIL_COL] == "top_bigram_frac"
+    assert out[3][VERDICT_COL] is True          # NULL text: nothing to flag
+    assert out[3]["text"] is None               # input columns pass through
+
+
 def test_top_bigram_frac_clamped(spark):
     # overlapping occurrences would give 2*4/5 = 1.6 -> clamped to 1.0
     df = spark.createDataFrame([Row(doc_id=0, text="the the the the the")])
