@@ -267,9 +267,66 @@ def run(
     return report
 
 
+def quality_pass(
+    spark: SparkSession,
+    docs_path: str,
+    output_path: str,
+    run_id: str,
+    thresholds: dict | None = None,
+) -> dict:
+    """Document-side repetition/quality gate (operators/quality.py):
+    Gopher-rule failures land in the same partitioned violations
+    layout as sequence-check failures (``<out>/quality_violations``,
+    hive-partitioned by derived source dir, bounded file counts), so
+    failure triage reads one warehouse convention for both stages.
+    Runs BEFORE tokenization in a real pipeline — on the raw
+    ``documents`` table, not the sequences table."""
+    from .operators.cascade import FIRST_FAIL_COL, REASON_COL, VERDICT_COL
+    from .operators import quality as quality_ops
+    from .sources.writer import source_dir_col, write_partitioned
+
+    docs = spark.read.parquet(docs_path)
+    gated = quality_ops.repetition_gate(docs, **(thresholds or {})).persist()
+    failed = gated.where(~F.col(VERDICT_COL)).select(
+        "doc_id",
+        F.col(FIRST_FAIL_COL).alias("check_name"),
+        F.col(REASON_COL).alias("fail_reason"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_bigram_frac",
+        *( ["source"] if "source" in docs.columns else [] ),
+        F.lit(run_id).alias("run_id"),
+    )
+    part_cols = ("source_dir",) if "source" in docs.columns else ()
+    out_dir = f"{output_path}/quality_violations"
+    if part_cols:
+        write_partitioned(
+            failed.withColumn("source_dir", source_dir_col()),
+            out_dir,
+            partition_by=part_cols,
+            files_per_partition=4,
+            sort_within="doc_id",
+            mode="append",
+        )
+    else:
+        failed.write.mode("append").parquet(out_dir)
+    by_rule = {
+        r["check_name"]: r["n"]
+        for r in failed.groupBy("check_name").agg(F.count("*").alias("n")).collect()
+    }
+    report = {
+        "run_id": run_id,
+        "docs": gated.count(),
+        "quality_failed": sum(by_rule.values()),
+        "quality_failed_by_rule": by_rule,
+    }
+    gated.unpersist()
+    return report
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="teleharvest-validate")
-    ap.add_argument("--input", required=True, help="sequences table path (parquet)")
+    ap.add_argument("--input", default=None, help="sequences table path (parquet)")
     ap.add_argument("--output", required=True, help="output root (violations/verdicts/manifest)")
     ap.add_argument("--suite-json", default=None, help="JSON file of CheckSuite overrides")
     ap.add_argument("--run-id", required=True)
@@ -308,9 +365,26 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--metrics-obs", default=None, help="run-all: fresh metric observations parquet"
     )
+    ap.add_argument(
+        "--quality-docs",
+        default=None,
+        help="documents parquet for the pre-tokenization repetition/"
+        "quality gate (Gopher rules); failures land in "
+        "<output>/quality_violations alongside the sequence violations",
+    )
     args = ap.parse_args(argv)
+    if args.input is None and args.quality_docs is None:
+        ap.error("at least one of --input / --quality-docs is required")
+    if args.run_all and args.input is None:
+        ap.error("--run-all requires --input")
 
     spark = get_spark(app_name=f"validate-{args.run_id}", master=args.master)
+    quality_report = None
+    if args.quality_docs:
+        quality_report = quality_pass(spark, args.quality_docs, args.output, args.run_id)
+    if args.input is None:
+        print(json.dumps(quality_report))
+        return 0
     if args.run_all:
         from . import pipeline
 
@@ -339,6 +413,8 @@ def main(argv: list[str] | None = None) -> int:
             drift_baseline=args.drift_baseline,
             token_drift=args.token_drift,
         )
+    if quality_report is not None:
+        report["quality"] = quality_report
     print(json.dumps(report))
     return 0
 

@@ -207,3 +207,58 @@ def test_token_drift_resume_skips_untouched_sources(spark, suite, tmp_path):
     assert set(rows) == {"src_01"}
     assert rows["src_01"]["drift_verdict"] == "fail"
     assert r2["token_drift_failed"] == 1
+
+
+def test_quality_pass_writes_partitioned_violations(spark, tmp_path):
+    """Document-side Gopher gate through the CLI: failures land in the
+    shared partitioned violations layout (source_dir hive key, NULL and
+    '' sources kept distinct), clean docs don't, and the report's
+    per-rule counts reconcile with the written rows."""
+    from pyspark.sql import Row
+
+    repetitive = "spam spam\n" * 40                 # dup_line_frac ~ 1
+    # every word distinct -> every line and every bigram unique
+    clean = "\n".join(f"w{i}a w{i}b w{i}c w{i}d" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=repetitive, source="web"),
+            Row(doc_id=1, text=clean, source="web"),
+            Row(doc_id=2, text=repetitive, source=None),
+            Row(doc_id=3, text=repetitive, source=""),
+        ]
+    )
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    docs.write.parquet(inp)
+
+    rep = cli.quality_pass(spark, inp, out, run_id="q1")
+    assert rep["docs"] == 4
+    assert rep["quality_failed"] == 3
+    assert rep["quality_failed_by_rule"].get("dup_line_frac") == 3
+
+    written = spark.read.parquet(f"{out}/quality_violations")
+    got = {r["doc_id"]: r for r in written.collect()}
+    assert set(got) == {0, 2, 3}
+    assert got[0]["source_dir"] == "web"
+    assert got[2]["source_dir"] == "__null__"
+    assert got[3]["source_dir"] == "__empty__"
+    # raw source column survives inside the files, un-mangled
+    assert got[2]["source"] is None and got[3]["source"] == ""
+    assert all(r["run_id"] == "q1" for r in got.values())
+
+
+def test_cli_main_quality_only(spark, tmp_path, capsys):
+    """--quality-docs without --input runs the gate standalone."""
+    from pyspark.sql import Row
+
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [Row(doc_id=0, text="x\n" * 30, source="s")]
+    ).write.parquet(inp)
+    rc = cli.main(
+        ["--quality-docs", inp, "--output", out, "--run-id", "q2"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["quality_failed"] == 1
