@@ -366,6 +366,14 @@ def main(argv: list[str] | None = None) -> int:
         "--metrics-obs", default=None, help="run-all: fresh metric observations parquet"
     )
     ap.add_argument(
+        "--prep-docs",
+        default=None,
+        help="documents parquet: run the composed training-data-prep "
+        "pipeline (quality → dedup → tokenize → leakage-safe split → "
+        "pack) into <output>; digest-gated stages honor --resume "
+        "(see pipeline.prep_corpus)",
+    )
+    ap.add_argument(
         "--quality-docs",
         default=None,
         help="documents parquet for the pre-tokenization repetition/"
@@ -373,12 +381,20 @@ def main(argv: list[str] | None = None) -> int:
         "<output>/quality_violations alongside the sequence violations",
     )
     args = ap.parse_args(argv)
-    if args.input is None and args.quality_docs is None:
-        ap.error("at least one of --input / --quality-docs is required")
+    if args.input is None and args.quality_docs is None and args.prep_docs is None:
+        ap.error("at least one of --input / --quality-docs / --prep-docs is required")
     if args.run_all and args.input is None:
         ap.error("--run-all requires --input")
 
     spark = get_spark(app_name=f"validate-{args.run_id}", master=args.master)
+    if args.prep_docs:
+        from . import pipeline
+
+        report = pipeline.prep_corpus(
+            spark, args.prep_docs, args.output, args.run_id, resume=args.resume
+        )
+        print(json.dumps(report))
+        return 0
     quality_report = None
     if args.quality_docs:
         quality_report = quality_pass(spark, args.quality_docs, args.output, args.run_id)

@@ -131,3 +131,26 @@ def format_ts(col: Column, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
     ``msg.date.strftime("%Y-%m-%d %H:%M:%S")``
     (services/telegram_service.py:55). Pure codegen expression."""
     return F.date_format(col, fmt)
+
+
+def hash_tokens(col: Column, vocab_size: int = 50257) -> Column:
+    """Deterministic tokenizer stub: lowercase whitespace words →
+    md5-of-word mod ``vocab_size`` as ``array<int>`` — the same
+    derivation both engines share bit-for-bit (used by the graded
+    ``token_jaccard`` query). Pure codegen (split + transform of a
+    cheap hash), so tokenization rides the same scan as every other
+    projection — no Python boundary.
+
+    This is the swap point for a real BPE tokenizer in a deployment:
+    replace with an Arrow ``pandas_udf`` holding the tokenizer as a
+    per-executor singleton (the U1 embedding-stub pattern,
+    functions/vectors.py) — the pipeline contract (``tokens
+    array<int>`` + ``n_tok``) is unchanged."""
+    words = F.split(F.lower(F.coalesce(col, F.lit(""))), WS + "+")
+    return F.transform(
+        words,
+        lambda w: (
+            F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long")
+            % F.lit(vocab_size)
+        ).cast("int"),
+    )

@@ -236,3 +236,227 @@ def run_all(
             report["stages"]["metrics"] = {"rows": n}
 
     return report
+
+
+def prep_corpus(
+    spark: SparkSession,
+    docs_path: str,
+    output_path: str,
+    run_id: str,
+    quality_thresholds: dict | None = None,
+    minhash_threshold: float = 0.8,
+    n_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    vocab_size: int = 50257,
+    capacity: int = 2048,
+    train: float = 0.8,
+    val: float = 0.1,
+    drop_dups: bool = True,
+    resume: bool = True,
+    stages: tuple[str, ...] = ("quality", "dedup", "tokenize", "split", "pack"),
+) -> dict:
+    """The TRAINING-DATA-PREP composition: raw ``documents`` →
+    quality gate → dedup → tokenize → leakage-safe split → packed
+    sequences, each stage digest-gated exactly like :func:`run_all`
+    (kill between stages and re-run = resume; unchanged inputs = all
+    skips; byte-idempotent — pinned in tests/test_prep_pipeline.py).
+
+    Warehouse layout under ``output_path``::
+
+        quality_violations/   Gopher-rule failures (partitioned layout)
+        clean_docs/           gate survivors
+        dup_components/       (node, component) near-dup clusters
+        dedup_docs/           one canonical doc per cluster (drop_dups)
+        dedup_index/          incremental MinHash index (sigs+buckets)
+        corpus/split=*/       tokenized docs, hive-partitioned by split
+        packs/                (split, source, doc_id, pack_id)
+
+    Stage-digest chaining: every stage digests the parquet its
+    predecessor WROTE (plus its own params), so an upstream change —
+    a new threshold, a different corpus — cascades invalidation
+    downstream automatically; nothing hashes "the original input" twice.
+
+    100 TB notes per stage: quality is two two-level hash aggregates
+    (operators/quality.py); dedup edges are the star pattern (hub =
+    group min) so an n-way exact-dup group contributes n−1 edges, not
+    C(n,2), and near-dup pairs come from the banded LSH join (never
+    all-pairs); components is the large-star/small-star O(log²n)
+    rounds; tokenize/split are zero-shuffle projections (md5 carve);
+    pack is the grouped Arrow fold. The dedup index append means the
+    NEXT snapshot dedups against this corpus without recomputing it
+    (operators/dedup.py:283).
+    """
+    from .operators import dedup as dedup_ops
+    from .operators import packing as pack_ops
+    from .operators import quality as quality_ops
+    from .operators import sampling as sampling_ops
+    from .operators.cascade import (
+        FAILED_ALL_COL, FIRST_FAIL_COL, REASON_COL, VERDICT_COL,
+    )
+    from .operators.components import connected_components
+    from .functions.text import hash_tokens
+    from .sources.writer import source_dir_col, write_partitioned
+
+    report: dict = {"run_id": run_id, "stages": {}}
+    qdir = os.path.join(output_path, "quality_violations")
+    cdir = os.path.join(output_path, "clean_docs")
+    compdir = os.path.join(output_path, "dup_components")
+    ddir = os.path.join(output_path, "dedup_docs")
+    idxdir = os.path.join(output_path, "dedup_index")
+    tokdir = os.path.join(output_path, "corpus")
+    pdir = os.path.join(output_path, "packs")
+
+    def gate(stage: str, digest: str) -> bool:
+        prev = read_stage_state(output_path, stage) if resume else None
+        return bool(prev and prev.get("digest") == digest)
+
+    if "quality" in stages:
+        docs = spark.read.parquet(docs_path)
+        digest = content_digest(docs) + ":" + json.dumps(
+            quality_thresholds or {}, sort_keys=True
+        )
+        if gate("prep_quality", digest):
+            report["stages"]["quality"] = {"skipped": True}
+        else:
+            gated = quality_ops.repetition_gate(
+                docs.where(F.col("doc_id").isNotNull()),
+                **(quality_thresholds or {}),
+            ).persist()
+            failed = gated.where(~F.col(VERDICT_COL)).select(
+                "doc_id",
+                F.col(FIRST_FAIL_COL).alias("check_name"),
+                F.col(REASON_COL).alias("fail_reason"),
+                *(["source"] if "source" in docs.columns else []),
+                F.lit(run_id).alias("run_id"),
+            )
+            if "source" in docs.columns:
+                write_partitioned(
+                    failed.withColumn("source_dir", source_dir_col()),
+                    qdir, partition_by=("source_dir",),
+                    files_per_partition=4, sort_within="doc_id",
+                )
+            else:
+                failed.write.mode("overwrite").parquet(qdir)
+            clean = gated.where(F.col(VERDICT_COL)).drop(
+                VERDICT_COL, FIRST_FAIL_COL, REASON_COL, FAILED_ALL_COL,
+                "dup_line_frac", "dup_line_char_frac", "top_bigram_frac",
+            )
+            clean.write.mode("overwrite").parquet(cdir)
+            n_clean = spark.read.parquet(cdir).count()
+            n_failed = failed.count()
+            gated.unpersist()
+            write_stage_state(output_path, "prep_quality", {
+                "digest": digest, "run_id": run_id,
+                "clean": n_clean, "failed": n_failed,
+            })
+            report["stages"]["quality"] = {"clean": n_clean, "failed": n_failed}
+
+    if "dedup" in stages:
+        clean = spark.read.parquet(cdir)
+        params = f"{minhash_threshold}:{n_perm}:{bands}:{k}:{drop_dups}"
+        digest = content_digest(clean) + ":" + params
+        if gate("prep_dedup", digest):
+            report["stages"]["dedup"] = {"skipped": True}
+        else:
+            # star pattern: each n-way exact-dup group → n−1 edges to
+            # the group min (doc_ids is sorted; groups have size ≥ 2)
+            ex = dedup_ops.exact_duplicates(clean)
+            exact_edges = ex.select(
+                F.element_at("doc_ids", 1).alias("src"),
+                F.explode(F.expr("slice(doc_ids, 2, size(doc_ids) - 1)")).alias("dst"),
+            )
+            near_edges = dedup_ops.minhash_lsh_pairs(
+                clean, n_perm=n_perm, bands=bands, k=k,
+                threshold=minhash_threshold,
+            ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            comps = connected_components(exact_edges.unionByName(near_edges))
+            comps.write.mode("overwrite").parquet(compdir)
+            comps = spark.read.parquet(compdir)
+            if drop_dups:
+                # keep cluster canonicals (node == component) and
+                # singletons (never incident to an edge)
+                drop = comps.where(F.col("node") != F.col("component")).select(
+                    F.col("node").alias("doc_id")
+                )
+                kept = clean.join(drop, "doc_id", "anti")
+            else:
+                kept = clean
+            kept.write.mode("overwrite").parquet(ddir)
+            # pay the signature compute once more for the PERSISTED
+            # index (overwrite: this corpus replaces the prior index
+            # for this warehouse; cross-snapshot appends use
+            # write_dedup_index(mode="append") on later batches)
+            dedup_ops.write_dedup_index(
+                spark.read.parquet(ddir), idxdir,
+                n_perm=n_perm, bands=bands, k=k, mode="overwrite",
+            )
+            n_kept = spark.read.parquet(ddir).count()
+            n_comp = comps.count()
+            write_stage_state(output_path, "prep_dedup", {
+                "digest": digest, "run_id": run_id,
+                "kept": n_kept, "clustered_nodes": n_comp,
+            })
+            report["stages"]["dedup"] = {"kept": n_kept, "clustered_nodes": n_comp}
+
+    if "tokenize" in stages:
+        deduped = spark.read.parquet(ddir)
+        digest = content_digest(deduped) + f":{vocab_size}"
+        if gate("prep_tokenize", digest):
+            report["stages"]["tokenize"] = {"skipped": True}
+        else:
+            toks = deduped.withColumn(
+                "tokens", hash_tokens(F.col("text"), vocab_size)
+            ).withColumn("n_tok", F.size("tokens"))
+            # split assignment happens next stage; write un-partitioned
+            toks.write.mode("overwrite").parquet(tokdir + "_flat")
+            n = spark.read.parquet(tokdir + "_flat").count()
+            write_stage_state(output_path, "prep_tokenize", {
+                "digest": digest, "run_id": run_id, "rows": n,
+            })
+            report["stages"]["tokenize"] = {"rows": n}
+
+    if "split" in stages:
+        toks = spark.read.parquet(tokdir + "_flat")
+        comps = spark.read.parquet(compdir)
+        digest = (
+            content_digest(toks) + ":" + content_digest(comps)
+            + f":{train}:{val}"
+        )
+        if gate("prep_split", digest):
+            report["stages"]["split"] = {"skipped": True}
+        else:
+            split = sampling_ops.leakage_safe_split(
+                toks, comps, train=train, val=val
+            )
+            split.write.mode("overwrite").partitionBy("split").parquet(tokdir)
+            counts = {
+                r["split"]: r["n"]
+                for r in spark.read.parquet(tokdir)
+                .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            write_stage_state(output_path, "prep_split", {
+                "digest": digest, "run_id": run_id, "counts": counts,
+            })
+            report["stages"]["split"] = {"counts": counts}
+
+    if "pack" in stages:
+        corpus = spark.read.parquet(tokdir)
+        digest = content_digest(corpus) + f":{capacity}"
+        if gate("prep_pack", digest):
+            report["stages"]["pack"] = {"skipped": True}
+        else:
+            group_cols = ["source"] if "source" in corpus.columns else ["split"]
+            shard = "split" if "source" in corpus.columns else None
+            packs = pack_ops.pack_sequences(
+                corpus, key="doc_id", group=group_cols[0],
+                size_col="n_tok", capacity=capacity, shard_col=shard,
+            )
+            packs.write.mode("overwrite").parquet(pdir)
+            n = spark.read.parquet(pdir).count()
+            write_stage_state(output_path, "prep_pack", {
+                "digest": digest, "run_id": run_id, "rows": n,
+            })
+            report["stages"]["pack"] = {"rows": n}
+
+    return report

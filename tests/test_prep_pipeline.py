@@ -1,0 +1,157 @@
+"""pipeline.prep_corpus — the composed training-data-prep pipeline.
+
+Planted corpus: one Gopher-repetitive doc, one exact-dup pair, one
+near-dup pair, unique clean docs, one NULL-id doc. Pins the full
+quality → dedup → tokenize → split → pack chain plus the run_all
+resumability contract (idempotent skips, kill-between-stages resume,
+upstream-change cascade) applied to this pipeline.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Row, functions as F
+
+from teleharvest_spark import pipeline
+
+
+def _corpus(spark):
+    dup = " ".join(f"a{j}" for j in range(60))
+    near_a = " ".join(f"b{j}" for j in range(60))
+    near_b = near_a.rsplit(" ", 1)[0] + " zz"  # last word swapped:
+    # 55 of 56 distinct 5-shingles shared -> Jaccard ~0.965
+    rows = [
+        Row(doc_id=0, text="spam spam\n" * 40, source="web"),   # quality fail
+        Row(doc_id=1, text=dup, source="web"),                  # exact dup of 2
+        Row(doc_id=2, text=dup, source="books"),
+        Row(doc_id=3, text=near_a, source="web"),               # near dup of 4
+        Row(doc_id=4, text=near_b, source="web"),
+        Row(doc_id=None, text="null id doc", source="web"),     # dropped
+    ]
+    rows += [
+        Row(
+            doc_id=10 + i,
+            text=" ".join(f"u{i}w{j}" for j in range(30)),
+            source="web" if i % 2 else "books",
+        )
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _digests(spark, out):
+    return {
+        name: pipeline.content_digest(spark.read.parquet(f"{out}/{name}"))
+        for name in ("clean_docs", "dedup_docs", "corpus", "packs")
+    }
+
+
+def test_prep_corpus_end_to_end(spark, tmp_path):
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "wh")
+    _corpus(spark).write.parquet(inp)
+
+    rep = pipeline.prep_corpus(spark, inp, out, run_id="p1", capacity=64)
+    st = rep["stages"]
+    # quality: repetitive doc out, NULL-id dropped silently (not a row)
+    assert st["quality"]["failed"] == 1
+    assert st["quality"]["clean"] == 14
+    viol = spark.read.parquet(f"{out}/quality_violations")
+    assert [r["doc_id"] for r in viol.collect()] == [0]
+    # dedup: {1,2} exact-collapse, {3,4} near-collapse -> 12 kept
+    assert st["dedup"]["kept"] == 12
+    kept_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/dedup_docs").collect()
+    }
+    assert 1 in kept_ids and 2 not in kept_ids
+    assert 3 in kept_ids and 4 not in kept_ids
+    comps = {
+        (r["node"], r["component"])
+        for r in spark.read.parquet(f"{out}/dup_components").collect()
+    }
+    assert comps == {(1, 1), (2, 1), (3, 3), (4, 3)}
+    # the incremental index covers exactly the kept docs
+    sigs = spark.read.parquet(f"{out}/dedup_index/sigs")
+    assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == kept_ids
+    # tokenize + split: every kept doc has tokens and a split
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == 12
+    assert corpus.where(F.col("tokens").isNull() | F.col("split").isNull()).count() == 0
+    assert sum(st["split"]["counts"].values()) == 12
+    # pack: every (doc) appears exactly once, pack ids dense per group
+    packs = spark.read.parquet(f"{out}/packs")
+    assert packs.count() == 12
+    assert packs.groupBy("doc_id").count().where("count > 1").count() == 0
+
+
+def test_prep_corpus_idempotent_and_resume(spark, tmp_path):
+    inp = str(tmp_path / "docs")
+    _corpus(spark).write.parquet(inp)
+
+    # one-shot reference run
+    ref = str(tmp_path / "ref")
+    pipeline.prep_corpus(spark, inp, ref, run_id="a1", capacity=64)
+    ref_digests = _digests(spark, ref)
+
+    # re-run over the same warehouse: every stage skips, bytes unchanged
+    rep2 = pipeline.prep_corpus(spark, inp, ref, run_id="a2", capacity=64)
+    assert all(s == {"skipped": True} for s in rep2["stages"].values())
+    assert _digests(spark, ref) == ref_digests
+
+    # kill between stages: first run dies after dedup; the re-run
+    # skips quality+dedup and completes -> identical final warehouse
+    killed = str(tmp_path / "killed")
+    pipeline.prep_corpus(
+        spark, inp, killed, run_id="k1", capacity=64,
+        stages=("quality", "dedup"),
+    )
+    rep = pipeline.prep_corpus(spark, inp, killed, run_id="k2", capacity=64)
+    assert rep["stages"]["quality"] == {"skipped": True}
+    assert rep["stages"]["dedup"] == {"skipped": True}
+    assert "rows" in rep["stages"]["tokenize"]
+    assert _digests(spark, killed) == ref_digests
+
+
+def test_prep_corpus_upstream_change_cascades(spark, tmp_path):
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "wh")
+    _corpus(spark).write.parquet(inp)
+    pipeline.prep_corpus(spark, inp, out, run_id="c1", capacity=64)
+
+    # tightening the quality thresholds reruns quality; the gate's
+    # OUTPUT changes (more docs fail), so every downstream stage
+    # re-runs off the cascaded content digests
+    rep = pipeline.prep_corpus(
+        spark, inp, out, run_id="c2", capacity=64,
+        quality_thresholds={"max_top_bigram_frac": 0.05},
+    )
+    assert "skipped" not in rep["stages"]["quality"]
+    assert rep["stages"]["quality"]["failed"] > 1
+    assert "skipped" not in rep["stages"]["dedup"]
+    assert "skipped" not in rep["stages"]["split"]
+
+    # a pack-only param change reruns ONLY pack
+    rep3 = pipeline.prep_corpus(
+        spark, inp, out, run_id="c3", capacity=32,
+        quality_thresholds={"max_top_bigram_frac": 0.05},
+    )
+    assert rep3["stages"]["quality"] == {"skipped": True}
+    assert rep3["stages"]["dedup"] == {"skipped": True}
+    assert rep3["stages"]["split"] == {"skipped": True}
+    assert "rows" in rep3["stages"]["pack"]
+
+
+def test_prep_corpus_keep_dups_split_is_cluster_atomic(spark, tmp_path):
+    """drop_dups=False keeps near-dup clusters in the corpus — the
+    leakage-safe split must then put every cluster member on ONE side."""
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "wh")
+    _corpus(spark).write.parquet(inp)
+    rep = pipeline.prep_corpus(
+        spark, inp, out, run_id="d1", capacity=64, drop_dups=False
+    )
+    assert rep["stages"]["dedup"]["kept"] == 14
+    corpus = spark.read.parquet(f"{out}/corpus")
+    splits = {r["doc_id"]: r["split"] for r in corpus.select("doc_id", "split").collect()}
+    assert splits[1] == splits[2]
+    assert splits[3] == splits[4]
