@@ -384,11 +384,12 @@ def prep_corpus(
                 kept = clean
             kept.write.mode("overwrite").parquet(ddir)
             # pay the signature compute once more for the PERSISTED
-            # index (overwrite: this corpus replaces the prior index
-            # for this warehouse; cross-snapshot appends use
-            # write_dedup_index(mode="append") on later batches)
+            # index. Layout: one subdir per ingest (``b_base`` here,
+            # ``b_<digest>`` per prep_batch), each written with
+            # overwrite — so every producer is replay-idempotent and
+            # readers take the glob union (_read_index below).
             dedup_ops.write_dedup_index(
-                spark.read.parquet(ddir), idxdir,
+                spark.read.parquet(ddir), os.path.join(idxdir, "b_base"),
                 n_perm=n_perm, bands=bands, k=k, mode="overwrite",
             )
             n_kept = spark.read.parquet(ddir).count()
@@ -459,4 +460,224 @@ def prep_corpus(
             })
             report["stages"]["pack"] = {"rows": n}
 
+    return report
+
+
+def _read_index(spark: SparkSession, idxdir: str) -> tuple[DataFrame, DataFrame]:
+    """Glob-union of every ingest's index subdir (``b_base`` +
+    ``b_<digest>`` batches) projected to the join schema."""
+    sigs = spark.read.parquet(os.path.join(idxdir, "*", "sigs")).select(
+        "doc_id", "sig"
+    )
+    buckets = spark.read.parquet(os.path.join(idxdir, "*", "buckets")).select(
+        "doc_id", "band", "bucket"
+    )
+    return sigs, buckets
+
+
+def read_prep_corpus(spark: SparkSession, output_path: str) -> DataFrame:
+    """The full prepared corpus: the base build plus every committed
+    incremental batch (prep_batch writes under ``corpus_inc/b_*``)."""
+    base = spark.read.parquet(os.path.join(output_path, "corpus"))
+    inc_root = os.path.join(output_path, "corpus_inc")
+    if os.path.isdir(inc_root) and os.listdir(inc_root):
+        inc = spark.read.parquet(os.path.join(inc_root, "*"))
+        base = base.unionByName(inc.select(base.columns))
+    return base
+
+
+def read_prep_packs(spark: SparkSession, output_path: str) -> DataFrame:
+    base = spark.read.parquet(os.path.join(output_path, "packs"))
+    inc_root = os.path.join(output_path, "packs_inc")
+    if os.path.isdir(inc_root) and os.listdir(inc_root):
+        inc = spark.read.parquet(os.path.join(inc_root, "*"))
+        base = base.unionByName(inc.select(base.columns))
+    return base
+
+
+def prep_batch(
+    spark: SparkSession,
+    batch_path: str,
+    output_path: str,
+    run_id: str,
+    quality_thresholds: dict | None = None,
+    minhash_threshold: float = 0.8,
+    n_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    vocab_size: int = 50257,
+    capacity: int = 2048,
+    train: float = 0.8,
+    val: float = 0.1,
+    resume: bool = True,
+) -> dict:
+    """Incremental ingest into a :func:`prep_corpus` warehouse: quality-
+    gate a NEW batch, dedup it against the stored corpus WITHOUT
+    touching the corpus (``incremental_dedup_pairs`` — the batch is
+    minhashed alone and equi-joined against the persisted band-bucket
+    index), tokenize + split + pack the survivors, and append the
+    batch's own index rows so the NEXT batch dedups against it too.
+    The reference analogue is the watermark-incremental idiom
+    (processor.py:60-62): per ingest, touch only the new rows.
+
+    Crash-safety/replay: every write lands in a per-batch directory
+    keyed by the batch's content digest (``corpus_inc/b_<d>``,
+    ``packs_inc/b_<d>``, ``dedup_index/b_<d>``, ``quality_violations_
+    inc/b_<d>``) with overwrite semantics — a replay after a mid-batch
+    kill rewrites the same dirs byte-identically (the streaming-
+    violations convention, streaming/violations.py); the ledger state
+    file is written LAST, so a recorded batch is a complete batch, and
+    a re-run of a recorded batch is a no-op skip.
+
+    MinHash est ≥ threshold subsumes exact duplicates (identical text
+    → identical signature → est 1.0), so the batch path needs no
+    separate exact-dup join against the corpus — by design the stored
+    index is the ONLY corpus-sized state this touches, and only
+    through the pre-bucketed equi-join. doc_ids must be unique across
+    corpus ∪ batch (the index contract, operators/dedup.py:326).
+
+    Pack-id continuity: the batch's packs are offset per (group,
+    split) by the stored max pack_id + 1, so (source, split, pack_id)
+    stays a key across the whole warehouse. The offset frame is one
+    aggregate over the stored packs table — metadata-sized relative
+    to the corpus — and broadcast back.
+    """
+    from .operators import dedup as dedup_ops
+    from .operators import packing as pack_ops
+    from .operators import quality as quality_ops
+    from .operators import sampling as sampling_ops
+    from .operators.cascade import (
+        FAILED_ALL_COL, FIRST_FAIL_COL, REASON_COL, VERDICT_COL,
+    )
+    from .operators.components import connected_components
+    from .functions.text import hash_tokens
+    from .sources.writer import source_dir_col, write_partitioned
+    import hashlib
+
+    batch = spark.read.parquet(batch_path)
+    params = (
+        f"{minhash_threshold}:{n_perm}:{bands}:{k}:{vocab_size}:{capacity}"
+        f":{train}:{val}:" + json.dumps(quality_thresholds or {}, sort_keys=True)
+    )
+    digest = content_digest(batch) + ":" + params
+    d = hashlib.md5(digest.encode()).hexdigest()[:12]
+    state_key = f"prep_batch_{d}"
+    prev = read_stage_state(output_path, state_key) if resume else None
+    if prev and prev.get("digest") == digest:
+        return {"run_id": run_id, "batch": d, "skipped": True}
+
+    idxdir = os.path.join(output_path, "dedup_index")
+    report: dict = {"run_id": run_id, "batch": d}
+
+    # 1. quality gate (same rules as the base build)
+    gated = quality_ops.repetition_gate(
+        batch.where(F.col("doc_id").isNotNull()), **(quality_thresholds or {})
+    ).persist()
+    failed = gated.where(~F.col(VERDICT_COL)).select(
+        "doc_id",
+        F.col(FIRST_FAIL_COL).alias("check_name"),
+        F.col(REASON_COL).alias("fail_reason"),
+        *(["source"] if "source" in batch.columns else []),
+        F.lit(run_id).alias("run_id"),
+    )
+    qdir = os.path.join(output_path, "quality_violations_inc", f"b_{d}")
+    if "source" in batch.columns:
+        write_partitioned(
+            failed.withColumn("source_dir", source_dir_col()),
+            qdir, partition_by=("source_dir",),
+            files_per_partition=4, sort_within="doc_id",
+        )
+    else:
+        failed.write.mode("overwrite").parquet(qdir)
+    clean = gated.where(F.col(VERDICT_COL)).drop(
+        VERDICT_COL, FIRST_FAIL_COL, REASON_COL, FAILED_ALL_COL,
+        "dup_line_frac", "dup_line_char_frac", "top_bigram_frac",
+    ).persist()
+    report["quality_failed"] = failed.count()
+
+    # 2. dedup vs the stored index + in-batch (one pass, shared sigs)
+    index_sigs, index_buckets = _read_index(spark, idxdir)
+    pairs = dedup_ops.incremental_dedup_pairs(
+        clean, index_sigs, index_buckets,
+        n_perm=n_perm, bands=bands, k=k, threshold=minhash_threshold,
+    )
+    # cluster the (small) pair set; a batch doc survives iff it IS its
+    # cluster's canonical min — a corpus-anchored cluster has a corpus
+    # canonical, so every batch member of it drops (transitive-safe:
+    # chains through dropped batch docs still collapse to one keeper)
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    drop = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = clean.join(drop, "doc_id", "anti").persist()
+    report["kept"] = kept.count()
+    report["dropped_dups"] = clean.count() - report["kept"]
+
+    if report["kept"] == 0:
+        # wholly-duplicate (or wholly-failed) batch: nothing to land.
+        # Remove any partial dirs a crashed earlier attempt left (a
+        # file-less parquet dir is unreadable), then record the ledger
+        # so the replay is a recorded no-op.
+        import shutil
+
+        for sub in (
+            os.path.join(output_path, "corpus_inc", f"b_{d}"),
+            os.path.join(output_path, "packs_inc", f"b_{d}"),
+            os.path.join(idxdir, f"b_{d}"),
+        ):
+            shutil.rmtree(sub, ignore_errors=True)
+        report["packs"] = 0
+        for h in (gated, clean, kept):
+            h.unpersist()
+        write_stage_state(output_path, state_key, {
+            "digest": digest, "run_id": run_id, "kept": 0, "packs": 0,
+        })
+        return report
+
+    # 3. tokenize + split (survivors have no surviving near-dup, so the
+    # content-defined carve on the doc's own id is leakage-safe)
+    toks = kept.withColumn(
+        "tokens", hash_tokens(F.col("text"), vocab_size)
+    ).withColumn("n_tok", F.size("tokens"))
+    split = sampling_ops.split_assign(toks, train=train, val=val)
+    cdir = os.path.join(output_path, "corpus_inc", f"b_{d}")
+    split.write.mode("overwrite").partitionBy("split").parquet(cdir)
+
+    # 4. pack with per-(group, split) id continuity
+    corpus_batch = spark.read.parquet(cdir)
+    group = "source" if "source" in corpus_batch.columns else "split"
+    shard = "split" if group == "source" else None
+    packs = pack_ops.pack_sequences(
+        corpus_batch, key="doc_id", group=group,
+        size_col="n_tok", capacity=capacity, shard_col=shard,
+    )
+    group_cols = [group] + ([shard] if shard else [])
+    stored_packs = read_prep_packs(spark, output_path)
+    offsets = stored_packs.groupBy(*group_cols).agg(
+        (F.max("pack_id") + 1).alias("__off")
+    )
+    packs = (
+        packs.join(F.broadcast(offsets), group_cols, "left")
+        .withColumn("pack_id", F.col("pack_id") + F.coalesce(F.col("__off"), F.lit(0)))
+        .drop("__off")
+    )
+    pdir = os.path.join(output_path, "packs_inc", f"b_{d}")
+    packs.write.mode("overwrite").parquet(pdir)
+    report["packs"] = spark.read.parquet(pdir).count()
+
+    # 5. append the batch's index rows (its own subdir, overwrite)
+    dedup_ops.write_dedup_index(
+        kept, os.path.join(idxdir, f"b_{d}"),
+        n_perm=n_perm, bands=bands, k=k, mode="overwrite",
+    )
+    for h in (gated, clean, kept):
+        h.unpersist()
+
+    # ledger LAST: a recorded batch is a completed batch
+    write_stage_state(output_path, state_key, {
+        "digest": digest, "run_id": run_id,
+        "kept": report["kept"], "packs": report["packs"],
+    })
     return report

@@ -71,7 +71,7 @@ def test_prep_corpus_end_to_end(spark, tmp_path):
     }
     assert comps == {(1, 1), (2, 1), (3, 3), (4, 3)}
     # the incremental index covers exactly the kept docs
-    sigs = spark.read.parquet(f"{out}/dedup_index/sigs")
+    sigs = spark.read.parquet(f"{out}/dedup_index/b_base/sigs")
     assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == kept_ids
     # tokenize + split: every kept doc has tokens and a split
     corpus = spark.read.parquet(f"{out}/corpus")
@@ -155,3 +155,84 @@ def test_prep_corpus_keep_dups_split_is_cluster_atomic(spark, tmp_path):
     splits = {r["doc_id"]: r["split"] for r in corpus.select("doc_id", "split").collect()}
     assert splits[1] == splits[2]
     assert splits[3] == splits[4]
+
+
+def _batch(spark):
+    """New snapshot: one dup-of-corpus doc (same text as corpus doc 1),
+    one in-batch near-dup pair, one repetitive doc, fresh docs."""
+    dup_of_corpus = " ".join(f"a{j}" for j in range(60))  # == corpus doc 1
+    pair_a = " ".join(f"c{j}" for j in range(60))
+    pair_b = pair_a.rsplit(" ", 1)[0] + " qq"
+    rows = [
+        Row(doc_id=100, text=dup_of_corpus, source="web"),
+        Row(doc_id=101, text=pair_a, source="web"),
+        Row(doc_id=102, text=pair_b, source="books"),
+        Row(doc_id=103, text="ha ha\n" * 40, source="web"),  # quality fail
+    ]
+    rows += [
+        Row(
+            doc_id=110 + i,
+            text=" ".join(f"n{i}w{j}" for j in range(30)),
+            source="web",
+        )
+        for i in range(5)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_prep_batch_incremental_ingest(spark, tmp_path):
+    inp = str(tmp_path / "docs")
+    binp = str(tmp_path / "batch")
+    out = str(tmp_path / "wh")
+    _corpus(spark).write.parquet(inp)
+    _batch(spark).write.parquet(binp)
+    pipeline.prep_corpus(spark, inp, out, run_id="base", capacity=64)
+    base_corpus_n = spark.read.parquet(f"{out}/corpus").count()
+
+    rep = pipeline.prep_batch(spark, binp, out, run_id="b1", capacity=64)
+    # 103 fails quality; 100 drops vs corpus; 102 drops vs in-batch 101
+    assert rep["quality_failed"] == 1
+    assert rep["dropped_dups"] == 2
+    assert rep["kept"] == 6
+
+    full = pipeline.read_prep_corpus(spark, out)
+    ids = {r["doc_id"] for r in full.select("doc_id").collect()}
+    assert full.count() == base_corpus_n + 6
+    assert 101 in ids and 100 not in ids and 102 not in ids
+
+    # the index grew by exactly the kept batch docs -> next batch sees them
+    sigs, _ = pipeline._read_index(spark, f"{out}/dedup_index")
+    assert sigs.count() == base_corpus_n + 6
+
+    # (group, split, pack_id) stays a key across base + batch packs
+    packs = pipeline.read_prep_packs(spark, out)
+    assert packs.count() == base_corpus_n + 6
+    assert (
+        packs.groupBy("source", "split", "pack_id", "doc_id").count()
+        .where("count > 1").count() == 0
+    )
+
+    # replay of the same batch = recorded no-op; warehouse unchanged
+    d1 = pipeline.content_digest(full)
+    rep2 = pipeline.prep_batch(spark, binp, out, run_id="b2", capacity=64)
+    assert rep2["skipped"] is True
+    assert pipeline.content_digest(pipeline.read_prep_corpus(spark, out)) == d1
+
+
+def test_prep_batch_chains_against_prior_batches(spark, tmp_path):
+    """Batch 2 must dedup against batch 1's docs (index append works)."""
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "wh")
+    _corpus(spark).write.parquet(inp)
+    pipeline.prep_corpus(spark, inp, out, run_id="base", capacity=64)
+
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    fresh = " ".join(f"e{j}" for j in range(60))
+    spark.createDataFrame([Row(doc_id=200, text=fresh, source="web")]).write.parquet(b1)
+    spark.createDataFrame([Row(doc_id=201, text=fresh, source="web")]).write.parquet(b2)
+
+    r1 = pipeline.prep_batch(spark, b1, out, run_id="i1", capacity=64)
+    assert r1["kept"] == 1
+    r2 = pipeline.prep_batch(spark, b2, out, run_id="i2", capacity=64)
+    assert r2["kept"] == 0 and r2["dropped_dups"] == 1
