@@ -375,6 +375,56 @@ def memory_telemetry(spark) -> dict:
     }
 
 
+def prep_pipeline_bench(spark, sf_dir: str) -> dict:
+    """End-to-end corpus-prep wall time (pipeline.prep_corpus: quality
+    gate → MinHash dedup + components → tokenize → leakage-safe split →
+    pack) over the sf documents table, plus one prep_batch ingest of a
+    10%-sized re-ingest batch (every doc a near-dup of the corpus under
+    fresh ids) against the warehouse the base run just built — the
+    incremental-vs-rebuild story at the PIPELINE level: the batch path
+    should cost a small fraction of the base build because it touches
+    the corpus only through the pre-bucketed index join."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark import pipeline
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    out = "/tmp/bench_prep_wh"
+    shutil.rmtree(out, ignore_errors=True)
+    n_docs = spark.read.parquet(docs).count()
+    with _ExtLoad() as el:
+        t0 = time.perf_counter()
+        rep = pipeline.prep_corpus(spark, docs, out, run_id="bench")
+        full_sec = time.perf_counter() - t0
+
+    batch_dir = "/tmp/bench_prep_batch.parquet"
+    spark.read.parquet(docs).where("doc_id % 10 = 0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    ).write.mode("overwrite").parquet(batch_dir)
+    n_batch = spark.read.parquet(batch_dir).count()
+    with _ExtLoad() as el2:
+        t1 = time.perf_counter()
+        brep = pipeline.prep_batch(spark, batch_dir, out, run_id="bench_b")
+        batch_sec = time.perf_counter() - t1
+    out_d = {
+        "docs": n_docs,
+        "full_sec": round(full_sec, 3),
+        "docs_per_sec": round(n_docs / full_sec, 1),
+        "full_ext_cores": el.cores,
+        "kept": rep["stages"]["dedup"]["kept"],
+        "quality_failed": rep["stages"]["quality"]["failed"],
+        "batch_docs": n_batch,
+        "batch_sec": round(batch_sec, 3),
+        "batch_ext_cores": el2.cores,
+        "batch_kept": brep["kept"],
+        "batch_dropped_dups": brep["dropped_dups"],
+    }
+    print(f"# prep_pipeline: {out_d}", file=sys.stderr)
+    return out_d
+
+
 def spill_telemetry() -> dict:
     """Total task spill over the whole bench run, parsed from the Spark
     event log (works with spark.ui disabled; .inprogress files are the
@@ -563,6 +613,7 @@ def main() -> None:
 
     pack_shard = pack_shard_bench(spark)
     inc_dedup = incremental_dedup_bench(spark, sf_dir)
+    prep = prep_pipeline_bench(spark, sf_dir)
 
     sf1 = None
     if SF1_ENABLED and "0.1" in sf_dir:
@@ -585,6 +636,7 @@ def main() -> None:
         "recall": recall,
         "pack_shard": pack_shard,
         "incremental_dedup": inc_dedup,
+        "prep_pipeline": prep,
         "memory": memory_telemetry(spark),
         "spill": spill_telemetry(),
     }
