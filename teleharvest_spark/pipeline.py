@@ -254,7 +254,11 @@ def prep_corpus(
     val: float = 0.1,
     drop_dups: bool = True,
     resume: bool = True,
-    stages: tuple[str, ...] = ("quality", "dedup", "tokenize", "split", "pack"),
+    shuffle_seed: int = 0,
+    shuffle_shards: int = 32,
+    stages: tuple[str, ...] = (
+        "quality", "dedup", "tokenize", "split", "pack", "shuffle",
+    ),
 ) -> dict:
     """The TRAINING-DATA-PREP composition: raw ``documents`` →
     quality gate → dedup → tokenize → leakage-safe split → packed
@@ -271,6 +275,9 @@ def prep_corpus(
         dedup_index/          incremental MinHash index (sigs+buckets)
         corpus/split=*/       tokenized docs, hive-partitioned by split
         packs/                (split, source, doc_id, pack_id)
+        corpus_shuffled/      TRAIN split in deterministic pseudo-
+                              random order (write_shuffled_shards;
+                              file-order replay = the training order)
 
     Stage-digest chaining: every stage digests the parquet its
     predecessor WROTE (plus its own params), so an upstream change —
@@ -459,6 +466,32 @@ def prep_corpus(
                 "digest": digest, "run_id": run_id, "rows": n,
             })
             report["stages"]["pack"] = {"rows": n}
+
+    if "shuffle" in stages:
+        from .sources.writer import write_shuffled_shards
+
+        corpus = spark.read.parquet(tokdir)
+        train_rows = corpus.where(F.col("split") == "train")
+        digest = (
+            content_digest(train_rows)
+            + f":{shuffle_seed}:{shuffle_shards}"
+        )
+        if gate("prep_shuffle", digest):
+            report["stages"]["shuffle"] = {"skipped": True}
+        else:
+            sdir = os.path.join(output_path, "corpus_shuffled")
+            # training order is a TRAIN-split concern; val/test readers
+            # evaluate in any order. Epoch reshuffle = a new seed (or a
+            # reader-side shard-local re-sort by a second hash).
+            write_shuffled_shards(
+                train_rows.drop("split"), sdir,
+                key="doc_id", seed=shuffle_seed, n_shards=shuffle_shards,
+            )
+            n = spark.read.parquet(sdir).count()
+            write_stage_state(output_path, "prep_shuffle", {
+                "digest": digest, "run_id": run_id, "rows": n,
+            })
+            report["stages"]["shuffle"] = {"rows": n}
 
     return report
 

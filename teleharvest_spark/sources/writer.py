@@ -27,7 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["write_partitioned", "compact_partitioned", "source_dir_col"]
+__all__ = [
+    "write_partitioned",
+    "compact_partitioned",
+    "source_dir_col",
+    "write_shuffled_shards",
+]
 
 
 def source_dir_col(col: str = "source") -> F.Column:
@@ -151,3 +156,50 @@ def compact_partitioned(
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)
     return {"files_before": before, "files_after": _count_files(path), "rows": rows}
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    key: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 32,
+    order_col: str = "shuffle_ord",
+    mode: str = "overwrite",
+) -> None:
+    """Globally pseudo-random, DETERMINISTIC training-order write: rows
+    are ordered by ``xxhash64(key, seed)`` and carved into ``n_shards``
+    contiguous range shards (one file per shard). Reading the shards in
+    file order replays one fixed permutation of the corpus — the
+    shuffled-dataset contract every training job needs (and the
+    reference's ORDER BY ingest, processor.py:41-47, generalized to a
+    content-defined order).
+
+    Determinism properties (pinned in tests/test_writer.py):
+    * the order is a pure function of (key values, seed) — independent
+      of input partitioning, task scheduling, and cluster size;
+    * a different ``seed`` yields a different permutation (epoch
+      reshuffle = rewrite with seed+1, or cheaper: readers re-sort
+      shard-locally by a second hash);
+    * hash order also de-clusters the input (adjacent source/time rows
+      scatter across shards), so a sequential reader sees an
+      interleaved source mix — the actual point of shuffling.
+
+    Scale: one range exchange (repartitionByRange samples the hash to
+    plan balanced boundaries — no global sort bottleneck, no driver
+    materialization) + an in-task sort; the 64-bit hash is effectively
+    collision-free ordering, and uniform, so shard sizes track row
+    counts. ``order_col`` is persisted so readers can merge-sort shards
+    or verify the order without recomputing the hash.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    ordered = df.withColumn(
+        order_col, F.xxhash64(F.col(key), F.lit(seed))
+    )
+    (
+        ordered.repartitionByRange(n_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

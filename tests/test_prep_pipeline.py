@@ -82,6 +82,14 @@ def test_prep_corpus_end_to_end(spark, tmp_path):
     packs = spark.read.parquet(f"{out}/packs")
     assert packs.count() == 12
     assert packs.groupBy("doc_id").count().where("count > 1").count() == 0
+    # shuffle: the train split, losslessly re-ordered, with the order key
+    shuffled = spark.read.parquet(f"{out}/corpus_shuffled")
+    train_ids = sorted(
+        r["doc_id"] for r in corpus.where("split = 'train'").collect()
+    )
+    assert sorted(r["doc_id"] for r in shuffled.collect()) == train_ids
+    assert "shuffle_ord" in shuffled.columns
+    assert st["shuffle"]["rows"] == len(train_ids)
 
 
 def test_prep_corpus_idempotent_and_resume(spark, tmp_path):

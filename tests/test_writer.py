@@ -113,3 +113,65 @@ def test_compact_partitioned_restores_file_bound(spark, tmp_path):
     assert rep["files_after"] < rep["files_before"]
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert after == before  # lossless
+
+
+def test_write_shuffled_shards_deterministic_global_order(spark, tmp_path):
+    """The shuffled-training-order contract: file-order replay is one
+    fixed permutation, a pure function of (keys, seed) — identical
+    under different input partitionings; a new seed re-permutes."""
+    import os
+
+    from teleharvest_spark.sources.writer import write_shuffled_shards
+
+    rows = [(i, f"src{i % 5}") for i in range(2_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def replay(p):
+        files = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        out = []
+        for fp in files:
+            out.extend(
+                r["doc_id"]
+                for r in spark.read.parquet(fp).orderBy("shuffle_ord").collect()
+            )
+        return out
+
+    p1, p2, p3 = (str(tmp_path / n) for n in ("a", "b", "c"))
+    write_shuffled_shards(df.repartition(13), p1, seed=7, n_shards=8)
+    write_shuffled_shards(df.repartition(1), p2, seed=7, n_shards=8)
+    write_shuffled_shards(df, p3, seed=8, n_shards=8)
+
+    seq1, seq2, seq3 = replay(p1), replay(p2), replay(p3)
+    assert seq1 == seq2                       # partitioning-independent
+    assert sorted(seq1) == list(range(2_000))  # a permutation, lossless
+    assert seq1 != list(range(2_000))          # actually shuffled
+    assert seq3 != seq1                        # seed re-permutes
+
+    # hash order de-clusters: adjacent rows mix sources (no long runs)
+    srcs = [
+        r["source"]
+        for r in spark.read.parquet(p1).orderBy("shuffle_ord").collect()
+    ]
+    longest = run = 1
+    for a, b in zip(srcs, srcs[1:]):
+        run = run + 1 if a == b else 1
+        longest = max(longest, run)
+    assert longest < 10
+
+    # range carve balances shards (uniform 64-bit hash)
+    sizes = [
+        spark.read.parquet(fp).count()
+        for fp in sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(p1)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    ]
+    assert len(sizes) == 8 and min(sizes) > 0
+    assert max(sizes) / min(sizes) < 3
