@@ -374,6 +374,20 @@ def main(argv: list[str] | None = None) -> int:
         "(see pipeline.prep_corpus)",
     )
     ap.add_argument(
+        "--prep-batch-docs",
+        default=None,
+        help="documents parquet of a NEW snapshot: incremental ingest "
+        "into an existing --prep-docs warehouse at <output> (dedup vs "
+        "the stored index only; see pipeline.prep_batch)",
+    )
+    ap.add_argument(
+        "--corpus-report",
+        action="store_true",
+        help="print the corpus datasheet (per-split/source doc+token "
+        "counts, quality breakdown, pack fill) of the prep warehouse "
+        "at <output> and exit",
+    )
+    ap.add_argument(
         "--quality-docs",
         default=None,
         help="documents parquet for the pre-tokenization repetition/"
@@ -381,18 +395,38 @@ def main(argv: list[str] | None = None) -> int:
         "<output>/quality_violations alongside the sequence violations",
     )
     args = ap.parse_args(argv)
-    if args.input is None and args.quality_docs is None and args.prep_docs is None:
-        ap.error("at least one of --input / --quality-docs / --prep-docs is required")
+    if (
+        args.input is None
+        and args.quality_docs is None
+        and args.prep_docs is None
+        and args.prep_batch_docs is None
+        and not args.corpus_report
+    ):
+        ap.error(
+            "at least one of --input / --quality-docs / --prep-docs / "
+            "--prep-batch-docs is required"
+        )
     if args.run_all and args.input is None:
         ap.error("--run-all requires --input")
 
     spark = get_spark(app_name=f"validate-{args.run_id}", master=args.master)
-    if args.prep_docs:
+    if args.corpus_report:
         from . import pipeline
 
-        report = pipeline.prep_corpus(
-            spark, args.prep_docs, args.output, args.run_id, resume=args.resume
-        )
+        print(json.dumps(pipeline.corpus_report(spark, args.output)))
+        return 0
+    if args.prep_docs or args.prep_batch_docs:
+        from . import pipeline
+
+        if args.prep_docs:
+            report = pipeline.prep_corpus(
+                spark, args.prep_docs, args.output, args.run_id, resume=args.resume
+            )
+        else:
+            report = pipeline.prep_batch(
+                spark, args.prep_batch_docs, args.output, args.run_id,
+                resume=args.resume,
+            )
         print(json.dumps(report))
         return 0
     quality_report = None

@@ -714,3 +714,80 @@ def prep_batch(
         "kept": report["kept"], "packs": report["packs"],
     })
     return report
+
+
+def corpus_report(spark: SparkSession, output_path: str) -> dict:
+    """The corpus DATASHEET over a prep warehouse — the one-page
+    numbers a training team asks of a dataset build: per-(split,
+    source) doc and token counts, quality-failure breakdown by rule,
+    dedup survival, pack fill. Everything here is metadata-sized
+    aggregation over tables the pipeline already wrote: one pass over
+    the corpus (grouped partial agg), one over the violations, one
+    over the packs joined to corpus token counts (AQE broadcasts the
+    pack side's group keys); no text is re-read.
+    """
+    corpus = read_prep_corpus(spark, output_path)
+    by = (
+        corpus.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("tokens"),
+        )
+        .collect()
+    )
+    splits: dict = {}
+    for r in by:
+        s = splits.setdefault(r["split"], {"docs": 0, "tokens": 0, "sources": {}})
+        s["docs"] += r["docs"]
+        s["tokens"] += r["tokens"] or 0
+        s["sources"][r["source"] if r["source"] is not None else "__null__"] = {
+            "docs": r["docs"], "tokens": r["tokens"] or 0,
+        }
+
+    viols = [os.path.join(output_path, "quality_violations")]
+    inc_root = os.path.join(output_path, "quality_violations_inc")
+    if os.path.isdir(inc_root) and os.listdir(inc_root):
+        viols.append(os.path.join(inc_root, "*"))
+    quality: dict[str, int] = {}
+    for p in viols:
+        try:
+            rows = (
+                spark.read.parquet(p)
+                .groupBy("check_name")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+        except Exception:
+            continue  # a warehouse with zero failures has no files
+        for r in rows:
+            quality[r["check_name"]] = quality.get(r["check_name"], 0) + r["n"]
+
+    packs = read_prep_packs(spark, output_path)
+    fill = (
+        packs.join(corpus.select("doc_id", "n_tok"), "doc_id")
+        .groupBy("source", "split", "pack_id")
+        .agg(F.sum("n_tok").alias("pack_tokens"))
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.round(F.avg("pack_tokens"), 1).alias("mean_pack_tokens"),
+            F.max("pack_tokens").alias("max_pack_tokens"),
+        )
+        .collect()[0]
+    )
+
+    ledgers = [
+        read_stage_state(output_path, st)
+        for st in ("prep_quality", "prep_dedup")
+    ]
+    return {
+        "docs": corpus.count(),
+        "tokens": sum(s["tokens"] for s in splits.values()),
+        "splits": splits,
+        "quality_failed_by_rule": quality,
+        "quality_failed": sum(quality.values()),
+        "dedup_kept": (ledgers[1] or {}).get("kept"),
+        "clean_docs": (ledgers[0] or {}).get("clean"),
+        "packs": fill["n_packs"],
+        "mean_pack_tokens": float(fill["mean_pack_tokens"]),
+        "max_pack_tokens": fill["max_pack_tokens"],
+    }

@@ -244,3 +244,29 @@ def test_prep_batch_chains_against_prior_batches(spark, tmp_path):
     assert r1["kept"] == 1
     r2 = pipeline.prep_batch(spark, b2, out, run_id="i2", capacity=64)
     assert r2["kept"] == 0 and r2["dropped_dups"] == 1
+
+
+def test_corpus_report_datasheet(spark, tmp_path):
+    """The datasheet reconciles with the pipeline reports across a base
+    build + one incremental batch."""
+    inp = str(tmp_path / "docs")
+    binp = str(tmp_path / "batch")
+    out = str(tmp_path / "wh")
+    _corpus(spark).write.parquet(inp)
+    _batch(spark).write.parquet(binp)
+    base = pipeline.prep_corpus(spark, inp, out, run_id="base", capacity=64)
+    brep = pipeline.prep_batch(spark, binp, out, run_id="b1", capacity=64)
+
+    rep = pipeline.corpus_report(spark, out)
+    assert rep["docs"] == base["stages"]["dedup"]["kept"] + brep["kept"]
+    assert rep["docs"] == sum(s["docs"] for s in rep["splits"].values())
+    assert rep["tokens"] > 0
+    # quality: 1 base repetitive doc + 1 batch repetitive doc
+    assert rep["quality_failed"] == 2
+    assert rep["quality_failed_by_rule"]["dup_line_frac"] == 2
+    # packs are distinct (source, split, pack_id) bins; docs can share
+    assert 0 < rep["packs"] <= rep["docs"]
+    assert 0 < rep["mean_pack_tokens"] <= 64
+    # per-source breakdown sums to split totals
+    for s in rep["splits"].values():
+        assert s["docs"] == sum(v["docs"] for v in s["sources"].values())
