@@ -27,7 +27,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-__all__ = ["hash_bucket", "split_assign", "stratified_sample", "leakage_safe_split"]
+__all__ = [
+    "hash_bucket",
+    "split_assign",
+    "stratified_sample",
+    "leakage_safe_split",
+    "token_budget_sample",
+]
 
 _BUCKETS = 65536  # 4 hex digits of the md5 — plenty of split resolution
 
@@ -143,3 +149,60 @@ def stratified_sample(
         salt=salt,
     )
     return out.withColumnRenamed("rank", "sample_rank").drop("__h")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    key: str = "doc_id",
+    group: str = "source",
+    size_col: str = "n_tok",
+    seed: int = 0,
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Data-mixture curation: per ``group``, keep a deterministic
+    pseudo-random prefix of documents whose cumulative ``size_col``
+    stays within that group's token budget — how a training mix is
+    weighted ("200B web tokens, 50B books") without a second pass or a
+    driver loop.
+
+    Selection order is md5(key, seed) — content-defined, so the sample
+    is stable under repartitioning and engines agree on it. A doc is
+    kept iff its cumulative size INCLUDING itself is ≤ budget, so the
+    realized total never overshoots; it undershoots by at most one
+    document (the standard prefix rule — exact budget hits would
+    require splitting a document, which is the packer's job, not the
+    sampler's). Groups missing from ``budgets`` keep everything unless
+    ``default_budget`` is given. NULL ``group`` rows are dropped (the
+    engine-wide NULL-stratum exclusion); NULL sizes count 0.
+
+    Scale: one window (partition by group, order by hash) — the same
+    shuffle shape as sessionize/top-k; running sum is O(1) state per
+    row. A pathologically hot group degrades to one big sorted
+    partition; if that bites, pre-filter with a sacrificial hash range
+    (keep hash < budget/total_tokens * 1.2 of the keyspace first),
+    which bounds the window input — documented rather than automatic
+    because it needs a group-size estimate.
+    """
+    from pyspark.sql import Window
+
+    df = df.where(F.col(group).isNotNull())
+    hx = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")))
+    w = (
+        Window.partitionBy(group)
+        .orderBy(F.col("__h"), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget_expr = F.lit(default_budget)
+    for g, b in sorted(budgets.items()):
+        budget_expr = F.when(F.col(group) == g, F.lit(b)).otherwise(budget_expr)
+    out = (
+        df.withColumn("__h", hx)
+        .withColumn(
+            "__cum", F.sum(F.coalesce(F.col(size_col), F.lit(0))).over(w)
+        )
+        .withColumn("__budget", budget_expr.cast("long"))
+        .where(F.col("__budget").isNull() | (F.col("__cum") <= F.col("__budget")))
+        .drop("__h", "__cum", "__budget")
+    )
+    return out

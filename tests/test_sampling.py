@@ -156,3 +156,51 @@ def test_leakage_and_plain_split_share_null_key_rule(spark):
     }
     assert plain[None] is None and safe[None] is None
     assert plain[7] == safe[7] is not None
+
+
+def test_token_budget_sample(spark):
+    """Prefix-by-hash budget sampling: deterministic under
+    partitioning, never overshoots, undershoots by < one doc, groups
+    without a budget pass through, NULL strata drop."""
+    from teleharvest_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "web", 10) for i in range(100)]
+    rows += [(1000 + i, "books", 7) for i in range(50)]
+    rows += [(2000 + i, "code", 5) for i in range(20)]
+    rows += [(3000, None, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+
+    budgets = {"web": 333, "books": 70}
+    out = token_budget_sample(df, budgets)
+    got = out.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok")
+    ).collect()
+    by = {r["source"]: (r["n"], r["tok"]) for r in got}
+    assert by["web"] == (33, 330)     # 333 // 10 docs, <= budget
+    assert by["books"] == (10, 70)    # exact hit
+    assert by["code"] == (20, 100)    # no budget -> keep all
+    assert None not in by             # NULL stratum dropped
+
+    # identical selection under different partitionings and a changed
+    # selection under a different seed
+    ids = lambda d: sorted(r["doc_id"] for r in d.select("doc_id").collect())
+    a = ids(token_budget_sample(df.repartition(17), budgets))
+    b = ids(token_budget_sample(df.repartition(1), budgets))
+    c = ids(token_budget_sample(df, budgets, seed=9))
+    assert a == b
+    assert a != c and len(a) == len(c) == 63
+
+    # default_budget applies to unlisted groups
+    d = token_budget_sample(df, budgets, default_budget=25)
+    by2 = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by2["code"] == 5  # 25 // 5
+
+    # NULL sizes count 0 (kept for free, never charge the budget)
+    df2 = spark.createDataFrame(
+        [(1, "g", None), (2, "g", 4)], "doc_id long, source string, n_tok long"
+    )
+    out2 = token_budget_sample(df2, {"g": 4})
+    assert out2.count() == 2
