@@ -508,29 +508,39 @@ def _read_index(spark: SparkSession, idxdir: str) -> tuple[DataFrame, DataFrame]
     return sigs, buckets
 
 
+def _union_inc(spark: SparkSession, base: DataFrame, inc_root: str) -> DataFrame:
+    """Union every per-batch subdir onto the base table. Batch dirs are
+    read one-by-one (each is its own hive root — a single glob read
+    trips CONFLICTING_DIRECTORY_STRUCTURES when batches carry
+    partition dirs). The dir count is the number of uncompacted
+    ingests — metadata-sized; a long-running deployment folds them
+    into the base table periodically (compact = rewrite base +
+    truncate inc, the compact_partitioned idiom)."""
+    if not (os.path.isdir(inc_root) and os.listdir(inc_root)):
+        return base
+    for d in sorted(os.listdir(inc_root)):
+        if not d.startswith("b_"):
+            continue
+        inc = spark.read.parquet(os.path.join(inc_root, d))
+        base = base.unionByName(inc.select(base.columns))
+    return base
+
+
 def read_prep_corpus(spark: SparkSession, output_path: str) -> DataFrame:
     """The full prepared corpus: the base build plus every committed
     incremental batch (prep_batch writes under ``corpus_inc/b_*``)."""
     base = spark.read.parquet(os.path.join(output_path, "corpus"))
-    inc_root = os.path.join(output_path, "corpus_inc")
-    if os.path.isdir(inc_root) and os.listdir(inc_root):
-        inc = spark.read.parquet(os.path.join(inc_root, "*"))
-        base = base.unionByName(inc.select(base.columns))
-    return base
+    return _union_inc(spark, base, os.path.join(output_path, "corpus_inc"))
 
 
 def read_prep_packs(spark: SparkSession, output_path: str) -> DataFrame:
     base = spark.read.parquet(os.path.join(output_path, "packs"))
-    inc_root = os.path.join(output_path, "packs_inc")
-    if os.path.isdir(inc_root) and os.listdir(inc_root):
-        inc = spark.read.parquet(os.path.join(inc_root, "*"))
-        base = base.unionByName(inc.select(base.columns))
-    return base
+    return _union_inc(spark, base, os.path.join(output_path, "packs_inc"))
 
 
 def prep_batch(
     spark: SparkSession,
-    batch_path: str,
+    batch_path: str | DataFrame,
     output_path: str,
     run_id: str,
     quality_thresholds: dict | None = None,
@@ -587,7 +597,13 @@ def prep_batch(
     from .sources.writer import source_dir_col, write_partitioned
     import hashlib
 
-    batch = spark.read.parquet(batch_path)
+    # a DataFrame is accepted directly (the streaming foreachBatch
+    # path, streaming/prep.py — a micro-batch has no parquet path)
+    batch = (
+        batch_path
+        if isinstance(batch_path, DataFrame)
+        else spark.read.parquet(batch_path)
+    )
     params = (
         f"{minhash_threshold}:{n_perm}:{bands}:{k}:{vocab_size}:{capacity}"
         f":{train}:{val}:" + json.dumps(quality_thresholds or {}, sort_keys=True)

@@ -521,3 +521,59 @@ def test_streaming_violations_writer_layout_and_replay(spark, suite, tmp_path):
     # the managed fix; cf. compact_partitioned's rename caveat).
     sv.violations_sink(suite, sink)(b1, 0)
     assert spark.read.parquet(sink).count() == n2
+
+
+def test_streaming_prep_ingest_grows_corpus_and_dedups(spark, tmp_path):
+    """Continuous corpus ingestion: each micro-batch runs the
+    idempotent incremental prep — fresh docs land, dups of earlier
+    ingests drop, and a replayed batch (sink called again with the
+    same data) is a recorded no-op."""
+    from tests.test_prep_pipeline import _corpus
+    from teleharvest_spark import pipeline
+    from teleharvest_spark.streaming import prep as sprep
+
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "wh")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _corpus(spark).write.parquet(inp)
+    pipeline.prep_corpus(spark, inp, out, run_id="base", capacity=64)
+    base_n = pipeline.read_prep_corpus(spark, out).count()
+
+    schema = "doc_id long, text string, source string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(drop))
+        q = sprep.start_prep_ingest(spark, stream, out, ckpt, capacity=64)
+        q.awaitTermination()
+
+    # micro-batch 1: two fresh docs
+    f1 = " ".join(f"s1w{j}" for j in range(40))
+    f2 = " ".join(f"s2w{j}" for j in range(40))
+    spark.createDataFrame(
+        [(300, f1, "web"), (301, f2, "books")], schema
+    ).write.mode("append").parquet(str(drop))
+    run()
+    assert pipeline.read_prep_corpus(spark, out).count() == base_n + 2
+
+    # micro-batch 2: one dup of batch 1, one fresh — only new files read
+    f3 = " ".join(f"s3w{j}" for j in range(40))
+    spark.createDataFrame(
+        [(302, f1, "web"), (303, f3, "web")], schema
+    ).write.mode("append").parquet(str(drop))
+    run()
+    full = pipeline.read_prep_corpus(spark, out)
+    ids = {r["doc_id"] for r in full.select("doc_id").collect()}
+    assert full.count() == base_n + 3
+    assert 303 in ids and 302 not in ids  # dup vs batch-1 index dropped
+
+    # replay: calling the sink again with batch-2's data is a ledger
+    # skip — warehouse unchanged (foreachBatch crash-replay semantics)
+    d0 = pipeline.content_digest(full)
+    batch2 = spark.createDataFrame([(302, f1, "web"), (303, f3, "web")], schema)
+    sprep.prep_sink(out, capacity=64)(batch2, 99)
+    assert pipeline.content_digest(pipeline.read_prep_corpus(spark, out)) == d0
+
+    # empty micro-batch is a no-op, not an error
+    sprep.prep_sink(out, capacity=64)(spark.createDataFrame([], schema), 100)
