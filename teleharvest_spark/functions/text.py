@@ -154,3 +154,48 @@ def hash_tokens(col: Column, vocab_size: int = 50257) -> Column:
             % F.lit(vocab_size)
         ).cast("int"),
     )
+
+
+# PII scrubbing — conservative, auditable regexes. Codegen-side
+# regexp_replace, so redaction rides the same scan as the rest of the
+# cleanup projection (reference F3 idiom, processor.py:106, applied to
+# privacy). Patterns favor precision on unambiguous shapes (emails,
+# IPv4, long digit runs) — entity-level NER-grade PII is a model call,
+# which sits OUTSIDE the engine core like U3/U4 scoring (SURVEY §2.7).
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — the one high-precision PII shape
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted quad, each octet 1-3 digits, not embedded in longer digits
+    "ip": r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])",
+    # phone: optional +CC and (area), then 3-4+3-4(+2-4) digit groups
+    # with a REQUIRED separator between core groups — the separator
+    # requirement is what keeps version strings ("1.2.3.4.5") and long
+    # numeric literals (π digits, IDs) unredacted; a contiguous
+    # 7-digit run is deliberately not matched (precision over recall —
+    # an engine-level scrubber must not eat ordinary numbers)
+    "phone": (
+        r"(?<![0-9A-Za-z])(?:\+?[0-9]{1,3}[ .-]?)?(?:\([0-9]{2,4}\)[ .-]?)?"
+        r"[0-9]{3,4}[ .-][0-9]{3,4}(?:[ .-][0-9]{2,4})?(?![0-9A-Za-z])"
+    ),
+}
+
+
+def redact_pii(
+    col: Column, kinds: tuple[str, ...] = ("email", "ip", "phone")
+) -> Column:
+    """Replace each matched PII kind with its ``<KIND>`` placeholder —
+    order matters (emails first, so their digits never half-match the
+    phone pattern). NULL stays NULL (regexp_replace passes it)."""
+    out = col
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(col: Column, kinds: tuple[str, ...] = ("email", "ip", "phone")) -> list[Column]:
+    """Per-kind match counts for the privacy audit report — one
+    ``regexp_count`` per kind over the same scan."""
+    s = F.coalesce(col, F.lit(""))
+    return [
+        F.regexp_count(s, F.lit(PII_PATTERNS[k])).alias(f"n_{k}") for k in kinds
+    ]

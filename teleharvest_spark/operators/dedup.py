@@ -655,3 +655,101 @@ def embedding_near_dups(
         top.where((F.col("sim") >= threshold) & (F.col("probe_id") < F.col("neighbor_id")))
         .select(F.col("probe_id").alias("id_a"), F.col("neighbor_id").alias("id_b"), "sim")
     )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """EXACT-substring duplication spans: maximal token ranges
+    ``(doc_id, start, end)`` (end exclusive) covered by k-token-grams
+    that occur ≥ ``min_count`` times in the corpus — the map-reduce
+    form of suffix-array exact-substring dedup (public technique:
+    fingerprint every k-gram, keep the globally repeated ones, merge
+    overlapping hits back into spans). Within-doc repeats count toward
+    ``min_count`` (a doc that repeats its own 50-gram is duplication
+    too). Docs shorter than ``k`` tokens contribute nothing.
+
+    Complements the whole-document family above: MinHash/SimHash find
+    mostly-duplicate DOCUMENTS; this finds duplicated PASSAGES inside
+    otherwise-distinct documents (boilerplate, licenses, quoted blocks)
+    so a pipeline can trim the span or down-weight the doc rather than
+    drop it.
+
+    Scale: the exploded fingerprint table is one row per token
+    position but only 20 B wide (id, pos, hash8) — the count is a
+    map-side-combinable two-level aggregate on a uniform 64-bit key,
+    and the join back ships only the repeated hashes (AQE broadcasts
+    them when duplication is sparse — the common case). The span merge
+    is one window per doc ordered by position. The k-gram hash is the
+    same JVM-side expression as ``token_shingles``; positions are kept,
+    distinctness is not.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
+    n = F.size(toks)
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        F.slice(toks, i + 1, k).cast("array<string>").cast("string")
+    )
+    grams = F.when(
+        n >= k, F.transform(F.sequence(F.lit(0), n - F.lit(k)), gram)
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    repeated = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .where(F.col("occurrences") >= min_count)
+        .select("gram")
+    )
+    hits = ex.join(repeated, "gram").select(id_col, "pos")
+    # island detection: a new span starts where the gap to the previous
+    # hit exceeds k (ranges [p, p+k) overlap or adjoin iff pos <= prev+k)
+    w = W.partitionBy(id_col).orderBy("pos")
+    new_span = (
+        F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-(k + 1))) + k
+    ).cast("int")
+    spans = (
+        hits.withColumn("__new", new_span)
+        .withColumn("__island", F.sum("__new").over(w))
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + k).alias("end"),
+        )
+        .select(id_col, "start", "end")
+    )
+    return spans
+
+
+def duplicated_token_stats(
+    df: DataFrame,
+    spans: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc rollup of :func:`duplicated_ngram_spans`: ``n_dup_tok``
+    and guarded ``dup_tok_frac`` for threshold rules ("drop docs > 80%
+    duplicated text", "trim spans over 50% docs"). Docs with no spans
+    report 0 / 0.0 (left join)."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("end") - F.col("start")).alias("n_dup_tok"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    n_tok = F.size(F.coalesce(F.col(tokens_col), F.array().cast("array<int>")))
+    return (
+        df.select(F.col(id_col), n_tok.alias("__n"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_dup_tok", F.lit(0)).alias("n_dup_tok"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.when(
+                F.col("__n") > 0,
+                F.coalesce("n_dup_tok", F.lit(0)).cast("double") / F.col("__n"),
+            ).otherwise(F.lit(0.0)).alias("dup_tok_frac"),
+        )
+    )

@@ -243,3 +243,63 @@ def test_token_native_dedup_paths(spark):
             dedup.minhash_signatures(df, features=feats).collect()}
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[4]
+
+
+def test_duplicated_ngram_spans_planted(spark):
+    """Exact-substring spans: hand-computable boundaries on planted
+    token arrays (shared 8-gram run across docs, a within-doc repeat,
+    a too-short doc, a clean doc)."""
+    from teleharvest_spark.operators.dedup import (
+        duplicated_ngram_spans,
+        duplicated_token_stats,
+    )
+
+    shared = list(range(100, 112))  # 12 shared tokens
+    rows = [
+        # doc 0: shared block at positions 5..17
+        (0, list(range(0, 5)) + shared + list(range(200, 210))),
+        # doc 1: same block at positions 0..12
+        (1, shared + list(range(300, 320))),
+        # doc 2: repeats ITS OWN 8-gram (positions 0..8 == 10..18)
+        (2, list(range(400, 408)) + [901, 902] + list(range(400, 408)) + [903]),
+        # doc 3: too short for k=8
+        (3, [1, 2, 3]),
+        # doc 4: unique content
+        (4, list(range(500, 540))),
+        # doc 5: NULL tokens
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    spans = {
+        (r["doc_id"], r["start"], r["end"])
+        for r in duplicated_ngram_spans(df, k=8).collect()
+    }
+    # docs 0/1: every 8-gram fully inside the 12-token shared block is
+    # repeated -> merged span covers exactly the block
+    assert (0, 5, 17) in spans
+    assert (1, 0, 12) in spans
+    # doc 2: its repeated 8-gram occurs at pos 0 and 10 -> the gap
+    # (10 > k=8) separates TWO spans, one per occurrence
+    assert (2, 0, 8) in spans and (2, 10, 18) in spans
+    assert {s[0] for s in spans} == {0, 1, 2}
+
+    stats = {
+        r["doc_id"]: r.asDict()
+        for r in duplicated_token_stats(df, duplicated_ngram_spans(df, k=8)).collect()
+    }
+    assert stats[0]["n_dup_tok"] == 12 and stats[0]["n_spans"] == 1
+    assert abs(stats[0]["dup_tok_frac"] - 12 / 27) < 1e-12
+    assert stats[4]["n_dup_tok"] == 0 and stats[4]["dup_tok_frac"] == 0.0
+    assert stats[5]["n_dup_tok"] == 0 and stats[5]["dup_tok_frac"] == 0.0
+
+
+def test_duplicated_ngram_spans_partitioning_invariant(spark):
+    """Same spans under different input partitionings (window + global
+    count are partitioning-independent)."""
+    from teleharvest_spark.operators.dedup import duplicated_ngram_spans
+
+    base = [(i, [i % 7] * 5 + list(range(i * 100, i * 100 + 20))) for i in range(40)]
+    df = spark.createDataFrame(base, "doc_id long, tokens array<int>")
+    a = sorted(map(tuple, duplicated_ngram_spans(df.repartition(11), k=5).collect()))
+    b = sorted(map(tuple, duplicated_ngram_spans(df.repartition(1), k=5).collect()))
+    assert a == b and len(a) > 0

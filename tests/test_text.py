@@ -75,3 +75,37 @@ def test_parse_score_lenient(spark):
     assert _one(spark, "  90 ", col) == 90.0
     assert _one(spark, "not a number", col) is None
     assert _one(spark, None, col) is None
+
+
+def test_redact_pii_and_counts(spark):
+    """Privacy scrubbing: unambiguous shapes redact, ordinary numbers
+    survive (precision-over-recall contract in PII_PATTERNS)."""
+    from teleharvest_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        ("mail bob.smith+x@corp.example.co now",),
+        ("ip 10.0.255.7 end",),
+        ("call +1 (415) 555-0100 or 415 555 0100",),
+        ("version 1.2.3.4.5 and pi=3.14159265358979 stay",),
+        ("id 5550100 is not a phone (no separator)",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        F.col("text"),
+        redact_pii(F.col("text")).alias("r"),
+        *pii_counts(F.col("text")),
+    ).collect()
+    by = {r["text"]: r for r in got}
+
+    assert by["mail bob.smith+x@corp.example.co now"]["r"] == "mail <EMAIL> now"
+    assert by["mail bob.smith+x@corp.example.co now"]["n_email"] == 1
+    assert by["ip 10.0.255.7 end"]["r"] == "ip <IP> end"
+    r3 = by["call +1 (415) 555-0100 or 415 555 0100"]
+    assert r3["r"] == "call <PHONE> or <PHONE>" and r3["n_phone"] == 2
+    # false-positive guards: versions, long literals, contiguous runs
+    clean = by["version 1.2.3.4.5 and pi=3.14159265358979 stay"]
+    assert clean["r"] == clean["text"]
+    assert clean["n_phone"] == 0 and clean["n_ip"] == 0
+    assert by["id 5550100 is not a phone (no separator)"]["n_phone"] == 0
+    assert by[None]["r"] is None
