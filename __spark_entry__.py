@@ -567,6 +567,29 @@ def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: exact-substring duplication spans over the corpus
+    (operators/dedup.py duplicated_ngram_spans — repeated k-token-gram
+    fingerprints merged into maximal per-doc spans; the Lee-et-al
+    exact-substring dedup mode, map-reduce form). Tokenization is the
+    same md5-mod-vocab derivation as q_token_jaccard; k=20 so the
+    fixture's duplicated passages (cluster copies) surface as spans.
+    Correctness is pinned at exact boundaries in tests/test_dedup.py;
+    this entry tracks cost: the exploded fingerprint table is one row
+    per token position, the canonical worst shuffle shape of the op."""
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TXT.WS + "+")
+    tok = F.transform(
+        words,
+        lambda w: (
+            F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long") % 50257
+        ).cast("int"),
+    )
+    toks = docs.select("doc_id", tok.alias("tokens"))
+    spans = dedup.duplicated_ngram_spans(toks, k=20)
+    return dedup.duplicated_token_stats(toks, spans).where(F.col("n_spans") > 0)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination scan (VERDICT r3 item 7): eval set =
     doc_id ≡ 0 (mod 97) — small, broadcastable, and (because the
@@ -1471,6 +1494,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decile_assign": q_decile_assign,
         "ann_ivf_degenerate": q_ann_ivf_degenerate,
         "ann_lsh_degenerate": q_ann_lsh_degenerate,
+        "substring_spans": q_substring_spans,
     }
 
 

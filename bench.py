@@ -107,6 +107,7 @@ HEADLINE = [
     # cost lives in the "incremental_dedup" section)
     "contamination",
     "token_jaccard",
+    "substring_spans",
 ]
 
 SUITE_ROWS = int(os.environ.get("SPARK_GRAFT_SUITE_ROWS", "2000000"))

@@ -698,7 +698,9 @@ def duplicated_ngram_spans(
     grams = F.when(
         n >= k, F.transform(F.sequence(F.lit(0), n - F.lit(k)), gram)
     ).otherwise(F.array().cast("array<bigint>"))
-    ex = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    ex = _spread(df, id_col).select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
     repeated = (
         ex.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("occurrences"))
