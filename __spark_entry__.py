@@ -576,16 +576,14 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's duplicated passages (cluster copies) surface as spans.
     Correctness is pinned at exact boundaries in tests/test_dedup.py;
     this entry tracks cost: the exploded fingerprint table is one row
-    per token position, the canonical worst shuffle shape of the op."""
+    per token position, the canonical worst shuffle shape of the op.
+    Tokenization = the shared hash_tokens helper (the prep pipeline's
+    tokenizer), so this bench measures the same derivation the
+    pipeline ships; q_token_jaccard keeps its own inline copy because
+    ITS derivation is hash-gated bit-for-bit against the DuckDB
+    oracle's split semantics (empty text → [''] there, by design)."""
     docs = _load(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TXT.WS + "+")
-    tok = F.transform(
-        words,
-        lambda w: (
-            F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long") % 50257
-        ).cast("int"),
-    )
-    toks = docs.select("doc_id", tok.alias("tokens"))
+    toks = docs.select("doc_id", TXT.hash_tokens(F.col("text")).alias("tokens"))
     spans = dedup.duplicated_ngram_spans(toks, k=20)
     return dedup.duplicated_token_stats(toks, spans).where(F.col("n_spans") > 0)
 

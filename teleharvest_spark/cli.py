@@ -295,10 +295,16 @@ def quality_pass(
         "dup_line_char_frac",
         "top_bigram_frac",
         *( ["source"] if "source" in docs.columns else [] ),
-        F.lit(run_id).alias("run_id"),
+        # run_id lives in the hive dir (run_id=<id>), not the data
+        # files — readers of the parent dir get it as a partition
+        # column; a duplicate data column would collide with it
     )
     part_cols = ("source_dir",) if "source" in docs.columns else ()
-    out_dir = f"{output_path}/quality_violations"
+    # per-run_id hive dir with overwrite: re-running the same pass
+    # (operator retry, scheduler replay) rewrites its own directory
+    # instead of appending duplicate rows — the replay-idempotency
+    # convention every other writer in the warehouse follows
+    out_dir = f"{output_path}/quality_violations/run_id={run_id}"
     if part_cols:
         write_partitioned(
             failed.withColumn("source_dir", source_dir_col()),
@@ -306,10 +312,10 @@ def quality_pass(
             partition_by=part_cols,
             files_per_partition=4,
             sort_within="doc_id",
-            mode="append",
+            mode="overwrite",
         )
     else:
-        failed.write.mode("append").parquet(out_dir)
+        failed.write.mode("overwrite").parquet(out_dir)
     by_rule = {
         r["check_name"]: r["n"]
         for r in failed.groupBy("check_name").agg(F.count("*").alias("n")).collect()

@@ -145,8 +145,16 @@ def hash_tokens(col: Column, vocab_size: int = 50257) -> Column:
     replace with an Arrow ``pandas_udf`` holding the tokenizer as a
     per-executor singleton (the U1 embedding-stub pattern,
     functions/vectors.py) — the pipeline contract (``tokens
-    array<int>`` + ``n_tok``) is unchanged."""
-    words = F.split(F.lower(F.coalesce(col, F.lit(""))), WS + "+")
+    array<int>`` + ``n_tok``) is unchanged.
+
+    NULL / empty / whitespace-only text tokenizes to an EMPTY array
+    (``split('', ...)`` would yield ``['']`` — a phantom token that
+    inflates token counts, charges sampling budgets, and packs a bogus
+    id; the trim guard closes that)."""
+    s = F.trim(F.coalesce(col, F.lit("")))
+    words = F.when(
+        s == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(s), WS + "+"))
     return F.transform(
         words,
         lambda w: (
@@ -194,8 +202,15 @@ def redact_pii(
 
 def pii_counts(col: Column, kinds: tuple[str, ...] = ("email", "ip", "phone")) -> list[Column]:
     """Per-kind match counts for the privacy audit report — one
-    ``regexp_count`` per kind over the same scan."""
+    ``regexp_count`` per kind over the same scan.
+
+    Each kind counts on the string with all EARLIER kinds already
+    redacted — the same progressive view :func:`redact_pii` replaces
+    on — so the counts reconcile exactly with the substitutions made
+    (an email's digits must not double-report as a phantom phone)."""
     s = F.coalesce(col, F.lit(""))
-    return [
-        F.regexp_count(s, F.lit(PII_PATTERNS[k])).alias(f"n_{k}") for k in kinds
-    ]
+    out = []
+    for k in kinds:
+        out.append(F.regexp_count(s, F.lit(PII_PATTERNS[k])).alias(f"n_{k}"))
+        s = F.regexp_replace(s, PII_PATTERNS[k], f"<{k.upper()}>")
+    return out

@@ -454,11 +454,9 @@ def prep_corpus(
         if gate("prep_pack", digest):
             report["stages"]["pack"] = {"skipped": True}
         else:
-            group_cols = ["source"] if "source" in corpus.columns else ["split"]
-            shard = "split" if "source" in corpus.columns else None
             packs = pack_ops.pack_sequences(
-                corpus, key="doc_id", group=group_cols[0],
-                size_col="n_tok", capacity=capacity, shard_col=shard,
+                _with_pack_group(corpus), key="doc_id", group="source_dir",
+                size_col="n_tok", capacity=capacity, shard_col="split",
             )
             packs.write.mode("overwrite").parquet(pdir)
             n = spark.read.parquet(pdir).count()
@@ -470,7 +468,13 @@ def prep_corpus(
     if "shuffle" in stages:
         from .sources.writer import write_shuffled_shards
 
-        corpus = spark.read.parquet(tokdir)
+        # shuffle over the FULL prepared corpus (base + every committed
+        # incremental batch): the stage digest covers the batch dirs,
+        # so after prep_batch/streaming ingests, re-running prep_corpus
+        # (all other stages skip) refreshes corpus_shuffled to include
+        # them — the corpus_shuffled contract is "every train doc in
+        # the warehouse", not "the base build's train docs".
+        corpus = read_prep_corpus(spark, output_path)
         train_rows = corpus.where(F.col("split") == "train")
         digest = (
             content_digest(train_rows)
@@ -494,6 +498,26 @@ def prep_corpus(
             report["stages"]["shuffle"] = {"rows": n}
 
     return report
+
+
+def _with_pack_group(corpus: DataFrame) -> DataFrame:
+    """Derive the NULL-safe pack grouping key ``source_dir`` (the
+    warehouse's partition-key convention — sources/writer.py
+    ``source_dir_col``). ``pack_sequences`` drops NULL group keys by
+    policy, which is right for upstream violations but would silently
+    lose NULL-source docs that legitimately survived the gate; the
+    derived key keeps them in their own '__null__' group. A corpus
+    without a source column packs as one '__null__' group, so the pack
+    schema is IDENTICAL whether or not the input carried a source —
+    batches of either shape union-read cleanly (read_prep_packs)."""
+    from .sources.writer import source_dir_col
+
+    key = (
+        source_dir_col()
+        if "source" in corpus.columns
+        else F.lit("__null__")
+    )
+    return corpus.withColumn("source_dir", key)
 
 
 def _read_index(spark: SparkSession, idxdir: str) -> tuple[DataFrame, DataFrame]:
@@ -618,6 +642,21 @@ def prep_batch(
     idxdir = os.path.join(output_path, "dedup_index")
     report: dict = {"run_id": run_id, "batch": d}
 
+    # replay hygiene: a crashed earlier attempt (no ledger) may have
+    # left this batch's dirs behind — partial ones are unreadable, and
+    # a completed-but-unrecorded packs dir would feed the pack-id
+    # offset scan below with the batch's OWN packs (double-offset on
+    # replay). Remove them up front so every attempt starts clean.
+    import shutil
+
+    for sub in (
+        os.path.join(output_path, "corpus_inc", f"b_{d}"),
+        os.path.join(output_path, "packs_inc", f"b_{d}"),
+        os.path.join(output_path, "quality_violations_inc", f"b_{d}"),
+        os.path.join(idxdir, f"b_{d}"),
+    ):
+        shutil.rmtree(sub, ignore_errors=True)
+
     # 1. quality gate (same rules as the base build)
     gated = quality_ops.repetition_gate(
         batch.where(F.col("doc_id").isNotNull()), **(quality_thresholds or {})
@@ -665,18 +704,10 @@ def prep_batch(
     report["dropped_dups"] = clean.count() - report["kept"]
 
     if report["kept"] == 0:
-        # wholly-duplicate (or wholly-failed) batch: nothing to land.
-        # Remove any partial dirs a crashed earlier attempt left (a
-        # file-less parquet dir is unreadable), then record the ledger
-        # so the replay is a recorded no-op.
-        import shutil
-
-        for sub in (
-            os.path.join(output_path, "corpus_inc", f"b_{d}"),
-            os.path.join(output_path, "packs_inc", f"b_{d}"),
-            os.path.join(idxdir, f"b_{d}"),
-        ):
-            shutil.rmtree(sub, ignore_errors=True)
+        # wholly-duplicate (or wholly-failed) batch: nothing to land
+        # (the start-of-batch cleanup already removed any crashed
+        # earlier attempt's dirs); record the ledger so the replay is
+        # a recorded no-op.
         report["packs"] = 0
         for h in (gated, clean, kept):
             h.unpersist()
@@ -694,15 +725,17 @@ def prep_batch(
     cdir = os.path.join(output_path, "corpus_inc", f"b_{d}")
     split.write.mode("overwrite").partitionBy("split").parquet(cdir)
 
-    # 4. pack with per-(group, split) id continuity
-    corpus_batch = spark.read.parquet(cdir)
-    group = "source" if "source" in corpus_batch.columns else "split"
-    shard = "split" if group == "source" else None
+    # 4. pack with per-(source_dir, split) id continuity — the derived
+    # NULL-safe group key keeps the pack schema identical whether or
+    # not this batch carries a source column (see _with_pack_group)
+    corpus_batch = _with_pack_group(spark.read.parquet(cdir))
     packs = pack_ops.pack_sequences(
-        corpus_batch, key="doc_id", group=group,
-        size_col="n_tok", capacity=capacity, shard_col=shard,
+        corpus_batch, key="doc_id", group="source_dir",
+        size_col="n_tok", capacity=capacity, shard_col="split",
     )
-    group_cols = [group] + ([shard] if shard else [])
+    group_cols = ["source_dir", "split"]
+    # the crashed-attempt cleanup above guarantees the offset scan
+    # never sees this batch's own packs
     stored_packs = read_prep_packs(spark, output_path)
     offsets = stored_packs.groupBy(*group_cols).agg(
         (F.max("pack_id") + 1).alias("__off")
@@ -743,8 +776,15 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
     pack side's group keys); no text is re-read.
     """
     corpus = read_prep_corpus(spark, output_path)
+    # a source-less corpus reports one '__null__' source (the same
+    # NULL-safe convention as the pack grouping, _with_pack_group)
+    src = (
+        F.col("source")
+        if "source" in corpus.columns
+        else F.lit(None).cast("string")
+    )
     by = (
-        corpus.groupBy("split", "source")
+        corpus.groupBy(F.col("split"), src.alias("source"))
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_tok").alias("tokens"),
@@ -760,12 +800,26 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
             "docs": r["docs"], "tokens": r["tokens"] or 0,
         }
 
+    # violations: base dir + each batch dir read SEPARATELY (they are
+    # independent hive roots — one glob trips
+    # CONFLICTING_DIRECTORY_STRUCTURES when layouts differ, and that
+    # failure must not be silently swallowed). Only the zero-failure
+    # case (a dir with no data files, hence no inferable schema) is
+    # absorbed.
+    from pyspark.errors import AnalysisException
+
     viols = [os.path.join(output_path, "quality_violations")]
     inc_root = os.path.join(output_path, "quality_violations_inc")
-    if os.path.isdir(inc_root) and os.listdir(inc_root):
-        viols.append(os.path.join(inc_root, "*"))
+    if os.path.isdir(inc_root):
+        viols.extend(
+            os.path.join(inc_root, d)
+            for d in sorted(os.listdir(inc_root))
+            if d.startswith("b_")
+        )
     quality: dict[str, int] = {}
     for p in viols:
+        if not os.path.isdir(p):
+            continue
         try:
             rows = (
                 spark.read.parquet(p)
@@ -773,15 +827,15 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             )
-        except Exception:
-            continue  # a warehouse with zero failures has no files
+        except AnalysisException:
+            continue  # zero failures written -> no files to infer from
         for r in rows:
             quality[r["check_name"]] = quality.get(r["check_name"], 0) + r["n"]
 
     packs = read_prep_packs(spark, output_path)
     fill = (
         packs.join(corpus.select("doc_id", "n_tok"), "doc_id")
-        .groupBy("source", "split", "pack_id")
+        .groupBy("source_dir", "split", "pack_id")
         .agg(F.sum("n_tok").alias("pack_tokens"))
         .agg(
             F.count(F.lit(1)).alias("n_packs"),

@@ -216,7 +216,7 @@ def test_prep_batch_incremental_ingest(spark, tmp_path):
     packs = pipeline.read_prep_packs(spark, out)
     assert packs.count() == base_corpus_n + 6
     assert (
-        packs.groupBy("source", "split", "pack_id", "doc_id").count()
+        packs.groupBy("source_dir", "split", "pack_id", "doc_id").count()
         .where("count > 1").count() == 0
     )
 
@@ -270,3 +270,77 @@ def test_corpus_report_datasheet(spark, tmp_path):
     # per-source breakdown sums to split totals
     for s in rep["splits"].values():
         assert s["docs"] == sum(v["docs"] for v in s["sources"].values())
+
+
+def test_prep_batch_replay_after_crash_is_byte_identical(spark, tmp_path):
+    """Crash AFTER all writes but BEFORE the ledger (worst replay case):
+    the re-run must rebuild the same dirs byte-identically — in
+    particular the pack-id offsets must not see the crashed attempt's
+    own packs (double-offset regression)."""
+    import os
+
+    inp = str(tmp_path / "docs")
+    b1 = str(tmp_path / "b1")
+    out = str(tmp_path / "wh")
+    _corpus(spark).write.parquet(inp)
+    spark.createDataFrame(
+        [Row(doc_id=400 + i, text=" ".join(f"r{i}w{j}" for j in range(30)),
+             source="web") for i in range(4)]
+    ).write.parquet(b1)
+    pipeline.prep_corpus(spark, inp, out, run_id="base", capacity=64)
+
+    pipeline.prep_batch(spark, b1, out, run_id="i1", capacity=64)
+    packs_before = sorted(
+        map(tuple, pipeline.read_prep_packs(spark, out).collect())
+    )
+    corpus_before = pipeline.content_digest(pipeline.read_prep_corpus(spark, out))
+
+    # simulate the crash: all data written, ledger lost
+    state_dir = os.path.join(out, pipeline.STATE_DIRNAME)
+    ledger = [f for f in os.listdir(state_dir) if f.startswith("prep_batch_")]
+    assert len(ledger) == 1
+    os.remove(os.path.join(state_dir, ledger[0]))
+
+    rep = pipeline.prep_batch(spark, b1, out, run_id="i1r", capacity=64)
+    assert "skipped" not in rep
+    assert sorted(
+        map(tuple, pipeline.read_prep_packs(spark, out).collect())
+    ) == packs_before
+    assert (
+        pipeline.content_digest(pipeline.read_prep_corpus(spark, out))
+        == corpus_before
+    )
+
+
+def test_prep_null_source_docs_are_packed_and_reported(spark, tmp_path):
+    """NULL-source docs that legitimately survive the gate must reach
+    packs (under the '__null__' group) — not silently vanish — and a
+    source-less corpus must still produce a datasheet."""
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "wh")
+    rows = [
+        Row(doc_id=0, text=" ".join(f"a{j}" for j in range(30)), source=None),
+        Row(doc_id=1, text=" ".join(f"b{j}" for j in range(30)), source="web"),
+    ]
+    spark.createDataFrame(rows).write.parquet(inp)
+    pipeline.prep_corpus(spark, inp, out, run_id="p", capacity=64)
+    packs = spark.read.parquet(f"{out}/packs")
+    got = {r["doc_id"]: r["source_dir"] for r in packs.collect()}
+    assert got == {0: "__null__", 1: "web"}
+    rep = pipeline.corpus_report(spark, out)
+    assert rep["docs"] == 2 and rep["packs"] == 2
+
+    # corpus WITHOUT a source column end-to-end (prep + datasheet)
+    inp2 = str(tmp_path / "docs2")
+    out2 = str(tmp_path / "wh2")
+    spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"c{i}w{j}" for j in range(30)))
+         for i in range(3)]
+    ).write.parquet(inp2)
+    pipeline.prep_corpus(spark, inp2, out2, run_id="p2", capacity=64)
+    packs2 = spark.read.parquet(f"{out2}/packs")
+    assert {r["source_dir"] for r in packs2.collect()} == {"__null__"}
+    rep2 = pipeline.corpus_report(spark, out2)
+    assert rep2["docs"] == 3
+    for s in rep2["splits"].values():
+        assert set(s["sources"]) == {"__null__"}

@@ -109,3 +109,34 @@ def test_redact_pii_and_counts(spark):
     assert clean["n_phone"] == 0 and clean["n_ip"] == 0
     assert by["id 5550100 is not a phone (no separator)"]["n_phone"] == 0
     assert by[None]["r"] is None
+
+
+def test_pii_counts_reconcile_with_sequential_redaction(spark):
+    """Counts are taken on the progressively-redacted string, so an
+    email's digits never double-report as a phantom phone."""
+    from teleharvest_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame([("reach me: 415-555-0100@example.com",)], "text string")
+    r = df.select(
+        redact_pii(F.col("text")).alias("r"), *pii_counts(F.col("text"))
+    ).collect()[0]
+    assert r["r"] == "reach me: <EMAIL>"
+    assert r["n_email"] == 1 and r["n_phone"] == 0 and r["n_ip"] == 0
+
+
+def test_hash_tokens_empty_text(spark):
+    """NULL / '' / whitespace-only text tokenizes to an EMPTY array —
+    no phantom token inflating counts, budgets, or packs."""
+    from teleharvest_spark.functions.text import hash_tokens
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "one two")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(hash_tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 2}
