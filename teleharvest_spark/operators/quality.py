@@ -43,7 +43,18 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import WS
 
-__all__ = ["repetition_signals", "repetition_fractions", "repetition_checks", "repetition_gate"]
+__all__ = [
+    "repetition_signals",
+    "repetition_fractions",
+    "repetition_checks",
+    "repetition_gate",
+    "gopher_word_signals",
+    "gopher_word_checks",
+    "gopher_word_gate",
+    "c4_clean_lines",
+    "c4_page_checks",
+    "GOPHER_STOPWORDS",
+]
 
 _BULLETS = ("-", "*", "•")  # '-', '*', '•'
 
@@ -211,3 +222,198 @@ def repetition_gate(
     )
     joined = df.join(fr, id_col, "left")
     return apply_cascade(joined, repetition_checks(**thresholds))
+
+
+# Gopher's small stop list (Rae et al. 2021 Table A1: a document must
+# contain >= 2 of these) — public constants.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_word_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document WORD-level Gopher quality counts (the word-shape
+    complement of :func:`repetition_signals`): ``n_words``,
+    ``chars_words`` (mean word length = chars_words / n_words),
+    ``n_alpha_words`` (words containing an ASCII letter),
+    ``n_symbol_words`` (hash / ellipsis words), ``n_stopword_kinds``
+    (DISTINCT members of the 8-word Gopher stop list present).
+
+    Same execution shape as the line branch: one
+    ``explode(split(text))`` then a single hash aggregate with
+    conditional sums — every per-word predicate is a codegen
+    expression in the exploded frame, no interpreted lambdas; the
+    distinct-stopword count is a tiny (≤8-element) collect_set per
+    doc. Docs with NULL/empty text report all-zero (left join in the
+    gate, coalesce here via the aggregate's absence)."""
+    s = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.when(
+        s == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(s), WS + "+"))
+    ex = df.select(F.col(id_col), F.explode(words).alias("_w"))
+    is_stop = F.col("_w").isin(*GOPHER_STOPWORDS)
+    agg = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("_w")).alias("chars_words"),
+        F.sum(F.when(F.col("_w").rlike("[a-zA-Z]"), 1).otherwise(0)).alias(
+            "n_alpha_words"
+        ),
+        F.sum(
+            F.when(
+                (F.col("_w") == "#")
+                | F.col("_w").contains("...")
+                | F.col("_w").contains("…"),
+                1,
+            ).otherwise(0)
+        ).alias("n_symbol_words"),
+        F.size(
+            F.collect_set(F.when(is_stop, F.col("_w")))
+        ).alias("n_stopword_kinds"),
+    )
+    zero = [
+        F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+        for c in (
+            "n_words", "chars_words", "n_alpha_words",
+            "n_symbol_words", "n_stopword_kinds",
+        )
+    ]
+    return df.select(id_col).join(agg, id_col, "left").select(id_col, *zero)
+
+
+def gopher_word_checks(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_frac: float = 0.10,
+    min_alpha_word_frac: float = 0.80,
+    min_stopword_kinds: int = 2,
+):
+    """The word-level Gopher rules as cascade ``Check``s over
+    :func:`gopher_word_signals` columns (public thresholds, Rae et al.
+    2021 Table A1). Guarded divisions throughout — a 0-word doc fails
+    the word-count rule first (cascade order), never divides."""
+    from .cascade import Check
+
+    n = F.col("n_words").cast("double")
+    mean_len = F.when(n > 0, F.col("chars_words") / n)
+    sym = F.when(n > 0, F.col("n_symbol_words") / n).otherwise(F.lit(0.0))
+    alpha = F.when(n > 0, F.col("n_alpha_words") / n).otherwise(F.lit(0.0))
+    return [
+        Check(
+            name="word_count",
+            fails=(F.col("n_words") < min_words) | (F.col("n_words") > max_words),
+            reason=F.format_string(
+                f"n_words=%d outside [{min_words}, {max_words}]", F.col("n_words")
+            ),
+        ),
+        Check(
+            name="mean_word_len",
+            fails=(mean_len < min_mean_word_len) | (mean_len > max_mean_word_len),
+            reason=F.format_string(
+                f"mean_word_len=%.2f outside [{min_mean_word_len}, "
+                f"{max_mean_word_len}]", mean_len,
+            ),
+        ),
+        Check(
+            name="symbol_word_frac",
+            fails=sym > max_symbol_word_frac,
+            reason=F.format_string(
+                f"symbol_word_frac=%.4f > {max_symbol_word_frac}", sym
+            ),
+        ),
+        Check(
+            name="alpha_word_frac",
+            fails=alpha < min_alpha_word_frac,
+            reason=F.format_string(
+                f"alpha_word_frac=%.4f < {min_alpha_word_frac}", alpha
+            ),
+        ),
+        Check(
+            name="stopword_kinds",
+            fails=F.col("n_stopword_kinds") < min_stopword_kinds,
+            reason=F.format_string(
+                f"n_stopword_kinds=%d < {min_stopword_kinds}",
+                F.col("n_stopword_kinds"),
+            ),
+        ),
+    ]
+
+
+def gopher_word_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """``df`` + word-signal columns + cascade verdicts for the word-
+    level Gopher rules — same contract as :func:`repetition_gate`
+    (compose the two for the full Gopher quality stack)."""
+    from .cascade import apply_cascade
+
+    sig = gopher_word_signals(df, text_col=text_col, id_col=id_col)
+    joined = df.join(sig, id_col, "left")
+    return apply_cascade(joined, gopher_word_checks(**thresholds))
+
+
+# --- C4-style line cleaning (Raffel et al. 2020, public rules) -------
+
+_TERMINAL = ('.', '!', '?', '"', "'")
+
+
+def c4_clean_lines(
+    col: F.Column,
+    min_words_per_line: int = 3,
+    drop_word: str = "javascript",
+) -> F.Column:
+    """C4's line-level cleanup as a TEXT PROJECTION: keep only lines
+    that end in terminal punctuation, have ≥ ``min_words_per_line``
+    words, and don't contain the boilerplate marker word; rebuild the
+    text from the survivors.
+
+    Implementation note: this uses higher-order ``filter`` lambdas,
+    which Catalyst interprets per LINE (not per char) — lines per doc
+    is small, and the alternative (posexplode → filter → re-aggregate
+    ordered by position) adds a corpus-wide shuffle to keep line
+    order. A cleanup projection that stays row-shaped is the better
+    trade; the heavy per-line ANALYSIS paths (repetition counts) use
+    the exploded-aggregate shape instead."""
+    lines = F.split(F.coalesce(col, F.lit("")), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.substring(F.rtrim(l), -1, 1).isin(*_TERMINAL)
+            & (F.size(F.split(F.trim(l), WS + "+")) >= min_words_per_line)
+            & ~F.lower(l).contains(drop_word)
+        ),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_page_checks(min_lines: int = 3):
+    """C4's page-level drops as cascade ``Check``s over the CLEANED
+    text column (apply after :func:`c4_clean_lines`): 'lorem ipsum'
+    anywhere, a curly brace (code), or too few surviving lines."""
+    from .cascade import Check
+
+    t = F.coalesce(F.col("clean_text"), F.lit(""))
+    n_lines = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\n")))
+    return [
+        Check(
+            name="lorem_ipsum",
+            fails=F.lower(t).contains("lorem ipsum"),
+            reason=F.lit("boilerplate marker 'lorem ipsum'"),
+        ),
+        Check(
+            name="curly_brace",
+            fails=t.contains("{"),
+            reason=F.lit("curly brace (likely code)"),
+        ),
+        Check(
+            name="too_few_lines",
+            fails=n_lines < min_lines,
+            reason=F.format_string(f"kept_lines=%d < {min_lines}", n_lines),
+        ),
+    ]

@@ -104,3 +104,96 @@ def test_top_bigram_frac_clamped(spark):
     out = quality.repetition_fractions(df).collect()[0]
     assert out["top_bigram_cnt"] == 4
     assert out["top_bigram_frac"] == 1.0
+
+
+def test_gopher_word_signals_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    docs = [
+        "The cat runs. The dog.",          # 5 words, stop kinds {the}
+        "# x ... y …z",                    # 3 of 5 symbol words
+        None,
+        "",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality.gopher_word_signals(df).collect()
+    }
+    assert got[0]["n_words"] == 5
+    assert got[0]["chars_words"] == len("thecatruns.thedog.")
+    assert got[0]["n_alpha_words"] == 5
+    assert got[0]["n_stopword_kinds"] == 1
+    assert got[1]["n_symbol_words"] == 3 and got[1]["n_words"] == 5
+    for i in (2, 3):
+        assert got[i] == {
+            "doc_id": i, "n_words": 0, "chars_words": 0,
+            "n_alpha_words": 0, "n_symbol_words": 0, "n_stopword_kinds": 0,
+        }
+
+
+def test_gopher_word_gate_rules(spark):
+    good = (
+        "the quick brown fox jumps over that lazy dog with style and grace "
+        * 5
+    )  # 60 words, >=2 stop kinds, mean len ~4
+    docs = [
+        Row(doc_id=0, text=good),
+        Row(doc_id=1, text="too short"),                        # word_count
+        # 50 good words + 7 'abc...' -> symbol frac 7/57 > 0.1 while
+        # word count / mean length / alpha / stopwords all pass
+        Row(doc_id=2, text=good.rsplit(" ", 10)[0] + " abc... " * 7),
+        Row(doc_id=3, text="the of " + "12345 " * 60),          # alpha frac
+        Row(doc_id=4, text=" ".join(f"word{i}" for i in range(60))),  # stopwords
+    ]
+    out = {
+        r["doc_id"]: (r["check_verdict"], r["first_failed_check"])
+        for r in quality.gopher_word_gate(spark.createDataFrame(docs))
+        .select("doc_id", "check_verdict", "first_failed_check")
+        .collect()
+    }
+    assert out[0] == (True, None)
+    assert out[1] == (False, "word_count")
+    assert out[2] == (False, "symbol_word_frac")
+    assert out[3] == (False, "alpha_word_frac")
+    assert out[4] == (False, "stopword_kinds")
+
+
+def test_c4_clean_lines_and_page_checks(spark):
+    from pyspark.sql import functions as F
+    from teleharvest_spark.operators.cascade import apply_cascade
+
+    text = "\n".join([
+        "This sentence ends properly.",     # keep
+        "short.",                           # < 3 words -> drop
+        "No terminal punctuation here",     # drop
+        "Enable javascript to continue.",   # marker word -> drop
+        "Another perfectly fine line!",     # keep
+    ])
+    df = spark.createDataFrame([Row(doc_id=0, text=text)])
+    cleaned = df.select(
+        "doc_id", quality.c4_clean_lines(F.col("text")).alias("clean_text")
+    )
+    got = cleaned.collect()[0]["clean_text"]
+    assert got == "This sentence ends properly.\nAnother perfectly fine line!"
+
+    pages = spark.createDataFrame([
+        Row(doc_id=0, clean_text="One fine line.\nTwo lines.\nThree here."),
+        Row(doc_id=1, clean_text="Lorem Ipsum dolor sit.\nx.\ny.\nz."),
+        Row(doc_id=2, clean_text="code { brace }.\na.\nb.\nc."),
+        Row(doc_id=3, clean_text="Only one line."),
+        Row(doc_id=4, clean_text=""),
+    ])
+    out = {
+        r["doc_id"]: (r["check_verdict"], r["first_failed_check"])
+        for r in apply_cascade(pages, quality.c4_page_checks())
+        .select("doc_id", "check_verdict", "first_failed_check")
+        .collect()
+    }
+    assert out[0] == (True, None)
+    assert out[1] == (False, "lorem_ipsum")
+    assert out[2] == (False, "curly_brace")
+    assert out[3] == (False, "too_few_lines")
+    assert out[4] == (False, "too_few_lines")
