@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "chunk_tokens"]
 
 
 def pack_sequences(
@@ -91,3 +91,63 @@ def pack_sequences(
         return out
 
     return proj.groupBy(*group_cols).applyInPandas(_pack, out_schema)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    chunk_len: int = 2048,
+    stride: int | None = None,
+) -> DataFrame:
+    """Context-window chunking: split each doc's token array into
+    fixed-length windows — the step between tokenization and
+    :func:`pack_sequences` for documents LONGER than the training
+    context (packing fills capacity with whole short docs; chunking
+    cuts long docs down to capacity).
+
+    Output: ``(id_col, chunk_id, tokens, n_tok)`` with ``chunk_id``
+    dense per doc in position order. Windows start at multiples of
+    ``stride`` (default: ``chunk_len``, i.e. disjoint); the LAST
+    window is re-aligned to end exactly at the doc's end, so every
+    token is covered, every emitted chunk except a short-doc's single
+    chunk is exactly ``chunk_len`` long, and no tiny tail chunks are
+    emitted (the overlap absorbs the remainder — the standard sliding-
+    window rule). A doc with ``n <= chunk_len`` yields itself as chunk
+    0; NULL token arrays yield one empty chunk 0 (preserved, not
+    dropped — an upstream violation is the cascade's call, not the
+    chunker's).
+
+    Scale: pure codegen — window starts are a per-row ``sequence`` +
+    ``transform`` (O(n/stride) elements), ``posexplode`` + ``slice``
+    materialize the chunks. No shuffle at all: chunking is
+    embarrassingly row-parallel, and the output feeds pack_sequences'
+    grouped fold, which brings its own shuffle.
+    """
+    if chunk_len < 1:
+        raise ValueError("chunk_len must be >= 1")
+    step = chunk_len if stride is None else stride
+    if not 0 < step <= chunk_len:
+        raise ValueError("stride must be in (0, chunk_len]")
+    toks = F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
+    n = F.size(toks)
+    last = F.greatest(n - F.lit(chunk_len), F.lit(0))
+    # start indices: 0, step, 2*step, ... clamped so the final window
+    # ends at n; array_distinct collapses the clamp's collisions
+    n_starts = F.floor(last.cast("double") / step).cast("int") + 1
+    starts = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_starts),
+            lambda i: F.least(i * step, last),
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+        toks.alias("__t"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.slice(F.col("__t"), F.col("__start") + 1, chunk_len).alias(tokens_col),
+    )
+    return out.withColumn("n_tok", F.size(tokens_col))
