@@ -27,7 +27,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import _spread, shingles
+from .dedup import (
+    _spread,
+    merge_positional_hits,
+    positional_gram_hashes,
+    remove_spans,
+    shingles,
+)
 
 
 def contamination_scan(
@@ -78,3 +84,67 @@ def contamination_scan(
             ).alias("overlap_frac"),
         )
     )
+
+
+def decontamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 13,
+    pad: int = 0,
+) -> DataFrame:
+    """Token spans ``(doc_id, start, end)`` in TRAIN docs covered by
+    k-token-grams that appear anywhere in the eval set — the REMOVAL
+    complement of :func:`contamination_scan` (which only reports). This
+    is the published decontamination recipe (Brown et al. 2020 app. C /
+    Chowdhery et al. 2022 use 13-gram overlap): find every training
+    window that reproduces an eval n-gram, expand by ``pad`` context
+    tokens, and cut it with :func:`dedup.remove_spans` rather than
+    dropping the whole document.
+
+    Operates on the north-rule token payload directly (no
+    detokenization): both sides fingerprint k-windows with the SAME
+    positional-gram expression (``dedup.positional_gram_hashes``), so a
+    train window matches iff its token ids equal an eval window's
+    exactly. Eval docs shorter than ``k`` tokens contribute no grams —
+    by design: a sub-k fragment match is not evidence of contamination
+    at the chosen k.
+
+    Scale (100 TB train, MB-scale eval): the eval gram dimension is
+    distinct-collapsed and BROADCAST; the train side streams its
+    positional grams through a broadcast hash join (never shuffled);
+    hits collapse per doc in one window pass (``merge_positional_hits``).
+    Output volume is bounded by true contamination, not corpus size.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ev_grams = (
+        eval_df.select(
+            F.explode(positional_gram_hashes(tokens_col, k)).alias("gram")
+        ).distinct()
+    )
+    tr = _spread(train, id_col).select(
+        F.col(id_col),
+        F.posexplode(positional_gram_hashes(tokens_col, k)).alias("pos", "gram"),
+    )
+    hits = tr.join(F.broadcast(ev_grams), "gram").select(id_col, "pos")
+    return merge_positional_hits(hits, id_col, k, pad=pad)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 13,
+    pad: int = 0,
+) -> DataFrame:
+    """TRAIN with every eval-matching token span cut out: the one-call
+    decontamination pass. Adds ``n_removed_tok`` (0 for clean docs);
+    callers typically follow with a min-length check so docs gutted by
+    the cut fall out of the corpus (the cascade's min_n_tok rule)."""
+    spans = decontamination_spans(
+        train, eval_df, tokens_col=tokens_col, id_col=id_col, k=k, pad=pad
+    )
+    return remove_spans(train, spans, tokens_col=tokens_col, id_col=id_col)

@@ -690,16 +690,8 @@ def duplicated_ngram_spans(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    toks = F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
-    n = F.size(toks)
-    gram = lambda i: F.xxhash64(  # noqa: E731
-        F.slice(toks, i + 1, k).cast("array<string>").cast("string")
-    )
-    grams = F.when(
-        n >= k, F.transform(F.sequence(F.lit(0), n - F.lit(k)), gram)
-    ).otherwise(F.array().cast("array<bigint>"))
     ex = _spread(df, id_col).select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+        F.col(id_col), F.posexplode(positional_gram_hashes(tokens_col, k)).alias("pos", "gram")
     )
     repeated = (
         ex.groupBy("gram")
@@ -708,23 +700,101 @@ def duplicated_ngram_spans(
         .select("gram")
     )
     hits = ex.join(repeated, "gram").select(id_col, "pos")
-    # island detection: a new span starts where the gap to the previous
-    # hit exceeds k (ranges [p, p+k) overlap or adjoin iff pos <= prev+k)
+    return merge_positional_hits(hits, id_col, k)
+
+
+def positional_gram_hashes(tokens_col: str, k: int) -> F.Column:
+    """Per-position k-gram fingerprints of a token array as
+    array<bigint> (index i fingerprints ``tokens[i : i+k]``). The ONE
+    definition shared by :func:`duplicated_ngram_spans` and the
+    decontamination scan so their gram spaces can never fork; rows
+    shorter than ``k`` contribute nothing (no whole-row fallback —
+    positions must be exact here, unlike :func:`token_shingles`)."""
+    toks = F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
+    n = F.size(toks)
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        F.slice(toks, i + 1, k).cast("array<string>").cast("string")
+    )
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(0), n - F.lit(k)), gram)
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def merge_positional_hits(
+    hits: DataFrame, id_col: str, k: int, pad: int = 0
+) -> DataFrame:
+    """Merge per-position k-gram hits ``(id, pos)`` into maximal
+    disjoint ``(id, start, end)`` spans (end exclusive), each hit
+    expanded by ``pad`` context tokens per side. Island detection: the
+    expanded ranges ``[p - pad, p + k + pad)`` overlap or adjoin iff
+    the gap to the previous hit is ≤ k + 2·pad, so one lag + running
+    sum per doc finds every island in a single window pass. ``start``
+    is clamped at 0; ``end`` may exceed the doc length when padded —
+    consumers clamp against their own token count (remove_spans does).
+    """
     w = W.partitionBy(id_col).orderBy("pos")
+    gap = k + 2 * pad
     new_span = (
-        F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-(k + 1))) + k
+        F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-(gap + 1))) + gap
     ).cast("int")
-    spans = (
+    return (
         hits.withColumn("__new", new_span)
         .withColumn("__island", F.sum("__new").over(w))
         .groupBy(id_col, "__island")
         .agg(
-            F.min("pos").alias("start"),
-            (F.max("pos") + k).alias("end"),
+            F.greatest(F.min("pos") - pad, F.lit(0)).alias("start"),
+            (F.max("pos") + k + pad).alias("end"),
         )
         .select(id_col, "start", "end")
     )
-    return spans
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    removed_col: str = "n_removed_tok",
+) -> DataFrame:
+    """Rewrite token arrays with the given ``(id, start, end)`` spans
+    cut out — the trim step shared by exact-substring dedup ("cut the
+    boilerplate, keep the doc") and eval-set decontamination ("cut the
+    benchmark passage"). Docs with no spans pass through untouched
+    (including NULL token arrays); ``removed_col`` counts the tokens
+    dropped. ``end`` beyond the doc length is clamped, not an error
+    (padded spans run off the edge by design).
+
+    Scale: one join against the span table (tiny — bounded by true
+    duplication/contamination volume, AQE broadcasts it) then a narrow
+    projection. The per-token keep test is a Catalyst HOF — interpreted
+    per element, which is fine for a one-time rewrite pass over the
+    affected docs; spans-per-doc is small (they're maximal and
+    disjoint) so the inner ``exists`` is a short loop.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias("__spans")
+    )
+    toks = F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("__spans"), lambda s: (i >= s["start"]) & (i < s["end"])
+        ),
+    )
+    return (
+        df.join(sp, id_col, "left")
+        .withColumn(
+            "__kept", F.when(F.col("__spans").isNull(), F.col(tokens_col)).otherwise(kept)
+        )
+        .withColumn(
+            removed_col,
+            F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+                F.size(toks) - F.size("__kept")
+            ),
+        )
+        .drop("__spans", tokens_col)
+        .withColumnRenamed("__kept", tokens_col)
+    )
 
 
 def duplicated_token_stats(

@@ -72,3 +72,92 @@ def test_fixture_split_non_vacuous(spark):
     import __spark_entry__ as E
 
     assert E.q_contamination(spark, "/root/testdata/sf0.001").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# token-level decontamination (span removal)
+
+def _tok_dfs(spark):
+    """Train docs as token arrays: doc 1 clean, doc 2 embeds eval 200's
+    13-gram run [100..117] at positions 5..23, doc 3 IS an eval doc
+    verbatim, doc 4 shorter than k, doc 5 NULL tokens."""
+    eval_seq = list(range(100, 118))           # 18 tokens -> 6 13-grams
+    train = [
+        (1, list(range(1, 40))),
+        (2, list(range(50, 55)) + eval_seq + list(range(70, 90))),
+        (3, list(eval_seq)),
+        (4, [100, 101, 102]),
+        (5, None),
+    ]
+    ev = [(200, eval_seq), (201, list(range(900, 930)))]
+    t = spark.createDataFrame(train, "doc_id long, tokens array<int>")
+    e = spark.createDataFrame(ev, "doc_id long, tokens array<int>")
+    return t, e
+
+
+def test_decontamination_spans_exact(spark):
+    t, e = _tok_dfs(spark)
+    spans = {
+        r["doc_id"]: (r["start"], r["end"])
+        for r in contamination.decontamination_spans(t, e, k=13).collect()
+    }
+    # doc 2: eval run occupies positions 5..22 inclusive -> span [5, 23)
+    assert spans[2] == (5, 23)
+    # doc 3 is wholly an eval doc -> span covers everything
+    assert spans[3] == (0, 18)
+    # clean / short / NULL docs produce no spans
+    assert set(spans) == {2, 3}
+
+
+def test_decontaminate_removes_exact_tokens(spark):
+    t, e = _tok_dfs(spark)
+    out = {r["doc_id"]: r for r in contamination.decontaminate(t, e, k=13).collect()}
+    assert out[1]["tokens"] == list(range(1, 40)) and out[1]["n_removed_tok"] == 0
+    assert out[2]["tokens"] == list(range(50, 55)) + list(range(70, 90))
+    assert out[2]["n_removed_tok"] == 18
+    assert out[3]["tokens"] == [] and out[3]["n_removed_tok"] == 18
+    assert out[4]["tokens"] == [100, 101, 102]     # sub-k: not evidence
+    assert out[5]["tokens"] is None and out[5]["n_removed_tok"] == 0
+
+
+def test_decontamination_pad_expands_and_clamps(spark):
+    t, e = _tok_dfs(spark)
+    spans = {
+        r["doc_id"]: (r["start"], r["end"])
+        for r in contamination.decontamination_spans(t, e, k=13, pad=10).collect()
+    }
+    assert spans[2] == (0, 33)      # 5-10 clamps to 0; 23+10=33
+    assert spans[3] == (0, 28)      # end runs past doc length (18) by design
+    out = {r["doc_id"]: r for r in contamination.decontaminate(t, e, k=13, pad=10).collect()}
+    # remove_spans clamps the padded end: doc 2 keeps tokens from pos 33 on
+    assert out[2]["tokens"] == (list(range(50, 55)) + list(range(100, 118)) + list(range(70, 90)))[33:]
+    assert out[3]["tokens"] == []
+
+
+def test_decontamination_partitioning_invariant(spark):
+    t, e = _tok_dfs(spark)
+    a = sorted(
+        (r["doc_id"], r["start"], r["end"])
+        for r in contamination.decontamination_spans(t, e, k=13).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["start"], r["end"])
+        for r in contamination.decontamination_spans(t.repartition(7), e.coalesce(1), k=13).collect()
+    )
+    assert a == b
+
+
+def test_remove_spans_trims_duplicated_passages(spark):
+    """remove_spans composes with duplicated_ngram_spans too: the
+    boilerplate passage shared by two docs is cut from both."""
+    from teleharvest_spark.operators import dedup
+
+    boiler = list(range(500, 520))
+    docs = spark.createDataFrame(
+        [(1, list(range(10)) + boiler), (2, boiler + list(range(30, 45)))],
+        "doc_id long, tokens array<int>",
+    )
+    spans = dedup.duplicated_ngram_spans(docs, k=20, min_count=2)
+    out = {r["doc_id"]: r["tokens"] for r in dedup.remove_spans(docs, spans).collect()}
+    assert out[1] == list(range(10))
+    assert out[2] == list(range(30, 45))
