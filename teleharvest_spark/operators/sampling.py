@@ -33,6 +33,7 @@ __all__ = [
     "stratified_sample",
     "leakage_safe_split",
     "token_budget_sample",
+    "upsample_mixture",
 ]
 
 _BUCKETS = 65536  # 4 hex digits of the md5 — plenty of split resolution
@@ -206,3 +207,61 @@ def token_budget_sample(
         .drop("__h", "__cum", "__budget")
     )
     return out
+
+
+def upsample_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    key: str = "doc_id",
+    group: str = "source",
+    seed: int = 0,
+    default_weight: float = 1.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Epoch-weighted data mixing: repeat each row ``weight(group)``
+    times in expectation — the other half of mixture curation
+    (:func:`token_budget_sample` trims a source DOWN to a budget; this
+    weights a source UP, "3 epochs of books, 0.5 epochs of web", the
+    published practice of non-integer dataset epochs in LLM training
+    mixes).
+
+    Exact-in-distribution and content-defined, not random: every row
+    gets ``floor(w)`` guaranteed copies plus one more iff
+    ``md5(key:copy:seed)`` falls in the fractional remainder — so a
+    weight of 2.5 yields exactly 2 or 3 copies per doc (never 0 or 7),
+    re-runs/engines/partitionings agree row-for-row, and ``seed``
+    re-rolls only the fractional picks. ``copy_col`` (0-based) makes
+    repeats distinct downstream — pack on ``(key, copy)`` so copies
+    land in different sequences. Weights < 1 degrade to deterministic
+    subsampling (0 guaranteed copies, keep iff hash < w); weight ≤ 0
+    drops the group. Groups absent from ``weights`` (and NULL groups)
+    use ``default_weight``; the 1.0 default makes the op an identity
+    plus ``copy=0`` for unlisted sources.
+
+    Scale: one ``explode(sequence(...))`` projection — zero shuffles,
+    no window, no driver loop; output size = Σ ceil(w)·|group| before
+    the hash filter. The hash threshold quantizes to 1/65536 (the
+    engine-wide md5 bucket resolution).
+    """
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {g!r}")
+    w_expr = F.lit(float(default_weight))
+    for g, w in sorted(weights.items()):
+        w_expr = F.when(F.col(group) == g, F.lit(float(w))).otherwise(w_expr)
+    n_copies = F.ceil(w_expr).cast("int")                 # candidate copies
+    frac = w_expr - F.floor(w_expr)                       # fractional remainder
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    keyed = F.concat_ws(
+        ":", F.col(key).cast("string"), F.col(copy_col).cast("string"), F.lit(str(seed))
+    )
+    keep = (F.col(copy_col) < F.floor(w_expr)) | (
+        (frac > 0)
+        & (hash_bucket(keyed) < F.round(frac * _BUCKETS).cast("int"))
+    )
+    return (
+        df.withColumn(copy_col, F.explode(copies))
+        .where(keep)
+    )

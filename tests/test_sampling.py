@@ -204,3 +204,62 @@ def test_token_budget_sample(spark):
     )
     out2 = token_budget_sample(df2, {"g": 4})
     assert out2.count() == 2
+
+
+def test_upsample_mixture_counts_and_determinism(spark):
+    from teleharvest_spark.operators.sampling import upsample_mixture
+
+    rows = [(i, "books" if i % 2 else "web") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = upsample_mixture(df, {"books": 2.5, "web": 0.25}, seed=1)
+
+    per = (
+        out.groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n"), F.collect_set("copy").alias("copies"))
+        .collect()
+    )
+    books = [r for r in per if r["source"] == "books"]
+    web = [r for r in per if r["source"] == "web"]
+    # every books doc gets exactly 2 or 3 copies with dense 0-based copy ids
+    assert len(books) == 200
+    assert all(r["n"] in (2, 3) and sorted(r["copies"]) == list(range(r["n"])) for r in books)
+    # fractional picks are neither all nor none (expectation 100 of 200)
+    n3 = sum(1 for r in books if r["n"] == 3)
+    assert 50 < n3 < 150
+    # web is subsampled: kept docs have exactly copy 0; expectation 50 of 200
+    assert all(r["n"] == 1 and r["copies"] == [0] for r in web)
+    assert 20 < len(web) < 80
+
+    # content-defined: identical under repartitioning, re-rolled by seed
+    key = lambda d: sorted((r["doc_id"], r["copy"]) for r in d.collect())
+    assert key(out) == key(
+        upsample_mixture(df.repartition(13), {"books": 2.5, "web": 0.25}, seed=1)
+    )
+    assert key(out) != key(upsample_mixture(df, {"books": 2.5, "web": 0.25}, seed=2))
+
+
+def test_upsample_mixture_identity_zero_and_defaults(spark):
+    from teleharvest_spark.operators.sampling import upsample_mixture
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "doc_id long, source string"
+    )
+    # default weight 1.0 -> identity plus copy=0 (NULL group included)
+    out = upsample_mixture(df, {}).collect()
+    assert sorted((r["doc_id"], r["copy"]) for r in out) == [(1, 0), (2, 0), (3, 0)]
+    # integer weight -> exact copies, no hash lottery; 0 drops the group
+    out2 = upsample_mixture(df, {"a": 3.0, "b": 0.0}).collect()
+    assert sorted((r["doc_id"], r["copy"]) for r in out2) == [
+        (1, 0), (1, 1), (1, 2), (3, 0)
+    ]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        upsample_mixture(df, {"a": -1.0})
+
+
+def test_upsample_mixture_zero_shuffle_plan(spark):
+    from teleharvest_spark.operators.sampling import upsample_mixture
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = upsample_mixture(df, {"a": 2.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
