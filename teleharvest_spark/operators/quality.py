@@ -53,6 +53,9 @@ __all__ = [
     "gopher_word_gate",
     "c4_clean_lines",
     "c4_page_checks",
+    "encoding_signals",
+    "encoding_checks",
+    "encoding_gate",
     "GOPHER_STOPWORDS",
 ]
 
@@ -417,3 +420,113 @@ def c4_page_checks(min_lines: int = 3):
             reason=F.format_string(f"kept_lines=%d < {min_lines}", n_lines),
         ),
     ]
+
+
+# ---------------------------------------------------------------------------
+# encoding / mojibake quality rules
+
+# Classic UTF-8-read-as-Latin-1 double-encoding markers: a multibyte
+# UTF-8 sequence misdecoded one byte per char surfaces as U+00C3 or
+# U+00C2 followed by a continuation-range char (U+0080-00BF), or as
+# U+00E2 U+0080 (the three-byte punctuation block: curly quotes,
+# dashes, ellipsis). Precision-over-recall like the PII patterns
+# (functions/text.py): a legitimate A-tilde/A-circumflex followed by a
+# continuation-range char is vanishingly rare in natural text; single
+# accented letters NOT followed by one never match.
+MOJIBAKE_RE = "(?:\u00C3[\u0080-\u00BF]|\u00C2[\u0080-\u00BF]|\u00E2\u0080)"
+# C0 control chars except tab/newline/carriage-return.
+CONTROL_RE = "[\x00-\x08\x0B\x0C\x0E-\x1F]"
+REPLACEMENT_CHAR = "\uFFFD"
+
+
+def encoding_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document encoding-noise counts and guarded fractions:
+    ``n_replacement`` (U+FFFD — a decoder already gave up there),
+    ``n_control`` (C0 controls except tab/LF/CR), ``n_mojibake``
+    (double-encoding marker sequences), ``n_chars``, plus
+    ``replacement_frac`` / ``control_frac`` over ``n_chars``. NULL text
+    counts as empty (all zero). Pure codegen (``regexp_count``), zero
+    shuffles — the cheapest check family in the engine.
+
+    Reference analogue: the reference trusts telethon to hand it clean
+    UTF-8 (models/message.py text column); a web-scale ingest cannot,
+    so the gate moves into the engine.
+    """
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(s)
+    n_repl = F.regexp_count(s, F.lit(REPLACEMENT_CHAR))
+    n_ctrl = F.regexp_count(s, F.lit(CONTROL_RE))
+    n_moji = F.regexp_count(s, F.lit(MOJIBAKE_RE))
+    frac = lambda c: F.when(  # noqa: E731
+        n_chars > 0, c.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_moji.alias("n_mojibake"),
+        frac(n_repl).alias("replacement_frac"),
+        frac(n_ctrl).alias("control_frac"),
+    )
+
+
+def encoding_checks(
+    max_replacement: int = 0,
+    max_control_frac: float = 0.001,
+    max_mojibake: int = 2,
+):
+    """Encoding rules as cascade ``Check``s over the columns of
+    :func:`encoding_signals`: any U+FFFD fails by default (its presence
+    is proof of a decode error, not a style judgment), control chars
+    fail by fraction (isolated artifacts in long docs survive), and
+    more than ``max_mojibake`` marker sequences fails (a couple can be
+    a legit foreign-text collision; a run of them is a misdecoded
+    document)."""
+    from .cascade import Check
+
+    return [
+        Check(
+            name="replacement_chars",
+            fails=F.col("n_replacement") > F.lit(max_replacement),
+            reason=F.format_string(
+                f"n_replacement=%d > {max_replacement}", F.col("n_replacement")
+            ),
+        ),
+        Check(
+            name="control_chars",
+            fails=F.col("control_frac") > F.lit(max_control_frac),
+            reason=F.format_string(
+                f"control_frac=%.5f > {max_control_frac}", F.col("control_frac")
+            ),
+        ),
+        Check(
+            name="mojibake",
+            fails=F.col("n_mojibake") > F.lit(max_mojibake),
+            reason=F.format_string(
+                f"n_mojibake=%d > {max_mojibake}", F.col("n_mojibake")
+            ),
+        ),
+    ]
+
+
+def encoding_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """``df`` + encoding-signal columns + cascade verdict columns —
+    same contract as :func:`repetition_gate` / :func:`gopher_word_gate`
+    so the families compose into one quality pass."""
+    from .cascade import apply_cascade
+
+    sig = encoding_signals(df, text_col=text_col, id_col=id_col).select(
+        id_col, "n_replacement", "n_mojibake", "replacement_frac", "control_frac"
+    )
+    joined = df.join(sig, id_col, "left")
+    return apply_cascade(joined, encoding_checks(**thresholds))

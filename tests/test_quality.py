@@ -197,3 +197,68 @@ def test_c4_clean_lines_and_page_checks(spark):
     assert out[2] == (False, "curly_brace")
     assert out[3] == (False, "too_few_lines")
     assert out[4] == (False, "too_few_lines")
+
+
+def test_encoding_signals_hand_computed(spark):
+    docs = [
+        Row(doc_id=0, text="clean text, nothing wrong here."),
+        Row(doc_id=1, text="bad � decode � twice"),
+        Row(doc_id=2, text="ctrl\x00here\x07and\x1fmore"),
+        # three mojibake markers: A-tilde+continuation x2, a-circ+U+0080
+        Row(doc_id=3, text="cafÃ© naÃ¯ \u00e2\u0080x"),
+        Row(doc_id=4, text=None),
+        # tab / LF / CR are NOT control-flagged
+        Row(doc_id=5, text="tabs\tand\nnewlines\rok"),
+        # bare accented letters (no continuation-range follower): clean
+        Row(doc_id=6, text="café naïve Ärger"),
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality.encoding_signals(spark.createDataFrame(docs)).collect()
+    }
+    assert got[0] == {
+        "doc_id": 0, "n_chars": 31, "n_replacement": 0, "n_control": 0,
+        "n_mojibake": 0, "replacement_frac": 0.0, "control_frac": 0.0,
+    }
+    assert got[1]["n_replacement"] == 2
+    assert abs(got[1]["replacement_frac"] - 2 / 20) < 1e-12
+    assert got[2]["n_control"] == 3
+    assert abs(got[2]["control_frac"] - 3 / 18) < 1e-12
+    assert got[3]["n_mojibake"] == 3 and got[3]["n_control"] == 0
+    assert got[4] == {
+        "doc_id": 4, "n_chars": 0, "n_replacement": 0, "n_control": 0,
+        "n_mojibake": 0, "replacement_frac": 0.0, "control_frac": 0.0,
+    }
+    assert got[5]["n_control"] == 0
+    assert got[6]["n_mojibake"] == 0
+
+
+def test_encoding_gate_verdicts(spark):
+    from teleharvest_spark.operators.cascade import FIRST_FAIL_COL, VERDICT_COL
+
+    long_clean = "x" * 2000
+    docs = [
+        Row(doc_id=0, text="perfectly fine prose."),
+        Row(doc_id=1, text="one bad � char"),      # any U+FFFD fails
+        # 1 control char in 2001 chars: frac 1/2001 < 0.001 -> passes
+        Row(doc_id=2, text=long_clean + "\x07"),
+        # 3 control chars in 10 chars: frac 0.3 -> fails
+        Row(doc_id=3, text="ab\x00cd\x01ef\x02gh"),
+        # exactly max_mojibake=2 markers -> passes; 3 -> fails
+        Row(doc_id=4, text="aÃ©bÃ©c"),
+        Row(doc_id=5, text="aÃ©bÃ©cÃ©d"),
+        Row(doc_id=6, text=None),
+    ]
+    out = {
+        r["doc_id"]: (r[VERDICT_COL], r[FIRST_FAIL_COL], r["text"])
+        for r in quality.encoding_gate(spark.createDataFrame(docs))
+        .select("doc_id", VERDICT_COL, FIRST_FAIL_COL, "text")
+        .collect()
+    }
+    assert out[0][:2] == (True, None)
+    assert out[1][:2] == (False, "replacement_chars")
+    assert out[2][:2] == (True, None)
+    assert out[3][:2] == (False, "control_chars")
+    assert out[4][:2] == (True, None)
+    assert out[5][:2] == (False, "mojibake")
+    assert out[6][:2] == (True, None) and out[6][2] is None  # passthrough
