@@ -273,27 +273,37 @@ def quality_pass(
     output_path: str,
     run_id: str,
     thresholds: dict | None = None,
+    families: tuple[str, ...] = ("repetition",),
 ) -> dict:
-    """Document-side repetition/quality gate (operators/quality.py):
-    Gopher-rule failures land in the same partitioned violations
-    layout as sequence-check failures (``<out>/quality_violations``,
+    """Document-side quality gate (operators/quality.py): rule
+    failures land in the same partitioned violations layout as
+    sequence-check failures (``<out>/quality_violations``,
     hive-partitioned by derived source dir, bounded file counts), so
     failure triage reads one warehouse convention for both stages.
     Runs BEFORE tokenization in a real pipeline — on the raw
-    ``documents`` table, not the sequences table."""
+    ``documents`` table, not the sequences table.
+
+    ``families`` selects the check families (``quality.QUALITY_
+    FAMILIES``; default keeps the original repetition-only contract —
+    ``--quality-families`` widens it); all selected families run as ONE
+    composed cascade (:func:`quality.quality_gate`), and each family's
+    signal columns ride along in the violation rows. ``thresholds``
+    follows the gate's per-family keying, with a flat dict accepted as
+    repetition overrides for backward compatibility."""
     from .operators.cascade import FIRST_FAIL_COL, REASON_COL, VERDICT_COL
     from .operators import quality as quality_ops
     from .sources.writer import source_dir_col, write_partitioned
 
+    th = dict(thresholds or {})
+    if th and not (set(th) <= set(quality_ops.QUALITY_FAMILIES)):
+        th = {"repetition": th}  # legacy flat repetition thresholds
     docs = spark.read.parquet(docs_path)
-    gated = quality_ops.repetition_gate(docs, **(thresholds or {})).persist()
+    gated = quality_ops.quality_gate(docs, families=families, thresholds=th).persist()
     failed = gated.where(~F.col(VERDICT_COL)).select(
         "doc_id",
         F.col(FIRST_FAIL_COL).alias("check_name"),
         F.col(REASON_COL).alias("fail_reason"),
-        "dup_line_frac",
-        "dup_line_char_frac",
-        "top_bigram_frac",
+        *quality_ops.family_signal_cols(families),
         *( ["source"] if "source" in docs.columns else [] ),
         # run_id lives in the hive dir (run_id=<id>), not the data
         # files — readers of the parent dir get it as a partition
@@ -400,6 +410,13 @@ def main(argv: list[str] | None = None) -> int:
         "quality gate (Gopher rules); failures land in "
         "<output>/quality_violations alongside the sequence violations",
     )
+    ap.add_argument(
+        "--quality-families",
+        default="repetition",
+        help="comma list of quality check families for --quality-docs "
+        "(encoding, repetition, gopher_words; cascade runs them in the "
+        "given order as one composed gate)",
+    )
     args = ap.parse_args(argv)
     if (
         args.input is None
@@ -437,7 +454,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     quality_report = None
     if args.quality_docs:
-        quality_report = quality_pass(spark, args.quality_docs, args.output, args.run_id)
+        fams = tuple(
+            f.strip() for f in args.quality_families.split(",") if f.strip()
+        )
+        quality_report = quality_pass(
+            spark, args.quality_docs, args.output, args.run_id, families=fams
+        )
     if args.input is None:
         print(json.dumps(quality_report))
         return 0

@@ -56,6 +56,9 @@ __all__ = [
     "encoding_signals",
     "encoding_checks",
     "encoding_gate",
+    "quality_gate",
+    "family_signal_cols",
+    "QUALITY_FAMILIES",
     "GOPHER_STOPWORDS",
 ]
 
@@ -530,3 +533,90 @@ def encoding_gate(
     )
     joined = df.join(sig, id_col, "left")
     return apply_cascade(joined, encoding_checks(**thresholds))
+
+
+# ---------------------------------------------------------------------------
+# composed gate over every family
+
+# Family order is the cascade order: encoding first (a misdecoded doc's
+# repetition/word stats are noise — triage should read the *root* cause
+# in first_failed_check), then line-level repetition, then word-level
+# Gopher rules. Signal-column lists drive both the join projection and
+# the violation-row schema in cli.quality_pass.
+QUALITY_FAMILIES: dict[str, dict] = {
+    "encoding": {
+        "signal_cols": (
+            "n_replacement", "n_mojibake", "replacement_frac", "control_frac",
+        ),
+    },
+    "repetition": {
+        "signal_cols": (
+            "dup_line_frac", "dup_line_char_frac", "top_bigram_frac",
+        ),
+    },
+    "gopher_words": {
+        "signal_cols": (
+            "n_words", "chars_words", "n_alpha_words", "n_symbol_words",
+            "n_stopword_kinds",
+        ),
+    },
+}
+
+
+def family_signal_cols(families) -> list[str]:
+    """Signal columns a gate over ``families`` adds — the extra columns
+    ``cli.quality_pass`` carries into violation rows."""
+    out: list[str] = []
+    for fam in families:
+        out.extend(QUALITY_FAMILIES[fam]["signal_cols"])
+    return out
+
+
+def quality_gate(
+    df: DataFrame,
+    families=("encoding", "repetition", "gopher_words"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict[str, dict] | None = None,
+) -> DataFrame:
+    """ALL requested quality families as ONE gate: each family's
+    signals join onto ``df`` by ``id_col``, then a single
+    ``apply_cascade`` over the concatenated check list — one verdict /
+    first-fail / reason contract across encoding, repetition, and
+    word-level rules, exactly what a training-data filter consumes.
+
+    ``thresholds`` is keyed per family, e.g. ``{"repetition":
+    {"max_dup_line_frac": 0.25}}`` — unknown family keys raise.
+
+    Execution shape: the encoding branch is a pure projection (fuses
+    into the join stage); repetition and gopher_words are each the
+    two-level explode/aggregate documented on their signal functions.
+    All three branches re-join on ``id_col`` — at 100 TB that is one
+    shuffle per aggregate branch on the uniform doc-id key (AQE
+    coalesces the post-agg sides), identical cost to running the
+    family gates separately, but ONE pass over the verdict logic and
+    one violations write instead of three.
+    """
+    thresholds = dict(thresholds or {})
+    unknown = set(thresholds) - set(QUALITY_FAMILIES)
+    if unknown:
+        raise ValueError(f"unknown quality families in thresholds: {sorted(unknown)}")
+    from .cascade import apply_cascade
+
+    signal_fns = {
+        "encoding": (encoding_signals, encoding_checks),
+        "repetition": (repetition_fractions, repetition_checks),
+        "gopher_words": (gopher_word_signals, gopher_word_checks),
+    }
+    joined = df
+    checks = []
+    for fam in families:
+        if fam not in QUALITY_FAMILIES:
+            raise ValueError(f"unknown quality family: {fam!r}")
+        sig_fn, chk_fn = signal_fns[fam]
+        sig = sig_fn(df, text_col=text_col, id_col=id_col).select(
+            id_col, *QUALITY_FAMILIES[fam]["signal_cols"]
+        )
+        joined = joined.join(sig, id_col, "left")
+        checks.extend(chk_fn(**thresholds.get(fam, {})))
+    return apply_cascade(joined, checks)

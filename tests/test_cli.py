@@ -247,6 +247,50 @@ def test_quality_pass_writes_partitioned_violations(spark, tmp_path):
     assert all(r["run_id"] == "q1" for r in got.values())
 
 
+def test_quality_pass_families_composed(spark, tmp_path):
+    """families= widens the gate to the composed cascade: encoding
+    failures get their own rule rows with encoding signal columns in
+    the violation files, and legacy flat thresholds still mean
+    repetition overrides."""
+    from pyspark.sql import Row
+
+    clean = "\n".join(f"w{i}a w{i}b w{i}c w{i}d" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="bad � decode", source="web"),
+            Row(doc_id=1, text=clean, source="web"),
+            Row(doc_id=2, text="spam spam\n" * 40, source="web"),
+        ]
+    )
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    docs.write.parquet(inp)
+
+    rep = cli.quality_pass(
+        spark, inp, out, run_id="qf", families=("encoding", "repetition")
+    )
+    assert rep["quality_failed"] == 2
+    assert rep["quality_failed_by_rule"] == {
+        "replacement_chars": 1, "dup_line_frac": 1,
+    }
+    written = spark.read.parquet(f"{out}/quality_violations")
+    got = {r["doc_id"]: r for r in written.collect()}
+    assert set(got) == {0, 2}
+    # both families' signal columns are carried in the rows
+    assert got[0]["n_replacement"] == 1
+    assert got[2]["dup_line_frac"] > 0.3
+
+    # legacy flat dict -> repetition thresholds (loosened: no failures
+    # from repetition; doc 0 still fails encoding)
+    rep2 = cli.quality_pass(
+        spark, inp, str(tmp_path / "out2"), run_id="qf2",
+        families=("encoding", "repetition"),
+        thresholds={"max_dup_line_frac": 2.0, "max_dup_line_char_frac": 2.0,
+                    "max_top_bigram_frac": 2.0},
+    )
+    assert rep2["quality_failed_by_rule"] == {"replacement_chars": 1}
+
+
 def test_cli_main_quality_only(spark, tmp_path, capsys):
     """--quality-docs without --input runs the gate standalone."""
     from pyspark.sql import Row

@@ -262,3 +262,62 @@ def test_encoding_gate_verdicts(spark):
     assert out[4][:2] == (True, None)
     assert out[5][:2] == (False, "mojibake")
     assert out[6][:2] == (True, None) and out[6][2] is None  # passthrough
+
+
+def test_quality_gate_composed_family_order(spark):
+    import pytest
+    from teleharvest_spark.operators.cascade import FIRST_FAIL_COL, VERDICT_COL
+
+    good = (
+        "the quick brown fox jumps over that lazy dog with style and grace "
+        * 5
+    )
+    docs = [
+        Row(doc_id=0, text=good),                         # passes all three
+        # fails encoding AND repetition -> encoding family wins (order)
+        Row(doc_id=1, text="� spam spam\n" * 40),
+        # fails repetition AND gopher word_count -> repetition wins
+        Row(doc_id=2, text="x\nx\nx\ny"),
+        # passes encoding+repetition (15 distinct words: top_bigram
+        # 2/15 < 0.2), fails only gopher word_count (15 < 50)
+        Row(doc_id=3, text="one two three four five six seven eight "
+                           "nine ten eleven twelve thirteen fourteen fifteen"),
+    ]
+    df = spark.createDataFrame(docs)
+    out = {
+        r["doc_id"]: (r[VERDICT_COL], r[FIRST_FAIL_COL])
+        for r in quality.quality_gate(df)
+        .select("doc_id", VERDICT_COL, FIRST_FAIL_COL)
+        .collect()
+    }
+    assert out[0] == (True, None)
+    assert out[1] == (False, "replacement_chars")
+    assert out[2] == (False, "dup_line_frac")
+    assert out[3] == (False, "word_count")
+
+    # signal columns from every family ride along
+    cols = set(quality.quality_gate(df).columns)
+    assert set(quality.family_signal_cols(
+        ("encoding", "repetition", "gopher_words")
+    )) <= cols
+
+    # per-family threshold override: unique-bigram doc fails only when
+    # the repetition threshold is tightened
+    uniq = spark.createDataFrame([Row(
+        doc_id=0,
+        text="one two three four five six seven eight nine ten "
+             "eleven twelve thirteen fourteen fifteen",
+    )])
+    loose = quality.quality_gate(uniq, families=("repetition",)).collect()[0]
+    assert loose[VERDICT_COL] is True
+    tight = quality.quality_gate(
+        uniq, families=("repetition",),
+        thresholds={"repetition": {"max_top_bigram_frac": 0.05}},
+    ).collect()[0]
+    assert tight[VERDICT_COL] is False
+    assert tight[FIRST_FAIL_COL] == "top_bigram_frac"
+
+    with pytest.raises(ValueError, match="unknown quality family"):
+        quality.quality_gate(uniq, families=("nope",)).collect()
+    with pytest.raises(ValueError, match="unknown quality families"):
+        quality.quality_gate(uniq, thresholds={"nope": {}})
