@@ -825,3 +825,123 @@ def duplicated_token_stats(
             ).otherwise(F.lit(0.0)).alias("dup_tok_frac"),
         )
     )
+
+
+def hot_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    min_line_chars: int = 1,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Lines whose exact text occurs ``>= min_count`` times across the
+    corpus (or per ``scope_col`` group — boilerplate is usually
+    per-domain): ``(lkey [, scope], n_occurrences)``. Lines shorter
+    than ``min_line_chars`` (default: empty lines) are exempt from both
+    counting and removal.
+
+    ``lkey`` is the binary sha-256 of the line — the same
+    exact-identity convention as :func:`exact_duplicates` (collision
+    probability is the 2^128 birthday bound, negligible at any corpus
+    size, vs real 64-bit collisions at ~4e9 distinct lines). GroupBy
+    on the hash, not the string: map-side partials collapse the
+    Zipf-hot boilerplate lines before the exchange and only 32-byte
+    keys cross the shuffle.
+    """
+    lines = df.select(
+        *([F.col(scope_col)] if scope_col else []),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("__line"),
+    ).where(F.length("__line") >= min_line_chars)
+    keys = ([scope_col] if scope_col else []) + ["lkey"]
+    return (
+        lines.select(
+            *([F.col(scope_col)] if scope_col else []),
+            F.unhex(F.sha2(F.col("__line"), 256)).alias("lkey"),
+        )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    min_line_chars: int = 1,
+    scope_col: str | None = None,
+    clean_col: str = "clean_text",
+    removed_col: str = "n_removed_lines",
+) -> DataFrame:
+    """C4-style CROSS-document line dedup: every line occurring
+    ``>= min_count`` times in the corpus is removed from EVERY document
+    (Raffel et al. 2020 §2.2 dedups three-sentence spans keeping one
+    occurrence; keeping "the first" depends on a global document order,
+    so this implements the order-free variant — drop all occurrences —
+    the deterministic policy a distributed engine can make
+    reproducible; Lee et al. 2021 §4.1 make the same observation).
+    This is the remover for corpus-level boilerplate (nav bars, cookie
+    banners, license headers) that per-document repetition rules
+    (quality.repetition_signals) cannot see.
+
+    Returns ``df`` + ``clean_col`` (text with hot lines cut, original
+    line order kept, NULL text stays NULL) + ``removed_col``. Empty /
+    sub-``min_line_chars`` lines are never removed.
+
+    Scale shape: (1) hot-line dimension = one two-level hash aggregate
+    on 32-byte keys (:func:`hot_lines`); (2) one posexplode of the
+    corpus joined LEFT against the hot dimension — hot lines are by
+    definition a small distinct set (bounded by distinct boilerplate,
+    not corpus size), so AQE broadcasts it in practice and the join
+    never shuffles the corpus; (3) rebuild = one groupBy(``id_col``)
+    collecting (pos, line) structs — the only corpus-wide shuffle, on
+    the uniform doc-id key. Reference analogue: the engine-side
+    generalization of the reference's per-message cleanup projection
+    (processor.py:86-88).
+    """
+    hot = hot_lines(
+        df, text_col, id_col,
+        min_count=min_count, min_line_chars=min_line_chars,
+        scope_col=scope_col,
+    ).withColumn("__hot", F.lit(True))
+    lines = df.select(
+        F.col(id_col),
+        *([F.col(scope_col)] if scope_col else []),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "__line"),
+    ).withColumn("lkey", F.unhex(F.sha2(F.col("__line"), 256)))
+    join_keys = ([scope_col] if scope_col else []) + ["lkey"]
+    marked = lines.join(
+        hot.select(*join_keys, "__hot"), join_keys, "left"
+    ).withColumn(
+        # sub-threshold lines were never counted, so they can't be hot;
+        # the explicit guard keeps the exemption independent of the
+        # counting config should callers pass a pre-built dimension
+        "__rm",
+        F.coalesce(F.col("__hot"), F.lit(False))
+        & (F.length("__line") >= min_line_chars),
+    )
+    rebuilt = marked.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("__rm"), F.struct("pos", "__line"))
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias("__clean"),
+        F.sum(F.col("__rm").cast("int")).alias(removed_col),
+    )
+    out = df.join(rebuilt, id_col, "left").withColumn(
+        clean_col,
+        F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(F.col("__clean")),
+    ).drop("__clean")
+    return out

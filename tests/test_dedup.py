@@ -303,3 +303,63 @@ def test_duplicated_ngram_spans_partitioning_invariant(spark):
     a = sorted(map(tuple, duplicated_ngram_spans(df.repartition(11), k=5).collect()))
     b = sorted(map(tuple, duplicated_ngram_spans(df.repartition(1), k=5).collect()))
     assert a == b and len(a) > 0
+
+
+def test_dedup_lines_global_planted(spark):
+    from pyspark.sql import Row
+    from teleharvest_spark.operators.dedup import dedup_lines_global, hot_lines
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER"
+    docs = [
+        Row(doc_id=0, text=f"{boiler}\nunique alpha\n\nunique beta"),
+        Row(doc_id=1, text=f"unique gamma\n{boiler}\ndelta line"),
+        Row(doc_id=2, text=f"{boiler}\nepsilon text"),
+        # within-doc repeat reaches min_count on its own -> removed
+        Row(doc_id=3, text="echo echo me\necho echo me\nzeta"),
+        Row(doc_id=4, text=None),
+        Row(doc_id=5, text=""),
+    ]
+    df = spark.createDataFrame(docs)
+
+    hot = {
+        r["n_occurrences"]
+        for r in hot_lines(df).collect()
+    }
+    assert hot == {3, 2}  # boilerplate x3, echo line x2; '' exempt
+
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines_global(df).collect()
+    }
+    # boilerplate stripped everywhere, order + empty lines preserved
+    assert out[0]["clean_text"] == "unique alpha\n\nunique beta"
+    assert out[1]["clean_text"] == "unique gamma\ndelta line"
+    assert out[2]["clean_text"] == "epsilon text"
+    assert out[3]["clean_text"] == "zeta"
+    assert out[3]["n_removed_lines"] == 2
+    assert out[4]["clean_text"] is None          # NULL stays NULL
+    assert out[5]["clean_text"] == ""            # empty line exempt
+    assert out[5]["n_removed_lines"] == 0
+    assert all(out[i]["n_removed_lines"] == 1 for i in (0, 1, 2))
+    # input columns pass through
+    assert out[0]["text"].startswith(boiler)
+
+
+def test_dedup_lines_global_scoped(spark):
+    from pyspark.sql import Row
+    from teleharvest_spark.operators.dedup import dedup_lines_global
+
+    line = "shared across sources"
+    df = spark.createDataFrame([
+        Row(doc_id=0, source="a", text=f"{line}\nkeep a"),
+        Row(doc_id=1, source="b", text=f"{line}\nkeep b"),
+        Row(doc_id=2, source="a", text=f"{line}\nmore a"),
+    ])
+    # global: the line occurs 3x -> removed everywhere
+    got = {r["doc_id"]: r["clean_text"]
+           for r in dedup_lines_global(df).collect()}
+    assert got == {0: "keep a", 1: "keep b", 2: "more a"}
+    # scoped by source: 2x in a (removed there), 1x in b (kept)
+    got = {r["doc_id"]: r["clean_text"]
+           for r in dedup_lines_global(df, scope_col="source").collect()}
+    assert got == {0: "keep a", 1: f"{line}\nkeep b", 2: "more a"}
