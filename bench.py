@@ -536,6 +536,50 @@ def incremental_dedup_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def corpus_clean_bench(spark, sf_dir: str) -> dict:
+    """Session-3 operators over the documents table: C4-style
+    cross-document line dedup (hot-line dimension + rebuild) and the
+    corpus-trained unigram-LM score pass (train + score = two decode
+    scans). Best-of-2 after a warmup, like the other sections."""
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark.functions.text import hash_tokens
+    from teleharvest_spark.operators import lm
+    from teleharvest_spark.operators.dedup import dedup_lines_global
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def best2(fn):
+        fn()  # warm
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3)
+
+    out = {"docs": docs.count()}
+    out["line_dedup_sec"] = best2(
+        lambda: dedup_lines_global(docs).agg(
+            F.sum("n_removed_lines")
+        ).collect()
+    )
+    toks = docs.select("doc_id", hash_tokens(F.col("text")).alias("tokens"))
+    lm_meta: dict = {}
+
+    def lm_pass():
+        model, meta = lm.train_unigram_lm(toks)
+        lm.score_unigram_lm(toks, model, meta["unseen_logp"]).agg(
+            F.avg("ppl")
+        ).collect()
+        lm_meta.update(meta)
+
+    out["lm_train_score_sec"] = best2(lm_pass)
+    out["lm_vocab"] = lm_meta["vocab_size"]
+    print(f"# corpus_clean: {out}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -615,6 +659,7 @@ def main() -> None:
     pack_shard = pack_shard_bench(spark)
     inc_dedup = incremental_dedup_bench(spark, sf_dir)
     prep = prep_pipeline_bench(spark, sf_dir)
+    corpus_clean = corpus_clean_bench(spark, sf_dir)
 
     sf1 = None
     if SF1_ENABLED and "0.1" in sf_dir:
@@ -638,6 +683,7 @@ def main() -> None:
         "pack_shard": pack_shard,
         "incremental_dedup": inc_dedup,
         "prep_pipeline": prep,
+        "corpus_clean": corpus_clean,
         "memory": memory_telemetry(spark),
         "spill": spill_telemetry(),
     }
