@@ -1,0 +1,143 @@
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+
+from teleharvest_spark.operators import dsir
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _py_features(text, n_buckets):
+    """Plain-python recompute of hashed_gram_features must stay in sync
+    with the Spark expression — verified via Spark itself (xxhash64 has
+    no portable pure-python twin), so this helper only reproduces the
+    gram STRINGS."""
+    words = text.strip().lower().split() if text and text.strip() else []
+    grams = list(words)
+    grams += [f"{a} {b}" for a, b in zip(words, words[1:])]
+    return grams
+
+
+def test_hashed_gram_features_counts_and_empty(spark):
+    df = _docs(spark, [("a", "Red fox red fox"), ("b", ""), ("c", None), ("d", "one")])
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(dsir.hashed_gram_features(F.col("text"))).alias("n")
+        ).collect()
+    }
+    # 4 unigrams + 3 bigrams
+    assert got["a"] == 7
+    assert got["b"] == 0
+    assert got["c"] == 0
+    assert got["d"] == 1
+
+
+def test_hashed_gram_features_case_insensitive_same_buckets(spark):
+    df = _docs(spark, [("a", "Red FOX"), ("b", "red fox")])
+    rows = df.select(
+        "doc_id", dsir.hashed_gram_features(F.col("text")).alias("f")
+    ).collect()
+    f = {r["doc_id"]: r["f"] for r in rows}
+    assert f["a"] == f["b"]
+
+
+def test_log_weights_hand_computed(spark):
+    """One-word docs, tiny bucket space: recompute the Lidstone
+    log-ratio by hand from the feature counts Spark itself reports."""
+    target = _docs(spark, [("t1", "good"), ("t2", "good"), ("t3", "fine")])
+    raw = _docs(spark, [("r1", "good"), ("r2", "spam"), ("r3", "spam"), ("r4", "spam")])
+    B, alpha = 64, 0.5
+    t_counts = {
+        r["feature"]: r["cnt"]
+        for r in dsir.fit_feature_counts(target, n_buckets=B).collect()
+    }
+    r_counts = {
+        r["feature"]: r["cnt"]
+        for r in dsir.fit_feature_counts(raw, n_buckets=B).collect()
+    }
+    t_total, r_total = sum(t_counts.values()), sum(r_counts.values())
+
+    def logp(c, total):
+        return math.log(c + alpha) - math.log(total + alpha * B)
+
+    # the bucket of "good" = the single feature of doc r1
+    feats = {
+        r["doc_id"]: r["f"]
+        for r in raw.select(
+            "doc_id", dsir.hashed_gram_features(F.col("text"), B).alias("f")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir.dsir_log_weights(raw, target, n_buckets=B, alpha=alpha).collect()
+    }
+    for d in ("r1", "r2", "r3", "r4"):
+        want = sum(
+            logp(t_counts.get(f, 0), t_total) - logp(r_counts.get(f, 0), r_total)
+            for f in feats[d]
+        )
+        assert abs(got[d] - want) < 1e-9
+    # target-like doc outranks spam
+    assert got["r1"] > got["r2"]
+
+
+def test_log_weights_empty_text_zero(spark):
+    target = _docs(spark, [("t1", "good text here")])
+    raw = _docs(
+        spark,
+        [("r1", ""), ("r2", None), ("r3", "good text here"),
+         ("r4", "spam spam spam"), ("r5", "spam spam spam")],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dsir.dsir_log_weights(raw, target, n_buckets=128).collect()
+    }
+    assert got["r1"]["log_w"] == 0.0 and got["r1"]["n_feat"] == 0
+    assert got["r2"]["log_w"] == 0.0 and got["r2"]["n_feat"] == 0
+    assert got["r3"]["log_w"] > 0.0
+
+
+def test_resample_prefers_target_like_and_deterministic(spark):
+    target = _docs(
+        spark,
+        [(f"t{i}", "the quick brown fox jumps over the lazy dog") for i in range(5)],
+    )
+    rows = [(f"g{i}", "quick brown fox and lazy dog again") for i in range(10)]
+    rows += [(f"s{i}", "buy cheap pills now wire transfer lottery") for i in range(10)]
+    raw = _docs(spark, rows)
+    picked = dsir.dsir_resample(raw, target, k=8, n_buckets=4096, temperature=0.05)
+    ids = {r["doc_id"] for r in picked.collect()}
+    assert len(ids) == 8
+    # at low temperature, selection concentrates on target-like docs
+    assert sum(1 for i in ids if i.startswith("g")) >= 7
+
+    again = {
+        r["doc_id"]
+        for r in dsir.dsir_resample(
+            raw.repartition(7), target, k=8, n_buckets=4096, temperature=0.05
+        ).collect()
+    }
+    assert again == ids
+
+    reseeded = {
+        r["doc_id"]
+        for r in dsir.dsir_resample(
+            raw, target, k=8, n_buckets=4096, temperature=100.0, seed=1
+        ).collect()
+    }
+    # high temperature ≈ uniform: a different mix is possible; only pin size
+    assert len(reseeded) == 8
+
+
+def test_resample_keeps_raw_columns_plus_log_w(spark):
+    target = _docs(spark, [("t1", "alpha beta")])
+    raw = _docs(spark, [("r1", "alpha beta"), ("r2", "gamma delta")])
+    out = dsir.dsir_resample(raw, target, k=1, n_buckets=256)
+    assert set(out.columns) == {"doc_id", "text", "log_w"}
+    assert out.count() == 1

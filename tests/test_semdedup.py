@@ -1,0 +1,165 @@
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from teleharvest_spark.operators import semdedup as sd
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def _planted(rng, n_clusters=6, per=4, dim=16, jitter=0.02):
+    """Groups of near-identical vectors (cosine ≫ tau within a group,
+    well-separated across groups)."""
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, truth = [], []
+    vid = 0
+    for g, c in enumerate(centers):
+        for _ in range(per):
+            v = c + jitter * rng.randn(dim)
+            rows.append((vid, (v / np.linalg.norm(v)).astype(np.float32).tolist(), g))
+            truth.append(g)
+            vid += 1
+    return rows, truth
+
+
+def _greedy_reference(vecs, ids, csim, tau, near_first=True):
+    """Independent plain-python greedy with the same order policy."""
+    m = np.asarray(vecs, dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    key = -np.asarray(csim) if near_first else np.asarray(csim)
+    order = np.lexsort((np.asarray(ids), key))
+    kept = []
+    kept_mask = np.zeros(len(ids), dtype=bool)
+    for i in order:
+        if not kept or max(float(m[i] @ m[j]) for j in kept) < tau:
+            kept.append(i)
+            kept_mask[i] = True
+    return kept_mask
+
+
+def test_semdedup_single_cell_matches_reference_greedy(spark):
+    rng = np.random.RandomState(3)
+    rows, _ = _planted(rng)
+    df = _emb(spark, rows)
+    got = (
+        sd.semdedup(df, dim=16, tau=0.9, n_cells=1, sample_size=64)
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in got]
+    csim = [r["centroid_sim"] for r in got]
+    vecs = [rows[i][1] for i in ids]
+    want = _greedy_reference(vecs, ids, csim, 0.9)
+    assert [r["kept"] for r in got] == list(want)
+
+
+def test_semdedup_invariants_multicell(spark):
+    """(a) no two kept docs in a cell with cosine >= tau; (b) every
+    dropped doc is shadowed by a kept doc in its cell at cosine >= tau;
+    (c) exactly one verdict row per input row."""
+    rng = np.random.RandomState(5)
+    rows, _ = _planted(rng, n_clusters=8, per=5)
+    df = _emb(spark, rows)
+    tau = 0.9
+    verdicts = sd.semdedup(df, dim=16, tau=tau, n_cells=8, sample_size=64).collect()
+    assert len(verdicts) == len(rows)
+    assert len({r["vec_id"] for r in verdicts}) == len(rows)
+    vec = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    for v in vec.values():
+        v /= np.linalg.norm(v)
+    by_cell: dict[int, list] = {}
+    for r in verdicts:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        kept = [m for m in members if m["kept"]]
+        dropped = [m for m in members if not m["kept"]]
+        for i, a in enumerate(kept):
+            for b in kept[i + 1 :]:
+                assert float(vec[a["vec_id"]] @ vec[b["vec_id"]]) < tau
+        for d in dropped:
+            assert any(
+                float(vec[d["vec_id"]] @ vec[k["vec_id"]]) >= tau for k in kept
+            )
+
+
+def test_semdedup_collapses_planted_duplicate_groups(spark):
+    """Tight planted groups with loose cross-group structure: the kept
+    count lands near the number of groups (allowing boundary splits
+    across cells)."""
+    rng = np.random.RandomState(11)
+    rows, _ = _planted(rng, n_clusters=6, per=6, jitter=0.01)
+    df = _emb(spark, rows)
+    verdicts = sd.semdedup(df, dim=16, tau=0.95, n_cells=4, sample_size=64)
+    n_kept = verdicts.where(F.col("kept")).count()
+    assert 6 <= n_kept <= 12  # ~1 survivor per group, cell splits allowed
+    assert verdicts.count() == 36
+
+
+def test_semdedup_null_and_wrong_dim_kept(spark):
+    rows = [
+        (1, [1.0] * 16, 0),
+        (2, None, 0),
+        (3, [1.0, 2.0], 0),  # wrong dim
+    ]
+    df = _emb(spark, rows)
+    got = {r["vec_id"]: r for r in sd.semdedup(df, dim=16, tau=0.9, n_cells=2).collect()}
+    assert got[2]["kept"] and got[2]["cell"] == -1
+    assert got[3]["kept"] and got[3]["cell"] == -1
+    assert got[1]["kept"]
+
+
+def test_semdedup_deterministic_under_repartition(spark):
+    rng = np.random.RandomState(17)
+    rows, _ = _planted(rng, n_clusters=5, per=4)
+    df = _emb(spark, rows)
+    a = sorted(
+        (r["vec_id"], r["cell"], r["kept"])
+        for r in sd.semdedup(df.repartition(1), dim=16, tau=0.9, n_cells=4).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"], r["kept"])
+        for r in sd.semdedup(df.repartition(13), dim=16, tau=0.9, n_cells=4).collect()
+    )
+    assert a == b
+
+
+def test_semdedup_far_policy_keeps_boundary_first(spark):
+    """'far' keeps the centroid-furthest member of a duplicate group."""
+    rng = np.random.RandomState(23)
+    rows, _ = _planted(rng, n_clusters=3, per=4, jitter=0.01)
+    df = _emb(spark, rows)
+    near = sd.semdedup(df, dim=16, tau=0.95, n_cells=1, sample_size=64, keep_policy="near")
+    far = sd.semdedup(df, dim=16, tau=0.95, n_cells=1, sample_size=64, keep_policy="far")
+    nk = {r["vec_id"]: r["centroid_sim"] for r in near.where(F.col("kept")).collect()}
+    fk = {r["vec_id"]: r["centroid_sim"] for r in far.where(F.col("kept")).collect()}
+    # same number of survivors (both are maximal independent sets of
+    # the same tau graph built greedily), different representatives
+    assert len(nk) == len(fk)
+    # near keeps higher-centroid-sim representatives on average
+    assert np.mean(list(nk.values())) >= np.mean(list(fk.values()))
+
+
+def test_semdedup_max_cell_caps_group_size(spark):
+    rng = np.random.RandomState(29)
+    rows, _ = _planted(rng, n_clusters=2, per=20, jitter=0.01)
+    df = _emb(spark, rows)
+    verdicts = sd.semdedup(df, dim=16, tau=0.95, n_cells=1, max_cell=8)
+    # still one verdict per row; dedup still collapses within sub-cells
+    assert verdicts.count() == 40
+    n_kept = verdicts.where(F.col("kept")).count()
+    # 2 groups x ceil(40/8)=5 sub-cells → at most ~10 survivors
+    assert n_kept <= 12
+
+
+def test_semdedup_prune_returns_unique_rows(spark):
+    rng = np.random.RandomState(31)
+    rows, _ = _planted(rng, n_clusters=4, per=5, jitter=0.01)
+    df = _emb(spark, rows)
+    pruned = sd.semdedup_prune(df, dim=16, tau=0.95, n_cells=2, sample_size=64)
+    assert pruned.columns == df.columns
+    n = pruned.count()
+    assert 4 <= n < 20
