@@ -256,8 +256,17 @@ def prep_corpus(
     resume: bool = True,
     shuffle_seed: int = 0,
     shuffle_shards: int = 32,
+    clean_params: dict | None = None,
+    decontam_eval_path: str | None = None,
+    decontam_k: int = 13,
+    decontam_pad: int = 0,
+    decontam_min_tok: int = 1,
+    mixture_weights: dict | None = None,
+    token_budgets: dict | None = None,
+    mixture_seed: int = 0,
     stages: tuple[str, ...] = (
-        "quality", "dedup", "tokenize", "split", "pack", "shuffle",
+        "clean", "quality", "dedup", "tokenize", "decontaminate",
+        "split", "mixture", "pack", "shuffle",
     ),
 ) -> dict:
     """The TRAINING-DATA-PREP composition: raw ``documents`` →
@@ -266,8 +275,38 @@ def prep_corpus(
     (kill between stages and re-run = resume; unchanged inputs = all
     skips; byte-idempotent — pinned in tests/test_prep_pipeline.py).
 
+    Three OPTIONAL stages activate only when their parameters are
+    given (default params = the original six-stage pipeline, digest
+    chain and warehouse layout byte-identical):
+
+    * ``clean`` (``clean_params``, before quality) — text REPAIR as
+      opposed to the quality stage's doc-level DROP: PII redaction
+      (``{"pii": true}`` or a kinds tuple), C4 line cleanup
+      (``{"c4_lines": true}`` or kwargs), cross-document hot-line
+      removal (``{"line_dedup": true}`` or kwargs — the corpus-wide
+      boilerplate remover). Applied in that order so line counting
+      sees the redacted, line-filtered text. Writes ``cleaned_docs/``.
+    * ``decontaminate`` (``decontam_eval_path``, after tokenize) —
+      the published 13-gram eval-overlap cut (operators/
+      contamination.py) over the tokenized corpus; eval parquet must
+      carry ``tokens`` in the SAME id space (tokenize it with the
+      same vocab). Docs gutted below ``decontam_min_tok`` tokens drop
+      out. Writes ``corpus_flat_decontam/``.
+    * ``mixture`` (``mixture_weights`` / ``token_budgets``, after
+      split) — TRAIN-split data-mixture curation: per-source token
+      budgets trim down (sampling.token_budget_sample), fractional
+      epoch weights repeat up (sampling.upsample_mixture; the ``copy``
+      column keeps repeats distinct and pack_sequences packs the
+      resulting row MULTISET — a doc upsampled 3× occupies three pack
+      slots). val/test pass through unweighted. Requires a ``source``
+      column. Writes ``corpus_mixed/split=*/``; feeds pack. The
+      shuffle stage stays on the UNWEIGHTED corpus contract
+      (mixture is pack-side weighting; reshuffling weighted copies
+      happens by packing then shuffling packs downstream).
+
     Warehouse layout under ``output_path``::
 
+        cleaned_docs/         clean-stage output (when enabled)
         quality_violations/   Gopher-rule failures (partitioned layout)
         clean_docs/           gate survivors
         dup_components/       (node, component) near-dup clusters
@@ -318,8 +357,71 @@ def prep_corpus(
         prev = read_stage_state(output_path, stage) if resume else None
         return bool(prev and prev.get("digest") == digest)
 
-    if "quality" in stages:
+    clean_on = clean_params is not None and "clean" in stages
+    cleandir = os.path.join(output_path, "cleaned_docs")
+    if clean_on:
+        from .functions.text import redact_pii
+        from .operators.quality import c4_clean_lines
+
         docs = spark.read.parquet(docs_path)
+        digest = content_digest(docs) + ":" + json.dumps(
+            clean_params, sort_keys=True, default=str
+        )
+        if gate("prep_clean", digest):
+            report["stages"]["clean"] = {"skipped": True}
+        else:
+            out = docs
+            if clean_params.get("pii"):
+                kinds = (
+                    tuple(clean_params["pii"])
+                    if isinstance(clean_params["pii"], (list, tuple))
+                    else ("email", "ip", "phone")
+                )
+                out = out.withColumn("text", redact_pii(F.col("text"), kinds))
+            if clean_params.get("c4_lines"):
+                kw = (
+                    clean_params["c4_lines"]
+                    if isinstance(clean_params["c4_lines"], dict)
+                    else {}
+                )
+                out = out.withColumn(
+                    "text",
+                    # NULL text must stay NULL (c4_clean_lines coalesces
+                    # to "" internally for the lambda)
+                    F.when(F.col("text").isNull(), F.lit(None)).otherwise(
+                        c4_clean_lines(F.col("text"), **kw)
+                    ),
+                )
+            n_hot_removed = 0
+            if clean_params.get("line_dedup"):
+                kw = (
+                    clean_params["line_dedup"]
+                    if isinstance(clean_params["line_dedup"], dict)
+                    else {}
+                )
+                from .operators.dedup import dedup_lines_global
+
+                ld = dedup_lines_global(out, **kw).persist()
+                agg = ld.agg(F.sum("n_removed_lines").alias("n")).collect()[0]
+                n_hot_removed = int(agg["n"] or 0)
+                out = (
+                    ld.withColumn("text", F.col("clean_text"))
+                    .drop("clean_text", "n_removed_lines")
+                )
+            out.write.mode("overwrite").parquet(cleandir)
+            if clean_params.get("line_dedup"):
+                ld.unpersist()
+            n = spark.read.parquet(cleandir).count()
+            write_stage_state(output_path, "prep_clean", {
+                "digest": digest, "run_id": run_id,
+                "rows": n, "hot_lines_removed": n_hot_removed,
+            })
+            report["stages"]["clean"] = {
+                "rows": n, "hot_lines_removed": n_hot_removed,
+            }
+
+    if "quality" in stages:
+        docs = spark.read.parquet(cleandir if clean_on else docs_path)
         digest = content_digest(docs) + ":" + json.dumps(
             quality_thresholds or {}, sort_keys=True
         )
@@ -424,8 +526,44 @@ def prep_corpus(
             })
             report["stages"]["tokenize"] = {"rows": n}
 
-    if "split" in stages:
+    decontam_on = decontam_eval_path is not None and "decontaminate" in stages
+    dtokdir = os.path.join(output_path, "corpus_flat_decontam")
+    if decontam_on:
+        from .operators.contamination import decontaminate
+
         toks = spark.read.parquet(tokdir + "_flat")
+        eval_df = spark.read.parquet(decontam_eval_path)
+        digest = (
+            content_digest(toks) + ":" + content_digest(eval_df)
+            + f":{decontam_k}:{decontam_pad}:{decontam_min_tok}"
+        )
+        if gate("prep_decontam", digest):
+            report["stages"]["decontaminate"] = {"skipped": True}
+        else:
+            cut = decontaminate(
+                toks, eval_df, k=decontam_k, pad=decontam_pad
+            ).withColumn("n_tok", F.size("tokens")).persist()
+            agg = cut.agg(F.sum("n_removed_tok").alias("n")).collect()[0]
+            n_removed_tok = int(agg["n"] or 0)
+            kept = cut.where(F.col("n_tok") >= decontam_min_tok).drop(
+                # provenance column must not enter the corpus schema:
+                # incremental batches (corpus_inc) don't carry it and
+                # the union readers select base.columns
+                "n_removed_tok"
+            )
+            kept.write.mode("overwrite").parquet(dtokdir)
+            cut.unpersist()
+            n = spark.read.parquet(dtokdir).count()
+            write_stage_state(output_path, "prep_decontam", {
+                "digest": digest, "run_id": run_id,
+                "rows": n, "removed_tokens": n_removed_tok,
+            })
+            report["stages"]["decontaminate"] = {
+                "rows": n, "removed_tokens": n_removed_tok,
+            }
+
+    if "split" in stages:
+        toks = spark.read.parquet(dtokdir if decontam_on else tokdir + "_flat")
         comps = spark.read.parquet(compdir)
         digest = (
             content_digest(toks) + ":" + content_digest(comps)
@@ -448,8 +586,49 @@ def prep_corpus(
             })
             report["stages"]["split"] = {"counts": counts}
 
-    if "pack" in stages:
+    mixture_on = (
+        bool(mixture_weights or token_budgets) and "mixture" in stages
+    )
+    mixdir = os.path.join(output_path, "corpus_mixed")
+    if mixture_on:
         corpus = spark.read.parquet(tokdir)
+        if "source" not in corpus.columns:
+            raise ValueError("mixture stage requires a source column")
+        digest = content_digest(corpus) + ":" + json.dumps(
+            {"w": mixture_weights, "b": token_budgets, "seed": mixture_seed},
+            sort_keys=True,
+        )
+        if gate("prep_mixture", digest):
+            report["stages"]["mixture"] = {"skipped": True}
+        else:
+            train_rows = corpus.where(F.col("split") == "train")
+            rest = corpus.where(F.col("split") != "train")
+            mixed = train_rows
+            if token_budgets:
+                mixed = sampling_ops.token_budget_sample(
+                    mixed, token_budgets, key="doc_id", group="source",
+                    size_col="n_tok", seed=mixture_seed,
+                )
+            if mixture_weights:
+                mixed = sampling_ops.upsample_mixture(
+                    mixed, mixture_weights, key="doc_id", group="source",
+                    seed=mixture_seed,
+                )
+                rest = rest.withColumn("copy", F.lit(0))
+            out = mixed.unionByName(rest)
+            out.write.mode("overwrite").partitionBy("split").parquet(mixdir)
+            counts = {
+                r["split"]: r["n"]
+                for r in spark.read.parquet(mixdir)
+                .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            write_stage_state(output_path, "prep_mixture", {
+                "digest": digest, "run_id": run_id, "counts": counts,
+            })
+            report["stages"]["mixture"] = {"counts": counts}
+
+    if "pack" in stages:
+        corpus = spark.read.parquet(mixdir if mixture_on else tokdir)
         digest = content_digest(corpus) + f":{capacity}"
         if gate("prep_pack", digest):
             report["stages"]["pack"] = {"skipped": True}

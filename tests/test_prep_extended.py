@@ -1,0 +1,176 @@
+"""prep_corpus optional stages: clean (PII / C4 lines / cross-doc line
+dedup), decontaminate (eval 13-gram cut), mixture (budgets +
+upsampling) — activation, semantics, and the digest-chain resume
+contract for each."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row, functions as F
+
+from teleharvest_spark import pipeline
+from teleharvest_spark.functions.text import hash_tokens
+from teleharvest_spark.operators.contamination import decontamination_spans
+
+BOILER = "subscribe to our newsletter today please."
+EVAL_PASSAGE = (
+    "the quick brown fox jumps over the lazy dog while the eager "
+    "rabbit watches the quiet river flow past the old stone mill."
+)
+
+
+def _sent(i, j):
+    return f"unique sentence s{i}w{j} carries enough words to pass checks."
+
+
+def _doc(i, n_sent=12, with_boiler=True, with_pii=False, with_eval=False):
+    lines = [_sent(i, j) for j in range(n_sent)]
+    if with_boiler:
+        lines.insert(1, BOILER)
+    if with_pii:
+        # "topic t{i}" keeps the line distinct AFTER redaction — else
+        # the redacted lines are identical and line-dedup (correctly)
+        # eats them as corpus-wide boilerplate
+        lines[2] = f"contact person{i}@example.com about topic t{i} now."
+    if with_eval:
+        lines[3] = EVAL_PASSAGE
+    return "\n".join(lines)
+
+
+def _corpus(spark):
+    rows = [
+        Row(doc_id=i, text=_doc(i, with_pii=(i % 3 == 0), with_eval=(i in (2, 5))),
+            source="web" if i % 2 else "books")
+        for i in range(12)
+    ]
+    # one doc WITHOUT boilerplate (control) and one junk-lines doc
+    rows.append(Row(doc_id=20, text=_doc(20, with_boiler=False), source="web"))
+    rows.append(Row(
+        doc_id=21,
+        text="no punct line here\n" + _doc(21, with_boiler=False),
+        source="web",
+    ))
+    return spark.createDataFrame(rows)
+
+
+def _eval_df(spark):
+    return (
+        spark.createDataFrame([Row(doc_id="e0", text=EVAL_PASSAGE)])
+        .select("doc_id", hash_tokens(F.col("text")).alias("tokens"))
+    )
+
+
+CLEAN = {"pii": True, "c4_lines": True, "line_dedup": {"min_count": 3}}
+
+
+def _run(spark, inp, out, eval_path, **kw):
+    return pipeline.prep_corpus(
+        spark, inp, out, run_id=kw.pop("run_id", "x1"), capacity=64,
+        clean_params=CLEAN, decontam_eval_path=eval_path,
+        decontam_min_tok=5,
+        mixture_weights={"books": 2.0}, token_budgets=None,
+        **kw,
+    )
+
+
+def test_prep_extended_end_to_end(spark, tmp_path):
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    evalp = str(tmp_path / "eval")
+    _corpus(spark).write.parquet(inp)
+    _eval_df(spark).write.parquet(evalp)
+
+    rep = _run(spark, inp, out, evalp)
+    st = rep["stages"]
+
+    # clean: boilerplate line cut corpus-wide, PII gone, junk line gone
+    cleaned = spark.read.parquet(f"{out}/cleaned_docs")
+    assert st["clean"]["hot_lines_removed"] >= 12
+    assert cleaned.where(F.col("text").contains("newsletter")).count() == 0
+    assert cleaned.where(F.col("text").contains("@example.com")).count() == 0
+    assert cleaned.where(F.col("text").contains("<EMAIL>")).count() >= 4
+    junk = cleaned.where(F.col("doc_id") == 21).collect()[0]["text"]
+    assert "no punct line here" not in junk  # C4 terminal-punct rule
+
+    # control doc unchanged apart from cleanup no-ops
+    ctl = cleaned.where(F.col("doc_id") == 20).collect()[0]["text"]
+    assert "s20w0" in ctl
+
+    # decontaminate: zero 13-token-gram overlap with the eval set remains
+    corpus = spark.read.parquet(f"{out}/corpus")
+    hits = decontamination_spans(
+        corpus.select("doc_id", "tokens"), _eval_df(spark), k=13
+    )
+    assert hits.count() == 0
+    assert st["decontaminate"]["removed_tokens"] > 0
+    # contaminated docs survived with the passage cut (still ≥5 tokens)
+    assert corpus.where(F.col("doc_id").isin(2, 5)).count() == 2
+
+    # mixture: every train books doc has exactly 2 copies; web has 1;
+    # val/test untouched with copy=0
+    mixed = spark.read.parquet(f"{out}/corpus_mixed")
+    tr = mixed.where(F.col("split") == "train")
+    per = tr.groupBy("doc_id", "source").agg(F.count("*").alias("n")).collect()
+    for r in per:
+        assert r["n"] == (2 if r["source"] == "books" else 1), r
+    rest = mixed.where(F.col("split") != "train")
+    assert rest.where(F.col("copy") != 0).count() == 0
+
+    # pack consumes the weighted multiset: pack rows == mixed rows
+    packs = spark.read.parquet(f"{out}/packs")
+    assert packs.count() == mixed.count()
+
+
+def test_prep_extended_resume_all_skip_and_eval_change_cascades(spark, tmp_path):
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    evalp = str(tmp_path / "eval")
+    _corpus(spark).write.parquet(inp)
+    _eval_df(spark).write.parquet(evalp)
+
+    _run(spark, inp, out, evalp)
+    rep2 = _run(spark, inp, out, evalp, run_id="x2")
+    assert all(v == {"skipped": True} for v in rep2["stages"].values()), rep2
+
+    # a new eval set: upstream stages skip, decontaminate + downstream rerun
+    ev2 = spark.createDataFrame(
+        [Row(doc_id="e1", text=" ".join(_sent(0, j) for j in range(4)))]
+    ).select("doc_id", hash_tokens(F.col("text")).alias("tokens"))
+    evalp2 = str(tmp_path / "eval2")
+    ev2.write.parquet(evalp2)
+    rep3 = _run(spark, inp, out, evalp2, run_id="x3")
+    st = rep3["stages"]
+    assert st["clean"] == {"skipped": True}
+    assert st["quality"] == {"skipped": True}
+    assert st["dedup"] == {"skipped": True}
+    assert st["tokenize"] == {"skipped": True}
+    assert "skipped" not in st["decontaminate"]
+    assert "skipped" not in st["split"]
+
+    # doc 0's sentences are now eval-contaminated → its tokens shrink
+    corpus = spark.read.parquet(f"{out}/corpus")
+    hits = decontamination_spans(corpus.select("doc_id", "tokens"), ev2, k=13)
+    assert hits.count() == 0
+
+
+def test_prep_default_params_leave_layout_unchanged(spark, tmp_path):
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    _corpus(spark).write.parquet(inp)
+    pipeline.prep_corpus(spark, inp, out, run_id="plain", capacity=64)
+    assert not os.path.exists(f"{out}/cleaned_docs")
+    assert not os.path.exists(f"{out}/corpus_flat_decontam")
+    assert not os.path.exists(f"{out}/corpus_mixed")
+    # packs read the un-mixed corpus
+    assert spark.read.parquet(f"{out}/packs").count() == \
+        spark.read.parquet(f"{out}/corpus").count()
+
+
+def test_prep_mixture_requires_source(spark, tmp_path):
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    _corpus(spark).drop("source").write.parquet(inp)
+    import pytest
+
+    with pytest.raises(ValueError, match="source"):
+        pipeline.prep_corpus(
+            spark, inp, out, run_id="nosrc", capacity=64,
+            mixture_weights={"books": 2.0},
+        )
