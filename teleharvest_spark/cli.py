@@ -397,6 +397,30 @@ def main(argv: list[str] | None = None) -> int:
         "the stored index only; see pipeline.prep_batch)",
     )
     ap.add_argument(
+        "--prep-clean",
+        default=None,
+        help="prep-docs: JSON clean-stage params, e.g. "
+        '\'{"pii": true, "c4_lines": true, "line_dedup": '
+        '{"min_count": 3}}\' — text repair (PII redaction, C4 line '
+        "cleanup, cross-document hot-line removal) before the quality "
+        "gate",
+    )
+    ap.add_argument(
+        "--prep-eval",
+        default=None,
+        help="prep-docs: eval-set parquet (doc_id, tokens in the same "
+        "vocab) — cut every 13-token-gram overlap from the tokenized "
+        "corpus (decontamination stage)",
+    )
+    ap.add_argument(
+        "--prep-mix",
+        default=None,
+        help="prep-docs: JSON mixture params, e.g. "
+        '\'{"weights": {"books": 2.5}, "budgets": {"web": 100000}, '
+        '"seed": 0}\' — train-split per-source upsampling and/or '
+        "token budgets before packing",
+    )
+    ap.add_argument(
         "--corpus-report",
         action="store_true",
         help="print the corpus datasheet (per-split/source doc+token "
@@ -442,8 +466,17 @@ def main(argv: list[str] | None = None) -> int:
         from . import pipeline
 
         if args.prep_docs:
+            mix = json.loads(args.prep_mix) if args.prep_mix else {}
             report = pipeline.prep_corpus(
-                spark, args.prep_docs, args.output, args.run_id, resume=args.resume
+                spark, args.prep_docs, args.output, args.run_id,
+                resume=args.resume,
+                clean_params=(
+                    json.loads(args.prep_clean) if args.prep_clean else None
+                ),
+                decontam_eval_path=args.prep_eval,
+                mixture_weights=mix.get("weights"),
+                token_budgets=mix.get("budgets"),
+                mixture_seed=int(mix.get("seed", 0)),
             )
         else:
             report = pipeline.prep_batch(

@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from teleharvest_spark import cli, datagen
 from teleharvest_spark.config import CheckSuite
 
@@ -306,3 +308,38 @@ def test_cli_main_quality_only(spark, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["quality_failed"] == 1
+
+
+def test_cli_prep_docs_with_clean_and_mix_flags(spark, tmp_path, capsys):
+    """--prep-docs + --prep-clean/--prep-mix drive the optional stages."""
+    from pyspark.sql import Row
+
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "wh")
+    rows = [
+        Row(
+            doc_id=i,
+            text="\n".join(
+                [(f"unique sentence s{i}w{j} carries enough words to pass checks."
+                  if j % 2 else
+                  f"another thought t{i}x{j} brings fresh material for review here.")
+                 for j in range(10)]
+                + [f"mail person{i}@example.com about topic t{i} please now."]
+            ),
+            source="web" if i % 2 else "books",
+        )
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows).write.parquet(inp)
+    rc = cli.main([
+        "--prep-docs", inp, "--output", out, "--run-id", "pc1",
+        "--prep-clean", '{"pii": true}',
+        "--prep-mix", '{"weights": {"books": 2.0}}',
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "clean" in rep["stages"] and "mixture" in rep["stages"]
+    cleaned = spark.read.parquet(f"{out}/cleaned_docs")
+    assert cleaned.where(F.col("text").contains("@example.com")).count() == 0
+    mixed = spark.read.parquet(f"{out}/corpus_mixed")
+    assert "copy" in mixed.columns
