@@ -580,6 +580,55 @@ def corpus_clean_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def curation_bench(spark, sf_dir: str) -> dict:
+    """Session-4 curation operators: semantic dedup over the
+    embeddings table (centroid assignment + within-cell greedy cosine
+    pruning) and DSIR importance resampling of the documents table
+    toward a hash-defined target slice (two fit aggregates + broadcast
+    log-ratio scoring + Gumbel top-k). Best-of-2 after a warmup."""
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark.operators import dsir
+    from teleharvest_spark.operators.semdedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def best2(fn):
+        fn()  # warm
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3)
+
+    out = {"embeddings": emb.count(), "docs": docs.count()}
+    kept_box: dict = {}
+
+    def sem_pass():
+        v = semdedup(emb, dim=64, tau=0.8, n_cells=64)
+        kept_box["kept"] = v.where(F.col("kept")).count()
+
+    out["semdedup_sec"] = best2(sem_pass)
+    out["semdedup_kept"] = kept_box["kept"]
+
+    # target = a deterministic ~10% hash slice of the corpus (stands in
+    # for "the high-quality target set"); raw = the full corpus
+    target = docs.where(F.xxhash64("doc_id") % 10 == 0)
+    k = max(100, out["docs"] // 20)
+    out["dsir_k"] = k
+
+    def dsir_pass():
+        dsir.dsir_resample(docs, target, k=k).agg(
+            F.count(F.lit(1)), F.avg("log_w")
+        ).collect()
+
+    out["dsir_resample_sec"] = best2(dsir_pass)
+    print(f"# curation: {out}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -660,6 +709,7 @@ def main() -> None:
     inc_dedup = incremental_dedup_bench(spark, sf_dir)
     prep = prep_pipeline_bench(spark, sf_dir)
     corpus_clean = corpus_clean_bench(spark, sf_dir)
+    curation = curation_bench(spark, sf_dir)
 
     sf1 = None
     if SF1_ENABLED and "0.1" in sf_dir:
@@ -684,6 +734,7 @@ def main() -> None:
         "incremental_dedup": inc_dedup,
         "prep_pipeline": prep,
         "corpus_clean": corpus_clean,
+        "curation": curation,
         "memory": memory_telemetry(spark),
         "spill": spill_telemetry(),
     }
