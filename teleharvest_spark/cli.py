@@ -406,6 +406,14 @@ def main(argv: list[str] | None = None) -> int:
         "gate",
     )
     ap.add_argument(
+        "--prep-semdedup",
+        default=None,
+        help="prep-docs: JSON semantic-dedup params, e.g. "
+        '\'{"path": "/emb.parquet", "tau": 0.95, "n_cells": 64, '
+        '"dim": 64}\' — embeddings parquet keyed (doc_id, embedding); '
+        "cosine-shadowed docs drop after lexical dedup",
+    )
+    ap.add_argument(
         "--prep-eval",
         default=None,
         help="prep-docs: eval-set parquet (doc_id, tokens in the same "
@@ -467,12 +475,17 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.prep_docs:
             mix = json.loads(args.prep_mix) if args.prep_mix else {}
+            sem = json.loads(args.prep_semdedup) if args.prep_semdedup else {}
             report = pipeline.prep_corpus(
                 spark, args.prep_docs, args.output, args.run_id,
                 resume=args.resume,
                 clean_params=(
                     json.loads(args.prep_clean) if args.prep_clean else None
                 ),
+                semdedup_embeddings_path=sem.get("path"),
+                semdedup_tau=float(sem.get("tau", 0.95)),
+                semdedup_n_cells=int(sem.get("n_cells", 64)),
+                semdedup_dim=int(sem.get("dim", 64)),
                 decontam_eval_path=args.prep_eval,
                 mixture_weights=mix.get("weights"),
                 token_budgets=mix.get("budgets"),

@@ -257,6 +257,10 @@ def prep_corpus(
     shuffle_seed: int = 0,
     shuffle_shards: int = 32,
     clean_params: dict | None = None,
+    semdedup_embeddings_path: str | None = None,
+    semdedup_tau: float = 0.95,
+    semdedup_n_cells: int = 64,
+    semdedup_dim: int = 64,
     decontam_eval_path: str | None = None,
     decontam_k: int = 13,
     decontam_pad: int = 0,
@@ -265,8 +269,8 @@ def prep_corpus(
     token_budgets: dict | None = None,
     mixture_seed: int = 0,
     stages: tuple[str, ...] = (
-        "clean", "quality", "dedup", "tokenize", "decontaminate",
-        "split", "mixture", "pack", "shuffle",
+        "clean", "quality", "dedup", "semdedup", "tokenize",
+        "decontaminate", "split", "mixture", "pack", "shuffle",
     ),
 ) -> dict:
     """The TRAINING-DATA-PREP composition: raw ``documents`` →
@@ -286,6 +290,14 @@ def prep_corpus(
       removal (``{"line_dedup": true}`` or kwargs — the corpus-wide
       boilerplate remover). Applied in that order so line counting
       sees the redacted, line-filtered text. Writes ``cleaned_docs/``.
+    * ``semdedup`` (``semdedup_embeddings_path``, after dedup) —
+      semantic dedup (operators/semdedup.py) of the lexical-dedup
+      survivors against an embeddings parquet keyed ``(doc_id,
+      embedding)``: docs shadowed by a kept doc at cosine ≥
+      ``semdedup_tau`` drop; docs without an embedding row are kept
+      verbatim. The MinHash index (written by the dedup stage) keeps
+      the semantically-dropped docs on purpose — future batches should
+      still dedup against them. Writes ``semdedup_docs/``.
     * ``decontaminate`` (``decontam_eval_path``, after tokenize) —
       the published 13-gram eval-overlap cut (operators/
       contamination.py) over the tokenized corpus; eval parquet must
@@ -509,8 +521,47 @@ def prep_corpus(
             })
             report["stages"]["dedup"] = {"kept": n_kept, "clustered_nodes": n_comp}
 
-    if "tokenize" in stages:
+    sem_on = semdedup_embeddings_path is not None and "semdedup" in stages
+    semdir = os.path.join(output_path, "semdedup_docs")
+    if sem_on:
+        from .operators.semdedup import semdedup
+
         deduped = spark.read.parquet(ddir)
+        emb = spark.read.parquet(semdedup_embeddings_path)
+        digest = (
+            content_digest(deduped) + ":" + content_digest(emb)
+            + f":{semdedup_tau}:{semdedup_n_cells}:{semdedup_dim}"
+        )
+        if gate("prep_semdedup", digest):
+            report["stages"]["semdedup"] = {"skipped": True}
+        else:
+            # embeddings parquet must be keyed (doc_id, embedding);
+            # restrict to lexical-dedup survivors FIRST so the greedy
+            # never elects a lexically-dropped doc as a cluster
+            # representative. Docs without an embedding row are kept
+            # verbatim (nothing to compare) — semantic dedup only ever
+            # removes docs it positively shadowed.
+            emb_k = emb.join(deduped.select("doc_id"), "doc_id", "semi")
+            verdicts = semdedup(
+                emb_k, dim=semdedup_dim, tau=semdedup_tau,
+                n_cells=semdedup_n_cells, id_col="doc_id",
+                vec_col="embedding",
+            )
+            dropped = verdicts.where(~F.col("kept")).select("doc_id")
+            kept = deduped.join(dropped, "doc_id", "anti")
+            kept.write.mode("overwrite").parquet(semdir)
+            n_kept = spark.read.parquet(semdir).count()
+            n_dropped = dropped.count()
+            write_stage_state(output_path, "prep_semdedup", {
+                "digest": digest, "run_id": run_id,
+                "kept": n_kept, "dropped": n_dropped,
+            })
+            report["stages"]["semdedup"] = {
+                "kept": n_kept, "dropped": n_dropped,
+            }
+
+    if "tokenize" in stages:
+        deduped = spark.read.parquet(semdir if sem_on else ddir)
         digest = content_digest(deduped) + f":{vocab_size}"
         if gate("prep_tokenize", digest):
             report["stages"]["tokenize"] = {"skipped": True}

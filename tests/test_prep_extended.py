@@ -174,3 +174,58 @@ def test_prep_mixture_requires_source(spark, tmp_path):
             spark, inp, out, run_id="nosrc", capacity=64,
             mixture_weights={"books": 2.0},
         )
+
+
+def test_prep_semdedup_stage_drops_shadowed_docs(spark, tmp_path):
+    """semdedup stage: docs whose embeddings are near-identical collapse
+    to one survivor; docs without embeddings pass through; resume skips."""
+    import numpy as np
+
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    _corpus(spark).write.parquet(inp)
+
+    # embeddings: docs (2i, 2i+1) share a near-identical vector pair;
+    # docs 20/21 have NO embedding row. Which docs survive the quality
+    # gate upstream is a gate concern, so the expectation is derived
+    # from dedup_docs, not hardcoded.
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(6):
+        base = rng.randn(16)
+        for j in (2 * i, 2 * i + 1):
+            v = base + 0.001 * rng.randn(16)
+            v = v / np.linalg.norm(v)
+            rows.append(Row(doc_id=j, embedding=[float(x) for x in v]))
+    embp = str(tmp_path / "emb")
+    spark.createDataFrame(rows).write.parquet(embp)
+
+    rep = pipeline.prep_corpus(
+        spark, inp, out, run_id="sd1", capacity=64,
+        semdedup_embeddings_path=embp, semdedup_tau=0.95,
+        semdedup_n_cells=2, semdedup_dim=16,
+    )
+    st = rep["stages"]
+    lex = {r["doc_id"] for r in
+           spark.read.parquet(f"{out}/dedup_docs").select("doc_id").collect()}
+    pairs = [(2 * i, 2 * i + 1) for i in range(6)
+             if {2 * i, 2 * i + 1} <= lex]
+    assert pairs, "fixture must leave at least one full embedding pair"
+    assert st["semdedup"]["dropped"] == len(pairs)
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(f"{out}/semdedup_docs").select("doc_id").collect()}
+    for a, b in pairs:
+        assert len({a, b} & kept) == 1   # exactly one survivor per pair
+    assert {20, 21} & lex <= kept        # no-embedding docs kept verbatim
+    # downstream corpus excludes the semantic dups
+    corpus_ids = {r["doc_id"] for r in
+                  spark.read.parquet(f"{out}/corpus").select("doc_id").collect()}
+    for a, b in pairs:
+        assert len({a, b} & corpus_ids) == 1
+
+    rep2 = pipeline.prep_corpus(
+        spark, inp, out, run_id="sd2", capacity=64,
+        semdedup_embeddings_path=embp, semdedup_tau=0.95,
+        semdedup_n_cells=2, semdedup_dim=16,
+    )
+    assert rep2["stages"]["semdedup"] == {"skipped": True}
+    assert rep2["stages"]["tokenize"] == {"skipped": True}
