@@ -476,6 +476,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.prep_docs:
             mix = json.loads(args.prep_mix) if args.prep_mix else {}
             sem = json.loads(args.prep_semdedup) if args.prep_semdedup else {}
+            if sem and not sem.get("path"):
+                ap.error("--prep-semdedup JSON requires a 'path' key")
             report = pipeline.prep_corpus(
                 spark, args.prep_docs, args.output, args.run_id,
                 resume=args.resume,
@@ -492,9 +494,15 @@ def main(argv: list[str] | None = None) -> int:
                 mixture_seed=int(mix.get("seed", 0)),
             )
         else:
+            # batches must re-apply the base build's per-doc repairs and
+            # eval cut, or ingest re-introduces what the base scrubbed
             report = pipeline.prep_batch(
                 spark, args.prep_batch_docs, args.output, args.run_id,
                 resume=args.resume,
+                clean_params=(
+                    json.loads(args.prep_clean) if args.prep_clean else None
+                ),
+                decontam_eval_path=args.prep_eval,
             )
         print(json.dumps(report))
         return 0

@@ -58,11 +58,14 @@ def hashed_gram_features(text_col: Column, n_buckets: int = 16384) -> Column:
     DSIR paper's feature space). Pure codegen: lowercase, split on
     whitespace, xxhash64 each gram mod n_buckets. Empty/NULL text →
     empty array."""
-    words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    # regexp strip, not F.trim: trim only removes ASCII spaces, so a
+    # leading/trailing \n or \t would yield phantom ''-grams
+    stripped = F.regexp_replace(
+        F.coalesce(text_col, F.lit("")), r"^\s+|\s+$", ""
+    )
     words = F.when(
-        (text_col.isNull()) | (F.trim(text_col) == ""),
-        F.array().cast("array<string>"),
-    ).otherwise(words)
+        stripped == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(stripped), r"\s+"))
     uni = F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(n_buckets)).cast("int"))
     # bigrams: zip words[0:n-1] with words[1:n]
     n = F.size(words)
@@ -135,7 +138,10 @@ def dsir_log_weights(
     1-row collect per corpus, corpus-size-independent)."""
     t_counts = fit_feature_counts(target, text_col, n_buckets)
     r_counts = fit_feature_counts(raw, text_col, n_buckets)
-    dim = dsir_log_ratio_dim(t_counts, r_counts)
+    # ≤ n_buckets rows cached: the totals collect below and the scoring
+    # job's broadcast must not each re-run the two corpus fit scans
+    # (lineage release is the engine-wide ContextCleaner convention)
+    dim = dsir_log_ratio_dim(t_counts, r_counts).persist()
 
     totals = dim.agg(
         F.sum("t_cnt").alias("t_total"), F.sum("r_cnt").alias("r_total")
@@ -217,8 +223,15 @@ def dsir_resample(
         F.coalesce(F.col("log_w"), F.lit(0.0)) / F.lit(float(max(temperature, 1e-12)))
         + gumbel,
     )
+    # NULL ids all share one Gumbel key (concat_ws skips NULLs), so a
+    # content hash breaks their ties deterministically — without it the
+    # pick among NULL-id rows would be partitioning-dependent
     return (
-        scored.orderBy(F.col("__gkey").desc(), F.col(id_col))
+        scored.orderBy(
+            F.col("__gkey").desc(),
+            F.col(id_col),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))),
+        )
         .limit(k)
         .drop("__gkey", "n_feat")
     )

@@ -148,7 +148,9 @@ def semdedup(
             return pd.DataFrame({
                 id_col: ids,
                 "cell": np.full(len(pdf), cell_id, dtype=np.int32),
-                "centroid_sim": np.full(len(pdf), np.nan),
+                # nullable Float64 so Arrow emits NULL (not NaN) —
+                # matching the empty-centroids early-return path
+                "centroid_sim": pd.array([None] * len(pdf), dtype="Float64"),
                 "kept": np.ones(len(pdf), dtype=bool),
             })
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])

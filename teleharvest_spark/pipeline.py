@@ -541,17 +541,25 @@ def prep_corpus(
             # representative. Docs without an embedding row are kept
             # verbatim (nothing to compare) — semantic dedup only ever
             # removes docs it positively shadowed.
-            emb_k = emb.join(deduped.select("doc_id"), "doc_id", "semi")
+            # dropDuplicates on doc_id: a doubled (doc_id, embedding)
+            # row (re-run append) would otherwise shadow ITSELF —
+            # cosine(v,v)=1 ≥ tau — and the anti-join would delete the
+            # doc outright
+            emb_k = (
+                emb.join(deduped.select("doc_id"), "doc_id", "semi")
+                .dropDuplicates(["doc_id"])
+            )
             verdicts = semdedup(
                 emb_k, dim=semdedup_dim, tau=semdedup_tau,
                 n_cells=semdedup_n_cells, id_col="doc_id",
                 vec_col="embedding",
-            )
+            ).persist()  # the write and the count must not re-run the greedy
             dropped = verdicts.where(~F.col("kept")).select("doc_id")
             kept = deduped.join(dropped, "doc_id", "anti")
             kept.write.mode("overwrite").parquet(semdir)
-            n_kept = spark.read.parquet(semdir).count()
             n_dropped = dropped.count()
+            verdicts.unpersist()
+            n_kept = spark.read.parquet(semdir).count()
             write_stage_state(output_path, "prep_semdedup", {
                 "digest": digest, "run_id": run_id,
                 "kept": n_kept, "dropped": n_dropped,
@@ -656,10 +664,15 @@ def prep_corpus(
             rest = corpus.where(F.col("split") != "train")
             mixed = train_rows
             if token_budgets:
+                # token_budget_sample drops NULL-group rows by policy;
+                # here NULL-source docs are legitimate corpus members
+                # (_with_pack_group keeps them in '__null__'), so they
+                # bypass the budgets unweighted rather than vanish
+                null_src = mixed.where(F.col("source").isNull())
                 mixed = sampling_ops.token_budget_sample(
                     mixed, token_budgets, key="doc_id", group="source",
                     size_col="n_tok", seed=mixture_seed,
-                )
+                ).unionByName(null_src)
             if mixture_weights:
                 mixed = sampling_ops.upsample_mixture(
                     mixed, mixture_weights, key="doc_id", group="source",
@@ -807,6 +820,11 @@ def prep_batch(
     train: float = 0.8,
     val: float = 0.1,
     resume: bool = True,
+    clean_params: dict | None = None,
+    decontam_eval_path: str | None = None,
+    decontam_k: int = 13,
+    decontam_pad: int = 0,
+    decontam_min_tok: int = 1,
 ) -> dict:
     """Incremental ingest into a :func:`prep_corpus` warehouse: quality-
     gate a NEW batch, dedup it against the stored corpus WITHOUT
@@ -838,6 +856,15 @@ def prep_batch(
     stays a key across the whole warehouse. The offset frame is one
     aggregate over the stored packs table — metadata-sized relative
     to the corpus — and broadcast back.
+
+    A warehouse built with the optional clean / decontaminate stages
+    must pass the SAME ``clean_params`` / ``decontam_eval_path`` here,
+    or batches would re-introduce exactly what the base build scrubbed
+    (PII, eval overlap). Per-doc repairs (``pii``, ``c4_lines``) and
+    the eval cut apply to the batch alone; ``line_dedup`` is
+    corpus-statistics-based and therefore a base-build operation —
+    requesting it here raises (a batch-scoped hot-line count would
+    silently diverge from the corpus-wide policy).
     """
     from .operators import dedup as dedup_ops
     from .operators import packing as pack_ops
@@ -858,9 +885,43 @@ def prep_batch(
         if isinstance(batch_path, DataFrame)
         else spark.read.parquet(batch_path)
     )
+    if clean_params:
+        if clean_params.get("line_dedup"):
+            raise ValueError(
+                "line_dedup is a base-build (prep_corpus) operation — "
+                "batch ingest supports the per-doc repairs pii/c4_lines"
+            )
+        from .functions.text import redact_pii
+        from .operators.quality import c4_clean_lines
+
+        if clean_params.get("pii"):
+            kinds = (
+                tuple(clean_params["pii"])
+                if isinstance(clean_params["pii"], (list, tuple))
+                else ("email", "ip", "phone")
+            )
+            batch = batch.withColumn("text", redact_pii(F.col("text"), kinds))
+        if clean_params.get("c4_lines"):
+            kw = (
+                clean_params["c4_lines"]
+                if isinstance(clean_params["c4_lines"], dict)
+                else {}
+            )
+            batch = batch.withColumn(
+                "text",
+                F.when(F.col("text").isNull(), F.lit(None)).otherwise(
+                    c4_clean_lines(F.col("text"), **kw)
+                ),
+            )
+    eval_df = (
+        spark.read.parquet(decontam_eval_path) if decontam_eval_path else None
+    )
     params = (
         f"{minhash_threshold}:{n_perm}:{bands}:{k}:{vocab_size}:{capacity}"
         f":{train}:{val}:" + json.dumps(quality_thresholds or {}, sort_keys=True)
+        + ":" + json.dumps(clean_params or {}, sort_keys=True, default=str)
+        + ":" + (content_digest(eval_df) if eval_df is not None else "-")
+        + f":{decontam_k}:{decontam_pad}:{decontam_min_tok}"
     )
     digest = content_digest(batch) + ":" + params
     d = hashlib.md5(digest.encode()).hexdigest()[:12]
@@ -951,6 +1012,15 @@ def prep_batch(
     toks = kept.withColumn(
         "tokens", hash_tokens(F.col("text"), vocab_size)
     ).withColumn("n_tok", F.size("tokens"))
+    if eval_df is not None:
+        from .operators.contamination import decontaminate
+
+        toks = (
+            decontaminate(toks, eval_df, k=decontam_k, pad=decontam_pad)
+            .withColumn("n_tok", F.size("tokens"))
+            .where(F.col("n_tok") >= decontam_min_tok)
+            .drop("n_removed_tok")  # keep corpus_inc schema = corpus schema
+        )
     split = sampling_ops.split_assign(toks, train=train, val=val)
     cdir = os.path.join(output_path, "corpus_inc", f"b_{d}")
     split.write.mode("overwrite").partitionBy("split").parquet(cdir)

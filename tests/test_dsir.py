@@ -141,3 +141,37 @@ def test_resample_keeps_raw_columns_plus_log_w(spark):
     out = dsir.dsir_resample(raw, target, k=1, n_buckets=256)
     assert set(out.columns) == {"doc_id", "text", "log_w"}
     assert out.count() == 1
+
+
+def test_features_whitespace_only_and_leading_newline(spark):
+    """Review fix: F.trim only strips spaces — \\n/\\t text must yield
+    zero features, and a leading newline must not add phantom ''-grams."""
+    df = _docs(spark, [("a", "\n"), ("b", "\t \n"), ("c", "\nword one"), ("d", "word one")])
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(dsir.hashed_gram_features(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert got["a"] == 0 and got["b"] == 0
+    assert got["c"] == got["d"] == 3  # 2 unigrams + 1 bigram, no phantoms
+
+
+def test_resample_null_id_ties_deterministic(spark):
+    """Review fix: multiple NULL-id rows share one Gumbel key; the
+    content-hash tiebreak keeps the pick partitioning-independent."""
+    target = _docs(spark, [("t1", "alpha beta gamma")])
+    rows = [(None, f"filler text number {i} entirely") for i in range(6)]
+    rows += [("r1", "alpha beta gamma")]
+    raw = _docs(spark, rows)
+    a = sorted(
+        (r["doc_id"], r["text"])
+        for r in dsir.dsir_resample(raw.repartition(1), target, k=3,
+                                    n_buckets=512, temperature=50.0).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text"])
+        for r in dsir.dsir_resample(raw.repartition(7), target, k=3,
+                                    n_buckets=512, temperature=50.0).collect()
+    )
+    assert a == b

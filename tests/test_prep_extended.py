@@ -38,6 +38,22 @@ def _doc(i, n_sent=12, with_boiler=True, with_pii=False, with_eval=False):
     return "\n".join(lines)
 
 
+def _varied_doc(i, n_sent=12, with_pii=False, with_eval=False):
+    """Alternating sentence templates: stays clearly under the Gopher
+    top-bigram threshold even with a pii/eval line mixed in."""
+    lines = [
+        (f"unique sentence s{i}w{j} carries enough words to pass checks."
+         if j % 2 else
+         f"another thought t{i}x{j} brings fresh material for review here.")
+        for j in range(n_sent)
+    ]
+    if with_pii:
+        lines[2] = f"contact person{i}@example.com about topic t{i} now."
+    if with_eval:
+        lines[3] = EVAL_PASSAGE
+    return "\n".join(lines)
+
+
 def _corpus(spark):
     rows = [
         Row(doc_id=i, text=_doc(i, with_pii=(i % 3 == 0), with_eval=(i in (2, 5))),
@@ -229,3 +245,97 @@ def test_prep_semdedup_stage_drops_shadowed_docs(spark, tmp_path):
     )
     assert rep2["stages"]["semdedup"] == {"skipped": True}
     assert rep2["stages"]["tokenize"] == {"skipped": True}
+
+
+def test_prep_semdedup_duplicate_embedding_rows_do_not_self_shadow(spark, tmp_path):
+    """Review fix: a doubled (doc_id, embedding) row must not make the
+    doc shadow itself out of the corpus."""
+    import numpy as np
+
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    _corpus(spark).write.parquet(inp)
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(12):
+        v = rng.randn(16)
+        v = v / np.linalg.norm(v)
+        rows.append(Row(doc_id=i, embedding=[float(x) for x in v]))
+    rows.append(rows[0])  # duplicated row for doc 0
+    embp = str(tmp_path / "emb")
+    spark.createDataFrame(rows).write.parquet(embp)
+
+    rep = pipeline.prep_corpus(
+        spark, inp, out, run_id="dup1", capacity=64,
+        semdedup_embeddings_path=embp, semdedup_tau=0.95,
+        semdedup_n_cells=2, semdedup_dim=16,
+    )
+    lex = {r["doc_id"] for r in
+           spark.read.parquet(f"{out}/dedup_docs").select("doc_id").collect()}
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(f"{out}/semdedup_docs").select("doc_id").collect()}
+    assert kept == lex  # spread vectors: nothing drops, incl. doc 0
+    assert rep["stages"]["semdedup"]["dropped"] == 0
+
+
+def test_prep_batch_honors_clean_and_decontam(spark, tmp_path):
+    """Review fix: batches into a cleaned/decontaminated warehouse must
+    re-apply PII redaction and the eval cut (and refuse line_dedup)."""
+    import pytest
+
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    evalp = str(tmp_path / "eval")
+    _corpus(spark).write.parquet(inp)
+    _eval_df(spark).write.parquet(evalp)
+    _run(spark, inp, out, evalp)
+
+    batch = spark.createDataFrame([
+        Row(doc_id=100 + i,
+            text=_varied_doc(100 + i, with_pii=True, with_eval=(i == 0)),
+            source="web")
+        for i in range(3)
+    ])
+    bp = str(tmp_path / "batch")
+    batch.write.parquet(bp)
+
+    rep = pipeline.prep_batch(
+        spark, bp, out, run_id="b1", capacity=64,
+        clean_params={"pii": True, "c4_lines": True},
+        decontam_eval_path=evalp, decontam_min_tok=5,
+    )
+    assert rep["kept"] == 3
+    inc = pipeline.read_prep_corpus(spark, out).where(F.col("doc_id") >= 100)
+    assert inc.where(F.col("text").contains("@example.com")).count() == 0
+    hits = decontamination_spans(
+        inc.select("doc_id", "tokens"), _eval_df(spark), k=13
+    )
+    assert hits.count() == 0
+
+    with pytest.raises(ValueError, match="line_dedup"):
+        pipeline.prep_batch(
+            spark, bp, out, run_id="b2",
+            clean_params={"line_dedup": True},
+        )
+
+
+def test_prep_mixture_token_budget_keeps_null_source_rows(spark, tmp_path):
+    """Review fix: token_budgets must not silently delete NULL-source
+    train docs (they pack into '__null__' like everywhere else)."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    rows = [Row(doc_id=i, text=_varied_doc(i),
+                source=(None if i % 4 == 0 else ("web" if i % 2 else "books")))
+            for i in range(16)]
+    spark.createDataFrame(rows).write.parquet(inp)
+
+    pipeline.prep_corpus(
+        spark, inp, out, run_id="nb1", capacity=64,
+        token_budgets={"web": 10**9, "books": 10**9},
+    )
+    corpus = spark.read.parquet(f"{out}/corpus")
+    mixed = spark.read.parquet(f"{out}/corpus_mixed")
+    n_null_train = corpus.where(
+        (F.col("split") == "train") & F.col("source").isNull()
+    ).count()
+    assert n_null_train > 0, "fixture must land a NULL-source train doc"
+    assert mixed.where(
+        (F.col("split") == "train") & F.col("source").isNull()
+    ).count() == n_null_train

@@ -163,3 +163,16 @@ def test_semdedup_prune_returns_unique_rows(spark):
     assert pruned.columns == df.columns
     n = pruned.count()
     assert 4 <= n < 20
+
+
+def test_semdedup_no_trainable_vectors_and_cell_minus_one_null_sim(spark):
+    """Review fix: centroid_sim for unembeddable rows is NULL (not NaN)
+    on BOTH the empty-centroids and the cell -1 paths."""
+    only_bad = _emb(spark, [(1, None, 0), (2, [1.0], 0)])
+    got = sd.semdedup(only_bad, dim=16, tau=0.9, n_cells=2).collect()
+    assert all(r["centroid_sim"] is None and r["kept"] for r in got)
+
+    mixed = _emb(spark, [(1, [1.0] * 16, 0), (2, None, 0)])
+    got2 = {r["vec_id"]: r for r in sd.semdedup(mixed, dim=16, tau=0.9, n_cells=1).collect()}
+    assert got2[2]["centroid_sim"] is None
+    assert got2[1]["centroid_sim"] is not None
