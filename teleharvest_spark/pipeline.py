@@ -253,6 +253,7 @@ def prep_corpus(
     train: float = 0.8,
     val: float = 0.1,
     drop_dups: bool = True,
+    dedup_keep_by: str | None = None,
     resume: bool = True,
     shuffle_seed: int = 0,
     shuffle_shards: int = 32,
@@ -329,6 +330,12 @@ def prep_corpus(
         corpus_shuffled/      TRAIN split in deterministic pseudo-
                               random order (write_shuffled_shards;
                               file-order replay = the training order)
+
+    ``dedup_keep_by``: name of a column on the gated docs (larger =
+    better, ties → larger doc_id) that selects each duplicate
+    cluster's surviving representative — "keep the best rendition",
+    the refinement over the default min-id canonical. One aggregate
+    over the cluster table (cluster-sized, not corpus-sized).
 
     Stage-digest chaining: every stage digests the parquet its
     predecessor WROTE (plus its own params), so an upstream change —
@@ -475,7 +482,10 @@ def prep_corpus(
 
     if "dedup" in stages:
         clean = spark.read.parquet(cdir)
-        params = f"{minhash_threshold}:{n_perm}:{bands}:{k}:{drop_dups}"
+        params = (
+            f"{minhash_threshold}:{n_perm}:{bands}:{k}:{drop_dups}"
+            f":{dedup_keep_by}"
+        )
         digest = content_digest(clean) + ":" + params
         if gate("prep_dedup", digest):
             report["stages"]["dedup"] = {"skipped": True}
@@ -494,7 +504,30 @@ def prep_corpus(
             comps = connected_components(exact_edges.unionByName(near_edges))
             comps.write.mode("overwrite").parquet(compdir)
             comps = spark.read.parquet(compdir)
-            if drop_dups:
+            if drop_dups and dedup_keep_by:
+                # representative = the cluster's BEST doc by the given
+                # quality column (ties → larger doc_id), not the min
+                # id: when near-dups differ (truncation, boilerplate
+                # variants), training should keep the best rendition.
+                # One aggregate on the cluster table (cluster-sized,
+                # not corpus-sized) + one anti-join.
+                scored = comps.join(
+                    clean.select(
+                        F.col("doc_id").alias("node"),
+                        F.col(dedup_keep_by).alias("__q"),
+                    ),
+                    "node",
+                )
+                keepers = scored.groupBy("component").agg(
+                    F.expr("max_by(node, struct(__q, node))").alias("__keep")
+                )
+                drop = (
+                    scored.join(keepers, "component")
+                    .where(F.col("node") != F.col("__keep"))
+                    .select(F.col("node").alias("doc_id"))
+                )
+                kept = clean.join(drop, "doc_id", "anti")
+            elif drop_dups:
                 # keep cluster canonicals (node == component) and
                 # singletons (never incident to an edge)
                 drop = comps.where(F.col("node") != F.col("component")).select(

@@ -339,3 +339,33 @@ def test_prep_mixture_token_budget_keeps_null_source_rows(spark, tmp_path):
     assert mixed.where(
         (F.col("split") == "train") & F.col("source").isNull()
     ).count() == n_null_train
+
+
+def test_prep_dedup_keep_by_selects_best_cluster_member(spark, tmp_path):
+    """dedup_keep_by: the duplicate cluster's survivor is the doc with
+    the highest quality column, not the min id."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    dup_text = _varied_doc(500)
+    rows = [
+        Row(doc_id=1, text=dup_text, source="web", score=0.2),
+        Row(doc_id=2, text=dup_text, source="web", score=0.9),   # best
+        Row(doc_id=3, text=dup_text, source="web", score=0.5),
+    ]
+    rows += [Row(doc_id=10 + i, text=_varied_doc(10 + i), source="web",
+                 score=0.5) for i in range(6)]
+    spark.createDataFrame(rows).write.parquet(inp)
+
+    pipeline.prep_corpus(
+        spark, inp, out, run_id="kb1", capacity=64, dedup_keep_by="score",
+    )
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(f"{out}/dedup_docs").select("doc_id").collect()}
+    assert 2 in kept and 1 not in kept and 3 not in kept
+    assert {10, 11, 12, 13, 14, 15} <= kept  # singletons untouched
+
+    # default (no keep_by) keeps the min-id canonical instead
+    out2 = str(tmp_path / "wh2")
+    pipeline.prep_corpus(spark, inp, out2, run_id="kb2", capacity=64)
+    kept2 = {r["doc_id"] for r in
+             spark.read.parquet(f"{out2}/dedup_docs").select("doc_id").collect()}
+    assert 1 in kept2 and 2 not in kept2

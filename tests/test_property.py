@@ -388,3 +388,54 @@ def test_split_assign_matches_md5_model(spark, keys, fracs):
 
     want = {(k, model(k)) for k in (keys or ["x"])}
     assert got == want
+
+
+# --- semdedup: kept set is a greedy maximal tau-independent set ------
+
+VEC = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=4, max_size=4,
+)
+EMB_ROWS = st.lists(VEC, min_size=1, max_size=12)
+
+
+@PROP
+@given(vecs=EMB_ROWS, tau=st.sampled_from([0.5, 0.9, 0.99]))
+def test_semdedup_property_invariants(spark, vecs, tau):
+    """For random vectors and taus: one verdict per row; within every
+    cell no two kept rows at cosine >= tau; every dropped row shadowed
+    by a kept row in its cell (the maximal-independent-set contract)."""
+    import numpy as np
+
+    from teleharvest_spark.operators.semdedup import semdedup
+
+    rows = []
+    unit = {}
+    for i, v in enumerate(vecs):
+        a = np.asarray(v, dtype=np.float64)
+        n = np.linalg.norm(a)
+        if n < 1e-9:
+            a = np.array([1.0, 0, 0, 0]); n = 1.0
+        rows.append((i, [float(x) for x in a], 0))
+        unit[i] = a / n
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = semdedup(df, dim=4, tau=tau, n_cells=2, sample_size=16).collect()
+    assert len(got) == len(rows)
+    assert len({r["vec_id"] for r in got}) == len(rows)
+    by_cell: dict[int, list] = {}
+    for r in got:
+        by_cell.setdefault(r["cell"], []).append(r)
+    eps = 1e-9  # float32 round-trip slack on exact-tau boundaries
+    for members in by_cell.values():
+        kept = [m for m in members if m["kept"]]
+        for i, a in enumerate(kept):
+            for b in kept[i + 1:]:
+                assert float(unit[a["vec_id"]] @ unit[b["vec_id"]]) < tau + eps
+        for d in members:
+            if not d["kept"]:
+                assert any(
+                    float(unit[d["vec_id"]] @ unit[k["vec_id"]]) >= tau - eps
+                    for k in kept
+                )
