@@ -603,15 +603,31 @@ def curation_bench(spark, sf_dir: str) -> dict:
             samples.append(time.perf_counter() - t0)
         return round(min(samples), 3)
 
-    out = {"embeddings": emb.count(), "docs": docs.count()}
+    # plant near-duplicates so the timing covers real pruning: every
+    # 5th vector gets a jittered twin (deterministic — jitter derives
+    # from the vec id), so ~1/6 of the corpus should drop at tau 0.95
+    twins = (
+        emb.where(F.col("vec_id") % 5 == 0)
+        .select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + (F.pmod(F.xxhash64(F.col("vec_id") * 131 + i), F.lit(1000)).cast("double") - 500.0) / 50_000.0,
+            ).cast("array<float>").alias("embedding"),
+            "label",
+        )
+    )
+    corpus = emb.unionByName(twins).persist()
+    out = {"embeddings": corpus.count(), "docs": docs.count()}
     kept_box: dict = {}
 
     def sem_pass():
-        v = semdedup(emb, dim=64, tau=0.8, n_cells=64)
+        v = semdedup(corpus, dim=64, tau=0.95, n_cells=64)
         kept_box["kept"] = v.where(F.col("kept")).count()
 
     out["semdedup_sec"] = best2(sem_pass)
     out["semdedup_kept"] = kept_box["kept"]
+    out["semdedup_dropped"] = out["embeddings"] - kept_box["kept"]
 
     # target = a deterministic ~10% hash slice of the corpus (stands in
     # for "the high-quality target set"); raw = the full corpus
