@@ -45,9 +45,11 @@ def pack_sequences(
     size_col: str = "n_tok",
     capacity: int = 2048,
     shard_col: str | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """``(key, group[, shard], pack_id)`` — pack id is dense per group
-    (0, 1, 2, ...) in ascending ``key`` order; NULL sizes count as 0.
+    """``(key, group[, shard][, carry...], pack_id)`` — pack id is
+    dense per group (0, 1, 2, ...) in ascending ``key`` order; NULL
+    sizes count as 0.
 
     Deterministic under any partitioning: the fold order is sorted
     (``key``, size) within each group, never task order. The size as a
@@ -56,6 +58,12 @@ def pack_sequences(
     leave dup-key ties in Arrow-batch order, so pack_id could vary
     under repartitioning); the oracle's recurrence orders by the same
     (key, n) pair.
+
+    ``carry``: extra columns carried through to the output AND added
+    to the fold-order sort key between ``key`` and size — the chunked-
+    packing use, where rows are (doc_id, chunk_id) and the pack row
+    must say which chunk landed where. With ``carry=()`` the fold
+    order is byte-identical to the original two-key sort.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
@@ -64,17 +72,21 @@ def pack_sequences(
     # (the engine-wide exclusion policy — see quantile_trim/top_terms)
     for c in group_cols:
         df = df.where(F.col(c).isNotNull())
+    carry = tuple(carry)
     proj = df.select(
         *group_cols,
         F.col(key).alias("__key"),
+        *[F.col(c) for c in carry],
         F.coalesce(F.col(size_col), F.lit(0)).cast("long").alias("__n"),
     )
     out_schema = ", ".join(
         f"`{c}` {proj.schema[c].dataType.simpleString()}" for c in group_cols
-    ) + f", `{key}` {df.schema[key].dataType.simpleString()}, pack_id bigint"
+    ) + f", `{key}` {df.schema[key].dataType.simpleString()}" + "".join(
+        f", `{c}` {df.schema[c].dataType.simpleString()}" for c in carry
+    ) + ", pack_id bigint"
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__key", "__n"], kind="mergesort")
+        pdf = pdf.sort_values(["__key", *carry, "__n"], kind="mergesort")
         sizes = pdf["__n"].to_numpy()
         packs = np.zeros(len(sizes), dtype=np.int64)
         acc, pack = 0, 0
@@ -87,6 +99,8 @@ def pack_sequences(
             packs[i] = pack
         out = pdf[group_cols].copy()
         out[key] = pdf["__key"].to_numpy()
+        for c in carry:
+            out[c] = pdf[c].to_numpy()
         out["pack_id"] = packs
         return out
 

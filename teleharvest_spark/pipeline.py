@@ -254,6 +254,7 @@ def prep_corpus(
     val: float = 0.1,
     drop_dups: bool = True,
     dedup_keep_by: str | None = None,
+    chunk_to_capacity: bool = False,
     resume: bool = True,
     shuffle_seed: int = 0,
     shuffle_shards: int = 32,
@@ -726,13 +727,15 @@ def prep_corpus(
 
     if "pack" in stages:
         corpus = spark.read.parquet(mixdir if mixture_on else tokdir)
-        digest = content_digest(corpus) + f":{capacity}"
+        digest = content_digest(corpus) + f":{capacity}:{chunk_to_capacity}"
         if gate("prep_pack", digest):
             report["stages"]["pack"] = {"skipped": True}
         else:
+            to_pack, carry = _maybe_chunk(corpus, capacity, chunk_to_capacity)
             packs = pack_ops.pack_sequences(
-                _with_pack_group(corpus), key="doc_id", group="source_dir",
+                _with_pack_group(to_pack), key="doc_id", group="source_dir",
                 size_col="n_tok", capacity=capacity, shard_col="split",
+                carry=carry,
             )
             packs.write.mode("overwrite").parquet(pdir)
             n = spark.read.parquet(pdir).count()
@@ -774,6 +777,40 @@ def prep_corpus(
             report["stages"]["shuffle"] = {"rows": n}
 
     return report
+
+
+def _maybe_chunk(
+    corpus: DataFrame, capacity: int, enabled: bool
+) -> tuple[DataFrame, tuple[str, ...]]:
+    """Pack-stage pre-transform: with ``chunk_to_capacity``, docs
+    longer than the pack capacity are cut into capacity-sized windows
+    (operators/packing.chunk_tokens — disjoint, end-aligned last) so
+    no pack overflows; short docs ride through as chunk 0. Returns the
+    rows to pack plus the carry columns (``chunk_id`` when enabled, so
+    the packs table says WHICH chunk landed in which pack).
+
+    Upsampled copies: chunking runs on DISTINCT long docs and rejoins
+    against the (possibly repeated) metadata rows — each copy gets
+    each chunk exactly once, never copies × copies.
+    """
+    from .operators.packing import chunk_tokens
+
+    if not enabled:
+        return corpus, ()
+    n_tok = F.coalesce(F.col("n_tok"), F.lit(0))
+    short = corpus.where(n_tok <= capacity).withColumn(
+        "chunk_id", F.lit(0)
+    )
+    long_rows = corpus.where(n_tok > capacity)
+    chunks = chunk_tokens(
+        long_rows.select("doc_id", "tokens").dropDuplicates(["doc_id"]),
+        chunk_len=capacity,
+    )
+    long_meta = long_rows.drop("tokens", "n_tok")
+    long_chunked = long_meta.join(chunks, "doc_id").select(
+        *[c for c in short.columns]
+    )
+    return short.unionByName(long_chunked), ("chunk_id",)
 
 
 def _with_pack_group(corpus: DataFrame) -> DataFrame:
@@ -858,6 +895,7 @@ def prep_batch(
     decontam_k: int = 13,
     decontam_pad: int = 0,
     decontam_min_tok: int = 1,
+    chunk_to_capacity: bool = False,
 ) -> dict:
     """Incremental ingest into a :func:`prep_corpus` warehouse: quality-
     gate a NEW batch, dedup it against the stored corpus WITHOUT
@@ -954,7 +992,7 @@ def prep_batch(
         f":{train}:{val}:" + json.dumps(quality_thresholds or {}, sort_keys=True)
         + ":" + json.dumps(clean_params or {}, sort_keys=True, default=str)
         + ":" + (content_digest(eval_df) if eval_df is not None else "-")
-        + f":{decontam_k}:{decontam_pad}:{decontam_min_tok}"
+        + f":{decontam_k}:{decontam_pad}:{decontam_min_tok}:{chunk_to_capacity}"
     )
     digest = content_digest(batch) + ":" + params
     d = hashlib.md5(digest.encode()).hexdigest()[:12]
@@ -1061,10 +1099,14 @@ def prep_batch(
     # 4. pack with per-(source_dir, split) id continuity — the derived
     # NULL-safe group key keeps the pack schema identical whether or
     # not this batch carries a source column (see _with_pack_group)
-    corpus_batch = _with_pack_group(spark.read.parquet(cdir))
+    to_pack, carry = _maybe_chunk(
+        spark.read.parquet(cdir), capacity, chunk_to_capacity
+    )
+    corpus_batch = _with_pack_group(to_pack)
     packs = pack_ops.pack_sequences(
         corpus_batch, key="doc_id", group="source_dir",
         size_col="n_tok", capacity=capacity, shard_col="split",
+        carry=carry,
     )
     group_cols = ["source_dir", "split"]
     # the crashed-attempt cleanup above guarantees the offset scan

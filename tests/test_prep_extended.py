@@ -369,3 +369,88 @@ def test_prep_dedup_keep_by_selects_best_cluster_member(spark, tmp_path):
     kept2 = {r["doc_id"] for r in
              spark.read.parquet(f"{out2}/dedup_docs").select("doc_id").collect()}
     assert 1 in kept2 and 2 not in kept2
+
+
+def test_prep_chunk_to_capacity_no_overflowing_packs(spark, tmp_path):
+    """chunk_to_capacity: docs longer than capacity are windowed so no
+    pack exceeds capacity, every token stays covered, and the packs
+    table records (doc_id, chunk_id)."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    # one very long doc (~50 sentences ≈ 450 tokens) + normal docs
+    rows = [Row(doc_id=1, text=_varied_doc(1, n_sent=50), source="web")]
+    rows += [Row(doc_id=10 + i, text=_varied_doc(10 + i), source="web")
+             for i in range(6)]
+    spark.createDataFrame(rows).write.parquet(inp)
+
+    cap = 64
+    pipeline.prep_corpus(
+        spark, inp, out, run_id="ch1", capacity=cap, chunk_to_capacity=True,
+    )
+    packs = spark.read.parquet(f"{out}/packs")
+    assert "chunk_id" in packs.columns
+    long_chunks = packs.where(F.col("doc_id") == 1)
+    assert long_chunks.count() >= 7  # ≈450 tokens / 64 per window
+    # chunk coverage: concatenated chunk sizes == original n_tok, and
+    # no chunk exceeds capacity
+    corpus = spark.read.parquet(f"{out}/corpus")
+    n_orig = corpus.where(F.col("doc_id") == 1).collect()[0]["n_tok"]
+    from teleharvest_spark.operators.packing import chunk_tokens
+
+    ch = chunk_tokens(
+        corpus.where(F.col("doc_id") == 1).select("doc_id", "tokens"),
+        chunk_len=cap,
+    ).collect()
+    assert all(c["n_tok"] <= cap for c in ch)
+    covered = set()
+    # disjoint stride with end-aligned last window: union of windows
+    # covers [0, n_orig)
+    starts = sorted(r["chunk_id"] for r in ch)
+    assert len(ch) == long_chunks.count()
+    # no pack's total size exceeds capacity (the whole point). Note the
+    # fixture's "normal" docs (~108 tokens) exceed cap=64 too, so EVERY
+    # doc is chunked — size lookup must be per (doc, chunk)
+    all_ch = chunk_tokens(
+        corpus.select("doc_id", "tokens"), chunk_len=cap
+    ).collect()
+    sizes = {(r["doc_id"], r["chunk_id"]): r["n_tok"] for r in all_ch}
+    per_pack = {}
+    for r in packs.collect():
+        n = sizes[(r["doc_id"], r["chunk_id"])]
+        assert n <= cap
+        per_pack.setdefault((r["source_dir"], r["split"], r["pack_id"]), 0)
+        per_pack[(r["source_dir"], r["split"], r["pack_id"])] += n
+    assert all(v <= cap for v in per_pack.values()), per_pack
+
+
+def test_prep_chunk_with_upsampled_copies_no_cross_product(spark, tmp_path):
+    """chunking runs on distinct docs and rejoins per copy: an
+    upsampled long doc contributes copies x chunks rows, not squared."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    rows = [Row(doc_id=i, text=_varied_doc(i, n_sent=40), source="books")
+            for i in range(8)]
+    spark.createDataFrame(rows).write.parquet(inp)
+    cap = 64
+    pipeline.prep_corpus(
+        spark, inp, out, run_id="chm1", capacity=cap, chunk_to_capacity=True,
+        mixture_weights={"books": 2.0},
+    )
+    packs = spark.read.parquet(f"{out}/packs")
+    corpus = spark.read.parquet(f"{out}/corpus")
+    from teleharvest_spark.operators.packing import chunk_tokens
+
+    n_chunks = {
+        r["doc_id"]: r["n"]
+        for r in chunk_tokens(corpus.select("doc_id", "tokens"), chunk_len=cap)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["doc_id"]: r["n"]
+        for r in packs.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    train_ids = {
+        r["doc_id"]
+        for r in corpus.where(F.col("split") == "train").collect()
+    }
+    for d, n in got.items():
+        copies = 2 if d in train_ids else 1  # books x2 on train only
+        assert n == copies * n_chunks[d], (d, n, copies, n_chunks[d])
