@@ -406,6 +406,20 @@ def main(argv: list[str] | None = None) -> int:
         "gate",
     )
     ap.add_argument(
+        "--prep-chunk",
+        action="store_true",
+        help="prep-docs/prep-batch-docs: window docs longer than the "
+        "pack capacity into capacity-sized chunks before packing "
+        "(packs table gains doc_id+chunk_id)",
+    )
+    ap.add_argument(
+        "--prep-keep-by",
+        default=None,
+        help="prep-docs: column selecting each duplicate cluster's "
+        "surviving representative (highest value wins; default: "
+        "min-id canonical)",
+    )
+    ap.add_argument(
         "--prep-semdedup",
         default=None,
         help="prep-docs: JSON semantic-dedup params, e.g. "
@@ -492,6 +506,8 @@ def main(argv: list[str] | None = None) -> int:
                 mixture_weights=mix.get("weights"),
                 token_budgets=mix.get("budgets"),
                 mixture_seed=int(mix.get("seed", 0)),
+                chunk_to_capacity=args.prep_chunk,
+                dedup_keep_by=args.prep_keep_by,
             )
         else:
             # batches must re-apply the base build's per-doc repairs and
@@ -503,6 +519,7 @@ def main(argv: list[str] | None = None) -> int:
                     json.loads(args.prep_clean) if args.prep_clean else None
                 ),
                 decontam_eval_path=args.prep_eval,
+                chunk_to_capacity=args.prep_chunk,
             )
         print(json.dumps(report))
         return 0
