@@ -510,8 +510,12 @@ def main(argv: list[str] | None = None) -> int:
                 dedup_keep_by=args.prep_keep_by,
             )
         else:
-            # batches must re-apply the base build's per-doc repairs and
-            # eval cut, or ingest re-introduces what the base scrubbed
+            # batches must re-apply the base build's per-doc repairs,
+            # eval cut, and semantic dedup, or ingest re-introduces
+            # what the base scrubbed
+            sem = json.loads(args.prep_semdedup) if args.prep_semdedup else {}
+            if sem and not sem.get("path"):
+                ap.error("--prep-semdedup JSON requires a 'path' key")
             report = pipeline.prep_batch(
                 spark, args.prep_batch_docs, args.output, args.run_id,
                 resume=args.resume,
@@ -520,6 +524,9 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 decontam_eval_path=args.prep_eval,
                 chunk_to_capacity=args.prep_chunk,
+                semdedup_embeddings_path=sem.get("path"),
+                semdedup_tau=float(sem.get("tau", 0.95)),
+                semdedup_dim=int(sem.get("dim", 64)),
             )
         print(json.dumps(report))
         return 0

@@ -68,6 +68,8 @@ def semdedup(
     sample_size: int = 4096,
     keep_policy: str = "near",
     max_cell: int | None = None,
+    centroids: np.ndarray | None = None,
+    seed_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document semantic-dedup verdicts: returns
     ``(id_col, cell, centroid_sim, kept)`` with exactly one row per
@@ -77,12 +79,23 @@ def semdedup(
     ``keep_policy``: 'near' keeps centroid-closest-first (default),
     'far' keeps centroid-furthest-first (the SemDeDup paper's order —
     it argues boundary examples are the informative ones).
+
+    ``centroids``: pre-trained unit-norm (n_cells × dim) array —
+    skips the driver-side k-means (the incremental path: a batch must
+    be assigned with the SAME centroids the corpus was).
+
+    ``seed_df``: rows (same id/vec cols) that are ALREADY KEPT — they
+    pre-seed each cell's kept set and are never re-judged or returned;
+    a ``df`` row shadowed by a seed at cosine ≥ tau drops. This is
+    incremental SemDeDup: seed = the stored corpus survivors, df = the
+    new batch; corpus always wins, batch docs also dedup among
+    themselves, and the stored corpus is never re-clustered.
     """
     if keep_policy not in ("near", "far"):
         raise ValueError("keep_policy must be 'near' or 'far'")
     id_field = df.schema[id_col]
 
-    cents = train_centroids(
+    cents = centroids if centroids is not None else train_centroids(
         # wrong-dim vectors would make the driver sample ragged; they
         # are kept verbatim downstream (cell -1), just never trained on
         df.where(F.size(F.col(vec_col)) == dim),
@@ -104,7 +117,21 @@ def semdedup(
         F.col(vec_col).alias("__vec"),
         F.coalesce(cell, F.lit(-1)).alias("cell"),
         F.lit(0).alias("__sub"),
+        F.lit(False).alias("__is_seed"),
     )
+    if seed_df is not None:
+        seeds = seed_df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__vec"),
+            F.coalesce(
+                F.get(assign(F.col(vec_col)), 0), F.lit(-1)
+            ).alias("cell"),
+            F.lit(0).alias("__sub"),
+            F.lit(True).alias("__is_seed"),
+        # unembeddable seeds can't shadow anything — drop them rather
+        # than pollute the cell -1 pass-through group
+        ).where(F.col("cell") >= 0)
+        base = base.unionByName(seeds)
     if max_cell is not None:
         # Sub-salt hot cells: one n_cells-row count aggregate, broadcast
         # back, then hash-split any cell over the cap into
@@ -143,36 +170,43 @@ def semdedup(
 
     def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
         cell_id = int(pdf["cell"].iloc[0])
-        ids = pdf[id_col]
+        is_seed = pdf["__is_seed"].to_numpy()
         if cell_id < 0:
+            n = len(pdf)
             return pd.DataFrame({
-                id_col: ids,
-                "cell": np.full(len(pdf), cell_id, dtype=np.int32),
+                id_col: pdf[id_col],
+                "cell": np.full(n, cell_id, dtype=np.int32),
                 # nullable Float64 so Arrow emits NULL (not NaN) —
                 # matching the empty-centroids early-return path
-                "centroid_sim": pd.array([None] * len(pdf), dtype="Float64"),
-                "kept": np.ones(len(pdf), dtype=bool),
+                "centroid_sim": pd.array([None] * n, dtype="Float64"),
+                "kept": np.ones(n, dtype=bool),
             })
+        ids = pdf[id_col]
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         csim = m @ cents_unit[cell_id]
         # deterministic greedy order: centroid_sim (desc for 'near',
-        # asc for 'far'), id as tiebreak
+        # asc for 'far'), id as tiebreak; seeds are pre-kept and
+        # never re-judged (the incremental contract: corpus wins)
         key = -csim if near_first else csim
         order = np.lexsort((ids.to_numpy(), key))
         gram = m @ m.T
         kept_mask = np.zeros(len(pdf), dtype=bool)
-        kept_idx: list[int] = []
+        kept_idx: list[int] = list(np.flatnonzero(is_seed))
+        kept_mask[is_seed] = True
         for i in order:
+            if is_seed[i]:
+                continue
             if not kept_idx or gram[i, kept_idx].max() < tau_f:
                 kept_mask[i] = True
                 kept_idx.append(i)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             id_col: ids,
             "cell": np.full(len(pdf), cell_id, dtype=np.int32),
             "centroid_sim": csim,
             "kept": kept_mask,
         })
+        return out[~is_seed]
 
     return base.groupBy("cell", "__sub").applyInPandas(_prune, schema=out_schema)
 

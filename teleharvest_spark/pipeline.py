@@ -557,8 +557,10 @@ def prep_corpus(
 
     sem_on = semdedup_embeddings_path is not None and "semdedup" in stages
     semdir = os.path.join(output_path, "semdedup_docs")
+    simdir = os.path.join(output_path, "semdedup_index")
     if sem_on:
         from .operators.semdedup import semdedup
+        from .operators.similarity import train_centroids
 
         deduped = spark.read.parquet(ddir)
         emb = spark.read.parquet(semdedup_embeddings_path)
@@ -583,14 +585,37 @@ def prep_corpus(
                 emb.join(deduped.select("doc_id"), "doc_id", "semi")
                 .dropDuplicates(["doc_id"])
             )
+            cents = train_centroids(
+                emb_k.where(F.size("embedding") == semdedup_dim),
+                semdedup_dim, semdedup_n_cells,
+                id_col="doc_id", vec_col="embedding",
+            )
             verdicts = semdedup(
                 emb_k, dim=semdedup_dim, tau=semdedup_tau,
                 n_cells=semdedup_n_cells, id_col="doc_id",
-                vec_col="embedding",
+                vec_col="embedding", centroids=cents,
             ).persist()  # the write and the count must not re-run the greedy
             dropped = verdicts.where(~F.col("kept")).select("doc_id")
             kept = deduped.join(dropped, "doc_id", "anti")
             kept.write.mode("overwrite").parquet(semdir)
+            # persist the SEMANTIC index (the dedup_index idiom): the
+            # exact centroids the corpus was assigned with + the
+            # survivors' vectors, so a NEW batch dedups against the
+            # corpus without re-clustering it (prep_batch seeds the
+            # greedy with these rows; corpus always wins)
+            if cents.size:
+                spark.createDataFrame(
+                    [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                    "cell int, vector array<double>",
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(simdir, "centroids")
+                )
+            emb_k.join(
+                verdicts.where(F.col("kept")).select("doc_id"),
+                "doc_id", "semi",
+            ).select("doc_id", "embedding").write.mode("overwrite").parquet(
+                os.path.join(simdir, "kept_vectors", "b_base")
+            )
             n_dropped = dropped.count()
             verdicts.unpersist()
             n_kept = spark.read.parquet(semdir).count()
@@ -896,6 +921,9 @@ def prep_batch(
     decontam_pad: int = 0,
     decontam_min_tok: int = 1,
     chunk_to_capacity: bool = False,
+    semdedup_embeddings_path: str | None = None,
+    semdedup_tau: float = 0.95,
+    semdedup_dim: int = 64,
 ) -> dict:
     """Incremental ingest into a :func:`prep_corpus` warehouse: quality-
     gate a NEW batch, dedup it against the stored corpus WITHOUT
@@ -987,12 +1015,19 @@ def prep_batch(
     eval_df = (
         spark.read.parquet(decontam_eval_path) if decontam_eval_path else None
     )
+    batch_emb = (
+        spark.read.parquet(semdedup_embeddings_path)
+        if semdedup_embeddings_path
+        else None
+    )
     params = (
         f"{minhash_threshold}:{n_perm}:{bands}:{k}:{vocab_size}:{capacity}"
         f":{train}:{val}:" + json.dumps(quality_thresholds or {}, sort_keys=True)
         + ":" + json.dumps(clean_params or {}, sort_keys=True, default=str)
         + ":" + (content_digest(eval_df) if eval_df is not None else "-")
         + f":{decontam_k}:{decontam_pad}:{decontam_min_tok}:{chunk_to_capacity}"
+        + ":" + (content_digest(batch_emb) if batch_emb is not None else "-")
+        + f":{semdedup_tau}:{semdedup_dim}"
     )
     digest = content_digest(batch) + ":" + params
     d = hashlib.md5(digest.encode()).hexdigest()[:12]
@@ -1016,6 +1051,7 @@ def prep_batch(
         os.path.join(output_path, "packs_inc", f"b_{d}"),
         os.path.join(output_path, "quality_violations_inc", f"b_{d}"),
         os.path.join(idxdir, f"b_{d}"),
+        os.path.join(output_path, "semdedup_index", "kept_vectors", f"b_{d}"),
     ):
         shutil.rmtree(sub, ignore_errors=True)
 
@@ -1064,6 +1100,56 @@ def prep_batch(
     kept = clean.join(drop, "doc_id", "anti").persist()
     report["kept"] = kept.count()
     report["dropped_dups"] = clean.count() - report["kept"]
+
+    # 2b. incremental SEMANTIC dedup vs the stored semdedup index (the
+    # same corpus-wins seeding the MinHash index gives lexical dedup):
+    # batch vectors assign to the BASE BUILD's centroids, the stored
+    # survivors pre-seed each cell's kept set, and surviving batch
+    # vectors append to the index so batch N+1 dedups against batch N.
+    if batch_emb is not None:
+        from .operators.semdedup import semdedup
+
+        cdirp = os.path.join(output_path, "semdedup_index", "centroids")
+        if not os.path.isdir(cdirp):
+            raise ValueError(
+                "batch semantic dedup needs a base build with the "
+                "semdedup stage (no semdedup_index/centroids found)"
+            )
+        import numpy as np
+
+        cent_rows = spark.read.parquet(cdirp).orderBy("cell").collect()
+        cents = np.array([r["vector"] for r in cent_rows], dtype=np.float64)
+        kvroot = os.path.join(output_path, "semdedup_index", "kept_vectors")
+        stored = None
+        for dd in sorted(os.listdir(kvroot)):
+            if not dd.startswith("b_"):
+                continue
+            part = spark.read.parquet(os.path.join(kvroot, dd)).select(
+                "doc_id", "embedding"
+            )
+            stored = part if stored is None else stored.unionByName(part)
+        stored = stored.dropDuplicates(["doc_id"])
+        bemb = (
+            batch_emb.join(kept.select("doc_id"), "doc_id", "semi")
+            .dropDuplicates(["doc_id"])
+        )
+        verdicts = semdedup(
+            bemb, dim=semdedup_dim, tau=semdedup_tau,
+            id_col="doc_id", vec_col="embedding",
+            centroids=cents, seed_df=stored,
+        ).persist()
+        sem_drop = verdicts.where(~F.col("kept")).select("doc_id")
+        kept = kept.join(sem_drop, "doc_id", "anti").persist()
+        n_after = kept.count()
+        report["sem_dropped"] = report["kept"] - n_after
+        report["kept"] = n_after
+        # per-batch index append (overwrite dir = replay-idempotent)
+        bemb.join(
+            verdicts.where(F.col("kept")).select("doc_id"), "doc_id", "semi"
+        ).select("doc_id", "embedding").write.mode("overwrite").parquet(
+            os.path.join(output_path, "semdedup_index", "kept_vectors", f"b_{d}")
+        )
+        verdicts.unpersist()
 
     if report["kept"] == 0:
         # wholly-duplicate (or wholly-failed) batch: nothing to land

@@ -454,3 +454,83 @@ def test_prep_chunk_with_upsampled_copies_no_cross_product(spark, tmp_path):
     for d, n in got.items():
         copies = 2 if d in train_ids else 1  # books x2 on train only
         assert n == copies * n_chunks[d], (d, n, copies, n_chunks[d])
+
+
+def test_prep_batch_incremental_semantic_dedup(spark, tmp_path):
+    """prep_batch semantic dedup vs the stored index: batch docs near a
+    corpus survivor drop; novel docs survive and extend the index so
+    the NEXT batch dedups against them."""
+    import numpy as np
+
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    rows = [Row(doc_id=i, text=_varied_doc(i), source="web") for i in range(8)]
+    spark.createDataFrame(rows).write.parquet(inp)
+
+    rng = np.random.RandomState(43)
+    base_vecs = rng.randn(8, 16)
+    base_vecs /= np.linalg.norm(base_vecs, axis=1, keepdims=True)
+    embp = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [Row(doc_id=i, embedding=[float(x) for x in base_vecs[i]])
+         for i in range(8)]
+    ).write.parquet(embp)
+
+    pipeline.prep_corpus(
+        spark, inp, out, run_id="sb0", capacity=64,
+        semdedup_embeddings_path=embp, semdedup_tau=0.95,
+        semdedup_n_cells=2, semdedup_dim=16,
+    )
+    assert os.path.isdir(f"{out}/semdedup_index/centroids")
+    assert os.path.isdir(f"{out}/semdedup_index/kept_vectors/b_base")
+
+    def jit(v):
+        w = v + 0.001 * rng.randn(16)
+        return [float(x) for x in w / np.linalg.norm(w)]
+
+    novel = rng.randn(16); novel /= np.linalg.norm(novel)
+    b1 = spark.createDataFrame([
+        Row(doc_id=100, text=_varied_doc(100), source="web"),  # near base 0
+        Row(doc_id=101, text=_varied_doc(101), source="web"),  # novel
+    ])
+    b1p = str(tmp_path / "b1"); b1.write.parquet(b1p)
+    e1p = str(tmp_path / "e1")
+    spark.createDataFrame([
+        Row(doc_id=100, embedding=jit(base_vecs[0])),
+        Row(doc_id=101, embedding=[float(x) for x in novel]),
+    ]).write.parquet(e1p)
+
+    r1 = pipeline.prep_batch(
+        spark, b1p, out, run_id="sb1", capacity=64,
+        semdedup_embeddings_path=e1p, semdedup_tau=0.95, semdedup_dim=16,
+    )
+    assert r1["sem_dropped"] == 1 and r1["kept"] == 1
+    inc_ids = {r["doc_id"] for r in
+               pipeline.read_prep_corpus(spark, out)
+               .where(F.col("doc_id") >= 100).collect()}
+    assert inc_ids == {101}
+
+    # batch 2: a doc near batch 1's survivor must now drop too
+    b2 = spark.createDataFrame([
+        Row(doc_id=200, text=_varied_doc(200), source="web"),
+    ])
+    b2p = str(tmp_path / "b2"); b2.write.parquet(b2p)
+    e2p = str(tmp_path / "e2")
+    spark.createDataFrame([
+        Row(doc_id=200, embedding=jit(novel)),
+    ]).write.parquet(e2p)
+    r2 = pipeline.prep_batch(
+        spark, b2p, out, run_id="sb2", capacity=64,
+        semdedup_embeddings_path=e2p, semdedup_tau=0.95, semdedup_dim=16,
+    )
+    assert r2["sem_dropped"] == 1 and r2["kept"] == 0
+
+    # missing base index -> clear error
+    out2 = str(tmp_path / "wh2")
+    pipeline.prep_corpus(spark, inp, out2, run_id="nosem", capacity=64)
+    import pytest
+
+    with pytest.raises(ValueError, match="semdedup_index"):
+        pipeline.prep_batch(
+            spark, b1p, out2, run_id="sbx", capacity=64,
+            semdedup_embeddings_path=e1p, semdedup_dim=16,
+        )

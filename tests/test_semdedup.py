@@ -176,3 +176,35 @@ def test_semdedup_no_trainable_vectors_and_cell_minus_one_null_sim(spark):
     got2 = {r["vec_id"]: r for r in sd.semdedup(mixed, dim=16, tau=0.9, n_cells=1).collect()}
     assert got2[2]["centroid_sim"] is None
     assert got2[1]["centroid_sim"] is not None
+
+
+def test_semdedup_seeded_incremental(spark):
+    """seed_df rows pre-seed the kept set: a df row near a seed drops,
+    seeds are never returned, and batch rows still dedup among
+    themselves; pre-trained centroids skip k-means."""
+    rng = np.random.RandomState(41)
+    base_vecs = rng.randn(4, 16)
+    base_vecs /= np.linalg.norm(base_vecs, axis=1, keepdims=True)
+    seeds = _emb(spark, [(100 + i, base_vecs[i].astype(np.float32).tolist(), 0)
+                         for i in range(4)])
+
+    def jitter(v):
+        w = v + 0.001 * rng.randn(16)
+        return (w / np.linalg.norm(w)).astype(np.float32).tolist()
+
+    far = rng.randn(16); far /= np.linalg.norm(far)
+    batch = _emb(spark, [
+        (1, jitter(base_vecs[0]), 0),      # shadowed by seed 100
+        (2, far.astype(np.float32).tolist(), 0),   # novel -> kept
+        (3, jitter(far), 0),               # shadowed by batch doc 2
+    ])
+    from teleharvest_spark.operators.similarity import train_centroids
+
+    cents = train_centroids(seeds, 16, 2, id_col="vec_id", vec_col="embedding")
+    got = {r["vec_id"]: r for r in sd.semdedup(
+        batch, dim=16, tau=0.95, centroids=cents, seed_df=seeds
+    ).collect()}
+    assert set(got) == {1, 2, 3}  # verdicts only for batch rows
+    assert not got[1]["kept"]
+    assert got[2]["kept"]
+    assert not got[3]["kept"]
