@@ -443,6 +443,13 @@ def main(argv: list[str] | None = None) -> int:
         "token budgets before packing",
     )
     ap.add_argument(
+        "--compact-indexes",
+        action="store_true",
+        help="warehouse maintenance: fold per-ingest dedup_index and "
+        "semdedup_index dirs into one (run while no ingest is active) "
+        "and exit",
+    )
+    ap.add_argument(
         "--corpus-report",
         action="store_true",
         help="print the corpus datasheet (per-split/source doc+token "
@@ -470,15 +477,22 @@ def main(argv: list[str] | None = None) -> int:
         and args.prep_docs is None
         and args.prep_batch_docs is None
         and not args.corpus_report
+        and not args.compact_indexes
     ):
         ap.error(
             "at least one of --input / --quality-docs / --prep-docs / "
-            "--prep-batch-docs is required"
+            "--prep-batch-docs / --corpus-report / --compact-indexes "
+            "is required"
         )
     if args.run_all and args.input is None:
         ap.error("--run-all requires --input")
 
     spark = get_spark(app_name=f"validate-{args.run_id}", master=args.master)
+    if args.compact_indexes:
+        from . import pipeline
+
+        print(json.dumps(pipeline.compact_indexes(spark, args.output)))
+        return 0
     if args.corpus_report:
         from . import pipeline
 

@@ -860,14 +860,76 @@ def _with_pack_group(corpus: DataFrame) -> DataFrame:
 
 def _read_index(spark: SparkSession, idxdir: str) -> tuple[DataFrame, DataFrame]:
     """Glob-union of every ingest's index subdir (``b_base`` +
-    ``b_<digest>`` batches) projected to the join schema."""
+    ``b_<digest>`` batches) projected to the join schema.
+
+    dropDuplicates: a compaction interrupted between writing the
+    folded dir and removing its sources (compact_indexes) leaves the
+    same rows in two dirs until the re-run converges — readers must
+    not turn that transient into duplicate candidate pairs."""
     sigs = spark.read.parquet(os.path.join(idxdir, "*", "sigs")).select(
         "doc_id", "sig"
-    )
+    ).dropDuplicates(["doc_id"])
     buckets = spark.read.parquet(os.path.join(idxdir, "*", "buckets")).select(
         "doc_id", "band", "bucket"
-    )
+    ).dropDuplicates(["doc_id", "band", "bucket"])
     return sigs, buckets
+
+
+def compact_indexes(spark: SparkSession, output_path: str) -> dict:
+    """Warehouse maintenance: fold the per-ingest index dirs into ONE
+    — ``dedup_index/b_*`` (MinHash sigs + band buckets) and
+    ``semdedup_index/kept_vectors/b_*`` (semantic survivors). Every
+    ingest appends a dir; the dir count is metadata-sized but the
+    per-dir file listing isn't free forever, so a long-running
+    deployment folds periodically (the compact_partitioned idiom
+    applied to the index layout).
+
+    Crash-safe by convergence, not atomicity: the folded dir
+    ``b_compact_<digest-of-sources>`` is written COMPLETELY first,
+    then the source dirs are removed. A crash in between leaves
+    duplicate rows across dirs — readers dropDuplicates (see
+    :func:`_read_index`), and re-running compaction folds the
+    leftovers. Run while no ingest is active (same discipline as any
+    table compaction)."""
+    import hashlib
+    import shutil
+
+    report: dict = {}
+
+    def _dirs(root: str) -> list[str]:
+        if not os.path.isdir(root):
+            return []
+        return sorted(d for d in os.listdir(root) if d.startswith("b_"))
+
+    idxdir = os.path.join(output_path, "dedup_index")
+    dirs = _dirs(idxdir)
+    if len(dirs) > 1:
+        sigs, buckets = _read_index(spark, idxdir)
+        tag = "b_compact_" + hashlib.md5(":".join(dirs).encode()).hexdigest()[:10]
+        tmp = os.path.join(idxdir, tag)
+        sigs.write.mode("overwrite").parquet(os.path.join(tmp, "sigs"))
+        buckets.write.mode("overwrite").parquet(os.path.join(tmp, "buckets"))
+        for dd in dirs:
+            shutil.rmtree(os.path.join(idxdir, dd), ignore_errors=True)
+        report["dedup_index"] = {"folded": len(dirs)}
+
+    kvroot = os.path.join(output_path, "semdedup_index", "kept_vectors")
+    kdirs = _dirs(kvroot)
+    if len(kdirs) > 1:
+        stored = None
+        for dd in kdirs:
+            part = spark.read.parquet(os.path.join(kvroot, dd)).select(
+                "doc_id", "embedding"
+            )
+            stored = part if stored is None else stored.unionByName(part)
+        stored = stored.dropDuplicates(["doc_id"])
+        tag = "b_compact_" + hashlib.md5(":".join(kdirs).encode()).hexdigest()[:10]
+        stored.write.mode("overwrite").parquet(os.path.join(kvroot, tag))
+        for dd in kdirs:
+            shutil.rmtree(os.path.join(kvroot, dd), ignore_errors=True)
+        report["semdedup_index"] = {"folded": len(kdirs)}
+
+    return report
 
 
 def _union_inc(spark: SparkSession, base: DataFrame, inc_root: str) -> DataFrame:

@@ -534,3 +534,67 @@ def test_prep_batch_incremental_semantic_dedup(spark, tmp_path):
             spark, b1p, out2, run_id="sbx", capacity=64,
             semdedup_embeddings_path=e1p, semdedup_dim=16,
         )
+
+
+def test_compact_indexes_folds_dirs_and_preserves_dedup(spark, tmp_path):
+    """compact_indexes: per-ingest index dirs fold to one; a batch of
+    exact dups of already-ingested docs still drops entirely against
+    the compacted MinHash + semantic indexes."""
+    import numpy as np
+
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    rows = [Row(doc_id=i, text=_varied_doc(i), source="web") for i in range(8)]
+    spark.createDataFrame(rows).write.parquet(inp)
+    rng = np.random.RandomState(47)
+    vecs = rng.randn(8, 16); vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    embp = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [Row(doc_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(8)]
+    ).write.parquet(embp)
+    pipeline.prep_corpus(
+        spark, inp, out, run_id="c0", capacity=64,
+        semdedup_embeddings_path=embp, semdedup_tau=0.95,
+        semdedup_n_cells=2, semdedup_dim=16,
+    )
+
+    novel = rng.randn(16); novel /= np.linalg.norm(novel)
+    b1 = spark.createDataFrame(
+        [Row(doc_id=100, text=_varied_doc(100), source="web")]
+    )
+    b1p = str(tmp_path / "b1"); b1.write.parquet(b1p)
+    e1p = str(tmp_path / "e1")
+    spark.createDataFrame(
+        [Row(doc_id=100, embedding=[float(x) for x in novel])]
+    ).write.parquet(e1p)
+    pipeline.prep_batch(
+        spark, b1p, out, run_id="c1", capacity=64,
+        semdedup_embeddings_path=e1p, semdedup_dim=16,
+    )
+    assert len(os.listdir(f"{out}/dedup_index")) == 2
+    assert len(os.listdir(f"{out}/semdedup_index/kept_vectors")) == 2
+
+    rep = pipeline.compact_indexes(spark, out)
+    assert rep["dedup_index"]["folded"] == 2
+    assert rep["semdedup_index"]["folded"] == 2
+    assert len(os.listdir(f"{out}/dedup_index")) == 1
+    assert len(os.listdir(f"{out}/semdedup_index/kept_vectors")) == 1
+
+    # a batch that exactly duplicates base doc 0's text AND batch 1's
+    # vector must drop on both axes against the compacted index
+    b2 = spark.createDataFrame([
+        Row(doc_id=200, text=_varied_doc(0), source="web"),   # lexical dup
+        Row(doc_id=201, text=_varied_doc(201), source="web"), # semantic dup
+    ])
+    b2p = str(tmp_path / "b2"); b2.write.parquet(b2p)
+    e2p = str(tmp_path / "e2")
+    jit = novel + 0.001 * rng.randn(16); jit /= np.linalg.norm(jit)
+    spark.createDataFrame([
+        Row(doc_id=201, embedding=[float(x) for x in jit]),
+    ]).write.parquet(e2p)
+    r2 = pipeline.prep_batch(
+        spark, b2p, out, run_id="c2", capacity=64,
+        semdedup_embeddings_path=e2p, semdedup_dim=16,
+    )
+    assert r2["dropped_dups"] == 1       # 200 vs compacted MinHash index
+    assert r2["sem_dropped"] == 1        # 201 vs compacted kept_vectors
+    assert r2["kept"] == 0
