@@ -766,6 +766,7 @@ def prep_corpus(
             n = spark.read.parquet(pdir).count()
             write_stage_state(output_path, "prep_pack", {
                 "digest": digest, "run_id": run_id, "rows": n,
+                "capacity": capacity, "chunked": bool(chunk_to_capacity),
             })
             report["stages"]["pack"] = {"rows": n}
 
@@ -1356,8 +1357,22 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
             quality[r["check_name"]] = quality.get(r["check_name"], 0) + r["n"]
 
     packs = read_prep_packs(spark, output_path)
+    pack_state = read_stage_state(output_path, "prep_pack") or {}
+    if "chunk_id" in packs.columns and pack_state.get("capacity"):
+        # chunked warehouse: a pack row's size is its CHUNK's length,
+        # not the whole doc's — recompute chunk sizes (token-array
+        # lengths only, no text) and join on (doc_id, chunk_id)
+        from .operators.packing import chunk_tokens
+
+        sizes = chunk_tokens(
+            corpus.select("doc_id", "tokens"),
+            chunk_len=int(pack_state["capacity"]),
+        ).select("doc_id", "chunk_id", "n_tok")
+        sized = packs.join(sizes, ["doc_id", "chunk_id"])
+    else:
+        sized = packs.join(corpus.select("doc_id", "n_tok"), "doc_id")
     fill = (
-        packs.join(corpus.select("doc_id", "n_tok"), "doc_id")
+        sized
         .groupBy("source_dir", "split", "pack_id")
         .agg(F.sum("n_tok").alias("pack_tokens"))
         .agg(
@@ -1368,19 +1383,42 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
         .collect()[0]
     )
 
-    ledgers = [
-        read_stage_state(output_path, st)
-        for st in ("prep_quality", "prep_dedup")
-    ]
-    return {
+    ledgers = {
+        st: read_stage_state(output_path, st)
+        for st in (
+            "prep_quality", "prep_dedup", "prep_clean", "prep_semdedup",
+            "prep_decontam", "prep_mixture",
+        )
+    }
+    out = {
         "docs": corpus.count(),
         "tokens": sum(s["tokens"] for s in splits.values()),
         "splits": splits,
         "quality_failed_by_rule": quality,
         "quality_failed": sum(quality.values()),
-        "dedup_kept": (ledgers[1] or {}).get("kept"),
-        "clean_docs": (ledgers[0] or {}).get("clean"),
+        "dedup_kept": (ledgers["prep_dedup"] or {}).get("kept"),
+        "clean_docs": (ledgers["prep_quality"] or {}).get("clean"),
         "packs": fill["n_packs"],
         "mean_pack_tokens": float(fill["mean_pack_tokens"]),
         "max_pack_tokens": fill["max_pack_tokens"],
     }
+    # optional-stage lines appear only when the stage ran — the
+    # datasheet answers "what was done to this corpus" honestly
+    if ledgers["prep_clean"]:
+        out["clean_stage"] = {
+            "rows": ledgers["prep_clean"].get("rows"),
+            "hot_lines_removed": ledgers["prep_clean"].get("hot_lines_removed"),
+        }
+    if ledgers["prep_semdedup"]:
+        out["semdedup"] = {
+            "kept": ledgers["prep_semdedup"].get("kept"),
+            "dropped": ledgers["prep_semdedup"].get("dropped"),
+        }
+    if ledgers["prep_decontam"]:
+        out["decontamination"] = {
+            "rows": ledgers["prep_decontam"].get("rows"),
+            "removed_tokens": ledgers["prep_decontam"].get("removed_tokens"),
+        }
+    if ledgers["prep_mixture"]:
+        out["mixture_counts"] = ledgers["prep_mixture"].get("counts")
+    return out

@@ -175,3 +175,16 @@ def test_resample_null_id_ties_deterministic(spark):
                                     n_buckets=512, temperature=50.0).collect()
     )
     assert a == b
+
+
+def test_plan_scoring_join_is_broadcast(spark):
+    """The 100 TB contract: the raw corpus streams through a broadcast
+    hash join against the ≤ n_buckets log-ratio dimension — the corpus
+    is never shuffled on the feature key for scoring (the only
+    sort-merge joins live inside the bucket-sized dimension build)."""
+    target = _docs(spark, [("t1", "alpha beta gamma delta")])
+    raw = _docs(spark, [(f"r{i}", f"alpha beta word{i} here") for i in range(6)])
+    w = dsir.dsir_log_weights(raw, target, n_buckets=512)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

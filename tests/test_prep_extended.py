@@ -598,3 +598,34 @@ def test_compact_indexes_folds_dirs_and_preserves_dedup(spark, tmp_path):
     assert r2["dropped_dups"] == 1       # 200 vs compacted MinHash index
     assert r2["sem_dropped"] == 1        # 201 vs compacted kept_vectors
     assert r2["kept"] == 0
+
+
+def test_corpus_report_chunked_and_optional_stage_lines(spark, tmp_path):
+    """Datasheet: chunked warehouses report per-CHUNK pack fill (mean
+    pack tokens ≤ capacity), and optional-stage lines appear only when
+    the stage ran."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    evalp = str(tmp_path / "eval")
+    rows = [Row(doc_id=i, text=_varied_doc(i, n_sent=40, with_eval=(i == 0)),
+                source="web") for i in range(8)]
+    spark.createDataFrame(rows).write.parquet(inp)
+    _eval_df(spark).write.parquet(evalp)
+
+    cap = 64
+    pipeline.prep_corpus(
+        spark, inp, out, run_id="dr1", capacity=cap, chunk_to_capacity=True,
+        clean_params={"pii": True}, decontam_eval_path=evalp,
+        decontam_min_tok=5,
+    )
+    rep = pipeline.corpus_report(spark, out)
+    assert rep["mean_pack_tokens"] <= cap
+    assert rep["max_pack_tokens"] <= cap
+    assert rep["clean_stage"]["rows"] == 8
+    assert rep["decontamination"]["removed_tokens"] > 0
+    assert "semdedup" not in rep and "mixture_counts" not in rep
+
+    # un-chunked, no optional stages: no stage lines, doc-level fill
+    out2 = str(tmp_path / "wh2")
+    pipeline.prep_corpus(spark, inp, out2, run_id="dr2", capacity=4096)
+    rep2 = pipeline.corpus_report(spark, out2)
+    assert "clean_stage" not in rep2 and "decontamination" not in rep2

@@ -208,3 +208,19 @@ def test_semdedup_seeded_incremental(spark):
     assert not got[1]["kept"]
     assert got[2]["kept"]
     assert not got[3]["kept"]
+
+
+def test_plan_single_group_shuffle_no_joins(spark):
+    """The 100 TB contract: the verdict plan is one grouped-map pass —
+    exactly one exchange keyed on (cell, sub), no join of any kind, no
+    cartesian product (the all-pairs work lives inside the per-cell
+    numpy kernel, never in the engine plan)."""
+    rng = np.random.RandomState(53)
+    rows, _ = _planted(rng, n_clusters=3, per=3)
+    df = _emb(spark, rows)
+    v = sd.semdedup(df, dim=16, tau=0.9, n_cells=2, sample_size=32)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+    assert plan.count("Exchange") <= 2  # group shuffle (+AQE read)
