@@ -1078,11 +1078,23 @@ def prep_batch(
     eval_df = (
         spark.read.parquet(decontam_eval_path) if decontam_eval_path else None
     )
-    batch_emb = (
-        spark.read.parquet(semdedup_embeddings_path)
-        if semdedup_embeddings_path
-        else None
-    )
+    # embeddings for the semantic prune: a parquet path, a DataFrame,
+    # or the sentinel "batch" — the batch's own (doc_id, embedding)
+    # columns (the streaming shape: a document stream carries its
+    # embeddings inline; there is no per-micro-batch side file)
+    if semdedup_embeddings_path is None:
+        batch_emb = None
+    elif isinstance(semdedup_embeddings_path, DataFrame):
+        batch_emb = semdedup_embeddings_path
+    elif semdedup_embeddings_path == "batch":
+        if "embedding" not in batch.columns:
+            raise ValueError(
+                "semdedup_embeddings_path='batch' needs an 'embedding' "
+                "column on the batch"
+            )
+        batch_emb = batch.select("doc_id", "embedding")
+    else:
+        batch_emb = spark.read.parquet(semdedup_embeddings_path)
     params = (
         f"{minhash_threshold}:{n_perm}:{bands}:{k}:{vocab_size}:{capacity}"
         f":{train}:{val}:" + json.dumps(quality_thresholds or {}, sort_keys=True)

@@ -577,3 +577,82 @@ def test_streaming_prep_ingest_grows_corpus_and_dedups(spark, tmp_path):
 
     # empty micro-batch is a no-op, not an error
     sprep.prep_sink(out, capacity=64)(spark.createDataFrame([], schema), 100)
+
+
+def test_streaming_prep_ingest_semantic_dedup_from_batch_embeddings(spark, tmp_path):
+    """Streaming ingestion with inline embeddings: a micro-batch doc
+    whose embedding shadows a stored survivor drops; a novel doc lands
+    and extends the semantic index for the next micro-batch."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from tests.test_prep_extended import _varied_doc
+    from teleharvest_spark import pipeline
+    from teleharvest_spark.streaming import prep as sprep
+
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "wh")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    rng = np.random.RandomState(59)
+    vecs = rng.randn(8, 16)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [
+        Row(doc_id=i, text=_varied_doc(i), source="web") for i in range(8)
+    ]
+    spark.createDataFrame(rows).write.parquet(inp)
+    embp = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [Row(doc_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(8)]
+    ).write.parquet(embp)
+    pipeline.prep_corpus(
+        spark, inp, out, run_id="sbase", capacity=64,
+        semdedup_embeddings_path=embp, semdedup_tau=0.95,
+        semdedup_n_cells=2, semdedup_dim=16,
+    )
+    base_n = pipeline.read_prep_corpus(spark, out).count()
+
+    schema = "doc_id long, text string, source string, embedding array<float>"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(drop))
+        q = sprep.start_prep_ingest(
+            spark, stream, out, ckpt, capacity=64,
+            semdedup_embeddings_path="batch", semdedup_dim=16,
+        )
+        q.awaitTermination()
+
+    def jit(v):
+        w = v + 0.001 * rng.randn(16)
+        return [float(x) for x in (w / np.linalg.norm(w)).astype(np.float32)]
+
+    novel = rng.randn(16); novel /= np.linalg.norm(novel)
+    spark.createDataFrame(
+        [
+            (400, _varied_doc(400), "web", jit(vecs[0])),       # shadowed
+            (401, _varied_doc(401), "web",
+             [float(x) for x in novel.astype(np.float32)]),     # novel
+        ],
+        schema,
+    ).write.mode("append").parquet(str(drop))
+    run()
+    ids = {
+        r["doc_id"]
+        for r in pipeline.read_prep_corpus(spark, out)
+        .where(F.col("doc_id") >= 400).collect()
+    }
+    assert ids == {401}
+    assert pipeline.read_prep_corpus(spark, out).count() == base_n + 1
+
+    # micro-batch 2: near batch-1's survivor -> drops against the
+    # index rows batch 1 appended
+    spark.createDataFrame(
+        [(500, _varied_doc(500), "web", jit(novel))], schema
+    ).write.mode("append").parquet(str(drop))
+    run()
+    assert pipeline.read_prep_corpus(spark, out).where(
+        F.col("doc_id") == 500
+    ).count() == 0
