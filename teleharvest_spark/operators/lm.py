@@ -28,11 +28,21 @@ Shapes (both single-pass, north-rule ``tokens: array<int>`` payload):
 
 from __future__ import annotations
 
+import json
 import math
+import os
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["train_unigram_lm", "score_unigram_lm"]
+__all__ = [
+    "train_unigram_lm",
+    "score_unigram_lm",
+    "train_bigram_lm",
+    "score_bigram_lm",
+    "write_lm_store",
+    "read_lm_store",
+    "ppl_buckets",
+]
 
 
 def train_unigram_lm(
@@ -118,3 +128,210 @@ def score_unigram_lm(
             F.exp(-mean).alias("ppl"),
         )
     )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """``(prev, cur, c_bi)`` bigram count dimension over the token
+    corpus — the second half of an interpolated bigram LM (the unigram
+    half comes from :func:`train_unigram_lm` on the SAME corpus; the
+    context totals ``c(prev)`` are derived inside
+    :func:`score_bigram_lm` by one more aggregate over this table, so
+    the two can never disagree).
+
+    Shape: one codegen ``zip_with`` pair expansion + explode + the
+    uniform-key two-level hash aggregate — identical scan cost to the
+    unigram fit. The dimension is bounded by DISTINCT OBSERVED bigrams
+    (≪ V², Heaps-law sublinear in corpus size) but can still outgrow a
+    broadcast at 100 TB — :func:`score_bigram_lm` size-gates the join
+    strategy for exactly that reason."""
+    toks = F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
+    n = F.size(toks)
+    pairs = F.when(n < 2, F.array().cast("array<struct<prev:int,cur:int>>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+
+
+def score_bigram_lm(
+    df: DataFrame,
+    lm: DataFrame,
+    bigram: DataFrame,
+    unseen_logp: float,
+    lam: float = 0.8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    broadcast_rows_max: int = 4_000_000,
+) -> DataFrame:
+    """Interpolated (Jelinek–Mercer, public) bigram scoring:
+
+    * position 0: ``p = p_uni(t0)``
+    * position i>0, context seen in training (``c(prev) > 0``):
+      ``p = lam * c(prev,cur)/c(prev) + (1-lam) * p_uni(cur)``
+    * position i>0, context UNSEEN: full backoff ``p = p_uni(cur)``
+
+    where ``p_uni`` is the Lidstone unigram (``lm`` + ``unseen_logp``
+    from :func:`train_unigram_lm`). The ``(1-lam) * p_uni`` floor keeps
+    every log finite, so one novel pair never -inf's a document.
+    Returns ``(id, n_tok, n_unseen_bi, mean_logp, ppl)`` — same
+    contract as :func:`score_unigram_lm` (empty/NULL token arrays →
+    NULL mean/ppl); ``n_unseen_bi`` counts i>0 positions whose exact
+    pair was never observed.
+
+    Scale: the unigram and context dimensions are |vocab|-bounded and
+    always broadcast; the bigram dimension is counted once (bounded
+    1-row collect over the already-needed fit) and broadcast only while
+    ≤ ``broadcast_rows_max`` rows — beyond that the join falls back to
+    a shuffle hash/sort-merge join on the uniform (prev, cur) key,
+    which AQE handles without skew (hash-uniform key)."""
+    if not (0.0 < lam < 1.0):
+        raise ValueError("lam must be in (0, 1) — lam=1 would -inf unseen pairs")
+    bigram = bigram.persist()
+    n_bi = bigram.count()  # bounded: one scalar; also materializes the persist
+    ctx = bigram.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
+
+    toks_arr = F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
+    pos = df.select(
+        F.col(id_col),
+        toks_arr.alias("__toks"),
+        F.posexplode(toks_arr).alias("pos", "cur"),
+    ).select(
+        id_col,
+        "pos",
+        "cur",
+        # element_at is 1-based: index `pos` IS the previous token for pos >= 1
+        F.when(F.col("pos") == 0, F.lit(None).cast("int"))
+        .otherwise(F.element_at(F.col("__toks"), F.col("pos")))
+        .alias("prev"),
+    )
+    scored = (
+        pos.join(F.broadcast(lm.withColumnRenamed("token", "cur")), "cur", "left")
+        .join(F.broadcast(ctx), "prev", "left")
+    )
+    bi_side = bigram if n_bi > broadcast_rows_max else F.broadcast(bigram)
+    scored = scored.join(bi_side, ["prev", "cur"], "left")
+
+    p_uni = F.exp(F.coalesce(F.col("logp"), F.lit(float(unseen_logp))))
+    p = F.when(F.col("c_ctx").isNull(), p_uni).otherwise(
+        F.lit(float(lam)) * F.coalesce(F.col("c_bi"), F.lit(0)) / F.col("c_ctx")
+        + F.lit(1.0 - lam) * p_uni
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(
+            ((F.col("pos") > 0) & F.col("c_bi").isNull()).cast("int")
+        ).alias("n_unseen_bi"),
+        F.sum(F.log(p)).alias("__sum"),
+    )
+    mean = F.col("__sum") / F.col("n_tok")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+            F.coalesce("n_unseen_bi", F.lit(0)).alias("n_unseen_bi"),
+            mean.alias("mean_logp"),
+            F.exp(-mean).alias("ppl"),
+        )
+    )
+
+
+def write_lm_store(
+    lm: DataFrame,
+    meta: dict,
+    path: str,
+    bigram: DataFrame | None = None,
+) -> None:
+    """Persist a trained LM for scoring future batches against a FIXED
+    reference distribution (the CCNet deployment shape: train once on
+    the trusted corpus, score every crawl snapshot after). Layout:
+    ``<path>/unigram`` (token, logp) parquet, optional ``<path>/bigram``
+    (prev, cur, c_bi) parquet, ``<path>/meta.json`` (scalars, written
+    LAST via tmp+rename so a crash mid-write leaves no readable-but-
+    partial store — the ledger convention, pipeline.py:71)."""
+    lm.write.mode("overwrite").parquet(os.path.join(path, "unigram"))
+    if bigram is not None:
+        bigram.write.mode("overwrite").parquet(os.path.join(path, "bigram"))
+    meta = dict(meta, has_bigram=bigram is not None)
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def read_lm_store(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame | None, dict]:
+    """Load ``(lm, bigram_or_None, meta)`` written by
+    :func:`write_lm_store`. Raises ``FileNotFoundError`` if the store
+    was never completed (no meta.json — the crash-window state)."""
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(f"no completed LM store at {path}")
+    with open(meta_path, encoding="utf-8") as f:
+        meta = json.load(f)
+    lm = spark.read.parquet(os.path.join(path, "unigram"))
+    bigram = (
+        spark.read.parquet(os.path.join(path, "bigram"))
+        if meta.get("has_bigram")
+        else None
+    )
+    return lm, bigram, meta
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    by: str | None = "source",
+    low_q: float = 1.0 / 3.0,
+    high_q: float = 2.0 / 3.0,
+    out_col: str = "ppl_bucket",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet's head/middle/tail partition (Wenzek et al. 2019, public):
+    bucket documents by perplexity WITHIN each ``by`` group (per-source
+    thresholds, so a verbose-but-clean source isn't judged by a terse
+    source's scale). ``ppl <= q(low_q)`` → 'head' (most fluent),
+    ``<= q(high_q)`` → 'middle', else 'tail'; NULL ppl (empty docs) →
+    NULL bucket. ``by=None`` buckets against global quantiles.
+
+    Shape: one ``percentile_approx`` aggregate (GK sketch, JVM-side,
+    mergeable map-side partials) → a |groups|-row threshold dimension →
+    broadcast join back. No sort, no second scan of the data, no
+    driver-side quantile math."""
+    if not (0.0 < low_q <= high_q < 1.0):
+        raise ValueError("need 0 < low_q <= high_q < 1")
+    qs = F.percentile_approx(
+        "ppl", [float(low_q), float(high_q)], accuracy
+    ).alias("__qs")
+    if by is None:
+        dim = scored.agg(qs).select(
+            F.element_at("__qs", 1).alias("__lo"),
+            F.element_at("__qs", 2).alias("__hi"),
+        )
+        out = scored.crossJoin(F.broadcast(dim))
+    else:
+        dim = scored.groupBy(by).agg(qs).select(
+            by,
+            F.element_at("__qs", 1).alias("__lo"),
+            F.element_at("__qs", 2).alias("__hi"),
+        )
+        out = scored.join(F.broadcast(dim), by, "left")
+    bucket = (
+        F.when(F.col("ppl").isNull(), F.lit(None).cast("string"))
+        .when(F.col("ppl") <= F.col("__lo"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("__hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.withColumn(out_col, bucket).drop("__lo", "__hi")
