@@ -435,6 +435,17 @@ def main(argv: list[str] | None = None) -> int:
         "corpus (decontamination stage)",
     )
     ap.add_argument(
+        "--prep-lm",
+        default=None,
+        help="prep-docs: JSON perplexity-filter params, e.g. "
+        '\'{"keep": ["head", "middle"], "bigram": true, "target_path": '
+        '"/trusted.parquet"}\' or \'{"max_ppl": 500}\' — trains the LM '
+        "(on target_path or the corpus itself), freezes the cut lines "
+        "in <output>/lm_store, drops tail docs. prep-batch-docs: pass "
+        "the flag with any value (e.g. '{}') to score the batch "
+        "against the STORED model and thresholds",
+    )
+    ap.add_argument(
         "--prep-mix",
         default=None,
         help="prep-docs: JSON mixture params, e.g. "
@@ -517,6 +528,9 @@ def main(argv: list[str] | None = None) -> int:
                 semdedup_n_cells=int(sem.get("n_cells", 64)),
                 semdedup_dim=int(sem.get("dim", 64)),
                 decontam_eval_path=args.prep_eval,
+                lm_params=(
+                    json.loads(args.prep_lm) if args.prep_lm else None
+                ),
                 mixture_weights=mix.get("weights"),
                 token_budgets=mix.get("budgets"),
                 mixture_seed=int(mix.get("seed", 0)),
@@ -537,6 +551,7 @@ def main(argv: list[str] | None = None) -> int:
                     json.loads(args.prep_clean) if args.prep_clean else None
                 ),
                 decontam_eval_path=args.prep_eval,
+                lm_filter=args.prep_lm is not None,
                 chunk_to_capacity=args.prep_chunk,
                 semdedup_embeddings_path=sem.get("path"),
                 semdedup_tau=float(sem.get("tau", 0.95)),

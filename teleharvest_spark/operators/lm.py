@@ -41,6 +41,8 @@ __all__ = [
     "score_bigram_lm",
     "write_lm_store",
     "read_lm_store",
+    "ppl_thresholds",
+    "assign_ppl_bucket",
     "ppl_buckets",
 ]
 
@@ -291,6 +293,62 @@ def read_lm_store(
     return lm, bigram, meta
 
 
+def ppl_thresholds(
+    scored: DataFrame,
+    by: str | None = "source",
+    low_q: float = 1.0 / 3.0,
+    high_q: float = 2.0 / 3.0,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The ``(by?, __lo, __hi)`` perplexity-quantile threshold dimension
+    (one ``percentile_approx`` aggregate — GK sketch, JVM-side,
+    mergeable map-side partials; |groups| rows, 1 row when
+    ``by=None``). Split out from :func:`ppl_buckets` so the thresholds
+    can be FROZEN at corpus-build time and re-applied verbatim to later
+    batches (:func:`assign_ppl_bucket`) — re-deriving quantiles on a
+    small batch would silently move the cut line."""
+    if not (0.0 < low_q <= high_q < 1.0):
+        raise ValueError("need 0 < low_q <= high_q < 1")
+    qs = F.percentile_approx(
+        "ppl", [float(low_q), float(high_q)], accuracy
+    ).alias("__qs")
+    pick = lambda d: d.select(  # noqa: E731
+        *([by] if by is not None else []),
+        F.element_at("__qs", 1).alias("__lo"),
+        F.element_at("__qs", 2).alias("__hi"),
+    )
+    return pick(scored.agg(qs) if by is None else scored.groupBy(by).agg(qs))
+
+
+def assign_ppl_bucket(
+    scored: DataFrame,
+    thresholds: DataFrame,
+    by: str | None = "source",
+    out_col: str = "ppl_bucket",
+    global_lo: float | None = None,
+    global_hi: float | None = None,
+) -> DataFrame:
+    """Label each row 'head' / 'middle' / 'tail' against a GIVEN
+    threshold dimension (``ppl <= __lo`` → head, ``<= __hi`` → middle);
+    NULL ppl (empty docs) → NULL bucket. Groups absent from the
+    dimension (a batch source the corpus never saw) fall back to
+    ``global_lo``/``global_hi`` when given, else NULL bucket. The
+    dimension is |groups|-sized → always broadcast."""
+    if by is None:
+        out = scored.crossJoin(F.broadcast(thresholds))
+    else:
+        out = scored.join(F.broadcast(thresholds), by, "left")
+    lo = F.coalesce(F.col("__lo"), F.lit(global_lo).cast("double"))
+    hi = F.coalesce(F.col("__hi"), F.lit(global_hi).cast("double"))
+    bucket = (
+        F.when(F.col("ppl").isNull() | lo.isNull(), F.lit(None).cast("string"))
+        .when(F.col("ppl") <= lo, F.lit("head"))
+        .when(F.col("ppl") <= hi, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.withColumn(out_col, bucket).drop("__lo", "__hi")
+
+
 def ppl_buckets(
     scored: DataFrame,
     by: str | None = "source",
@@ -306,32 +364,8 @@ def ppl_buckets(
     ``<= q(high_q)`` → 'middle', else 'tail'; NULL ppl (empty docs) →
     NULL bucket. ``by=None`` buckets against global quantiles.
 
-    Shape: one ``percentile_approx`` aggregate (GK sketch, JVM-side,
-    mergeable map-side partials) → a |groups|-row threshold dimension →
-    broadcast join back. No sort, no second scan of the data, no
-    driver-side quantile math."""
-    if not (0.0 < low_q <= high_q < 1.0):
-        raise ValueError("need 0 < low_q <= high_q < 1")
-    qs = F.percentile_approx(
-        "ppl", [float(low_q), float(high_q)], accuracy
-    ).alias("__qs")
-    if by is None:
-        dim = scored.agg(qs).select(
-            F.element_at("__qs", 1).alias("__lo"),
-            F.element_at("__qs", 2).alias("__hi"),
-        )
-        out = scored.crossJoin(F.broadcast(dim))
-    else:
-        dim = scored.groupBy(by).agg(qs).select(
-            by,
-            F.element_at("__qs", 1).alias("__lo"),
-            F.element_at("__qs", 2).alias("__hi"),
-        )
-        out = scored.join(F.broadcast(dim), by, "left")
-    bucket = (
-        F.when(F.col("ppl").isNull(), F.lit(None).cast("string"))
-        .when(F.col("ppl") <= F.col("__lo"), F.lit("head"))
-        .when(F.col("ppl") <= F.col("__hi"), F.lit("middle"))
-        .otherwise(F.lit("tail"))
-    )
-    return out.withColumn(out_col, bucket).drop("__lo", "__hi")
+    Composition of :func:`ppl_thresholds` + :func:`assign_ppl_bucket`:
+    one aggregate → broadcast threshold dimension → join back. No sort,
+    no second scan of the data, no driver-side quantile math."""
+    dim = ppl_thresholds(scored, by, low_q, high_q, accuracy)
+    return assign_ppl_bucket(scored, dim, by, out_col)

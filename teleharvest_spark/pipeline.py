@@ -267,11 +267,12 @@ def prep_corpus(
     decontam_k: int = 13,
     decontam_pad: int = 0,
     decontam_min_tok: int = 1,
+    lm_params: dict | None = None,
     mixture_weights: dict | None = None,
     token_budgets: dict | None = None,
     mixture_seed: int = 0,
     stages: tuple[str, ...] = (
-        "clean", "quality", "dedup", "semdedup", "tokenize",
+        "clean", "quality", "dedup", "semdedup", "tokenize", "lm",
         "decontaminate", "split", "mixture", "pack", "shuffle",
     ),
 ) -> dict:
@@ -300,6 +301,23 @@ def prep_corpus(
       verbatim. The MinHash index (written by the dedup stage) keeps
       the semantically-dropped docs on purpose — future batches should
       still dedup against them. Writes ``semdedup_docs/``.
+    * ``lm`` (``lm_params``, after tokenize) — CCNet-shaped perplexity
+      filter (operators/lm.py) over the tokenized corpus: train a
+      Lidstone unigram on ``target_path`` (a trusted corpus, tokenized
+      with the same vocab if it lacks ``tokens``) or on the corpus
+      itself; the interpolated bigram joins in by default only with a
+      ``target_path`` (a self-trained bigram memorizes one-off
+      sequences — deterministic unique-string contexts score ~``lam``
+      per step — inverting the fluency ranking; override with
+      ``{"bigram": true/false}``). Score every doc, keep the ``keep``
+      perplexity buckets
+      (default head+middle on per-source quantiles ``low_q``/
+      ``high_q``) — or ``{"max_ppl": x}`` for an absolute cut. Docs
+      with NULL ppl (empty token arrays) are kept (length rules, not
+      fluency rules, own them). Writes ``corpus_flat_lm/`` (schema
+      identical to the tokenize output) and persists the model AND the
+      frozen thresholds at ``lm_store/`` so :func:`prep_batch` scores
+      future batches against the SAME distribution and cut lines.
     * ``decontaminate`` (``decontam_eval_path``, after tokenize) —
       the published 13-gram eval-overlap cut (operators/
       contamination.py) over the tokenized corpus; eval parquet must
@@ -644,12 +662,123 @@ def prep_corpus(
             })
             report["stages"]["tokenize"] = {"rows": n}
 
+    lm_on = lm_params is not None and "lm" in stages
+    lmdir = os.path.join(output_path, "corpus_flat_lm")
+    lmstore = os.path.join(output_path, "lm_store")
+    if lm_on:
+        from .operators import lm as lm_ops
+
+        toks = spark.read.parquet(tokdir + "_flat")
+        target = (
+            spark.read.parquet(lm_params["target_path"])
+            if lm_params.get("target_path")
+            else None
+        )
+        digest = (
+            content_digest(toks)
+            + ":" + (content_digest(target) if target is not None else "-")
+            + ":" + json.dumps(
+                {k: v for k, v in lm_params.items() if k != "target_path"},
+                sort_keys=True, default=str,
+            )
+            + f":{vocab_size}"
+        )
+        if gate("prep_lm", digest):
+            report["stages"]["lm"] = {"skipped": True}
+        else:
+            alpha = float(lm_params.get("alpha", 0.5))
+            lam = float(lm_params.get("lam", 0.8))
+            # bigram defaults ON only with a held-out target: a bigram
+            # fit on the corpus being scored MEMORIZES one-off
+            # sequences (every unique-string context is deterministic,
+            # p ≈ lam per step), so gibberish scores BETTER than
+            # fluent text — self-training must default to the unigram,
+            # whose rare-token counts still rank fluency correctly
+            use_bigram = bool(lm_params.get("bigram", target is not None))
+            # the trusted corpus must score in the SAME token id space;
+            # a text-only target is tokenized with this build's vocab
+            train_df = toks if target is None else (
+                target
+                if "tokens" in target.columns
+                else target.withColumn(
+                    "tokens", hash_tokens(F.col("text"), vocab_size)
+                )
+            )
+            lm_dim, lm_meta = lm_ops.train_unigram_lm(train_df, alpha=alpha)
+            bi_dim = lm_ops.train_bigram_lm(train_df) if use_bigram else None
+            per_doc = (
+                lm_ops.score_bigram_lm(
+                    toks, lm_dim, bi_dim, lm_meta["unseen_logp"], lam=lam
+                )
+                if use_bigram
+                else lm_ops.score_unigram_lm(
+                    toks, lm_dim, lm_meta["unseen_logp"]
+                )
+            )
+            scored = toks.join(
+                per_doc.select("doc_id", "ppl"), "doc_id", "left"
+            ).persist()  # thresholds agg + filter must not re-score
+            max_ppl = lm_params.get("max_ppl")
+            policy_meta: dict = {"lam": lam, "bigram": use_bigram}
+            thr = None
+            if max_ppl is not None:
+                policy_meta.update(policy="max_ppl", max_ppl=float(max_ppl))
+                kept = scored.where(
+                    F.col("ppl").isNull() | (F.col("ppl") <= float(max_ppl))
+                )
+            else:
+                by = "source" if "source" in toks.columns else None
+                low_q = float(lm_params.get("low_q", 1.0 / 3.0))
+                high_q = float(lm_params.get("high_q", 2.0 / 3.0))
+                keep = tuple(lm_params.get("keep", ("head", "middle")))
+                thr = lm_ops.ppl_thresholds(
+                    scored, by=by, low_q=low_q, high_q=high_q
+                )
+                grow = lm_ops.ppl_thresholds(
+                    scored, by=None, low_q=low_q, high_q=high_q
+                ).collect()[0]  # bounded: one row of two scalars
+                g_lo, g_hi = grow["__lo"], grow["__hi"]
+                policy_meta.update(
+                    policy="buckets", by=by, keep=list(keep),
+                    low_q=low_q, high_q=high_q,
+                    global_lo=g_lo, global_hi=g_hi,
+                )
+                bucketed = lm_ops.assign_ppl_bucket(
+                    scored, thr, by=by, global_lo=g_lo, global_hi=g_hi
+                )
+                # NULL bucket = empty doc (NULL ppl): KEEP — fluency
+                # rules don't own zero-evidence docs, length rules do
+                kept = bucketed.where(
+                    F.col("ppl_bucket").isNull()
+                    | F.col("ppl_bucket").isin(*keep)
+                )
+            # frozen cut lines first, meta.json LAST (write_lm_store) —
+            # a crash mid-stage leaves no readable-but-partial store
+            if thr is not None:
+                thr.write.mode("overwrite").parquet(
+                    os.path.join(lmstore, "thresholds")
+                )
+            lm_ops.write_lm_store(
+                lm_dim, dict(lm_meta, **policy_meta), lmstore, bigram=bi_dim
+            )
+            # corpus schema stays exactly the tokenize output (batch
+            # union readers select base.columns)
+            kept.select(toks.columns).write.mode("overwrite").parquet(lmdir)
+            n_in = scored.count()
+            scored.unpersist()
+            n = spark.read.parquet(lmdir).count()
+            write_stage_state(output_path, "prep_lm", {
+                "digest": digest, "run_id": run_id,
+                "rows": n, "dropped": n_in - n,
+            })
+            report["stages"]["lm"] = {"rows": n, "dropped": n_in - n}
+
     decontam_on = decontam_eval_path is not None and "decontaminate" in stages
     dtokdir = os.path.join(output_path, "corpus_flat_decontam")
     if decontam_on:
         from .operators.contamination import decontaminate
 
-        toks = spark.read.parquet(tokdir + "_flat")
+        toks = spark.read.parquet(lmdir if lm_on else tokdir + "_flat")
         eval_df = spark.read.parquet(decontam_eval_path)
         digest = (
             content_digest(toks) + ":" + content_digest(eval_df)
@@ -681,7 +810,9 @@ def prep_corpus(
             }
 
     if "split" in stages:
-        toks = spark.read.parquet(dtokdir if decontam_on else tokdir + "_flat")
+        toks = spark.read.parquet(
+            dtokdir if decontam_on else (lmdir if lm_on else tokdir + "_flat")
+        )
         comps = spark.read.parquet(compdir)
         digest = (
             content_digest(toks) + ":" + content_digest(comps)
@@ -983,6 +1114,7 @@ def prep_batch(
     decontam_k: int = 13,
     decontam_pad: int = 0,
     decontam_min_tok: int = 1,
+    lm_filter: bool = False,
     chunk_to_capacity: bool = False,
     semdedup_embeddings_path: str | None = None,
     semdedup_tau: float = 0.95,
@@ -1027,6 +1159,13 @@ def prep_batch(
     corpus-statistics-based and therefore a base-build operation —
     requesting it here raises (a batch-scoped hot-line count would
     silently diverge from the corpus-wide policy).
+
+    ``lm_filter=True`` (pass it iff the base build ran the ``lm``
+    stage) scores the batch against the STORED model and the FROZEN
+    thresholds in ``lm_store/`` — model, policy, lam and cut lines all
+    come from the store, never re-derived on the batch (a batch-local
+    quantile would move the cut line with every ingest). Raises if the
+    warehouse has no completed LM store.
     """
     from .operators import dedup as dedup_ops
     from .operators import packing as pack_ops
@@ -1095,6 +1234,18 @@ def prep_batch(
         batch_emb = batch.select("doc_id", "embedding")
     else:
         batch_emb = spark.read.parquet(semdedup_embeddings_path)
+    # the stored LM is part of the batch's identity: a retrained store
+    # (new model or cut lines) must re-run an already-ingested batch
+    lmstore = os.path.join(output_path, "lm_store")
+    if lm_filter:
+        from .operators import lm as lm_ops
+
+        lm_dim, bi_dim, lm_meta = lm_ops.read_lm_store(spark, lmstore)
+        lm_sig = json.dumps(lm_meta, sort_keys=True) + ":" + content_digest(
+            lm_dim, "token", "logp"
+        )
+    else:
+        lm_sig = "-"
     params = (
         f"{minhash_threshold}:{n_perm}:{bands}:{k}:{vocab_size}:{capacity}"
         f":{train}:{val}:" + json.dumps(quality_thresholds or {}, sort_keys=True)
@@ -1102,7 +1253,7 @@ def prep_batch(
         + ":" + (content_digest(eval_df) if eval_df is not None else "-")
         + f":{decontam_k}:{decontam_pad}:{decontam_min_tok}:{chunk_to_capacity}"
         + ":" + (content_digest(batch_emb) if batch_emb is not None else "-")
-        + f":{semdedup_tau}:{semdedup_dim}"
+        + f":{semdedup_tau}:{semdedup_dim}:{lm_sig}"
     )
     digest = content_digest(batch) + ":" + params
     d = hashlib.md5(digest.encode()).hexdigest()[:12]
@@ -1244,6 +1395,47 @@ def prep_batch(
     toks = kept.withColumn(
         "tokens", hash_tokens(F.col("text"), vocab_size)
     ).withColumn("n_tok", F.size("tokens"))
+    if lm_filter:
+        # same order as the base build: tokenize -> lm -> decontaminate
+        per_doc = (
+            lm_ops.score_bigram_lm(
+                toks, lm_dim, bi_dim, lm_meta["unseen_logp"],
+                lam=float(lm_meta.get("lam", 0.8)),
+            )
+            if lm_meta.get("bigram") and bi_dim is not None
+            else lm_ops.score_unigram_lm(toks, lm_dim, lm_meta["unseen_logp"])
+        )
+        scored = toks.join(per_doc.select("doc_id", "ppl"), "doc_id", "left")
+        if lm_meta.get("policy") == "max_ppl":
+            lm_kept = scored.where(
+                F.col("ppl").isNull()
+                | (F.col("ppl") <= float(lm_meta["max_ppl"]))
+            )
+        else:
+            by = lm_meta.get("by")
+            if by is not None and by in scored.columns:
+                thr = spark.read.parquet(os.path.join(lmstore, "thresholds"))
+            else:
+                # source-less batch vs per-source cut lines: every doc
+                # takes the stored GLOBAL thresholds
+                by = None
+                thr = spark.createDataFrame(
+                    [(lm_meta.get("global_lo"), lm_meta.get("global_hi"))],
+                    "__lo double, __hi double",
+                )
+            bucketed = lm_ops.assign_ppl_bucket(
+                scored, thr, by=by,
+                global_lo=lm_meta.get("global_lo"),
+                global_hi=lm_meta.get("global_hi"),
+            )
+            lm_kept = bucketed.where(
+                F.col("ppl_bucket").isNull()
+                | F.col("ppl_bucket").isin(*lm_meta["keep"])
+            )
+        n_before = report["kept"]
+        toks = lm_kept.select(toks.columns).persist()
+        report["kept"] = toks.count()
+        report["lm_dropped"] = n_before - report["kept"]
     if eval_df is not None:
         from .operators.contamination import decontaminate
 
@@ -1253,9 +1445,30 @@ def prep_batch(
             .where(F.col("n_tok") >= decontam_min_tok)
             .drop("n_removed_tok")  # keep corpus_inc schema = corpus schema
         )
+    if lm_filter or eval_df is not None:
+        # post-tokenize filters can drain the batch to zero — a 0-row
+        # partitioned write leaves a file-less dir that later readers
+        # can't open, so close it out as a recorded no-op (the same
+        # contract as the wholly-duplicate branch above)
+        n_now = (
+            report["kept"] if eval_df is None else toks.count()
+        )
+        if n_now == 0:
+            report["kept"] = 0
+            report["packs"] = 0
+            if lm_filter:
+                toks.unpersist()
+            for h in (gated, clean, kept):
+                h.unpersist()
+            write_stage_state(output_path, state_key, {
+                "digest": digest, "run_id": run_id, "kept": 0, "packs": 0,
+            })
+            return report
     split = sampling_ops.split_assign(toks, train=train, val=val)
     cdir = os.path.join(output_path, "corpus_inc", f"b_{d}")
     split.write.mode("overwrite").partitionBy("split").parquet(cdir)
+    if lm_filter:
+        toks.unpersist()
 
     # 4. pack with per-(source_dir, split) id continuity — the derived
     # NULL-safe group key keeps the pack schema identical whether or
