@@ -1612,7 +1612,7 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
         st: read_stage_state(output_path, st)
         for st in (
             "prep_quality", "prep_dedup", "prep_clean", "prep_semdedup",
-            "prep_decontam", "prep_mixture",
+            "prep_lm", "prep_decontam", "prep_mixture",
         )
     }
     out = {
@@ -1639,6 +1639,18 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
             "kept": ledgers["prep_semdedup"].get("kept"),
             "dropped": ledgers["prep_semdedup"].get("dropped"),
         }
+    if ledgers["prep_lm"]:
+        lm_meta_path = os.path.join(output_path, "lm_store", "meta.json")
+        lm_line = {
+            "rows": ledgers["prep_lm"].get("rows"),
+            "dropped": ledgers["prep_lm"].get("dropped"),
+        }
+        if os.path.exists(lm_meta_path):
+            with open(lm_meta_path, encoding="utf-8") as f:
+                m = json.load(f)
+            lm_line["policy"] = m.get("policy")
+            lm_line["bigram"] = m.get("bigram")
+        out["lm_filter"] = lm_line
     if ledgers["prep_decontam"]:
         out["decontamination"] = {
             "rows": ledgers["prep_decontam"].get("rows"),

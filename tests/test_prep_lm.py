@@ -256,3 +256,9 @@ def test_cli_prep_lm_flag_corpus_then_batch(spark, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["lm_dropped"] == 1 and rep["kept"] == 1
+
+    # the datasheet carries the lm line only because the stage ran
+    ds = pipeline.corpus_report(spark, out)
+    assert ds["lm_filter"]["dropped"] == 6
+    assert ds["lm_filter"]["policy"] == "buckets"
+    assert ds["lm_filter"]["bigram"] is True
