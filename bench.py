@@ -641,6 +641,36 @@ def curation_bench(spark, sf_dir: str) -> dict:
         ).collect()
 
     out["dsir_resample_sec"] = best2(dsir_pass)
+
+    # perplexity filter (session-5): train the bigram LM on the ~10%
+    # target slice, score the full documents table, bucket per source
+    # against one percentile_approx pass — the lm prep stage's hot path
+    from teleharvest_spark.functions.text import hash_tokens
+    from teleharvest_spark.operators import lm as lm_ops
+
+    toks = docs.select(
+        "doc_id", "source", hash_tokens(F.col("text")).alias("tokens")
+    )
+    t_toks = target.select(
+        "doc_id", hash_tokens(F.col("text")).alias("tokens")
+    )
+
+    def lm_pass():
+        lm_dim, meta = lm_ops.train_unigram_lm(t_toks)
+        bi_dim = lm_ops.train_bigram_lm(t_toks)
+        scored = toks.join(
+            lm_ops.score_bigram_lm(
+                toks, lm_dim, bi_dim, meta["unseen_logp"]
+            ).select("doc_id", "ppl"),
+            "doc_id",
+        )
+        buckets = lm_ops.ppl_buckets(scored, by="source")
+        kept_box["lm_tail"] = buckets.where(
+            F.col("ppl_bucket") == "tail"
+        ).count()
+
+    out["lm_score_bucket_sec"] = best2(lm_pass)
+    out["lm_tail_docs"] = kept_box["lm_tail"]
     print(f"# curation: {out}", file=sys.stderr)
     return out
 
