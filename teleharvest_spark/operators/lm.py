@@ -103,32 +103,41 @@ def score_unigram_lm(
     exp(-mean_logp)`` (token-level perplexity). Empty / NULL token
     arrays score NULL mean/ppl (nothing to judge — a length rule, not
     a fluency rule, handles them). ``lm`` rows beyond the doc's tokens
-    cost nothing: the join direction is corpus→dimension."""
+    cost nothing: the join direction is corpus→dimension. One row per
+    distinct id (ids are assumed unique, the engine-wide contract).
+
+    Shape: ``explode_outer`` keeps empty docs as one NULL-token row,
+    so a SINGLE per-doc aggregate covers every input doc — no
+    corpus-sized rejoin of the input to the aggregate (that join was a
+    second shuffle + sort-merge at scale for nothing)."""
     toks = (
         df.select(
             F.col(id_col),
-            F.explode(
+            F.explode_outer(
                 F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
             ).alias("token"),
         )
     )
     scored = toks.join(F.broadcast(lm), "token", "left")
+    real = F.col("token").isNotNull()
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.sum(F.col("logp").isNull().cast("int")).alias("n_unseen"),
-        F.sum(F.coalesce(F.col("logp"), F.lit(float(unseen_logp)))).alias("__sum"),
+        F.sum(real.cast("int")).alias("n_tok"),
+        F.sum((real & F.col("logp").isNull()).cast("int")).alias("n_unseen"),
+        F.sum(
+            F.when(~real, F.lit(0.0)).otherwise(
+                F.coalesce(F.col("logp"), F.lit(float(unseen_logp)))
+            )
+        ).alias("__sum"),
     )
-    mean = F.col("__sum") / F.col("n_tok")
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
-            F.coalesce("n_unseen", F.lit(0)).alias("n_unseen"),
-            mean.alias("mean_logp"),
-            F.exp(-mean).alias("ppl"),
-        )
+    mean = F.when(
+        F.col("n_tok") > 0, F.col("__sum") / F.col("n_tok")
+    )
+    return per_doc.select(
+        id_col,
+        "n_tok",
+        "n_unseen",
+        mean.alias("mean_logp"),
+        F.exp(-mean).alias("ppl"),
     )
 
 
@@ -203,16 +212,20 @@ def score_bigram_lm(
     n_bi = bigram.count()  # bounded: one scalar; also materializes the persist
     ctx = bigram.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
 
+    # posexplode_outer keeps empty docs as one (NULL, NULL) row so ONE
+    # per-doc aggregate covers every input doc — no corpus-sized
+    # rejoin of the input to the aggregate (see score_unigram_lm)
     toks_arr = F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
     pos = df.select(
         F.col(id_col),
         toks_arr.alias("__toks"),
-        F.posexplode(toks_arr).alias("pos", "cur"),
+        F.posexplode_outer(toks_arr).alias("pos", "cur"),
     ).select(
         id_col,
         "pos",
         "cur",
-        # element_at is 1-based: index `pos` IS the previous token for pos >= 1
+        # element_at is 1-based: index `pos` IS the previous token for
+        # pos >= 1 (NULL pos -> NULL prev, the empty-doc row)
         F.when(F.col("pos") == 0, F.lit(None).cast("int"))
         .otherwise(F.element_at(F.col("__toks"), F.col("pos")))
         .alias("prev"),
@@ -224,29 +237,28 @@ def score_bigram_lm(
     bi_side = bigram if n_bi > broadcast_rows_max else F.broadcast(bigram)
     scored = scored.join(bi_side, ["prev", "cur"], "left")
 
+    real = F.col("pos").isNotNull()
     p_uni = F.exp(F.coalesce(F.col("logp"), F.lit(float(unseen_logp))))
     p = F.when(F.col("c_ctx").isNull(), p_uni).otherwise(
         F.lit(float(lam)) * F.coalesce(F.col("c_bi"), F.lit(0)) / F.col("c_ctx")
         + F.lit(1.0 - lam) * p_uni
     )
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(real.cast("int")).alias("n_tok"),
         F.sum(
-            ((F.col("pos") > 0) & F.col("c_bi").isNull()).cast("int")
+            (real & (F.col("pos") > 0) & F.col("c_bi").isNull()).cast("int")
         ).alias("n_unseen_bi"),
-        F.sum(F.log(p)).alias("__sum"),
+        F.sum(F.when(~real, F.lit(0.0)).otherwise(F.log(p))).alias("__sum"),
     )
-    mean = F.col("__sum") / F.col("n_tok")
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
-            F.coalesce("n_unseen_bi", F.lit(0)).alias("n_unseen_bi"),
-            mean.alias("mean_logp"),
-            F.exp(-mean).alias("ppl"),
-        )
+    mean = F.when(
+        F.col("n_tok") > 0, F.col("__sum") / F.col("n_tok")
+    )
+    return per_doc.select(
+        id_col,
+        "n_tok",
+        "n_unseen_bi",
+        mean.alias("mean_logp"),
+        F.exp(-mean).alias("ppl"),
     )
 
 

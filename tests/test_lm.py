@@ -236,3 +236,25 @@ def test_ppl_buckets_per_source_and_global(spark):
 
     with pytest.raises(ValueError, match="low_q"):
         ppl_buckets(df, low_q=0.9, high_q=0.1)
+
+
+def test_plan_bigram_scoring_joins_are_broadcast(spark):
+    """The 100 TB contract: the scored corpus streams through
+    broadcast hash joins against the vocab-bounded unigram/context
+    dimensions and (under the row gate) the bigram dimension — no
+    corpus shuffle on the token keys, no cartesian anywhere. The
+    over-threshold arm may shuffle-join the bigram dimension ONLY."""
+    df, lm, meta, bigram = _bi_fixture(spark)
+    out = score_bigram_lm(df, lm, bigram, meta["unseen_logp"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # under the gate the bigram join is broadcast too: the only
+    # exchanges are the per-doc aggregate's (and AQE coalescing)
+    assert "SortMergeJoin" not in plan
+
+    forced = score_bigram_lm(
+        df, lm, bigram, meta["unseen_logp"], broadcast_rows_max=0
+    )
+    plan2 = forced._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2
