@@ -262,3 +262,51 @@ def test_cli_prep_lm_flag_corpus_then_batch(spark, tmp_path, capsys):
     assert ds["lm_filter"]["dropped"] == 6
     assert ds["lm_filter"]["policy"] == "buckets"
     assert ds["lm_filter"]["bigram"] is True
+
+
+def test_streaming_ingest_applies_stored_lm_filter(spark, tmp_path):
+    """lm_filter rides start_prep_ingest's kwargs: a micro-batch is
+    scored against the warehouse's stored model + frozen thresholds —
+    fluent docs land, gibberish drops, across two micro-batches."""
+    from teleharvest_spark.streaming import prep as sprep
+
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    trusted = _trusted(spark, str(tmp_path / "trusted"))
+    _corpus(spark).write.parquet(inp)
+    _run(spark, inp, out, {"keep": ["head", "middle"], "target_path": trusted})
+    base_n = pipeline.read_prep_corpus(spark, out).count()
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, source string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(drop))
+        q = sprep.start_prep_ingest(
+            spark, stream, out, ckpt, capacity=64, lm_filter=True,
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(900, _fluent(900), "web"), (901, _gibberish(901), "web")], schema
+    ).write.mode("append").parquet(str(drop))
+    run()
+    ids = {
+        r["doc_id"]
+        for r in pipeline.read_prep_corpus(spark, out).select("doc_id").collect()
+    }
+    assert 900 in ids and 901 not in ids
+    assert len(ids) == base_n + 1
+
+    # second micro-batch: another tail doc still judged by the SAME
+    # stored cut lines (not re-derived per micro-batch)
+    spark.createDataFrame(
+        [(902, _fluent(902), "web"), (903, _gibberish(903), "web")], schema
+    ).write.mode("append").parquet(str(drop))
+    run()
+    ids2 = {
+        r["doc_id"]
+        for r in pipeline.read_prep_corpus(spark, out).select("doc_id").collect()
+    }
+    assert 902 in ids2 and 903 not in ids2
