@@ -106,20 +106,23 @@ def score_unigram_lm(
     cost nothing: the join direction is corpus→dimension. One row per
     distinct id (ids are assumed unique, the engine-wide contract).
 
-    Shape: ``explode_outer`` keeps empty docs as one NULL-token row,
-    so a SINGLE per-doc aggregate covers every input doc — no
+    Shape: ``posexplode_outer`` keeps empty docs as one NULL-position
+    row, so a SINGLE per-doc aggregate covers every input doc — no
     corpus-sized rejoin of the input to the aggregate (that join was a
-    second shuffle + sort-merge at scale for nothing)."""
+    second shuffle + sort-merge at scale for nothing). The POSITION
+    (not the token) distinguishes the empty-doc marker from a genuine
+    NULL array element: a NULL element is a real token slot and scores
+    as unseen (the same rule as :func:`score_bigram_lm`)."""
     toks = (
         df.select(
             F.col(id_col),
-            F.explode_outer(
+            F.posexplode_outer(
                 F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
-            ).alias("token"),
+            ).alias("pos", "token"),
         )
     )
     scored = toks.join(F.broadcast(lm), "token", "left")
-    real = F.col("token").isNotNull()
+    real = F.col("pos").isNotNull()
     per_doc = scored.groupBy(id_col).agg(
         F.sum(real.cast("int")).alias("n_tok"),
         F.sum((real & F.col("logp").isNull()).cast("int")).alias("n_unseen"),
@@ -208,8 +211,13 @@ def score_bigram_lm(
     which AQE handles without skew (hash-uniform key)."""
     if not (0.0 < lam < 1.0):
         raise ValueError("lam must be in (0, 1) — lam=1 would -inf unseen pairs")
-    bigram = bigram.persist()
-    n_bi = bigram.count()  # bounded: one scalar; also materializes the persist
+    # deliberately NOT persisted here: the dimension is scanned three
+    # times (count, ctx aggregate, join build) but it is ≤ |distinct
+    # bigrams| rows — dimension-sized, not corpus-sized — and a persist
+    # with no unpersist hook would leak one cached table per call in
+    # repeated-call paths (every streaming micro-batch, every bench
+    # sample). Callers that loop over ONE model may persist it themselves.
+    n_bi = bigram.count()  # bounded: one scalar
     ctx = bigram.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
 
     # posexplode_outer keeps empty docs as one (NULL, NULL) row so ONE

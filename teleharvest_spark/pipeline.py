@@ -706,26 +706,14 @@ def prep_corpus(
             )
             lm_dim, lm_meta = lm_ops.train_unigram_lm(train_df, alpha=alpha)
             bi_dim = lm_ops.train_bigram_lm(train_df) if use_bigram else None
-            per_doc = (
-                lm_ops.score_bigram_lm(
-                    toks, lm_dim, bi_dim, lm_meta["unseen_logp"], lam=lam
-                )
-                if use_bigram
-                else lm_ops.score_unigram_lm(
-                    toks, lm_dim, lm_meta["unseen_logp"]
-                )
-            )
-            scored = toks.join(
-                per_doc.select("doc_id", "ppl"), "doc_id", "left"
+            policy_meta: dict = {"lam": lam, "bigram": use_bigram}
+            scored = _lm_score(
+                toks, lm_dim, bi_dim, {**lm_meta, **policy_meta}
             ).persist()  # thresholds agg + filter must not re-score
             max_ppl = lm_params.get("max_ppl")
-            policy_meta: dict = {"lam": lam, "bigram": use_bigram}
             thr = None
             if max_ppl is not None:
                 policy_meta.update(policy="max_ppl", max_ppl=float(max_ppl))
-                kept = scored.where(
-                    F.col("ppl").isNull() | (F.col("ppl") <= float(max_ppl))
-                )
             else:
                 by = "source" if "source" in toks.columns else None
                 low_q = float(lm_params.get("low_q", 1.0 / 3.0))
@@ -737,21 +725,12 @@ def prep_corpus(
                 grow = lm_ops.ppl_thresholds(
                     scored, by=None, low_q=low_q, high_q=high_q
                 ).collect()[0]  # bounded: one row of two scalars
-                g_lo, g_hi = grow["__lo"], grow["__hi"]
                 policy_meta.update(
                     policy="buckets", by=by, keep=list(keep),
                     low_q=low_q, high_q=high_q,
-                    global_lo=g_lo, global_hi=g_hi,
+                    global_lo=grow["__lo"], global_hi=grow["__hi"],
                 )
-                bucketed = lm_ops.assign_ppl_bucket(
-                    scored, thr, by=by, global_lo=g_lo, global_hi=g_hi
-                )
-                # NULL bucket = empty doc (NULL ppl): KEEP — fluency
-                # rules don't own zero-evidence docs, length rules do
-                kept = bucketed.where(
-                    F.col("ppl_bucket").isNull()
-                    | F.col("ppl_bucket").isin(*keep)
-                )
+            kept = _lm_policy_filter(spark, scored, policy_meta, thr)
             # frozen cut lines first, meta.json LAST (write_lm_store) —
             # a crash mid-stage leaves no readable-but-partial store
             if thr is not None:
@@ -934,6 +913,65 @@ def prep_corpus(
             report["stages"]["shuffle"] = {"rows": n}
 
     return report
+
+
+def _lm_score(
+    toks: DataFrame,
+    lm_dim: DataFrame,
+    bi_dim: DataFrame | None,
+    meta: dict,
+) -> DataFrame:
+    """Score a tokenized frame with a (live or stored) LM and attach
+    ``ppl`` — the ONE model-dispatch point shared by the prep_corpus
+    lm stage and prep_batch's lm_filter, so corpus build and batch
+    ingest can never disagree on which model form scores a doc."""
+    from .operators import lm as lm_ops
+
+    if meta.get("bigram") and bi_dim is not None:
+        per_doc = lm_ops.score_bigram_lm(
+            toks, lm_dim, bi_dim, meta["unseen_logp"],
+            lam=float(meta.get("lam", 0.8)),
+        )
+    else:
+        per_doc = lm_ops.score_unigram_lm(toks, lm_dim, meta["unseen_logp"])
+    return toks.join(per_doc.select("doc_id", "ppl"), "doc_id", "left")
+
+
+def _lm_policy_filter(
+    spark: SparkSession,
+    scored: DataFrame,
+    meta: dict,
+    thresholds: DataFrame | None = None,
+) -> DataFrame:
+    """Apply an LM keep policy to a ``ppl``-scored frame — the ONE
+    policy definition shared by corpus build and batch ingest. NULL
+    ppl (empty docs) always KEEPS: fluency rules don't own
+    zero-evidence docs, length rules do. Falls back to the stored
+    GLOBAL cut lines when the per-group threshold column is absent
+    from the frame (a source-less batch against per-source lines) or
+    no threshold frame is given."""
+    from .operators import lm as lm_ops
+
+    if meta.get("policy") == "max_ppl":
+        return scored.where(
+            F.col("ppl").isNull() | (F.col("ppl") <= float(meta["max_ppl"]))
+        )
+    by = meta.get("by")
+    if by is not None and by not in scored.columns:
+        thresholds = None
+    if thresholds is None:
+        by = None
+        thresholds = spark.createDataFrame(
+            [(meta.get("global_lo"), meta.get("global_hi"))],
+            "__lo double, __hi double",
+        )
+    bucketed = lm_ops.assign_ppl_bucket(
+        scored, thresholds, by=by,
+        global_lo=meta.get("global_lo"), global_hi=meta.get("global_hi"),
+    )
+    return bucketed.where(
+        F.col("ppl_bucket").isNull() | F.col("ppl_bucket").isin(*meta["keep"])
+    ).drop("ppl_bucket")
 
 
 def _maybe_chunk(
@@ -1241,9 +1279,17 @@ def prep_batch(
         from .operators import lm as lm_ops
 
         lm_dim, bi_dim, lm_meta = lm_ops.read_lm_store(spark, lmstore)
+        # every store artifact the filter reads is part of the batch's
+        # identity — meta alone would miss a retrained bigram table or
+        # moved per-source cut lines whose unigram/meta happen to match
         lm_sig = json.dumps(lm_meta, sort_keys=True) + ":" + content_digest(
             lm_dim, "token", "logp"
         )
+        if bi_dim is not None:
+            lm_sig += ":" + content_digest(bi_dim, "prev", "cur", "c_bi")
+        thr_path = os.path.join(lmstore, "thresholds")
+        if lm_meta.get("policy") == "buckets" and os.path.isdir(thr_path):
+            lm_sig += ":" + content_digest(spark.read.parquet(thr_path))
     else:
         lm_sig = "-"
     params = (
@@ -1395,45 +1441,21 @@ def prep_batch(
     toks = kept.withColumn(
         "tokens", hash_tokens(F.col("text"), vocab_size)
     ).withColumn("n_tok", F.size("tokens"))
+    lm_cached = None
     if lm_filter:
-        # same order as the base build: tokenize -> lm -> decontaminate
-        per_doc = (
-            lm_ops.score_bigram_lm(
-                toks, lm_dim, bi_dim, lm_meta["unseen_logp"],
-                lam=float(lm_meta.get("lam", 0.8)),
-            )
-            if lm_meta.get("bigram") and bi_dim is not None
-            else lm_ops.score_unigram_lm(toks, lm_dim, lm_meta["unseen_logp"])
+        # same order as the base build: tokenize -> lm -> decontaminate;
+        # model, policy and cut lines ALL come from the store
+        scored = _lm_score(toks, lm_dim, bi_dim, lm_meta)
+        thr = (
+            spark.read.parquet(os.path.join(lmstore, "thresholds"))
+            if lm_meta.get("policy") == "buckets"
+            else None
         )
-        scored = toks.join(per_doc.select("doc_id", "ppl"), "doc_id", "left")
-        if lm_meta.get("policy") == "max_ppl":
-            lm_kept = scored.where(
-                F.col("ppl").isNull()
-                | (F.col("ppl") <= float(lm_meta["max_ppl"]))
-            )
-        else:
-            by = lm_meta.get("by")
-            if by is not None and by in scored.columns:
-                thr = spark.read.parquet(os.path.join(lmstore, "thresholds"))
-            else:
-                # source-less batch vs per-source cut lines: every doc
-                # takes the stored GLOBAL thresholds
-                by = None
-                thr = spark.createDataFrame(
-                    [(lm_meta.get("global_lo"), lm_meta.get("global_hi"))],
-                    "__lo double, __hi double",
-                )
-            bucketed = lm_ops.assign_ppl_bucket(
-                scored, thr, by=by,
-                global_lo=lm_meta.get("global_lo"),
-                global_hi=lm_meta.get("global_hi"),
-            )
-            lm_kept = bucketed.where(
-                F.col("ppl_bucket").isNull()
-                | F.col("ppl_bucket").isin(*lm_meta["keep"])
-            )
+        lm_kept = _lm_policy_filter(spark, scored, lm_meta, thr)
         n_before = report["kept"]
         toks = lm_kept.select(toks.columns).persist()
+        lm_cached = toks  # decontaminate below REASSIGNS toks; keep the
+        # handle so the unpersist hits the cached frame, not a derivative
         report["kept"] = toks.count()
         report["lm_dropped"] = n_before - report["kept"]
     if eval_df is not None:
@@ -1456,8 +1478,17 @@ def prep_batch(
         if n_now == 0:
             report["kept"] = 0
             report["packs"] = 0
-            if lm_filter:
-                toks.unpersist()
+            # the post-DEDUP survivors still index (step 5's invariant:
+            # lm/decontam-dropped docs must keep deduping future
+            # batches, exactly as the base build indexes pre-lm docs
+            # and as this batch's semdedup kept_vectors were already
+            # written in step 2b)
+            dedup_ops.write_dedup_index(
+                kept, os.path.join(idxdir, f"b_{d}"),
+                n_perm=n_perm, bands=bands, k=k, mode="overwrite",
+            )
+            if lm_cached is not None:
+                lm_cached.unpersist()
             for h in (gated, clean, kept):
                 h.unpersist()
             write_stage_state(output_path, state_key, {
@@ -1467,8 +1498,8 @@ def prep_batch(
     split = sampling_ops.split_assign(toks, train=train, val=val)
     cdir = os.path.join(output_path, "corpus_inc", f"b_{d}")
     split.write.mode("overwrite").partitionBy("split").parquet(cdir)
-    if lm_filter:
-        toks.unpersist()
+    if lm_cached is not None:
+        lm_cached.unpersist()
 
     # 4. pack with per-(source_dir, split) id continuity — the derived
     # NULL-safe group key keeps the pack schema identical whether or

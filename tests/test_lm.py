@@ -258,3 +258,23 @@ def test_plan_bigram_scoring_joins_are_broadcast(spark):
     )
     plan2 = forced._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan2
+
+
+def test_null_array_elements_score_as_unseen_not_empty(spark):
+    """A genuine NULL ELEMENT inside tokens is a real token slot that
+    scores as unseen — only the empty/NULL ARRAY means 'no evidence'
+    (NULL ppl). Both scorers must agree on n_tok for the same input."""
+    _, lm, meta, bigram = _bi_fixture(spark)
+    df = spark.createDataFrame(
+        [Row(doc_id=0, tokens=[None, 1]), Row(doc_id=1, tokens=[None])],
+        "doc_id long, tokens array<int>",
+    )
+    uni = {r["doc_id"]: r for r in score_unigram_lm(df, lm, meta["unseen_logp"]).collect()}
+    assert uni[0]["n_tok"] == 2 and uni[0]["n_unseen"] == 1
+    m0 = (meta["unseen_logp"] + math.log(2.5 / 7)) / 2
+    assert uni[0]["mean_logp"] == pytest.approx(m0)
+    assert uni[1]["n_tok"] == 1
+    assert uni[1]["mean_logp"] == pytest.approx(meta["unseen_logp"])
+
+    bi = {r["doc_id"]: r for r in score_bigram_lm(df, lm, bigram, meta["unseen_logp"]).collect()}
+    assert bi[0]["n_tok"] == 2 and bi[1]["n_tok"] == 1

@@ -175,6 +175,28 @@ def test_batch_scored_against_stored_thresholds(spark, tmp_path):
     assert rep3["kept"] == 0 and rep3["packs"] == 0
     assert not os.path.isdir(f"{out}/corpus_inc/b_{rep3['batch']}")
 
+    # the drained batch's dedup survivors still entered the MinHash
+    # index: an exact dup of doc 950 in a LATER batch drops as a
+    # duplicate (never reaches the LM), same as after a partial drain
+    dup950 = spark.createDataFrame(
+        [Row(doc_id=951, text=_gibberish(950), source="web")]
+    )
+    rep4 = pipeline.prep_batch(
+        spark, dup950, out, run_id="b4", capacity=64, lm_filter=True,
+    )
+    assert rep4["dropped_dups"] == 1 and rep4["kept"] == 0
+
+    # retraining the store re-ingests a previously-recorded batch: the
+    # stored-LM content is part of the batch digest, so the replay of
+    # (900, 901) is NOT a ledger skip once the cut lines moved
+    _run(spark, inp, out, {"keep": ["head"], "target_path": trusted})
+    rep5 = pipeline.prep_batch(
+        spark, batch, out, run_id="b5", capacity=64, lm_filter=True,
+    )
+    assert rep5.get("skipped") is not True
+    assert rep5["lm_dropped"] >= 1
+
+
 
 def test_batch_without_store_raises_and_sourceless_batch_falls_back(
     spark, tmp_path
