@@ -446,6 +446,17 @@ def main(argv: list[str] | None = None) -> int:
         "against the STORED model and thresholds",
     )
     ap.add_argument(
+        "--prep-spans",
+        default=None,
+        help="prep-docs: JSON exact-substring dedup params, e.g. "
+        '\'{"k": 50, "min_count": 2, "min_tok": 1}\' — cuts token '
+        "spans covered by corpus-wide repeated k-grams and persists "
+        "the repeated-gram index in <output>/span_index. "
+        "prep-batch-docs: pass the flag with any value (e.g. '{}') to "
+        "cut the batch's spans against the STORED index (params come "
+        "from the index meta)",
+    )
+    ap.add_argument(
         "--prep-mix",
         default=None,
         help="prep-docs: JSON mixture params, e.g. "
@@ -528,6 +539,9 @@ def main(argv: list[str] | None = None) -> int:
                 semdedup_n_cells=int(sem.get("n_cells", 64)),
                 semdedup_dim=int(sem.get("dim", 64)),
                 decontam_eval_path=args.prep_eval,
+                dedup_spans_params=(
+                    json.loads(args.prep_spans) if args.prep_spans else None
+                ),
                 lm_params=(
                     json.loads(args.prep_lm) if args.prep_lm else None
                 ),
@@ -552,6 +566,7 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 decontam_eval_path=args.prep_eval,
                 lm_filter=args.prep_lm is not None,
+                span_filter=args.prep_spans is not None,
                 chunk_to_capacity=args.prep_chunk,
                 semdedup_embeddings_path=sem.get("path"),
                 semdedup_tau=float(sem.get("tau", 0.95)),

@@ -690,17 +690,100 @@ def duplicated_ngram_spans(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    return spans_from_grams(
+        df, repeated_grams(df, tokens_col, id_col, k, min_count),
+        tokens_col, id_col, k,
+    )
+
+
+def repeated_grams(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """The corpus's duplicated k-gram DIMENSION: distinct fingerprints
+    occurring ≥ ``min_count`` times (one ``gram`` bigint column) — the
+    part of :func:`duplicated_ngram_spans` worth PERSISTING. Stored per
+    snapshot (``span_index/``), it lets a new batch find its duplicated
+    passages against the whole corpus without re-fingerprinting the
+    corpus (:func:`batch_duplicated_spans`). Size is bounded by true
+    duplication volume (8 B per repeated gram), not corpus size."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        _spread(df, id_col)
+        .select(F.explode(positional_gram_hashes(tokens_col, k)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .where(F.col("occurrences") >= min_count)
+        .select("gram")
+    )
+
+
+def spans_from_grams(
+    df: DataFrame,
+    grams: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Maximal ``(id, start, end)`` spans of ``df`` covered by k-grams
+    whose fingerprint appears in ``grams`` — the positional-join half
+    of :func:`duplicated_ngram_spans`, shared by the one-shot and the
+    incremental (stored-index) paths so their span semantics can never
+    fork. ``grams`` is duplication-bounded; AQE broadcasts it when
+    sparse (the common case) and shuffles on the uniform 64-bit key
+    otherwise."""
     ex = _spread(df, id_col).select(
         F.col(id_col), F.posexplode(positional_gram_hashes(tokens_col, k)).alias("pos", "gram")
     )
-    repeated = (
+    hits = ex.join(grams.select("gram"), "gram").select(id_col, "pos")
+    return merge_positional_hits(hits, id_col, k)
+
+
+def batch_duplicated_spans(
+    batch: DataFrame,
+    stored_grams: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact-substring dedup: duplication spans of a NEW
+    batch against a corpus summarized by its stored repeated-gram
+    index (:func:`repeated_grams`) — the batch alone is fingerprinted;
+    the corpus contributes only its duplication-bounded gram dimension.
+    A batch gram is duplicated iff it hits the stored index (any
+    occurrence of an already-≥min_count gram is a repeat) OR repeats ≥
+    ``min_count`` within the batch itself.
+
+    Returns ``(spans, new_grams)``: ``new_grams`` are the batch's own
+    newly-repeated fingerprints NOT already stored — append them to
+    the index so batch N+1 dedups against batch N (the
+    ``write_dedup_index`` idiom applied to grams).
+
+    KNOWN approximation (documented, pinned in tests): a gram with
+    exactly one corpus occurrence and one batch occurrence is missed —
+    the index stores only already-repeated grams, so cross-boundary
+    count accumulation needs the periodic full recompute
+    (:func:`duplicated_ngram_spans` over corpus ∪ batches), exactly as
+    the public suffix-array tooling re-indexes to fold new shards."""
+    ex = _spread(batch, id_col).select(
+        F.col(id_col), F.posexplode(positional_gram_hashes(tokens_col, k)).alias("pos", "gram")
+    )
+    batch_rep = (
         ex.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("occurrences"))
         .where(F.col("occurrences") >= min_count)
         .select("gram")
     )
-    hits = ex.join(repeated, "gram").select(id_col, "pos")
-    return merge_positional_hits(hits, id_col, k)
+    hot = stored_grams.select("gram").unionByName(batch_rep).distinct()
+    hits = ex.join(hot, "gram").select(id_col, "pos")
+    spans = merge_positional_hits(hits, id_col, k)
+    new_grams = batch_rep.join(stored_grams.select("gram"), "gram", "anti")
+    return spans, new_grams
 
 
 def positional_gram_hashes(tokens_col: str, k: int) -> F.Column:

@@ -267,13 +267,14 @@ def prep_corpus(
     decontam_k: int = 13,
     decontam_pad: int = 0,
     decontam_min_tok: int = 1,
+    dedup_spans_params: dict | None = None,
     lm_params: dict | None = None,
     mixture_weights: dict | None = None,
     token_budgets: dict | None = None,
     mixture_seed: int = 0,
     stages: tuple[str, ...] = (
-        "clean", "quality", "dedup", "semdedup", "tokenize", "lm",
-        "decontaminate", "split", "mixture", "pack", "shuffle",
+        "clean", "quality", "dedup", "semdedup", "tokenize", "dedup_spans",
+        "lm", "decontaminate", "split", "mixture", "pack", "shuffle",
     ),
 ) -> dict:
     """The TRAINING-DATA-PREP composition: raw ``documents`` →
@@ -301,6 +302,19 @@ def prep_corpus(
       verbatim. The MinHash index (written by the dedup stage) keeps
       the semantically-dropped docs on purpose — future batches should
       still dedup against them. Writes ``semdedup_docs/``.
+    * ``dedup_spans`` (``dedup_spans_params``, after tokenize) —
+      EXACT-SUBSTRING dedup (operators/dedup.py
+      ``duplicated_ngram_spans``; the public suffix-array-tool recipe
+      in map-reduce form): token spans covered by ``k``-grams repeated
+      ≥ ``min_count`` times corpus-wide are CUT from every occurrence
+      (the public tool's default policy — order-free, so deterministic
+      under any partitioning; "keep one copy" needs a global doc
+      order). Docs gutted below ``min_tok`` tokens drop out. Persists
+      the duplication-bounded repeated-gram dimension at
+      ``span_index/`` (+ ``meta.json`` written last) so
+      :func:`prep_batch` cuts a new batch's duplicated passages
+      WITHOUT re-fingerprinting the corpus. Writes
+      ``corpus_flat_spans/`` (schema = the tokenize output).
     * ``lm`` (``lm_params``, after tokenize) — CCNet-shaped perplexity
       filter (operators/lm.py) over the tokenized corpus: train a
       Lidstone unigram on ``target_path`` (a trusted corpus, tokenized
@@ -662,13 +676,72 @@ def prep_corpus(
             })
             report["stages"]["tokenize"] = {"rows": n}
 
+    # the "flat tokenized corpus" handle each optional stage consumes
+    # and (when enabled) advances — skip-vs-run must agree on the
+    # chain, so it advances on the *_on flag, never inside the gate
+    flatdir = tokdir + "_flat"
+
+    spans_on = dedup_spans_params is not None and "dedup_spans" in stages
+    spansdir = os.path.join(output_path, "corpus_flat_spans")
+    gidxdir = os.path.join(output_path, "span_index")
+    if spans_on:
+        toks = spark.read.parquet(flatdir)
+        sk = int(dedup_spans_params.get("k", 50))
+        smin = int(dedup_spans_params.get("min_count", 2))
+        smin_tok = int(dedup_spans_params.get("min_tok", 1))
+        digest = content_digest(toks) + f":{sk}:{smin}:{smin_tok}"
+        if gate("prep_spans", digest):
+            report["stages"]["dedup_spans"] = {"skipped": True}
+        else:
+            # gram dimension first (materialized by the write), spans
+            # via the SHARED positional join so one-shot and batch
+            # semantics can't fork; meta.json LAST (the lm_store
+            # convention) — a crash mid-stage leaves no
+            # readable-but-partial index for prep_batch
+            grams = dedup_ops.repeated_grams(
+                toks, k=sk, min_count=smin
+            )
+            grams.write.mode("overwrite").parquet(
+                os.path.join(gidxdir, "b_base")
+            )
+            grams = spark.read.parquet(os.path.join(gidxdir, "b_base"))
+            spans = dedup_ops.spans_from_grams(toks, grams, k=sk)
+            cut = (
+                dedup_ops.remove_spans(toks, spans)
+                .withColumn("n_tok", F.size("tokens"))
+                .persist()  # the removed-token agg + filter share it
+            )
+            agg = cut.agg(F.sum("n_removed_tok").alias("n")).collect()[0]
+            n_removed_tok = int(agg["n"] or 0)
+            kept = cut.where(F.col("n_tok") >= smin_tok)
+            # corpus schema stays exactly the tokenize output
+            kept.select(toks.columns).write.mode("overwrite").parquet(
+                spansdir
+            )
+            cut.unpersist()
+            n_in = spark.read.parquet(flatdir).count()
+            n = spark.read.parquet(spansdir).count()
+            with open(os.path.join(gidxdir, "meta.json"), "w") as fh:
+                json.dump(
+                    {"k": sk, "min_count": smin, "min_tok": smin_tok}, fh
+                )
+            write_stage_state(output_path, "prep_spans", {
+                "digest": digest, "run_id": run_id, "rows": n,
+                "removed_tokens": n_removed_tok, "dropped": n_in - n,
+            })
+            report["stages"]["dedup_spans"] = {
+                "rows": n, "removed_tokens": n_removed_tok,
+                "dropped": n_in - n,
+            }
+        flatdir = spansdir
+
     lm_on = lm_params is not None and "lm" in stages
     lmdir = os.path.join(output_path, "corpus_flat_lm")
     lmstore = os.path.join(output_path, "lm_store")
     if lm_on:
         from .operators import lm as lm_ops
 
-        toks = spark.read.parquet(tokdir + "_flat")
+        toks = spark.read.parquet(flatdir)
         target = (
             spark.read.parquet(lm_params["target_path"])
             if lm_params.get("target_path")
@@ -751,13 +824,15 @@ def prep_corpus(
                 "rows": n, "dropped": n_in - n,
             })
             report["stages"]["lm"] = {"rows": n, "dropped": n_in - n}
+    if lm_on:
+        flatdir = lmdir
 
     decontam_on = decontam_eval_path is not None and "decontaminate" in stages
     dtokdir = os.path.join(output_path, "corpus_flat_decontam")
     if decontam_on:
         from .operators.contamination import decontaminate
 
-        toks = spark.read.parquet(lmdir if lm_on else tokdir + "_flat")
+        toks = spark.read.parquet(flatdir)
         eval_df = spark.read.parquet(decontam_eval_path)
         digest = (
             content_digest(toks) + ":" + content_digest(eval_df)
@@ -787,11 +862,11 @@ def prep_corpus(
             report["stages"]["decontaminate"] = {
                 "rows": n, "removed_tokens": n_removed_tok,
             }
+    if decontam_on:
+        flatdir = dtokdir
 
     if "split" in stages:
-        toks = spark.read.parquet(
-            dtokdir if decontam_on else (lmdir if lm_on else tokdir + "_flat")
-        )
+        toks = spark.read.parquet(flatdir)
         comps = spark.read.parquet(compdir)
         digest = (
             content_digest(toks) + ":" + content_digest(comps)
@@ -1045,6 +1120,21 @@ def _read_index(spark: SparkSession, idxdir: str) -> tuple[DataFrame, DataFrame]
     return sigs, buckets
 
 
+def _read_span_index(spark: SparkSession, gidxdir: str) -> DataFrame:
+    """Union of every ingest's repeated-gram dir (``span_index/b_*``)
+    — same duplicate-tolerant contract as :func:`_read_index` (the
+    compaction crash window may double rows across dirs)."""
+    parts = None
+    for dd in sorted(os.listdir(gidxdir)):
+        if not dd.startswith("b_"):
+            continue
+        p = spark.read.parquet(os.path.join(gidxdir, dd)).select("gram")
+        parts = p if parts is None else parts.unionByName(p)
+    if parts is None:
+        raise ValueError(f"no span index dirs under {gidxdir}")
+    return parts.dropDuplicates(["gram"])
+
+
 def compact_indexes(spark: SparkSession, output_path: str) -> dict:
     """Warehouse maintenance: fold the per-ingest index dirs into ONE
     — ``dedup_index/b_*`` (MinHash sigs + band buckets) and
@@ -1098,6 +1188,16 @@ def compact_indexes(spark: SparkSession, output_path: str) -> dict:
         for dd in kdirs:
             shutil.rmtree(os.path.join(kvroot, dd), ignore_errors=True)
         report["semdedup_index"] = {"folded": len(kdirs)}
+
+    gidxdir = os.path.join(output_path, "span_index")
+    gdirs = _dirs(gidxdir)
+    if len(gdirs) > 1:
+        grams = _read_span_index(spark, gidxdir)
+        tag = "b_compact_" + hashlib.md5(":".join(gdirs).encode()).hexdigest()[:10]
+        grams.write.mode("overwrite").parquet(os.path.join(gidxdir, tag))
+        for dd in gdirs:
+            shutil.rmtree(os.path.join(gidxdir, dd), ignore_errors=True)
+        report["span_index"] = {"folded": len(gdirs)}
 
     return report
 
@@ -1153,6 +1253,7 @@ def prep_batch(
     decontam_pad: int = 0,
     decontam_min_tok: int = 1,
     lm_filter: bool = False,
+    span_filter: bool = False,
     chunk_to_capacity: bool = False,
     semdedup_embeddings_path: str | None = None,
     semdedup_tau: float = 0.95,
@@ -1204,6 +1305,19 @@ def prep_batch(
     come from the store, never re-derived on the batch (a batch-local
     quantile would move the cut line with every ingest). Raises if the
     warehouse has no completed LM store.
+
+    ``span_filter=True`` (pass it iff the base build ran the
+    ``dedup_spans`` stage) cuts the batch's exact-substring duplication
+    spans against the persisted repeated-gram index
+    (:func:`~..operators.dedup.batch_duplicated_spans`): the batch
+    alone is fingerprinted; params (k, min_count, min_tok) come from
+    the stage's ``span_index/meta.json``, never re-chosen per batch.
+    Within-batch repeats are cut too, and the batch's newly-repeated
+    grams append to the index (per-batch dir, replay-idempotent) so
+    batch N+1 cuts passages duplicated against batch N. The documented
+    one-corpus-plus-one-batch-occurrence miss is the operator's
+    (periodic full recompute folds it, like any index compaction).
+    Raises if the warehouse has no completed span index.
     """
     from .operators import dedup as dedup_ops
     from .operators import packing as pack_ops
@@ -1292,6 +1406,25 @@ def prep_batch(
             lm_sig += ":" + content_digest(spark.read.parquet(thr_path))
     else:
         lm_sig = "-"
+    # span_sig covers the FROZEN params (meta.json), NOT the evolving
+    # gram dirs — the batch itself appends b_{d}, so hashing index
+    # content would self-invalidate every recorded batch on replay
+    # (the MinHash dedup-index convention: incremental semantics are
+    # order-dependent by design; a re-parameterized base build changes
+    # meta and re-ingests, a grown index does not)
+    gidxdir = os.path.join(output_path, "span_index")
+    if span_filter:
+        meta_path = os.path.join(gidxdir, "meta.json")
+        if not os.path.isfile(meta_path):
+            raise ValueError(
+                "span_filter needs a base build with the dedup_spans "
+                "stage (no span_index/meta.json found)"
+            )
+        with open(meta_path) as fh:
+            span_meta = json.load(fh)
+        span_sig = json.dumps(span_meta, sort_keys=True)
+    else:
+        span_sig = "-"
     params = (
         f"{minhash_threshold}:{n_perm}:{bands}:{k}:{vocab_size}:{capacity}"
         f":{train}:{val}:" + json.dumps(quality_thresholds or {}, sort_keys=True)
@@ -1299,7 +1432,7 @@ def prep_batch(
         + ":" + (content_digest(eval_df) if eval_df is not None else "-")
         + f":{decontam_k}:{decontam_pad}:{decontam_min_tok}:{chunk_to_capacity}"
         + ":" + (content_digest(batch_emb) if batch_emb is not None else "-")
-        + f":{semdedup_tau}:{semdedup_dim}:{lm_sig}"
+        + f":{semdedup_tau}:{semdedup_dim}:{lm_sig}:{span_sig}"
     )
     digest = content_digest(batch) + ":" + params
     d = hashlib.md5(digest.encode()).hexdigest()[:12]
@@ -1324,8 +1457,13 @@ def prep_batch(
         os.path.join(output_path, "quality_violations_inc", f"b_{d}"),
         os.path.join(idxdir, f"b_{d}"),
         os.path.join(output_path, "semdedup_index", "kept_vectors", f"b_{d}"),
+        os.path.join(gidxdir, f"b_{d}"),
     ):
         shutil.rmtree(sub, ignore_errors=True)
+    if span_filter:
+        # read the index only after the replay-hygiene sweep — a
+        # crashed attempt's own b_{d} must not feed its retry
+        stored_grams = _read_span_index(spark, gidxdir)
 
     # 1. quality gate (same rules as the base build)
     gated = quality_ops.repetition_gate(
@@ -1441,6 +1579,34 @@ def prep_batch(
     toks = kept.withColumn(
         "tokens", hash_tokens(F.col("text"), vocab_size)
     ).withColumn("n_tok", F.size("tokens"))
+    span_cached = None
+    if span_filter:
+        # same order as the base build: tokenize -> dedup_spans -> lm;
+        # k/min_count/min_tok all come from the stage's stored meta
+        spans, new_grams = dedup_ops.batch_duplicated_spans(
+            toks, stored_grams,
+            k=int(span_meta["k"]), min_count=int(span_meta["min_count"]),
+        )
+        # index append FIRST (overwrite dir = replay-idempotent): the
+        # batch's repeated passages must keep cutting future batches
+        # even if a later filter drains this batch to zero
+        new_grams.write.mode("overwrite").parquet(
+            os.path.join(gidxdir, f"b_{d}")
+        )
+        cut = (
+            dedup_ops.remove_spans(toks, spans)
+            .withColumn("n_tok", F.size("tokens"))
+            .persist()  # the removed-token agg + filter share it
+        )
+        agg = cut.agg(F.sum("n_removed_tok").alias("n")).collect()[0]
+        report["span_removed_tok"] = int(agg["n"] or 0)
+        n_before = report["kept"]
+        toks = cut.where(
+            F.col("n_tok") >= int(span_meta.get("min_tok", 1))
+        ).select(toks.columns)
+        span_cached = cut
+        report["kept"] = toks.count()
+        report["span_dropped"] = n_before - report["kept"]
     lm_cached = None
     if lm_filter:
         # same order as the base build: tokenize -> lm -> decontaminate;
@@ -1467,7 +1633,7 @@ def prep_batch(
             .where(F.col("n_tok") >= decontam_min_tok)
             .drop("n_removed_tok")  # keep corpus_inc schema = corpus schema
         )
-    if lm_filter or eval_df is not None:
+    if span_filter or lm_filter or eval_df is not None:
         # post-tokenize filters can drain the batch to zero — a 0-row
         # partitioned write leaves a file-less dir that later readers
         # can't open, so close it out as a recorded no-op (the same
@@ -1487,10 +1653,9 @@ def prep_batch(
                 kept, os.path.join(idxdir, f"b_{d}"),
                 n_perm=n_perm, bands=bands, k=k, mode="overwrite",
             )
-            if lm_cached is not None:
-                lm_cached.unpersist()
-            for h in (gated, clean, kept):
-                h.unpersist()
+            for h in (lm_cached, span_cached, gated, clean, kept):
+                if h is not None:
+                    h.unpersist()
             write_stage_state(output_path, state_key, {
                 "digest": digest, "run_id": run_id, "kept": 0, "packs": 0,
             })
@@ -1498,8 +1663,9 @@ def prep_batch(
     split = sampling_ops.split_assign(toks, train=train, val=val)
     cdir = os.path.join(output_path, "corpus_inc", f"b_{d}")
     split.write.mode("overwrite").partitionBy("split").parquet(cdir)
-    if lm_cached is not None:
-        lm_cached.unpersist()
+    for h in (lm_cached, span_cached):
+        if h is not None:
+            h.unpersist()
 
     # 4. pack with per-(source_dir, split) id continuity — the derived
     # NULL-safe group key keeps the pack schema identical whether or
@@ -1643,7 +1809,7 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
         st: read_stage_state(output_path, st)
         for st in (
             "prep_quality", "prep_dedup", "prep_clean", "prep_semdedup",
-            "prep_lm", "prep_decontam", "prep_mixture",
+            "prep_spans", "prep_lm", "prep_decontam", "prep_mixture",
         )
     }
     out = {
@@ -1669,6 +1835,12 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
         out["semdedup"] = {
             "kept": ledgers["prep_semdedup"].get("kept"),
             "dropped": ledgers["prep_semdedup"].get("dropped"),
+        }
+    if ledgers["prep_spans"]:
+        out["substring_dedup"] = {
+            "rows": ledgers["prep_spans"].get("rows"),
+            "removed_tokens": ledgers["prep_spans"].get("removed_tokens"),
+            "dropped": ledgers["prep_spans"].get("dropped"),
         }
     if ledgers["prep_lm"]:
         lm_meta_path = os.path.join(output_path, "lm_store", "meta.json")
