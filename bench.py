@@ -536,6 +536,65 @@ def incremental_dedup_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def incremental_spans_bench(spark, sf_dir: str) -> dict:
+    """Exact-substring dedup, incremental vs full — the span analogue
+    of ``incremental_dedup``:
+
+    * ``full_recompute_sec`` — duplicated_ngram_spans over corpus ∪
+      batch (every doc fingerprinted).
+    * ``batch_vs_index_sec`` — batch_duplicated_spans: the batch alone
+      fingerprinted, joined against the corpus's persisted
+      repeated-gram dimension (span_index contents; duplication-
+      bounded, 8 B/gram).
+    * ``corpus_grams_skipped_sec`` — the corpus-side fingerprint +
+      count aggregate the batch path never runs; the term that grows
+      with |corpus|.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark.functions.text import hash_tokens
+    from teleharvest_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", hash_tokens(F.col("text")).alias("tokens"))
+    )
+    is_batch = F.coalesce(F.pmod(F.col("doc_id"), F.lit(10)) == 0, F.lit(False))
+    corpus, batch = docs.where(~is_batch), docs.where(is_batch)
+    gidx = "/tmp/bench_span_index"
+    shutil.rmtree(gidx, ignore_errors=True)
+    K = 5
+    dedup.repeated_grams(corpus, k=K).write.parquet(gidx)
+    stored = spark.read.parquet(gidx)
+
+    def best2(fn):
+        fn()  # warm
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3)
+
+    out = {"k": K}
+    out["full_recompute_sec"] = best2(
+        lambda: dedup.duplicated_ngram_spans(docs, k=K).count()
+    )
+    out["batch_vs_index_sec"] = best2(
+        lambda: dedup.batch_duplicated_spans(batch, stored, k=K)[0].count()
+    )
+    out["speedup"] = round(
+        out["full_recompute_sec"] / max(out["batch_vs_index_sec"], 1e-9), 2
+    )
+    out["corpus_grams_skipped_sec"] = best2(
+        lambda: dedup.repeated_grams(corpus, k=K).count()
+    )
+    print(f"# incremental_spans: {out}", file=sys.stderr)
+    return out
+
+
 def corpus_clean_bench(spark, sf_dir: str) -> dict:
     """Session-3 operators over the documents table: C4-style
     cross-document line dedup (hot-line dimension + rebuild) and the
@@ -753,6 +812,7 @@ def main() -> None:
 
     pack_shard = pack_shard_bench(spark)
     inc_dedup = incremental_dedup_bench(spark, sf_dir)
+    inc_spans = incremental_spans_bench(spark, sf_dir)
     prep = prep_pipeline_bench(spark, sf_dir)
     corpus_clean = corpus_clean_bench(spark, sf_dir)
     curation = curation_bench(spark, sf_dir)
@@ -778,6 +838,7 @@ def main() -> None:
         "recall": recall,
         "pack_shard": pack_shard,
         "incremental_dedup": inc_dedup,
+        "incremental_spans": inc_spans,
         "prep_pipeline": prep,
         "corpus_clean": corpus_clean,
         "curation": curation,

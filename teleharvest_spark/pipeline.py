@@ -1805,6 +1805,32 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
         .collect()[0]
     )
 
+    # token-distribution lines: n_tok quantiles per split are
+    # metadata-cheap (scalar column); vocab coverage decodes the token
+    # arrays ONCE into a map-side partial HLL — a datasheet is built
+    # rarely, and "how many distinct token ids does the training split
+    # actually exercise" is the number tokenizer/vocab decisions need
+    dist_rows = (
+        corpus.groupBy("split")
+        .agg(
+            F.percentile_approx("n_tok", [0.05, 0.5, 0.95]).alias("q"),
+            F.round(F.avg("n_tok"), 1).alias("mean_n_tok"),
+        )
+        .collect()
+    )
+    token_dist = {
+        r["split"]: {
+            "p05_n_tok": r["q"][0], "p50_n_tok": r["q"][1],
+            "p95_n_tok": r["q"][2], "mean_n_tok": float(r["mean_n_tok"]),
+        }
+        for r in dist_rows
+    }
+    vocab_seen = (
+        corpus.select(F.explode("tokens").alias("t"))
+        .agg(F.approx_count_distinct("t").alias("v"))
+        .collect()[0]["v"]
+    )
+
     ledgers = {
         st: read_stage_state(output_path, st)
         for st in (
@@ -1823,6 +1849,8 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
         "packs": fill["n_packs"],
         "mean_pack_tokens": float(fill["mean_pack_tokens"]),
         "max_pack_tokens": fill["max_pack_tokens"],
+        "token_dist": token_dist,
+        "vocab_seen": int(vocab_seen),
     }
     # optional-stage lines appear only when the stage ran — the
     # datasheet answers "what was done to this corpus" honestly

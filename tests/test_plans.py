@@ -184,3 +184,24 @@ def test_repeated_suite_runs_leave_no_persisted_rdds(spark, suite):
         res.materialize()
         res.cleanup()
     assert persisted_count() - before == 0
+
+
+def test_spans_from_grams_broadcasts_stored_gram_dimension(spark, tmp_path):
+    """The incremental span path's scale contract: the corpus's
+    repeated-gram dimension (duplication-bounded, 8 B/row) must reach
+    the positional join as the BROADCAST side — a SortMergeJoin here
+    would shuffle-write every (id, pos, gram) fingerprint of the batch,
+    i.e. ~n_tok rows of the fact."""
+    from teleharvest_spark.operators import dedup
+
+    path = str(tmp_path / "grams")
+    docs = spark.createDataFrame(
+        [("d%d" % i, list(range(10 * i, 10 * i + 30))) for i in range(40)]
+        + [("dupA", list(range(100))), ("dupB", list(range(100)))],
+        "doc_id string, tokens array<int>",
+    )
+    dedup.repeated_grams(docs, k=8).write.parquet(path)
+    stored = spark.read.parquet(path)
+    spans, _ = dedup.batch_duplicated_spans(docs.limit(10), stored, k=8)
+    plan = _plan_of(spans)
+    assert "BroadcastHashJoin" in plan, plan

@@ -270,6 +270,15 @@ def test_corpus_report_datasheet(spark, tmp_path):
     # per-source breakdown sums to split totals
     for s in rep["splits"].values():
         assert s["docs"] == sum(v["docs"] for v in s["sources"].values())
+    # token-distribution lines: quantiles bracket the mean, every split
+    # present, and the HLL vocab count is near the exact distinct count
+    assert set(rep["token_dist"]) == set(rep["splits"])
+    for d in rep["token_dist"].values():
+        assert d["p05_n_tok"] <= d["p50_n_tok"] <= d["p95_n_tok"]
+        assert d["p05_n_tok"] <= d["mean_n_tok"] <= d["p95_n_tok"]
+    corpus = pipeline.read_prep_corpus(spark, out)
+    exact_vocab = corpus.select(F.explode("tokens")).distinct().count()
+    assert abs(rep["vocab_seen"] - exact_vocab) <= max(5, 0.05 * exact_vocab)
 
 
 def test_prep_batch_replay_after_crash_is_byte_identical(spark, tmp_path):
