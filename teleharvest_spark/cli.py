@@ -489,8 +489,8 @@ def main(argv: list[str] | None = None) -> int:
         "--quality-families",
         default="repetition",
         help="comma list of quality check families for --quality-docs "
-        "(encoding, repetition, gopher_words; cascade runs them in the "
-        "given order as one composed gate)",
+        "(encoding, repetition, gopher_words, language; cascade runs "
+        "them in the given order as one composed gate)",
     )
     args = ap.parse_args(argv)
     if (

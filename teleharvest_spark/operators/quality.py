@@ -56,6 +56,9 @@ __all__ = [
     "encoding_signals",
     "encoding_checks",
     "encoding_gate",
+    "language_signals",
+    "language_checks",
+    "language_gate",
     "quality_gate",
     "family_signal_cols",
     "QUALITY_FAMILIES",
@@ -535,6 +538,81 @@ def encoding_gate(
     return apply_cascade(joined, encoding_checks(**thresholds))
 
 
+def language_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document language-routing signals: ``lang`` (the marker-
+    stopword argmax from :func:`~..functions.text.lang_id`, 'und' when
+    no marker hits) and ``lang_hit_frac`` — the winning language's
+    marker hits over the whitespace word count, the heuristic's
+    evidence density (the role fastText's confidence plays in the
+    public C4/CCNet language routers; swap point for a real classifier
+    is a pandas UDF with per-executor model init, the U1 idiom). Pure
+    codegen regexp counts, zero shuffles."""
+    from ..functions.text import _LANG_MARKERS, lang_id, stopword_hits, token_count
+
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    best_hits = F.greatest(*[stopword_hits(s, lang) for lang in _LANG_MARKERS])
+    n_words = token_count(s)
+    return df.select(
+        F.col(id_col),
+        lang_id(s).alias("lang_pred"),
+        F.when(
+            n_words > 0, best_hits.cast("double") / n_words.cast("double")
+        ).otherwise(F.lit(0.0)).alias("lang_hit_frac"),
+    )
+
+
+def language_checks(
+    allowed=("en",),
+    min_hit_frac: float = 0.0,
+):
+    """Language-routing rules as cascade ``Check``s over
+    :func:`language_signals` columns: a doc fails unless its detected
+    language is in ``allowed`` ('und' fails unless explicitly allowed
+    — no evidence is not a pass), and fails when the evidence density
+    is below ``min_hit_frac`` (0.0 = rule off; the C4 recipe keeps
+    pages only above a confidence floor)."""
+    from .cascade import Check
+
+    return [
+        Check(
+            name="lang_allowed",
+            fails=~F.col("lang_pred").isin(*allowed),
+            reason=F.format_string(
+                f"lang_pred=%s not in {','.join(allowed)}", F.col("lang_pred")
+            ),
+        ),
+        Check(
+            name="lang_evidence",
+            fails=F.col("lang_hit_frac") < F.lit(min_hit_frac),
+            reason=F.format_string(
+                f"lang_hit_frac=%.4f < {min_hit_frac}", F.col("lang_hit_frac")
+            ),
+        ),
+    ]
+
+
+def language_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """``df`` + language-signal columns + cascade verdict columns —
+    same contract as the other family gates so it composes into
+    :func:`quality_gate`."""
+    from .cascade import apply_cascade
+
+    sig = language_signals(df, text_col=text_col, id_col=id_col).select(
+        id_col, "lang_pred", "lang_hit_frac"
+    )
+    joined = df.join(sig, id_col, "left")
+    return apply_cascade(joined, language_checks(**thresholds))
+
+
 # ---------------------------------------------------------------------------
 # composed gate over every family
 
@@ -559,6 +637,12 @@ QUALITY_FAMILIES: dict[str, dict] = {
             "n_words", "chars_words", "n_alpha_words", "n_symbol_words",
             "n_stopword_kinds",
         ),
+    },
+    # opt-in (not in quality_gate's default tuple): the synthetic
+    # fixtures aren't language-labeled, so routing by language is a
+    # caller decision, not a default drop
+    "language": {
+        "signal_cols": ("lang_pred", "lang_hit_frac"),
     },
 }
 
@@ -607,6 +691,7 @@ def quality_gate(
         "encoding": (encoding_signals, encoding_checks),
         "repetition": (repetition_fractions, repetition_checks),
         "gopher_words": (gopher_word_signals, gopher_word_checks),
+        "language": (language_signals, language_checks),
     }
     joined = df
     checks = []

@@ -321,3 +321,70 @@ def test_quality_gate_composed_family_order(spark):
         quality.quality_gate(uniq, families=("nope",)).collect()
     with pytest.raises(ValueError, match="unknown quality families"):
         quality.quality_gate(uniq, thresholds={"nope": {}})
+
+
+def test_language_family_detection_and_gate(spark):
+    """Language family: marker-argmax detection, 'und' fails by
+    default, allowed-set widening, evidence floor, and composition
+    into the quality_gate cascade (opt-in — not in the default
+    families tuple)."""
+    import pytest
+    from teleharvest_spark.operators.cascade import FIRST_FAIL_COL, VERDICT_COL
+
+    docs = [
+        Row(doc_id=0, text="the cat and the dog of that house is here "
+                           "and the mouse is there to stay"),
+        Row(doc_id=1, text="el perro de la casa que vive con los gatos "
+                           "es una maravilla de verdad"),
+        Row(doc_id=2, text="der hund und die katze das ist ein haus "
+                           "und der garten ist hier"),
+        Row(doc_id=3, text="zzz qqq www rrr ttt yyy"),   # no markers -> und
+        Row(doc_id=4, text=None),                        # NULL -> und
+    ]
+    df = spark.createDataFrame(docs)
+
+    sig = {
+        r["doc_id"]: (r["lang_pred"], r["lang_hit_frac"])
+        for r in quality.language_signals(df).collect()
+    }
+    assert sig[0][0] == "en" and sig[0][1] > 0.2
+    assert sig[1][0] == "es"
+    assert sig[2][0] == "de"
+    assert sig[3] == ("und", 0.0)
+    assert sig[4] == ("und", 0.0)
+
+    # default gate: English only; 'und' is a fail, not a pass
+    out = {
+        r["doc_id"]: (r[VERDICT_COL], r[FIRST_FAIL_COL])
+        for r in quality.language_gate(df).collect()
+    }
+    assert out[0] == (True, None)
+    assert out[1] == (False, "lang_allowed")
+    assert out[2] == (False, "lang_allowed")
+    assert out[3] == (False, "lang_allowed")
+    assert out[4] == (False, "lang_allowed")
+
+    # widened allowed set admits es/de; evidence floor cuts thin docs
+    out2 = {
+        r["doc_id"]: r[VERDICT_COL]
+        for r in quality.language_gate(
+            df, allowed=("en", "es", "de"), min_hit_frac=0.15
+        ).collect()
+    }
+    assert out2[0] and out2[1] and out2[2]
+    assert not out2[3] and not out2[4]
+
+    # composes into quality_gate as an opt-in family; default tuple
+    # unchanged (no lang column without opting in)
+    assert "lang_pred" not in quality.quality_gate(df).columns
+    comp = quality.quality_gate(
+        df,
+        families=("encoding", "language"),
+        thresholds={"language": {"allowed": ["en", "es"]}},
+    )
+    got = {r["doc_id"]: (r[VERDICT_COL], r[FIRST_FAIL_COL])
+           for r in comp.collect()}
+    assert got[0] == (True, None)
+    assert got[1] == (True, None)
+    assert got[2] == (False, "lang_allowed")
+    assert set(quality.family_signal_cols(("language",))) <= set(comp.columns)
