@@ -489,8 +489,9 @@ def main(argv: list[str] | None = None) -> int:
         "--quality-families",
         default="repetition",
         help="comma list of quality check families for --quality-docs "
-        "(encoding, repetition, gopher_words, language; cascade runs "
-        "them in the given order as one composed gate)",
+        "and the prep pipelines' quality stage (encoding, repetition, "
+        "gopher_words, language; cascade runs them in the given order "
+        "as one composed gate)",
     )
     args = ap.parse_args(argv)
     if (
@@ -520,6 +521,9 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(pipeline.corpus_report(spark, args.output)))
         return 0
+    qfams = tuple(
+        f.strip() for f in args.quality_families.split(",") if f.strip()
+    )
     if args.prep_docs or args.prep_batch_docs:
         from . import pipeline
 
@@ -531,6 +535,7 @@ def main(argv: list[str] | None = None) -> int:
             report = pipeline.prep_corpus(
                 spark, args.prep_docs, args.output, args.run_id,
                 resume=args.resume,
+                quality_families=qfams,
                 clean_params=(
                     json.loads(args.prep_clean) if args.prep_clean else None
                 ),
@@ -561,6 +566,7 @@ def main(argv: list[str] | None = None) -> int:
             report = pipeline.prep_batch(
                 spark, args.prep_batch_docs, args.output, args.run_id,
                 resume=args.resume,
+                quality_families=qfams,
                 clean_params=(
                     json.loads(args.prep_clean) if args.prep_clean else None
                 ),
@@ -576,11 +582,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     quality_report = None
     if args.quality_docs:
-        fams = tuple(
-            f.strip() for f in args.quality_families.split(",") if f.strip()
-        )
         quality_report = quality_pass(
-            spark, args.quality_docs, args.output, args.run_id, families=fams
+            spark, args.quality_docs, args.output, args.run_id, families=qfams
         )
     if args.input is None:
         print(json.dumps(quality_report))

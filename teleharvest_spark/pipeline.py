@@ -95,6 +95,34 @@ def content_digest(df: DataFrame, *cols: str) -> str:
     return f"{row['n']}:{row['h']}"
 
 
+def _require_rows(n: int, stage: str) -> int:
+    """Fail a BASE build loudly when a stage drops every document — a
+    0-row corpus is a misconfiguration (wrong thresholds/families for
+    the data), and letting it flow leaves file-less parquet dirs that
+    later stages crash on with an opaque UNABLE_TO_INFER_SCHEMA.
+    Batches legitimately drain to zero (handled by prep_batch's
+    recorded no-op); the base corpus never should."""
+    if n == 0:
+        raise ValueError(
+            f"prep_corpus {stage!r} stage dropped every document — "
+            "re-check its thresholds/params against this corpus"
+        )
+    return n
+
+
+def _family_thresholds(quality_thresholds: dict | None) -> dict:
+    """Normalize quality thresholds to the per-family keying
+    :func:`~.operators.quality.quality_gate` takes — a flat dict is
+    accepted as repetition overrides (the legacy prep/CLI contract,
+    same rule as ``cli.quality_pass``)."""
+    from .operators import quality as quality_ops
+
+    th = dict(quality_thresholds or {})
+    if th and not (set(th) <= set(quality_ops.QUALITY_FAMILIES)):
+        th = {"repetition": th}
+    return th
+
+
 def similarity_backfill(
     embeddings: DataFrame,
     published_pred,
@@ -244,6 +272,7 @@ def prep_corpus(
     output_path: str,
     run_id: str,
     quality_thresholds: dict | None = None,
+    quality_families: tuple[str, ...] = ("repetition",),
     minhash_threshold: float = 0.8,
     n_perm: int = 64,
     bands: int = 16,
@@ -474,15 +503,17 @@ def prep_corpus(
 
     if "quality" in stages:
         docs = spark.read.parquet(cleandir if clean_on else docs_path)
-        digest = content_digest(docs) + ":" + json.dumps(
-            quality_thresholds or {}, sort_keys=True
+        qth = _family_thresholds(quality_thresholds)
+        digest = (
+            content_digest(docs) + ":" + json.dumps(qth, sort_keys=True)
+            + ":" + ",".join(quality_families)
         )
         if gate("prep_quality", digest):
             report["stages"]["quality"] = {"skipped": True}
         else:
-            gated = quality_ops.repetition_gate(
+            gated = quality_ops.quality_gate(
                 docs.where(F.col("doc_id").isNotNull()),
-                **(quality_thresholds or {}),
+                families=quality_families, thresholds=qth,
             ).persist()
             failed = gated.where(~F.col(VERDICT_COL)).select(
                 "doc_id",
@@ -501,10 +532,12 @@ def prep_corpus(
                 failed.write.mode("overwrite").parquet(qdir)
             clean = gated.where(F.col(VERDICT_COL)).drop(
                 VERDICT_COL, FIRST_FAIL_COL, REASON_COL, FAILED_ALL_COL,
-                "dup_line_frac", "dup_line_char_frac", "top_bigram_frac",
+                *quality_ops.family_signal_cols(quality_families),
             )
             clean.write.mode("overwrite").parquet(cdir)
-            n_clean = spark.read.parquet(cdir).count()
+            n_clean = _require_rows(
+                spark.read.parquet(cdir).count(), "quality"
+            )
             n_failed = failed.count()
             gated.unpersist()
             write_stage_state(output_path, "prep_quality", {
@@ -720,7 +753,9 @@ def prep_corpus(
             )
             cut.unpersist()
             n_in = spark.read.parquet(flatdir).count()
-            n = spark.read.parquet(spansdir).count()
+            n = _require_rows(
+                spark.read.parquet(spansdir).count(), "dedup_spans"
+            )
             with open(os.path.join(gidxdir, "meta.json"), "w") as fh:
                 json.dump(
                     {"k": sk, "min_count": smin, "min_tok": smin_tok}, fh
@@ -818,7 +853,7 @@ def prep_corpus(
             kept.select(toks.columns).write.mode("overwrite").parquet(lmdir)
             n_in = scored.count()
             scored.unpersist()
-            n = spark.read.parquet(lmdir).count()
+            n = _require_rows(spark.read.parquet(lmdir).count(), "lm")
             write_stage_state(output_path, "prep_lm", {
                 "digest": digest, "run_id": run_id,
                 "rows": n, "dropped": n_in - n,
@@ -854,7 +889,9 @@ def prep_corpus(
             )
             kept.write.mode("overwrite").parquet(dtokdir)
             cut.unpersist()
-            n = spark.read.parquet(dtokdir).count()
+            n = _require_rows(
+                spark.read.parquet(dtokdir).count(), "decontaminate"
+            )
             write_stage_state(output_path, "prep_decontam", {
                 "digest": digest, "run_id": run_id,
                 "rows": n, "removed_tokens": n_removed_tok,
@@ -1238,6 +1275,7 @@ def prep_batch(
     output_path: str,
     run_id: str,
     quality_thresholds: dict | None = None,
+    quality_families: tuple[str, ...] = ("repetition",),
     minhash_threshold: float = 0.8,
     n_perm: int = 64,
     bands: int = 16,
@@ -1427,7 +1465,9 @@ def prep_batch(
         span_sig = "-"
     params = (
         f"{minhash_threshold}:{n_perm}:{bands}:{k}:{vocab_size}:{capacity}"
-        f":{train}:{val}:" + json.dumps(quality_thresholds or {}, sort_keys=True)
+        f":{train}:{val}:"
+        + json.dumps(_family_thresholds(quality_thresholds), sort_keys=True)
+        + ":" + ",".join(quality_families)
         + ":" + json.dumps(clean_params or {}, sort_keys=True, default=str)
         + ":" + (content_digest(eval_df) if eval_df is not None else "-")
         + f":{decontam_k}:{decontam_pad}:{decontam_min_tok}:{chunk_to_capacity}"
@@ -1466,8 +1506,10 @@ def prep_batch(
         stored_grams = _read_span_index(spark, gidxdir)
 
     # 1. quality gate (same rules as the base build)
-    gated = quality_ops.repetition_gate(
-        batch.where(F.col("doc_id").isNotNull()), **(quality_thresholds or {})
+    gated = quality_ops.quality_gate(
+        batch.where(F.col("doc_id").isNotNull()),
+        families=quality_families,
+        thresholds=_family_thresholds(quality_thresholds),
     ).persist()
     failed = gated.where(~F.col(VERDICT_COL)).select(
         "doc_id",
@@ -1487,7 +1529,7 @@ def prep_batch(
         failed.write.mode("overwrite").parquet(qdir)
     clean = gated.where(F.col(VERDICT_COL)).drop(
         VERDICT_COL, FIRST_FAIL_COL, REASON_COL, FAILED_ALL_COL,
-        "dup_line_frac", "dup_line_char_frac", "top_bigram_frac",
+        *quality_ops.family_signal_cols(quality_families),
     ).persist()
     report["quality_failed"] = failed.count()
 

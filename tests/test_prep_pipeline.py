@@ -353,3 +353,81 @@ def test_prep_null_source_docs_are_packed_and_reported(spark, tmp_path):
     assert rep2["docs"] == 3
     for s in rep2["splits"].values():
         assert set(s["sources"]) == {"__null__"}
+
+
+def test_prep_quality_families_configurable(spark, tmp_path):
+    """quality_families widens the prep quality stage beyond
+    repetition: a gibberish doc (zero Gopher stopwords) survives the
+    default build but falls to the gopher_words family in BOTH the
+    base build and a batch ingest; nested per-family thresholds flow
+    through; no family signal columns leak into clean_docs."""
+    inp = str(tmp_path / "docs")
+    out_def = str(tmp_path / "wh_def")
+    out_fam = str(tmp_path / "wh_fam")
+    # gibberish: 60 distinct words, no Gopher stopwords -> passes
+    # repetition, fails gopher_words' stopword-kinds rule
+    gib = " ".join(f"zq{j}x" for j in range(60))
+    docs = [Row(doc_id=900, text=gib, source="web")] + [
+        Row(
+            doc_id=910 + i,
+            text="the quick brown fox is said to be near the lazy dog and "
+                 + " ".join(f"v{i}w{j}" for j in range(40)),
+            source="web",
+        )
+        for i in range(6)
+    ]
+    spark.createDataFrame(docs).write.parquet(inp)
+
+    rep_def = pipeline.prep_corpus(spark, inp, out_def, run_id="d", capacity=64)
+    assert rep_def["stages"]["quality"]["failed"] == 0
+
+    fams = ("repetition", "gopher_words")
+    rep_fam = pipeline.prep_corpus(
+        spark, inp, out_fam, run_id="f", capacity=64,
+        quality_families=fams,
+        quality_thresholds={"gopher_words": {"min_stopword_kinds": 2}},
+    )
+    assert rep_fam["stages"]["quality"]["failed"] == 1
+    viol = spark.read.parquet(f"{out_fam}/quality_violations")
+    assert [(r["doc_id"], r["check_name"]) for r in viol.collect()] == [
+        (900, "stopword_kinds")
+    ]
+    clean_cols = set(spark.read.parquet(f"{out_fam}/clean_docs").columns)
+    from teleharvest_spark.operators.quality import family_signal_cols
+    assert not (set(family_signal_cols(fams)) & clean_cols)
+
+    # batch ingest with the same families drops its gibberish doc too
+    b = str(tmp_path / "batch")
+    spark.createDataFrame([
+        Row(doc_id=950, text=" ".join(f"pk{j}m" for j in range(60)),
+            source="web"),
+        Row(doc_id=951, text="the cats that live here are said to be of a "
+                             "kind and have the run of the house "
+                             + " ".join(f"nice{j}word" for j in range(45)),
+            source="web"),
+    ]).write.parquet(b)
+    brep = pipeline.prep_batch(
+        spark, b, out_fam, run_id="fb", capacity=64,
+        quality_families=fams,
+        quality_thresholds={"gopher_words": {"min_stopword_kinds": 2}},
+    )
+    assert brep["quality_failed"] == 1
+    assert brep["kept"] == 1
+
+
+def test_prep_corpus_drain_to_zero_raises_clearly(spark, tmp_path):
+    """A base build whose quality stage drops EVERY doc must raise a
+    clear misconfiguration error, not crash later on a file-less
+    parquet dir (batches drain-to-zero legitimately; the base corpus
+    never should)."""
+    import pytest
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [Row(doc_id=i, text="spam spam\n" * 40, source="web")
+         for i in range(3)]
+    ).write.parquet(inp)
+    with pytest.raises(ValueError, match="quality.*dropped every document"):
+        pipeline.prep_corpus(
+            spark, inp, str(tmp_path / "wh"), run_id="z", capacity=64
+        )
