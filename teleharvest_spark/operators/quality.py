@@ -685,6 +685,16 @@ def quality_gate(
     unknown = set(thresholds) - set(QUALITY_FAMILIES)
     if unknown:
         raise ValueError(f"unknown quality families in thresholds: {sorted(unknown)}")
+    # thresholds for a family that is not running would be silently
+    # ignored — a misconfigured gate (e.g. legacy flat repetition
+    # overrides with families=('gopher_words',)) must fail loudly, not
+    # build a corpus under default thresholds
+    inactive = set(thresholds) - set(families)
+    if inactive:
+        raise ValueError(
+            f"thresholds given for families not in this run: "
+            f"{sorted(inactive)} (families={tuple(families)})"
+        )
     from .cascade import apply_cascade
 
     signal_fns = {

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -535,11 +536,10 @@ def prep_corpus(
                 *quality_ops.family_signal_cols(quality_families),
             )
             clean.write.mode("overwrite").parquet(cdir)
-            n_clean = _require_rows(
-                spark.read.parquet(cdir).count(), "quality"
-            )
+            n_clean = spark.read.parquet(cdir).count()
             n_failed = failed.count()
-            gated.unpersist()
+            gated.unpersist()  # before the drain check — no leak on raise
+            _require_rows(n_clean, "quality")
             write_stage_state(output_path, "prep_quality", {
                 "digest": digest, "run_id": run_id,
                 "clean": n_clean, "failed": n_failed,
@@ -726,6 +726,29 @@ def prep_corpus(
         if gate("prep_spans", digest):
             report["stages"]["dedup_spans"] = {"skipped": True}
         else:
+            # a re-parameterized rebuild invalidates every batch's
+            # appended gram dir (different fingerprint space / repeat
+            # policy) — sweep them so _read_span_index can't union
+            # stale grams; a content-only rebuild (same params) keeps
+            # the batch increments, which stay valid per-batch facts
+            meta_path = os.path.join(gidxdir, "meta.json")
+            meta_new = {
+                "k": sk, "min_count": smin, "min_tok": smin_tok,
+                "vocab_size": vocab_size,
+            }
+            gram_space = ("k", "min_count", "vocab_size")
+            if os.path.isfile(meta_path):
+                with open(meta_path) as fh:
+                    meta_old = json.load(fh)
+                if any(
+                    meta_old.get(p) != meta_new[p] for p in gram_space
+                ):
+                    for dd in os.listdir(gidxdir):
+                        if dd.startswith("b_") and dd != "b_base":
+                            shutil.rmtree(
+                                os.path.join(gidxdir, dd),
+                                ignore_errors=True,
+                            )
             # gram dimension first (materialized by the write), spans
             # via the SHARED positional join so one-shot and batch
             # semantics can't fork; meta.json LAST (the lm_store
@@ -751,15 +774,15 @@ def prep_corpus(
             kept.select(toks.columns).write.mode("overwrite").parquet(
                 spansdir
             )
+            # remove_spans is row-preserving: the persisted frame IS
+            # the input row count — no re-scan of the corpus dir
+            n_in = cut.count()
             cut.unpersist()
-            n_in = spark.read.parquet(flatdir).count()
             n = _require_rows(
                 spark.read.parquet(spansdir).count(), "dedup_spans"
             )
-            with open(os.path.join(gidxdir, "meta.json"), "w") as fh:
-                json.dump(
-                    {"k": sk, "min_count": smin, "min_tok": smin_tok}, fh
-                )
+            with open(meta_path, "w") as fh:
+                json.dump(meta_new, fh)
             write_stage_state(output_path, "prep_spans", {
                 "digest": digest, "run_id": run_id, "rows": n,
                 "removed_tokens": n_removed_tok, "dropped": n_in - n,
@@ -1189,7 +1212,6 @@ def compact_indexes(spark: SparkSession, output_path: str) -> dict:
     leftovers. Run while no ingest is active (same discipline as any
     table compaction)."""
     import hashlib
-    import shutil
 
     report: dict = {}
 
@@ -1460,6 +1482,15 @@ def prep_batch(
             )
         with open(meta_path) as fh:
             span_meta = json.load(fh)
+        # the gram fingerprints live in the tokenizer's id space — a
+        # batch tokenized under a different vocab would silently never
+        # match the stored index (every duplicated passage passes)
+        stored_vocab = span_meta.get("vocab_size")
+        if stored_vocab is not None and int(stored_vocab) != vocab_size:
+            raise ValueError(
+                f"span_filter: batch vocab_size={vocab_size} != stored "
+                f"index vocab_size={stored_vocab} (span_index/meta.json)"
+            )
         span_sig = json.dumps(span_meta, sort_keys=True)
     else:
         span_sig = "-"
@@ -1489,7 +1520,6 @@ def prep_batch(
     # a completed-but-unrecorded packs dir would feed the pack-id
     # offset scan below with the batch's OWN packs (double-offset on
     # replay). Remove them up front so every attempt starts clean.
-    import shutil
 
     for sub in (
         os.path.join(output_path, "corpus_inc", f"b_{d}"),
@@ -1624,10 +1654,16 @@ def prep_batch(
     span_cached = None
     if span_filter:
         # same order as the base build: tokenize -> dedup_spans -> lm;
-        # k/min_count/min_tok all come from the stage's stored meta
-        spans, new_grams = dedup_ops.batch_duplicated_spans(
-            toks, stored_grams,
-            k=int(span_meta["k"]), min_count=int(span_meta["min_count"]),
+        # k/min_count/min_tok all come from the stage's stored meta.
+        # Decomposed form of batch_duplicated_spans (hot set = stored
+        # ∪ batch-repeated, identical semantics) so the batch's
+        # fingerprint explode runs TWICE (gram aggregate, span probe)
+        # instead of three times: the written gram dir is read back as
+        # one side of the hot dimension instead of re-deriving it
+        sk, smc = int(span_meta["k"]), int(span_meta["min_count"])
+        batch_rep = dedup_ops.repeated_grams(toks, k=sk, min_count=smc)
+        new_grams = batch_rep.join(
+            stored_grams.select("gram"), "gram", "anti"
         )
         # index append FIRST (overwrite dir = replay-idempotent): the
         # batch's repeated passages must keep cutting future batches
@@ -1635,6 +1671,12 @@ def prep_batch(
         new_grams.write.mode("overwrite").parquet(
             os.path.join(gidxdir, f"b_{d}")
         )
+        # stored ∪ new ≡ stored ∪ batch_rep (batch_rep ∩ stored ⊆
+        # stored), and the new side comes from parquet, not a recompute
+        hot = stored_grams.select("gram").unionByName(
+            spark.read.parquet(os.path.join(gidxdir, f"b_{d}")).select("gram")
+        )
+        spans = dedup_ops.spans_from_grams(toks, hot, k=sk)
         cut = (
             dedup_ops.remove_spans(toks, spans)
             .withColumn("n_tok", F.size("tokens"))

@@ -114,7 +114,9 @@ def test_spans_stage_cuts_all_copies_and_persists_index(spark, tmp_path):
     import json as _json
 
     with open(f"{out}/span_index/meta.json") as fh:
-        assert _json.load(fh) == {"k": 5, "min_count": 2, "min_tok": 1}
+        assert _json.load(fh) == {
+            "k": 5, "min_count": 2, "min_tok": 1, "vocab_size": 50257,
+        }
     # downstream corpus carries the cut token counts
     assert _ntok(spark, f"{out}/corpus")[0] == flat[0] - 12
     # resume: unchanged input skips the stage
@@ -201,6 +203,62 @@ def test_batch_span_filter_requires_index(spark, tmp_path):
             ),
             out, run_id="b1", capacity=64, span_filter=True,
         )
+
+
+def test_batch_span_filter_rejects_vocab_mismatch(spark, tmp_path):
+    """The gram fingerprints live in the tokenizer's id space: a batch
+    tokenized under a different vocab would silently never match the
+    stored index, so the mismatch must raise."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    _base_docs(spark).write.parquet(inp)
+    _build(spark, inp, out)
+    with pytest.raises(ValueError, match="vocab_size"):
+        pipeline.prep_batch(
+            spark,
+            spark.createDataFrame(
+                [Row(doc_id=500, text=_doc(500), source="web")]
+            ),
+            out, run_id="b1", capacity=64, span_filter=True,
+            vocab_size=32000,
+        )
+
+
+def test_reparameterized_rebuild_sweeps_stale_batch_gram_dirs(spark, tmp_path):
+    """A base rebuild with different GRAM-SPACE params (k/min_count/
+    vocab) invalidates every batch's appended gram dir — the rebuild
+    must sweep them so future batches can't union stale grams; a
+    content-compatible rebuild (params unchanged) keeps them."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    _base_docs(spark).write.parquet(inp)
+    _build(spark, inp, out)
+    rep1 = pipeline.prep_batch(
+        spark,
+        spark.createDataFrame(
+            [
+                Row(doc_id=600, text=_doc(600, FRESH), source="web"),
+                Row(doc_id=601, text=_doc(601, FRESH), source="web"),
+            ]
+        ),
+        out, run_id="b1", capacity=64, span_filter=True,
+    )
+    bdir = f"{out}/span_index/b_{rep1['batch']}"
+    assert os.path.isdir(bdir)
+
+    # min_tok-only change: NOT a gram-space param — batch dirs survive
+    _build(
+        spark, inp, out, run_id="sp2",
+        dedup_spans_params={"k": 5, "min_count": 2, "min_tok": 2},
+    )
+    assert os.path.isdir(bdir)
+
+    # k change: the fingerprint space forks — batch dirs are swept
+    _build(
+        spark, inp, out, run_id="sp3",
+        dedup_spans_params={"k": 6, "min_count": 2},
+    )
+    assert not os.path.isdir(bdir)
+    dirs = [d for d in os.listdir(f"{out}/span_index") if d.startswith("b_")]
+    assert dirs == ["b_base"]
 
 
 def test_compact_folds_span_index_and_batches_still_cut(spark, tmp_path):

@@ -321,6 +321,13 @@ def test_quality_gate_composed_family_order(spark):
         quality.quality_gate(uniq, families=("nope",)).collect()
     with pytest.raises(ValueError, match="unknown quality families"):
         quality.quality_gate(uniq, thresholds={"nope": {}})
+    # thresholds for a family NOT in this run would be silently
+    # ignored — must fail loudly instead
+    with pytest.raises(ValueError, match="not in this run"):
+        quality.quality_gate(
+            uniq, families=("repetition",),
+            thresholds={"gopher_words": {"min_word_count": 10}},
+        )
 
 
 def test_language_family_detection_and_gate(spark):
