@@ -513,6 +513,37 @@ def incremental_dedup_bench(spark, sf_dir: str) -> dict:
         lambda: dedup.minhash_signatures(corpus, k=3).count()
     )
 
+    # Bloom prefilter over the stored index's bucket keys
+    # (operators/bloom.py): identical pairs (pinned in tests), batch
+    # bucket rows that can't hit the index skip the join. Locally the
+    # join is cheap either way — the reported number that matters at
+    # scale is bloom_kept_frac: the fraction of probe rows that would
+    # reach a 10^12-row index join.
+    from teleharvest_spark.operators import bloom as BL
+
+    shutil.rmtree(f"{idx}/bloom", ignore_errors=True)
+    n_bucket_keys = buckets.count()
+    BL.write_bloom(
+        BL.bloom_build(buckets, ["band", "bucket"], 1 << 24, 5),
+        f"{idx}/bloom", 1 << 24, 5, ["band", "bucket"],
+    )
+    bwords, bmeta = BL.read_bloom(spark, f"{idx}/bloom")
+    bwords = bwords.persist()
+    bwords.count()
+    out["batch_vs_index_bloom_sec"] = best2(
+        lambda: dedup.incremental_dedup_pairs(
+            batch, sigs, buckets, k=3, threshold=0.5,
+            index_bloom=bwords, bloom_meta=bmeta,
+        ).count()
+    )
+    bb = dedup.band_buckets(dedup.minhash_signatures(batch, k=3))
+    n_probe = bb.count()
+    n_kept = BL.bloom_prefilter(
+        bb, bwords, ["band", "bucket"], bmeta["m_bits"], bmeta["k"]
+    ).count()
+    out["bloom_kept_frac"] = round(n_kept / max(n_probe, 1), 4)
+    bwords.unpersist()
+
     if SF1_ENABLED:
         build_sf1(spark, sf_dir)
         d10 = spark.read.parquet(f"{SF1_DIR}/documents.parquet")

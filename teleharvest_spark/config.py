@@ -24,6 +24,20 @@ class CheckSuite:
     banned_tokens: tuple[int, ...] = ()   # stop words (settings.py:17-21)
     allowed_sources: tuple[str, ...] = () # channels (settings.py:32-34)
 
+    # Token-domain checks (no reference analogue — the north-rule
+    # payload is pre-tokenized ids, so a validation engine must be able
+    # to assert the id domain). Both default OFF: enabling either is a
+    # suite change and re-queues every manifest partition via
+    # suite_hash, exactly like a threshold change.
+    vocab_size: int | None = None   # ids must lie in [0, vocab_size)
+    forbid_null_token: bool = False # NULL elements inside tokens fail
+    # Token-level degeneracy gate (quality.token_degeneracy_signals):
+    # a sequence fails when its distinct-token fraction is below
+    # min_distinct_frac or its longest same-token run exceeds
+    # max_token_run. None disables the check entirely.
+    min_distinct_frac: float | None = None
+    max_token_run: int | None = None
+
     # Per-partition stats thresholds (north_rule single-pass aggregate).
     max_null_rate: float = 0.01
     max_dup_rate: float = 0.0

@@ -62,6 +62,14 @@ def sequence_checks(suite: CheckSuite, per_source_bounds: bool = False) -> list[
     unknown source (the J3 referential restriction, processor.py:59,
     expressed as a row check so violations materialize).
 
+    Suite-gated extras with no reference analogue (all default OFF so
+    the base cascade is byte-identical): token-domain checks
+    (``forbid_null_token`` → null_token_element, ``vocab_size`` →
+    out_of_vocab) slot after the consistency check — they are schema
+    errors; token degeneracy (``min_distinct_frac`` /
+    ``max_token_run``) slots after the bounds — it is a quality rule
+    (quality.token_degeneracy_checks inlined as per-row expressions).
+
     With ``per_source_bounds`` the length checks compare against the
     dimension columns attached by :func:`with_source_bounds`
     (per-source overrides, global thresholds as fallback) — the
@@ -93,6 +101,37 @@ def sequence_checks(suite: CheckSuite, per_source_bounds: bool = False) -> list[
                 F.size(tokens).cast("string"),
             ),
         ),
+    ]
+    # Token-domain checks (suite-gated, default off): the payload is
+    # pre-tokenized ids, so domain violations — NULL elements inside
+    # the array, ids outside [0, vocab) — are schema errors exactly
+    # like inconsistent_n_tok, and sit with it in the cascade order
+    # (before the threshold checks). Both are per-row codegen HOFs
+    # with the banned-token range-prefilter idiom: no shuffle, no UDF.
+    if suite.forbid_null_token:
+        n_null_el = F.size(F.filter(tokens, lambda t: t.isNull()))
+        checks.append(
+            Check(
+                "null_token_element",
+                F.exists(tokens, lambda t: t.isNull()),
+                F.concat(n_null_el.cast("string"), F.lit(" NULL token element(s)")),
+            )
+        )
+    if suite.vocab_size is not None:
+        vocab = F.lit(int(suite.vocab_size))
+        oov = lambda t: (t < 0) | (t >= vocab)  # noqa: E731 — NULL ids stay NULL (never true)
+        checks.append(
+            Check(
+                "out_of_vocab",
+                F.exists(tokens, oov),
+                F.concat(
+                    F.lit("token "),
+                    F.element_at(F.filter(tokens, oov), 1).cast("string"),
+                    F.lit(f" outside [0, {int(suite.vocab_size)})"),
+                ),
+            )
+        )
+    checks += [
         Check(
             "too_short",
             n_tok < min_b,
@@ -104,6 +143,38 @@ def sequence_checks(suite: CheckSuite, per_source_bounds: bool = False) -> list[
             F.concat(F.lit("n_tok="), n_tok.cast("string"), F.lit(" > "), max_b.cast("string")),
         ),
     ]
+    # Token-level degeneracy (suite-gated, default off): the Gopher
+    # repetition rule on the token payload — see
+    # quality.token_degeneracy_checks. Signals are inlined as per-row
+    # expressions so the cascade stays a single narrow projection.
+    if suite.min_distinct_frac is not None:
+        from .quality import distinct_frac_expr
+
+        df_sig = distinct_frac_expr(tokens)
+        checks.append(
+            Check(
+                "low_distinct_frac",
+                df_sig < F.lit(float(suite.min_distinct_frac)),
+                F.format_string(
+                    f"distinct_frac=%.4f < {float(suite.min_distinct_frac)}", df_sig
+                ),
+            )
+        )
+    if suite.max_token_run is not None:
+        from .quality import max_token_run_expr
+
+        run_sig = max_token_run_expr(tokens)
+        checks.append(
+            Check(
+                "long_token_run",
+                run_sig > F.lit(int(suite.max_token_run)),
+                F.concat(
+                    F.lit("max_token_run="),
+                    run_sig.cast("string"),
+                    F.lit(f" > {int(suite.max_token_run)}"),
+                ),
+            )
+        )
     if suite.banned_tokens:
         banned = F.array([F.lit(int(t)) for t in suite.banned_tokens])
         lo, hi = min(suite.banned_tokens), max(suite.banned_tokens)

@@ -63,6 +63,10 @@ __all__ = [
     "family_signal_cols",
     "QUALITY_FAMILIES",
     "GOPHER_STOPWORDS",
+    "distinct_frac_expr",
+    "max_token_run_expr",
+    "token_degeneracy_signals",
+    "token_degeneracy_checks",
 ]
 
 _BULLETS = ("-", "*", "•")  # '-', '*', '•'
@@ -715,3 +719,104 @@ def quality_gate(
         joined = joined.join(sig, id_col, "left")
         checks.extend(chk_fn(**thresholds.get(fam, {})))
     return apply_cascade(joined, checks)
+
+
+# ---------------------------------------------------------------------------
+# Token-level degeneracy — the post-tokenization repetition gate.
+#
+# The text families above can't see the north-rule payload (input_hint:
+# tokens array<int>); a validation engine over PRE-tokenized sequences
+# needs the same "repetitious content" rule expressed on token ids. A
+# degenerate sequence (one id repeated for thousands of steps, or a
+# 2-token loop) is the classic training-data failure the Gopher
+# repetition rules catch pre-tokenization (Rae et al. 2021) — these two
+# signals are its exact token-domain counterpart, and both are pure
+# per-row codegen HOFs: zero shuffles, no UDFs, fuse into whatever scan
+# the cascade already runs.
+# ---------------------------------------------------------------------------
+
+
+def distinct_frac_expr(tokens: Column) -> Column:
+    """|distinct ids| / |ids| as a per-row expression.
+
+    NULL array → NULL; empty array → NULL (no division by zero; the
+    null/empty payload checks own those rows). NULL elements count as
+    one distinct value (``array_distinct`` keeps a single NULL)."""
+    n = F.size(tokens)
+    return F.when(
+        n > 0, F.size(F.array_distinct(tokens)).cast("double") / n.cast("double")
+    )
+
+
+def max_token_run_expr(tokens: Column) -> Column:
+    """Longest run of one repeated token id, as a per-row fold.
+
+    ``F.aggregate`` state = (prev id, current run, best run); NULL
+    elements compare null-safely (a run of NULLs counts — it is exactly
+    as degenerate as a run of a real id). NULL array → NULL; empty
+    array → 0."""
+    init = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        new_run = (
+            F.when(t.cast("long").eqNullSafe(acc["prev"]) & (acc["run"] > 0), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            t.cast("long").alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    return F.aggregate(tokens, init, step, lambda acc: acc["best"])
+
+
+def token_degeneracy_signals(
+    df: DataFrame, tokens_col: str = "tokens"
+) -> DataFrame:
+    """``df`` + ``distinct_frac`` + ``max_token_run`` columns."""
+    t = F.col(tokens_col)
+    return df.withColumn("distinct_frac", distinct_frac_expr(t)).withColumn(
+        "max_token_run", max_token_run_expr(t)
+    )
+
+
+def token_degeneracy_checks(
+    min_distinct_frac: float | None = None,
+    max_token_run: int | None = None,
+):
+    """The degeneracy rules as cascade ``Check``s over the signal
+    columns of :func:`token_degeneracy_signals`. NULL signals (NULL
+    payload rows) never fail here — the payload checks own them."""
+    from .cascade import Check
+
+    checks = []
+    if min_distinct_frac is not None:
+        c = F.col("distinct_frac")
+        checks.append(
+            Check(
+                name="low_distinct_frac",
+                fails=c < F.lit(float(min_distinct_frac)),
+                reason=F.format_string(
+                    f"distinct_frac=%.4f < {float(min_distinct_frac)}", c
+                ),
+            )
+        )
+    if max_token_run is not None:
+        r = F.col("max_token_run")
+        checks.append(
+            Check(
+                name="long_token_run",
+                fails=r > F.lit(int(max_token_run)),
+                reason=F.concat(
+                    F.lit("max_token_run="),
+                    r.cast("string"),
+                    F.lit(f" > {int(max_token_run)}"),
+                ),
+            )
+        )
+    return checks

@@ -188,3 +188,95 @@ def test_run_suite_with_source_dim(spark, suite):
     res.cleanup()
     assert [ (v["doc_id"], v["check_name"]) for v in viol ] == [("d1", "too_short")]
     assert set(res.violations.columns) == {"doc_id", "source", "check_name", "reason", "tokens"}
+
+
+def test_token_domain_checks(spark):
+    """Suite-gated token-domain checks: NULL elements inside the array
+    and ids outside [0, vocab). Default-off (DEFAULT_SUITE emits
+    neither check); enabling either changes suite_hash (manifest
+    re-queue, exactly like a threshold change)."""
+    suite = CheckSuite(
+        min_n_tok=1, max_n_tok=100, vocab_size=50, forbid_null_token=True
+    )
+    base = CheckSuite(min_n_tok=1, max_n_tok=100)
+    assert suite.suite_hash() != base.suite_hash()
+    names = [c.name for c in cascade.sequence_checks(base)]
+    assert "out_of_vocab" not in names and "null_token_element" not in names
+
+    df = spark.createDataFrame(
+        [
+            ("ok", [0, 1, 49], 3, "a"),
+            ("neg", [1, -2, 3], 3, "a"),         # -2 < 0
+            ("over", [1, 50, 2], 3, "a"),        # 50 >= vocab 50
+            ("null_el", [1, None, 2], 3, "a"),   # NULL element
+            # NULL element AND oov: null_token_element wins (cascade order)
+            ("both", [None, 99], 2, "a"),
+            ("null_payload", None, None, "a"),   # payload check owns it
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    got = {
+        r["doc_id"]: (r[cascade.FIRST_FAIL_COL], r[cascade.REASON_COL])
+        for r in cascade.apply_cascade(df, cascade.sequence_checks(suite)).collect()
+    }
+    assert got["ok"][0] is None
+    assert got["neg"] == ("out_of_vocab", "token -2 outside [0, 50)")
+    assert got["over"] == ("out_of_vocab", "token 50 outside [0, 50)")
+    assert got["null_el"] == ("null_token_element", "1 NULL token element(s)")
+    assert got["both"][0] == "null_token_element"
+    assert got["null_payload"][0] == "null_payload"
+
+
+def test_token_degeneracy_checks(spark):
+    """Suite-gated degeneracy gate: distinct-token fraction and longest
+    same-id run, computed inline as codegen HOFs (no join, no UDF)."""
+    suite = CheckSuite(
+        min_n_tok=1, max_n_tok=1000, min_distinct_frac=0.25, max_token_run=3
+    )
+    df = spark.createDataFrame(
+        [
+            ("varied", [1, 2, 3, 4], 4, "a"),          # 1.0 distinct, run 1
+            ("loop", [7, 7, 7, 7, 7, 7, 7, 8], 8, "a"),  # run 7 > 3
+            # 2 distinct / 12 = 0.1667 < 0.25, but runs of 3 pass the
+            # run rule → low_distinct_frac is the reported reason
+            ("lowdist", [1, 1, 1, 2, 2, 2, 1, 1, 1, 2, 2, 2], 12, "a"),
+            ("edge_run", [5, 5, 5, 6], 4, "a"),        # run 3 == max → pass
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    got = {
+        r["doc_id"]: (r[cascade.FIRST_FAIL_COL], r[cascade.REASON_COL])
+        for r in cascade.apply_cascade(df, cascade.sequence_checks(suite)).collect()
+    }
+    assert got["varied"][0] is None
+    assert got["loop"] == ("long_token_run", "max_token_run=7 > 3")
+    assert got["lowdist"][0] == "low_distinct_frac"
+    assert "0.1667 < 0.25" in got["lowdist"][1]
+    assert got["edge_run"][0] is None
+
+
+def test_token_degeneracy_signals(spark):
+    """quality.token_degeneracy_signals column semantics: NULL array →
+    NULL/NULL; empty → NULL frac, run 0; NULL elements run null-safely."""
+    from teleharvest_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 1, 2, 2, 2]),
+            ("b", []),
+            ("c", None),
+            ("d", [None, None, 5]),
+            ("e", [3]),
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    got = {
+        r["doc_id"]: (r["distinct_frac"], r["max_token_run"])
+        for r in Q.token_degeneracy_signals(df).collect()
+    }
+    assert got["a"] == (0.4, 3)           # distinct {1,2} = 2/5; run of 2s = 3
+    assert got["b"] == (None, 0)
+    assert got["c"] == (None, None)
+    # NULL counts as one distinct value: {NULL, 5} = 2/3; NULL run = 2
+    assert abs(got["d"][0] - 2 / 3) < 1e-9 and got["d"][1] == 2
+    assert got["e"] == (1.0, 1)
