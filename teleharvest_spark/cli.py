@@ -340,6 +340,38 @@ def quality_pass(
     return report
 
 
+def embeddings_pass(
+    spark: SparkSession,
+    emb_path: str,
+    output_path: str,
+    run_id: str,
+    dim: int | None,
+) -> dict:
+    """Embedding-payload validation front door (operators/embcheck.py):
+    NULL / empty / wrong-dim / non-finite / zero-norm vectors land in
+    ``<out>/embedding_violations/run_id=<id>`` (overwrite — the
+    replay-idempotency convention), counts returned for the report.
+    Run this before any similarity/semdedup consumer: those operators
+    route malformed vectors to silent no-bucket paths by design."""
+    from .operators import embcheck
+
+    emb = spark.read.parquet(emb_path)
+    viol = embcheck.validate_embeddings(emb, dim=dim).persist()
+    out_dir = f"{output_path}/embedding_violations/run_id={run_id}"
+    viol.write.mode("overwrite").parquet(out_dir)
+    by_rule = {
+        r["check_name"]: r["n"]
+        for r in viol.groupBy("check_name").agg(F.count("*").alias("n")).collect()
+    }
+    viol.unpersist()
+    return {
+        "run_id": run_id,
+        "vectors": emb.count(),
+        "embedding_failed": sum(by_rule.values()),
+        "embedding_failed_by_rule": by_rule,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="teleharvest-validate")
     ap.add_argument("--input", default=None, help="sequences table path (parquet)")
@@ -486,6 +518,20 @@ def main(argv: list[str] | None = None) -> int:
         "<output>/quality_violations alongside the sequence violations",
     )
     ap.add_argument(
+        "--validate-embeddings",
+        default=None,
+        help="embeddings parquet to validate (NULL/empty/wrong-dim/"
+        "non-finite/zero-norm vectors -> "
+        "<output>/embedding_violations/run_id=<id>)",
+    )
+    ap.add_argument(
+        "--emb-dim",
+        type=int,
+        default=None,
+        help="expected embedding dimension for --validate-embeddings "
+        "(omit to skip the dimension check)",
+    )
+    ap.add_argument(
         "--quality-families",
         default="repetition",
         help="comma list of quality check families for --quality-docs "
@@ -497,15 +543,16 @@ def main(argv: list[str] | None = None) -> int:
     if (
         args.input is None
         and args.quality_docs is None
+        and args.validate_embeddings is None
         and args.prep_docs is None
         and args.prep_batch_docs is None
         and not args.corpus_report
         and not args.compact_indexes
     ):
         ap.error(
-            "at least one of --input / --quality-docs / --prep-docs / "
-            "--prep-batch-docs / --corpus-report / --compact-indexes "
-            "is required"
+            "at least one of --input / --quality-docs / "
+            "--validate-embeddings / --prep-docs / --prep-batch-docs / "
+            "--corpus-report / --compact-indexes is required"
         )
     if args.run_all and args.input is None:
         ap.error("--run-all requires --input")
@@ -581,12 +628,21 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(report))
         return 0
     quality_report = None
+    emb_report = None
     if args.quality_docs:
         quality_report = quality_pass(
             spark, args.quality_docs, args.output, args.run_id, families=qfams
         )
+    if args.validate_embeddings:
+        emb_report = embeddings_pass(
+            spark, args.validate_embeddings, args.output, args.run_id,
+            dim=args.emb_dim,
+        )
     if args.input is None:
-        print(json.dumps(quality_report))
+        side = dict(quality_report or {})
+        if emb_report is not None:
+            side["embeddings"] = emb_report
+        print(json.dumps(side))
         return 0
     if args.run_all:
         from . import pipeline
@@ -618,6 +674,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     if quality_report is not None:
         report["quality"] = quality_report
+    if emb_report is not None:
+        report["embeddings"] = emb_report
     print(json.dumps(report))
     return 0
 

@@ -343,3 +343,35 @@ def test_cli_prep_docs_with_clean_and_mix_flags(spark, tmp_path, capsys):
     assert cleaned.where(F.col("text").contains("@example.com")).count() == 0
     mixed = spark.read.parquet(f"{out}/corpus_mixed")
     assert "copy" in mixed.columns
+
+
+def test_cli_validate_embeddings_standalone(spark, tmp_path, capsys):
+    """--validate-embeddings without --input: violations land in
+    <out>/embedding_violations/run_id=<id> (overwrite = replay-
+    idempotent) and the report counts by rule."""
+    inp = str(tmp_path / "emb")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, None),
+            (3, [1.0, 2.0, 3.0]),          # wrong dim (expect 2)
+            (4, [float("nan"), 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(inp)
+    args = [
+        "--validate-embeddings", inp, "--emb-dim", "2",
+        "--output", out, "--run-id", "e1",
+    ]
+    assert cli.main(args) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["embeddings"]
+    assert rep["vectors"] == 4 and rep["embedding_failed"] == 3
+    assert rep["embedding_failed_by_rule"] == {
+        "null_vector": 1, "wrong_dim": 1, "nonfinite_element": 1,
+    }
+    # replay: same run_id overwrites, no duplicate rows
+    assert cli.main(args) == 0
+    capsys.readouterr()
+    stored = spark.read.parquet(f"{out}/embedding_violations/run_id=e1")
+    assert stored.count() == 3
