@@ -168,6 +168,7 @@ def run(
     source_dim_path: str | None = None,
     drift_baseline: str = "global",
     token_drift: bool = False,
+    history_anomalies: bool = False,
 ) -> dict:
     """``drift_baseline``:
 
@@ -245,6 +246,27 @@ def run(
     mf.append_manifest_rows(spark, output_path, res.verdicts, snapshots, suite, run_id)
     if drift and drift_baseline == "previous" and res.hist is not None:
         _store_baseline(spark, output_path, res.hist, prev_baseline, run_id)
+    history_report = {}
+    if history_anomalies:
+        # cross-run bands (plans/history.py): this run's manifest rows
+        # (just appended, so the read-back includes them) vs each
+        # partition's own metric history. Metadata-sized end to end.
+        from .plans import history as hist_mod
+
+        rep = hist_mod.anomaly_report(
+            mf.read_manifest(spark, output_path), run_id
+        ).persist()
+        rep.where(F.col("anomaly")).write.mode("overwrite").parquet(
+            f"{output_path}/metric_anomalies/run_id={run_id}"
+        )
+        verd = hist_mod.anomaly_verdicts(rep)
+        history_report = {
+            "anomalous_metrics": rep.where(F.col("anomaly")).count(),
+            "anomalous_partitions": verd.where(
+                F.col("history_verdict") == "anomalous"
+            ).count(),
+        }
+        rep.unpersist()
     token_report = (
         token_drift_pass(spark, sequences, output_path, suite, run_id)
         if token_drift
@@ -261,6 +283,7 @@ def run(
         "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
         "suite_hash": suite.suite_hash(),
         "skipped": False,
+        **history_report,
         **token_report,
     }
     res.cleanup()
@@ -385,6 +408,15 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="opt-in temporal vocab-shift drift (token-id histograms "
         "vs the previous pass; costs one extra decode scan)",
+    )
+    ap.add_argument(
+        "--history-anomalies",
+        action="store_true",
+        help="after validating, compare this run's per-partition "
+        "metrics against each partition's OWN manifest history "
+        "(z-score + relative-change bands, direction-aware; see "
+        "plans/history.py) and write flagged rows to "
+        "<output>/metric_anomalies/run_id=<id>",
     )
     ap.add_argument(
         "--drift-baseline",
@@ -671,6 +703,7 @@ def main(argv: list[str] | None = None) -> int:
             source_dim_path=args.source_dim,
             drift_baseline=args.drift_baseline,
             token_drift=args.token_drift,
+            history_anomalies=args.history_anomalies,
         )
     if quality_report is not None:
         report["quality"] = quality_report

@@ -383,17 +383,21 @@ def incremental_dedup_pairs(
     identical-id rows are excluded from matching, and the batch's
     signature wins the estimate attach).
     """
+    # validate BEFORE the persist below: raising past a fresh persist()
+    # leaks the cache entry (no caller ever gets a handle to release)
+    if index_bloom is not None and (
+        bloom_meta is None or bloom_meta.get("cols") != ["band", "bucket"]
+    ):
+        raise ValueError(
+            "index_bloom requires bloom_meta from bloom.read_bloom "
+            f"with cols=['band', 'bucket']; got {bloom_meta!r}"
+        )
     bsigs = minhash_signatures(batch, text_col, id_col, n_perm, k).persist()
     bbuckets = band_buckets(bsigs, id_col=id_col, n_perm=n_perm, bands=bands)
     probe = bbuckets
     if index_bloom is not None:
         from . import bloom as BL
 
-        if bloom_meta is None or bloom_meta.get("cols") != ["band", "bucket"]:
-            raise ValueError(
-                "index_bloom requires bloom_meta from bloom.read_bloom "
-                f"with cols=['band', 'bucket']; got {bloom_meta!r}"
-            )
         probe = BL.bloom_prefilter(
             bbuckets, index_bloom, ["band", "bucket"],
             bloom_meta["m_bits"], bloom_meta["k"],

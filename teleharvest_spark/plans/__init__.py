@@ -1,1 +1,2 @@
-"""Validation-run assembly: suite runner + checkpoint manifest."""
+"""Validation-run assembly: suite runner + checkpoint manifest +
+cross-run metric anomaly detection (history.py)."""

@@ -1,0 +1,213 @@
+"""Cross-run metric anomaly detection over the validation manifest.
+
+The manifest is append-only: every validation run leaves one row per
+(partition, snapshot, suite-hash) carrying a metrics map
+(manifest.py:83). Accumulated across runs that is a metrics repository
+in the Deequ sense (public: AWS Deequ's anomaly checks over a
+MetricsRepository), and this module turns it into a temporal gate:
+does THIS run's value for (partition, metric) sit inside the band
+implied by the partition's OWN past runs? This catches regressions no
+static threshold can: a null-rate that quadrupled but still sits under
+the configured cap, a partition whose row count halved overnight, a
+violation count that was always 0 and suddenly is not.
+
+Two direction-aware detectors per (metric, rule), either fires:
+
+* **z-score** — ``|value - hist_mean| / hist_std > max_zscore`` with at
+  least ``min_history`` prior runs and non-degenerate spread. The
+  classic band for metrics that wobble (row counts, quantiles).
+* **relative change** — ``|value - hist_mean| / max(|hist_mean|, eps)
+  > max_rel_change``. The detector that still works when history is
+  CONSTANT (std = 0, where z-score is undefined): a null_rate that was
+  0.0 for ten runs and is 0.05 today is exactly the case this exists
+  for (mean 0 makes any increase an unbounded relative change).
+
+``direction`` gates both: ``upper`` rules ignore improvements (a
+violation count FALLING is not an anomaly), ``lower`` rules ignore
+growth (row counts are allowed to grow).
+
+Scale: everything here is metadata-sized — |partitions| x |runs| x
+|metrics| rows, never the fact table. The rules table is a handful of
+rows and broadcast-joined.
+
+Reference analogue: the reference compares freshly computed metrics
+against previously stored values before publishing updates
+(processor.py:159-178); this generalizes that idiom to every stored
+metric with explicit statistical bands and direction semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+_EPS = 1e-12
+
+
+@dataclass(frozen=True)
+class AnomalyRule:
+    """Band definition for one metric.
+
+    ``max_rel_change=None`` disables the relative detector;
+    ``direction`` is ``"upper"`` / ``"lower"`` / ``"both"``.
+    """
+
+    direction: str = "both"
+    max_zscore: float = 3.0
+    max_rel_change: float | None = None
+    min_history: int = 3
+
+
+DEFAULT_RULE = AnomalyRule()
+
+# Direction semantics follow what each metric MEANS for a validation
+# run: counts of data shrinking or violations/nulls/drift growing are
+# anomalies; the opposite movements are improvements.
+DEFAULT_RULES: dict[str, AnomalyRule] = {
+    "row_count": AnomalyRule("lower", 4.0, 0.5),
+    "distinct_doc_id": AnomalyRule("lower", 4.0, 0.5),
+    "violation_rows": AnomalyRule("upper", 3.0, 2.0),
+    "null_rate": AnomalyRule("upper", 3.0, 2.0),
+    "p50_n_tok": AnomalyRule("both", 4.0, 0.5),
+    "ks_stat": AnomalyRule("upper", 3.0, None),
+    "psi": AnomalyRule("upper", 3.0, None),
+}
+
+
+def metrics_history(manifest: DataFrame) -> DataFrame:
+    """Long-form history: one row per (partition, run, metric).
+
+    ``explode`` of the metrics map — the manifest is already one row
+    per validated (partition, snapshot, suite), so this stays
+    |runs| x |partitions| x |metrics| rows.
+    """
+    return manifest.select(
+        "partition",
+        "suite_hash",
+        "validated_at_run",
+        F.explode("metrics").alias("metric", "value"),
+    )
+
+
+def _rules_df(spark, rules: dict[str, AnomalyRule]) -> DataFrame:
+    rows = [
+        (m, r.direction, float(r.max_zscore),
+         None if r.max_rel_change is None else float(r.max_rel_change),
+         int(r.min_history))
+        for m, r in rules.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "metric string, direction string, max_zscore double, "
+        "max_rel_change double, min_history int",
+    )
+
+
+def anomaly_report(
+    manifest: DataFrame,
+    run_id: str,
+    rules: dict[str, AnomalyRule] | None = None,
+    suite_hash: str | None = None,
+) -> DataFrame:
+    """Current run's metrics vs each partition's own history.
+
+    Returns one row per (partition, metric) of the current run with the
+    history band, both detector readings, and ``anomaly``/``reason``.
+    Partitions with no prior rows (first validation, or a brand-new
+    source) report ``hist_n = 0`` and never flag — novelty is the drift
+    check's job (cli.py drift_baseline="previous"), not this one's.
+
+    ``suite_hash=None`` (default) pools history across suite versions:
+    the stored metrics are raw observations, not threshold-dependent,
+    so a threshold tweak should not amnesia the band. Pass a hash to
+    pin history to one suite version (e.g. when a suite change altered
+    which rows count as violations).
+    """
+    spark = manifest.sparkSession
+    hist_all = metrics_history(manifest)
+    if suite_hash is not None:
+        hist_all = hist_all.where(F.col("suite_hash") == suite_hash)
+    current = hist_all.where(F.col("validated_at_run") == run_id)
+    prior = hist_all.where(F.col("validated_at_run") != run_id)
+
+    band = prior.groupBy("partition", "metric").agg(
+        F.count(F.lit(1)).alias("hist_n"),
+        F.avg("value").alias("hist_mean"),
+        F.stddev_samp("value").alias("hist_std"),
+        F.min("value").alias("hist_min"),
+        F.max("value").alias("hist_max"),
+    )
+    rules_dim = _rules_df(spark, rules or DEFAULT_RULES)
+
+    joined = (
+        current.select("partition", "metric", "value")
+        .join(band, ["partition", "metric"], "left")
+        .fillna({"hist_n": 0})
+        .join(F.broadcast(rules_dim), "metric", "left")
+        # metrics without an explicit rule take the default band
+        .fillna(
+            {
+                "direction": DEFAULT_RULE.direction,
+                "max_zscore": DEFAULT_RULE.max_zscore,
+                "min_history": DEFAULT_RULE.min_history,
+            }
+        )
+    )
+
+    delta = F.col("value") - F.col("hist_mean")
+    dir_match = (
+        (F.col("direction") == "both")
+        | ((F.col("direction") == "upper") & (delta > 0))
+        | ((F.col("direction") == "lower") & (delta < 0))
+    )
+    enough = F.col("hist_n") >= F.col("min_history")
+    zscore = F.when(
+        F.col("hist_std").isNotNull() & (F.col("hist_std") > 0),
+        delta / F.col("hist_std"),
+    )
+    rel = delta / F.greatest(F.abs(F.col("hist_mean")), F.lit(_EPS))
+    z_fire = (
+        enough & dir_match & zscore.isNotNull()
+        & (F.abs(zscore) > F.col("max_zscore"))
+    )
+    rel_fire = (
+        enough & dir_match & F.col("max_rel_change").isNotNull()
+        & (F.abs(rel) > F.col("max_rel_change"))
+    )
+    reason = F.concat_ws(
+        "; ",
+        F.when(z_fire, F.concat(F.lit("zscore "), F.round(zscore, 2).cast("string"),
+                                F.lit(" beyond "), F.col("max_zscore").cast("string"))),
+        F.when(rel_fire, F.concat(F.lit("rel_change "), F.round(rel, 3).cast("string"),
+                                  F.lit(" beyond "), F.col("max_rel_change").cast("string"))),
+    )
+    return joined.select(
+        "partition",
+        "metric",
+        "value",
+        "hist_n",
+        "hist_mean",
+        "hist_std",
+        "hist_min",
+        "hist_max",
+        zscore.alias("zscore"),
+        F.when(F.col("hist_mean").isNotNull(), rel).alias("rel_change"),
+        (z_fire | rel_fire).alias("anomaly"),
+        F.when(z_fire | rel_fire, reason).alias("reason"),
+    )
+
+
+def anomaly_verdicts(report: DataFrame) -> DataFrame:
+    """Per-partition rollup: 'anomalous' iff any metric flagged."""
+    return report.groupBy("partition").agg(
+        F.sum(F.col("anomaly").cast("int")).alias("anomalous_metrics"),
+        F.max(F.col("hist_n")).alias("hist_n"),
+        # collect_list drops the NULLs the unfired branch produces
+        F.collect_list(F.when(F.col("anomaly"), F.col("metric"))).alias("flagged"),
+    ).withColumn(
+        "history_verdict",
+        F.when(F.col("anomalous_metrics") > 0, F.lit("anomalous")).otherwise(
+            F.lit("normal")
+        ),
+    )

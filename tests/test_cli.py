@@ -375,3 +375,40 @@ def test_cli_validate_embeddings_standalone(spark, tmp_path, capsys):
     capsys.readouterr()
     stored = spark.read.parquet(f"{out}/embedding_violations/run_id=e1")
     assert stored.count() == 3
+
+
+def test_cli_history_anomalies(spark, suite, tmp_path):
+    """Three clean runs build the per-partition metric history; a
+    fourth run with a planted null-token burst in ONE source flags that
+    source's null_rate (and only anomalies land in metric_anomalies/)."""
+    inp = str(tmp_path / "seqs")
+    out = str(tmp_path / "out")
+    seqs = datagen.generate_sequences(spark, 3_000, suite)
+    seqs.write.parquet(inp)
+    for rid in ("r1", "r2", "r3"):
+        # non-resume: every partition appends a manifest row per run
+        cli.run(spark, inp, out, suite, run_id=rid, drift=False)
+    # under the 3-run minimum history nothing can flag yet (r3 itself
+    # ran with only 2 prior rows, so a history pass there is silent)
+    from teleharvest_spark.plans import history as H, manifest as mf
+
+    rep3 = H.anomaly_report(mf.read_manifest(spark, out), "r3")
+    assert rep3.where(F.col("anomaly")).count() == 0
+
+    burst = (
+        seqs.where(F.col("source") == "src_03")
+        .withColumn("tokens", F.lit(None).cast("array<int>"))
+        .withColumn("doc_id", F.concat(F.lit("burst_"), F.col("doc_id")))
+    )
+    seqs.unionByName(burst).write.mode("overwrite").parquet(inp)
+    r4 = cli.run(
+        spark, inp, out, suite, run_id="r4", drift=False,
+        history_anomalies=True,
+    )
+    assert r4["anomalous_partitions"] >= 1
+    flagged = spark.read.parquet(f"{out}/metric_anomalies/run_id=r4")
+    rows = {(r["partition"], r["metric"]) for r in flagged.collect()}
+    assert ("src_03", "null_rate") in rows
+    # every persisted row IS an anomaly; untouched sources stay silent
+    assert flagged.where(~F.col("anomaly")).count() == 0
+    assert ("src_01", "null_rate") not in rows
