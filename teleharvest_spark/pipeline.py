@@ -1258,6 +1258,13 @@ def compact_indexes(spark: SparkSession, output_path: str) -> dict:
             shutil.rmtree(os.path.join(gidxdir, dd), ignore_errors=True)
         report["span_index"] = {"folded": len(gdirs)}
 
+    # validation manifests accrete one file set per run — fold those
+    # too when the output root carries one (plans/manifest.py)
+    from .plans import manifest as mf_mod
+
+    if os.path.isdir(os.path.join(output_path, mf_mod.MANIFEST_DIRNAME)):
+        report["manifest"] = mf_mod.compact_manifest(spark, output_path)
+
     return report
 
 

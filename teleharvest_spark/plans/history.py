@@ -51,15 +51,31 @@ class AnomalyRule:
 
     ``max_rel_change=None`` disables the relative detector;
     ``direction`` is ``"upper"`` / ``"lower"`` / ``"both"``.
+
+    ``absent_is_zero``: treat runs whose metrics map LACKS this key as
+    having observed 0 — the right semantics for count-like metrics
+    (``viol_<check>``: a clean run records no key at all, yet it is
+    evidence of zero failures). The band is then computed over ALL of
+    the partition's prior runs with zeros filled in, so a check that
+    never fired before and fires 1000 times today is a fresh anomaly
+    rather than an empty history.
     """
 
     direction: str = "both"
     max_zscore: float = 3.0
     max_rel_change: float | None = None
     min_history: int = 3
+    absent_is_zero: bool = False
 
 
 DEFAULT_RULE = AnomalyRule()
+
+# Prefix-matched rules for metric FAMILIES (exact-name rules win).
+# viol_<check>: per-check failure counts from the manifest breakdown
+# (plans/suite.py viol_by_check) — upper-only, absent runs count as 0.
+DEFAULT_PREFIX_RULES: dict[str, AnomalyRule] = {
+    "viol_": AnomalyRule("upper", 3.0, 2.0, absent_is_zero=True),
+}
 
 # Direction semantics follow what each metric MEANS for a validation
 # run: counts of data shrinking or violations/nulls/drift growing are
@@ -82,7 +98,16 @@ def metrics_history(manifest: DataFrame) -> DataFrame:
     per validated (partition, snapshot, suite), so this stays
     |runs| x |partitions| x |metrics| rows.
     """
-    return manifest.select(
+    # dropDuplicates: a run that crashed after its manifest append and
+    # was replayed under the same run_id wrote its rows twice —
+    # identical rows, which would double-count the band sums. The key
+    # excludes the metrics map (set ops reject map columns; duplicates
+    # of the key carry identical maps — same run over the same
+    # snapshot). compact_manifest retires them permanently.
+    return manifest.dropDuplicates(
+        ["partition", "snapshot_id", "file_list_hash", "suite_hash",
+         "validated_at_run"]
+    ).select(
         "partition",
         "suite_hash",
         "validated_at_run",
@@ -94,13 +119,13 @@ def _rules_df(spark, rules: dict[str, AnomalyRule]) -> DataFrame:
     rows = [
         (m, r.direction, float(r.max_zscore),
          None if r.max_rel_change is None else float(r.max_rel_change),
-         int(r.min_history))
+         int(r.min_history), bool(r.absent_is_zero))
         for m, r in rules.items()
     ]
     return spark.createDataFrame(
         rows,
         "metric string, direction string, max_zscore double, "
-        "max_rel_change double, min_history int",
+        "max_rel_change double, min_history int, absent_is_zero boolean",
     )
 
 
@@ -109,6 +134,7 @@ def anomaly_report(
     run_id: str,
     rules: dict[str, AnomalyRule] | None = None,
     suite_hash: str | None = None,
+    prefix_rules: dict[str, AnomalyRule] | None = None,
 ) -> DataFrame:
     """Current run's metrics vs each partition's own history.
 
@@ -125,34 +151,101 @@ def anomaly_report(
     which rows count as violations).
     """
     spark = manifest.sparkSession
-    hist_all = metrics_history(manifest)
     if suite_hash is not None:
-        hist_all = hist_all.where(F.col("suite_hash") == suite_hash)
+        manifest = manifest.where(F.col("suite_hash") == suite_hash)
+    hist_all = metrics_history(manifest)
     current = hist_all.where(F.col("validated_at_run") == run_id)
     prior = hist_all.where(F.col("validated_at_run") != run_id)
 
+    # sum/sumsq (not stddev_samp) so absent_is_zero rules can rebase
+    # the band over ALL n_runs prior runs with zeros filled in
     band = prior.groupBy("partition", "metric").agg(
-        F.count(F.lit(1)).alias("hist_n"),
-        F.avg("value").alias("hist_mean"),
-        F.stddev_samp("value").alias("hist_std"),
-        F.min("value").alias("hist_min"),
-        F.max("value").alias("hist_max"),
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum("value").alias("v_sum"),
+        F.sum(F.col("value") * F.col("value")).alias("v_sumsq"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    # run count from the RAW manifest rows, not the exploded long form:
+    # a run whose metrics map lacks a key (or is empty) is still a run,
+    # and absent_is_zero needs it in the denominator
+    runs = (
+        manifest.where(F.col("validated_at_run") != run_id)
+        .select("partition", "validated_at_run")
+        .distinct()
+        .groupBy("partition")
+        .agg(F.count(F.lit(1)).alias("n_runs"))
     )
     rules_dim = _rules_df(spark, rules or DEFAULT_RULES)
 
     joined = (
         current.select("partition", "metric", "value")
         .join(band, ["partition", "metric"], "left")
-        .fillna({"hist_n": 0})
+        .join(runs, "partition", "left")
+        .fillna({"n_present": 0, "n_runs": 0})
         .join(F.broadcast(rules_dim), "metric", "left")
-        # metrics without an explicit rule take the default band
-        .fillna(
-            {
-                "direction": DEFAULT_RULE.direction,
-                "max_zscore": DEFAULT_RULE.max_zscore,
-                "min_history": DEFAULT_RULE.min_history,
-            }
+    )
+    # prefix-matched rule families fill where no exact rule landed.
+    # The hit flag must be materialized BEFORE the rule columns mutate:
+    # the first withColumn overwrites `direction`, and a hit expression
+    # re-reading it would see the already-filled value and skip the
+    # remaining columns.
+    for pfx, r in (prefix_rules or DEFAULT_PREFIX_RULES).items():
+        joined = joined.withColumn(
+            "_pfx_hit", F.col("direction").isNull() & F.col("metric").startswith(pfx)
         )
+        hit = F.col("_pfx_hit")
+        for col, v in (
+            ("max_zscore", r.max_zscore),
+            ("max_rel_change", r.max_rel_change),
+            ("min_history", r.min_history),
+            ("absent_is_zero", r.absent_is_zero),
+            # direction LAST — it is the "no exact rule matched" marker
+            ("direction", r.direction),
+        ):
+            joined = joined.withColumn(
+                col, F.when(hit, F.lit(v)).otherwise(F.col(col))
+            )
+        joined = joined.drop("_pfx_hit")
+    # metrics without any rule take the default band; the prefix loop
+    # above ran first, so these fills never shadow a family rule
+    joined = joined.fillna(
+        {
+            "direction": DEFAULT_RULE.direction,
+            "max_zscore": DEFAULT_RULE.max_zscore,
+            "min_history": DEFAULT_RULE.min_history,
+            "absent_is_zero": DEFAULT_RULE.absent_is_zero,
+        }
+    )
+
+    # absent_is_zero: rebase over every prior run (missing key = 0).
+    # hist_n then counts RUNS; mean/var come from the zero-filled
+    # population (sum and sumsq are unchanged by adding zeros).
+    az = F.col("absent_is_zero") & (F.col("n_runs") > F.col("n_present"))
+    hist_n = F.when(az, F.col("n_runs")).otherwise(F.col("n_present"))
+    v_sum = F.coalesce(F.col("v_sum"), F.lit(0.0))
+    v_sumsq = F.coalesce(F.col("v_sumsq"), F.lit(0.0))
+    hist_mean = F.when(hist_n > 0, v_sum / hist_n)
+    hist_var = F.when(
+        hist_n > 1,
+        F.greatest(
+            (v_sumsq - hist_n * hist_mean * hist_mean) / (hist_n - 1),
+            F.lit(0.0),
+        ),
+    )
+    hist_std = F.sqrt(hist_var)
+    hist_min = F.when(az, F.least(F.coalesce(F.col("v_min"), F.lit(0.0)), F.lit(0.0))).otherwise(
+        F.col("v_min")
+    )
+    hist_max = F.when(az, F.greatest(F.coalesce(F.col("v_max"), F.lit(0.0)), F.lit(0.0))).otherwise(
+        F.col("v_max")
+    )
+    joined = (
+        joined.withColumn("hist_n", hist_n)
+        .withColumn("hist_mean", hist_mean)
+        .withColumn("hist_std", hist_std)
+        .withColumn("hist_min", hist_min)
+        .withColumn("hist_max", hist_max)
     )
 
     delta = F.col("value") - F.col("hist_mean")

@@ -105,6 +105,19 @@ def append_manifest_rows(
         keys += [F.lit("ks_stat"), F.lit("psi")]
         vals += [F.col("ks").cast("double"), F.col("psi").cast("double")]
     metrics = F.map_from_arrays(F.array(*keys), F.array(*vals))
+    if "viol_by_check" in verdicts.columns:
+        # per-check failure counts become viol_<check> metric keys —
+        # history.py's viol_ prefix rule gives each one its own
+        # cross-run band (absent key on clean runs = 0, see
+        # AnomalyRule.absent_is_zero)
+        metrics = F.map_concat(
+            metrics,
+            F.expr(
+                "transform_values(transform_keys("
+                "coalesce(viol_by_check, cast(map() as map<string,bigint>)), "
+                "(k, v) -> concat('viol_', k)), (k, v) -> cast(v as double))"
+            ),
+        )
     rows = (
         verdicts.select(
             F.coalesce(F.col("source"), F.lit("__null__")).alias("partition"),
@@ -123,3 +136,59 @@ def append_manifest_rows(
         )
     )
     rows.write.mode("append").parquet(manifest_path(table_path))
+
+
+def compact_manifest(spark: SparkSession, table_path: str) -> dict:
+    """Fold the append-accumulated manifest back to a bounded file
+    count. Every validation run appends one file set
+    (:func:`append_manifest_rows`), so years of nightly runs leave
+    thousands of tiny files under ``_validation_manifest`` and listing
+    starts to dominate the resume anti-join's read.
+
+    ``dropDuplicates`` here also retires exact-duplicate rows: a run
+    that crashed AFTER its manifest append and was replayed under the
+    same run_id appended its rows twice (history.py additionally
+    dedups on read so band sums stay correct in the interim). The swap
+    is the compact_partitioned idiom (writer.py:111): staging dir
+    written completely, two renames; a crash inside the rename window
+    leaves no manifest → the next resume re-validates everything —
+    the safe direction. In production the manifest is an Iceberg table
+    and this is ``rewrite_data_files`` (an atomic snapshot commit).
+    Returns {files_before, files_after, rows}.
+    """
+    import os
+    import shutil
+
+    path = manifest_path(table_path)
+
+    def _count_files(p: str) -> int:
+        if not os.path.isdir(p):
+            return 0
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _count_files(path)
+    # map columns can't join set ops; the non-map columns ARE the row
+    # identity (a duplicate key carries an identical metrics map)
+    df = read_manifest(spark, table_path).dropDuplicates(
+        ["partition", "snapshot_id", "file_list_hash", "suite_hash",
+         "validated_at_run"]
+    )
+    n = df.count()
+    if n == 0 or before <= 1:
+        return {"files_before": before, "files_after": before, "rows": n}
+    staging = path.rstrip("/") + "__compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    # manifest rows are metadata-sized (|partitions| × |runs|): a small
+    # fixed file count is right even for years of history
+    df.coalesce(4).write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + "__precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"files_before": before, "files_after": _count_files(path), "rows": n}

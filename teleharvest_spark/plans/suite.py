@@ -164,8 +164,21 @@ def run_suite(
     # per-source violation counts (small agg over the violations set).
     # NULL is a legitimate partition value here (null_key violations) —
     # all verdict-side joins must be null-safe.
-    viol_counts = violations.groupBy("source").agg(
-        F.count(F.lit(1)).alias("violation_rows")
+    # per-check breakdown rides along: it lands in the manifest metrics
+    # map as viol_<check> keys, so cross-run anomaly bands (plans/
+    # history.py) can flag ONE check's failure count jumping even when
+    # the total stays inside its band. Two-level agg over the already-
+    # tiny violations set.
+    viol_counts = (
+        violations.groupBy("source", "check_name")
+        .agg(F.count(F.lit(1)).alias("check_cnt"))
+        .groupBy("source")
+        .agg(
+            F.sum("check_cnt").alias("violation_rows"),
+            F.map_from_entries(
+                F.collect_list(F.struct("check_name", "check_cnt"))
+            ).alias("viol_by_check"),
+        )
     )
     verdicts = (
         part_stats.join(

@@ -409,6 +409,11 @@ def test_cli_history_anomalies(spark, suite, tmp_path):
     flagged = spark.read.parquet(f"{out}/metric_anomalies/run_id=r4")
     rows = {(r["partition"], r["metric"]) for r in flagged.collect()}
     assert ("src_03", "null_rate") in rows
+    # the per-check breakdown flows verdicts → manifest metrics →
+    # history bands: the burst's null_payload count is ITS OWN anomaly
+    # (absent from every clean run = zero-filled band)
+    assert ("src_03", "viol_null_payload") in rows
     # every persisted row IS an anomaly; untouched sources stay silent
     assert flagged.where(~F.col("anomaly")).count() == 0
     assert ("src_01", "null_rate") not in rows
+    assert not any(p == "src_01" for p, _ in rows)

@@ -124,3 +124,51 @@ def test_metrics_history_shape(spark):
     got = {(r["partition"], r["metric"], r["value"])
            for r in H.metrics_history(m).collect()}
     assert got == {("a", "x", 1.0), ("a", "y", 2.0)}
+
+
+def test_viol_prefix_absent_is_zero_flags_fresh_check(spark):
+    """A check that NEVER fired in 4 prior runs (key absent from every
+    metrics map = observed 0) and fires 50 times today must flag — the
+    zero-filled band, not an empty history."""
+    rows = [("a", f"r{i}", {"row_count": 1000.0}) for i in range(4)]
+    m = _manifest(spark, rows + [("a", "cur", {"row_count": 1000.0,
+                                               "viol_null_payload": 50.0})])
+    r = _report(m, "cur")[("a", "viol_null_payload")]
+    assert r["anomaly"] is True and "rel_change" in r["reason"]
+    assert r["hist_n"] == 4 and r["hist_mean"] == 0.0
+    assert r["hist_min"] == 0.0 and r["hist_max"] == 0.0
+
+
+def test_viol_prefix_zero_fill_rebases_partial_history(spark):
+    """Key present in SOME prior runs: the band averages over all runs
+    with zeros filled for the clean ones, and a stable recurrence does
+    not flag while a surge does."""
+    rows = [
+        ("a", "r0", {"viol_banned_token": 10.0}),
+        ("a", "r1", {}),  # clean run: key absent = 0
+        ("a", "r2", {"viol_banned_token": 8.0}),
+        ("a", "r3", {"viol_banned_token": 6.0}),
+    ]
+    m = _manifest(spark, rows + [("a", "cur", {"viol_banned_token": 9.0})])
+    r = _report(m, "cur")[("a", "viol_banned_token")]
+    assert r["hist_n"] == 4 and r["hist_mean"] == 6.0  # (10+0+8+6)/4
+    assert r["hist_min"] == 0.0
+    assert r["anomaly"] is False  # 9 is inside both bands
+    m2 = _manifest(spark, rows + [("a", "cur", {"viol_banned_token": 200.0})])
+    assert _report(m2, "cur")[("a", "viol_banned_token")]["anomaly"] is True
+
+
+def test_viol_prefix_improvement_never_flags(spark):
+    rows = [("a", f"r{i}", {"viol_too_short": 100.0}) for i in range(4)]
+    m = _manifest(spark, rows + [("a", "cur", {"viol_too_short": 0.5})])
+    # upper-direction family rule: failures FALLING is an improvement
+    assert _report(m, "cur")[("a", "viol_too_short")]["anomaly"] is False
+
+
+def test_exact_rule_wins_over_prefix(spark):
+    rows = [("a", f"r{i}", {"viol_x": 10.0 + i}) for i in range(4)]
+    m = _manifest(spark, rows + [("a", "cur", {"viol_x": 0.0})])
+    # exact lower-direction rule overrides the upper-only family rule
+    lower = {"viol_x": H.AnomalyRule("lower", 3.0, 0.5)}
+    assert _report(m, "cur", rules=lower)[("a", "viol_x")]["anomaly"] is True
+    assert _report(m, "cur")[("a", "viol_x")]["anomaly"] is False

@@ -85,3 +85,63 @@ def test_length_changing_payload_update_requeues(spark, sequences, suite, tmp_pa
     )
     pend = M.pending_partitions(M.snapshot_of_partitions(edited), man, suite)
     assert [r["partition"] for r in pend.collect()] == ["src_02"]
+
+
+def _mrows(spark, rows):
+    """rows: (partition, run, {metric: value}) → MANIFEST-schema frame"""
+    from teleharvest_spark.schema import MANIFEST
+
+    data = [
+        (p, abs(hash((p, r))) % (1 << 40), f"flh_{p}_{r}", "s0", "pass", m, r)
+        for p, r, m in rows
+    ]
+    return spark.createDataFrame(data, MANIFEST)
+
+
+def test_compact_manifest_folds_files_and_preserves_rows(spark, tmp_path):
+    out = str(tmp_path / "wh")
+    path = M.manifest_path(out)
+    for rid in ("r1", "r2", "r3"):
+        _mrows(
+            spark,
+            [("a", rid, {"row_count": 10.0}), ("b", rid, {"row_count": 20.0})],
+        ).repartition(4).write.mode("append").parquet(path)
+    import os
+
+    n_before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    # 2 rows can't fill 4 partitions; ≥2 files per append is enough to
+    # prove accretion
+    assert n_before >= 6
+    rep = M.compact_manifest(spark, out)
+    assert rep["rows"] == 6 and rep["files_after"] <= 4 < rep["files_before"]
+    back = M.read_manifest(spark, out)
+    assert back.count() == 6
+    got = {(r["partition"], r["validated_at_run"], r["metrics"]["row_count"])
+           for r in back.collect()}
+    assert ("a", "r2", 10.0) in got and len(got) == 6
+
+
+def test_compact_manifest_retires_replayed_duplicates(spark, tmp_path):
+    """A crash-replayed run appends its rows twice under the same
+    run_id: history bands must count the run once (read-side dedup),
+    and compaction retires the duplicates permanently."""
+    from teleharvest_spark.plans import history as H
+
+    out = str(tmp_path / "wh")
+    path = M.manifest_path(out)
+    rows = _mrows(spark, [("a", "r1", {"null_rate": 0.5})])
+    rows.write.mode("append").parquet(path)
+    rows.write.mode("append").parquet(path)  # the replay
+    assert M.read_manifest(spark, out).count() == 2
+    hist = H.metrics_history(M.read_manifest(spark, out))
+    assert hist.count() == 1  # band input counts the run once
+    rep = M.compact_manifest(spark, out)
+    assert rep["rows"] == 1
+    assert M.read_manifest(spark, out).count() == 1
+
+
+def test_compact_manifest_noop_on_empty(spark, tmp_path):
+    rep = M.compact_manifest(spark, str(tmp_path / "nowhere"))
+    assert rep == {"files_before": 0, "files_after": 0, "rows": 0}
