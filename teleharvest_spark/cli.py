@@ -169,6 +169,8 @@ def run(
     drift_baseline: str = "global",
     token_drift: bool = False,
     history_anomalies: bool = False,
+    schema_contract: bool = True,
+    on_schema_mismatch: str = "fail",
 ) -> dict:
     """``drift_baseline``:
 
@@ -183,6 +185,21 @@ def run(
       Every drift-enabled run stores its histogram for the next one.
     """
     sequences = spark.read.parquet(input_path)
+    schema_report: dict = {}
+    if schema_contract:
+        # pure-metadata gate: static contract + temporal schema drift,
+        # refused BEFORE any job is submitted (plans/contract.py) — a
+        # shape break must not surface as an executor error after
+        # scheduling a 100 TB scan
+        from .plans import contract as ct
+
+        schema_report = ct.schema_gate(
+            spark,
+            sequences.schema,
+            output_path,
+            run_id,
+            on_mismatch=on_schema_mismatch,
+        )
     source_dim = spark.read.parquet(source_dim_path) if source_dim_path else None
 
     snapshots = mf.snapshot_of_partitions(sequences)
@@ -196,7 +213,8 @@ def run(
         pending = mf.pending_partitions(snapshots, manifest, suite)
         pending_sources = [r["partition"] for r in pending.select("partition").collect()]
         if not pending_sources:
-            return {"run_id": run_id, "validated_rows": 0, "skipped": True}
+            return {"run_id": run_id, "validated_rows": 0, "skipped": True,
+                    **schema_report}
         if drift and baseline_hist is None:
             # Global mode only (the temporal baseline is already full-
             # coverage): the drift_vs_global baseline must pool the
@@ -285,6 +303,7 @@ def run(
         "skipped": False,
         **history_report,
         **token_report,
+        **schema_report,
     }
     res.cleanup()
     return report
@@ -430,6 +449,21 @@ def main(argv: list[str] | None = None) -> int:
         "--source-dim",
         default=None,
         help="parquet path of (source, min_n_tok, max_n_tok) per-source overrides",
+    )
+    ap.add_argument(
+        "--no-schema-contract",
+        action="store_true",
+        help="skip the table-shape gate (static contract vs the "
+        "canonical sequences shape + drift vs the last-seen schema; "
+        "plans/contract.py)",
+    )
+    ap.add_argument(
+        "--schema-mismatch",
+        choices=("fail", "report"),
+        default="fail",
+        help="on a contract ERROR (missing/retyped column): refuse the "
+        "run before any scan (fail), or record the report and proceed "
+        "(report). Drift-only findings never refuse.",
     )
     ap.add_argument("--master", default=None, help="override master (default: existing session / local)")
     ap.add_argument(
@@ -704,6 +738,8 @@ def main(argv: list[str] | None = None) -> int:
             drift_baseline=args.drift_baseline,
             token_drift=args.token_drift,
             history_anomalies=args.history_anomalies,
+            schema_contract=not args.no_schema_contract,
+            on_schema_mismatch=args.schema_mismatch,
         )
     if quality_report is not None:
         report["quality"] = quality_report
