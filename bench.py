@@ -522,7 +522,6 @@ def incremental_dedup_bench(spark, sf_dir: str) -> dict:
     from teleharvest_spark.operators import bloom as BL
 
     shutil.rmtree(f"{idx}/bloom", ignore_errors=True)
-    n_bucket_keys = buckets.count()
     BL.write_bloom(
         BL.bloom_build(buckets, ["band", "bucket"], 1 << 24, 5),
         f"{idx}/bloom", 1 << 24, 5, ["band", "bucket"],

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import json
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, field, asdict, fields
 
 
 @dataclass(frozen=True)
@@ -67,8 +67,27 @@ class CheckSuite:
     neardup_jaccard: float = 0.8
 
     def suite_hash(self) -> str:
-        """Stable hash of every threshold — manifest lineage key."""
-        payload = json.dumps(asdict(self), sort_keys=True, default=list)
+        """Stable hash of every NON-DEFAULT threshold — manifest
+        lineage key.
+
+        Default-valued fields are excluded so that ADDING a new suite
+        field in a later release does not change the hash of every
+        existing suite — which would anti-join-miss every stored
+        manifest row and re-validate the whole (nominally 100 TB)
+        warehouse on upgrade. The contract this relies on: new checks
+        MUST default to disabled/no-op (vocab_size=None,
+        forbid_null_token=False, ...), so a default value always means
+        "semantics unchanged". Changing an EXISTING default is still a
+        semantics change and must be treated as a suite change (the
+        field now hashes for suites pinning the old value, and the
+        release notes re-queue the rest).
+        """
+        defaults = {f.name: f.default for f in fields(self)}
+        payload = json.dumps(
+            {k: v for k, v in asdict(self).items() if v != defaults[k]},
+            sort_keys=True,
+            default=list,
+        )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

@@ -48,6 +48,7 @@ __all__ = [
     "bloom_prefilter",
     "write_bloom",
     "read_bloom",
+    "bloom_meta_of",
     "BLOOM_META",
 ]
 
@@ -108,32 +109,47 @@ def bloom_prefilter(
     Shape: k broadcast-hash left joins against the (≤ m_bits/64-row)
     word table, each followed by a bit-test filter — all map-side,
     zero shuffles of ``df``, and each join shrinks the survivor set so
-    later probes touch fewer rows. Internal helper columns are dropped;
-    the output schema is exactly ``df``'s.
+    later probes touch fewer rows. All k joins reference the SAME
+    aliased dimension plan (projection identical, only the subquery
+    alias differs — erased during analysis), so the physical plan
+    builds ONE BroadcastExchange and the other k−1 are ReusedExchange
+    nodes: the word table ships to executors once, not k times
+    (plan-pinned in tests). Internal helper columns are dropped; the
+    output schema is exactly ``df``'s.
     """
     key_cols = [F.col(c) for c in cols]
+    dim_base = bloom.select("word", "bits")
     out = df
     for j, pos in enumerate(_positions(key_cols, m_bits, k)):
-        wcol, bcol = f"__bw{j}", f"__bb{j}"
-        dim = F.broadcast(
-            bloom.select(F.col("word").alias(wcol), F.col("bits").alias(bcol))
-        )
+        b = f"__bloom{j}"
+        dim = F.broadcast(dim_base.alias(b))
+        # shiftleft's numBits arg must be a Column via SQL (the Python
+        # wrapper only takes a literal int)
+        mask = F.expr("shiftleft(1L, CAST(pmod(__pos, 64) AS INT))")
         out = (
             out.withColumn("__pos", pos)
-            .withColumn(wcol, _word(F.col("__pos")))
-            .join(dim, wcol, "left")
+            .withColumn("__w", _word(F.col("__pos")))
+            .join(dim, F.col("__w") == F.col(f"{b}.word"), "left")
             .where(
-                F.col(bcol).isNotNull()
-                & (
-                    F.expr(
-                        f"{bcol} & shiftleft(1L, CAST(pmod(__pos, 64) AS INT))"
-                    )
-                    != 0
-                )
+                F.col(f"{b}.bits").isNotNull()
+                & (F.col(f"{b}.bits").bitwiseAND(mask) != 0)
             )
-            .drop("__pos", wcol, bcol)
+            .drop("__pos", "__w")
+            .drop(F.col(f"{b}.word"))
+            .drop(F.col(f"{b}.bits"))
         )
     return out
+
+
+def bloom_meta_of(path: str) -> dict | None:
+    """Stored (m_bits, k, cols) params of a persisted bloom, or None
+    when no (complete) bloom exists at ``path`` — meta is written last,
+    so its presence certifies a whole filter."""
+    meta_path = os.path.join(path, BLOOM_META)
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path, encoding="utf-8") as f:
+        return json.load(f)
 
 
 def write_bloom(
@@ -143,11 +159,14 @@ def write_bloom(
     """Persist a Bloom word table + its hashing parameters. Parameters
     are part of the filter's identity — a probe hashed under different
     (m_bits, k, cols) is meaningless — so they are stored and verified
-    on read, and appends under mismatched params are refused. meta is
-    written LAST (the lm_store crash convention): a crash beforehand
-    leaves an index readers ignore."""
+    on read, and APPENDS under mismatched params are refused (call
+    :func:`bloom_meta_of` first if the write must be all-or-nothing
+    with other artifacts). mode='overwrite' replaces the whole filter,
+    params included — the old identity is retired with the old bits.
+    meta is written LAST (the lm_store crash convention): a crash
+    beforehand leaves an index readers ignore."""
     meta_path = os.path.join(path, BLOOM_META)
-    if os.path.exists(meta_path):
+    if mode == "append" and os.path.exists(meta_path):
         with open(meta_path, encoding="utf-8") as f:
             meta = json.load(f)
         if (meta["m_bits"], meta["k"], meta["cols"]) != (m_bits, k, list(cols)):

@@ -311,7 +311,47 @@ def write_dedup_index(
     (band, bucket) (sources/bucketed.py) so the nightly batch join
     co-locates without reshuffling the stored side; plain parquet here.
     """
+    import os
+    import shutil
+
+    from . import bloom as BL
+
     spark = df.sparkSession
+    # Bloom/bucket COVERAGE invariant, enforced BEFORE any write: a
+    # stored bloom that covers only some appends silently drops true
+    # candidates in the prefilter (false negatives — the one failure
+    # mode bloom_prefilter promises away). So: appends to a bloomed
+    # index must maintain the bloom under the SAME params; appends to
+    # a bloomless index must not introduce one (it would cover only
+    # this batch — rebuild with mode='overwrite' instead); overwrites
+    # may change params freely but must retire a stale bloom.
+    bloom_dir = f"{path}/bloom"
+    stored_meta = BL.bloom_meta_of(bloom_dir)
+    if mode == "append" and os.path.isdir(f"{path}/buckets"):
+        if stored_meta is not None and bloom_bits is None:
+            raise ValueError(
+                f"index at {path} has a bloom "
+                f"(m_bits={stored_meta['m_bits']}, k={stored_meta['k']}); "
+                "appending without bloom_bits would leave it stale "
+                "(silent false negatives in the prefilter)"
+            )
+        if stored_meta is None and bloom_bits is not None:
+            raise ValueError(
+                f"index at {path} has no bloom; a bloom built over one "
+                "append covers only that batch — rebuild the index with "
+                "mode='overwrite' to add one"
+            )
+        if stored_meta is not None and (
+            stored_meta["m_bits"],
+            stored_meta["k"],
+        ) != (bloom_bits, bloom_k):
+            raise ValueError(
+                f"bloom param mismatch at {path}: stored {stored_meta}, "
+                f"got m_bits={bloom_bits} k={bloom_k}"
+            )
+    elif mode == "overwrite" and stored_meta is not None and bloom_bits is None:
+        shutil.rmtree(bloom_dir, ignore_errors=True)
+
     sigs = minhash_signatures(df, text_col, id_col, n_perm, k)
     sigs.write.mode(mode).parquet(f"{path}/sigs")
     stored = spark.read.parquet(f"{path}/sigs")
@@ -321,19 +361,20 @@ def write_dedup_index(
         stored = stored.join(df.select(id_col).distinct(), id_col, "semi")
     buckets = band_buckets(stored, id_col=id_col, n_perm=n_perm, bands=bands)
     if bloom_bits is not None:
+        # bloom BEFORE buckets: a crash between the two leaves a bloom
+        # that over-approximates (harmless extra probes), never one
+        # that under-covers the bucket table (silent false negatives)
         buckets = buckets.persist()
-    buckets.write.mode(mode).parquet(f"{path}/buckets")
-    if bloom_bits is not None:
-        from . import bloom as BL
-
         BL.write_bloom(
             BL.bloom_build(buckets, ["band", "bucket"], bloom_bits, bloom_k),
-            f"{path}/bloom",
+            bloom_dir,
             bloom_bits,
             bloom_k,
             ["band", "bucket"],
             mode=mode,
         )
+    buckets.write.mode(mode).parquet(f"{path}/buckets")
+    if bloom_bits is not None:
         buckets.unpersist()
 
 

@@ -53,11 +53,27 @@ def embedding_checks(
     Check order = diagnosis order: a NULL vector must not also report
     zero_norm, and a NaN vector reports the NaN, not the NaN-poisoned
     norm (the sum-of-squares of a non-finite vector is itself
-    non-finite, never 0.0, so zero_norm stays well-defined)."""
+    non-finite, never 0.0, so zero_norm stays well-defined).
+
+    ``null_element`` precedes the numeric checks because a NULL
+    element makes every downstream predicate three-valued: isnan(NULL)
+    is NULL, so ``exists`` returns NULL and the cascade's
+    NULL-means-pass coalesce would wave the row through every check —
+    the exact malformed payload this module exists to surface. The
+    ``x.isNull()`` lambda itself is never NULL, so this one predicate
+    is immune to the trap it guards against."""
     vec = F.col(vec_col)
     checks = [
         Check("null_vector", vec.isNull(), F.lit(f"{vec_col} is NULL")),
         Check("empty_vector", F.size(vec) == 0, F.lit(f"{vec_col} is empty")),
+        Check(
+            "null_element",
+            F.exists(vec, lambda x: x.isNull()),
+            F.concat(
+                F.size(F.filter(vec, lambda x: x.isNull())).cast("string"),
+                F.lit(" NULL element(s)"),
+            ),
+        ),
     ]
     if dim is not None:
         checks.append(
@@ -121,6 +137,7 @@ def embedding_stats(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum((fail == "null_vector").cast("long")).alias("n_null_vector"),
         F.sum((fail == "empty_vector").cast("long")).alias("n_empty_vector"),
+        F.sum((fail == "null_element").cast("long")).alias("n_null_element"),
         F.sum((fail == "wrong_dim").cast("long")).alias("n_wrong_dim"),
         F.sum((fail == "nonfinite_element").cast("long")).alias("n_nonfinite"),
         F.sum((fail == "zero_norm").cast("long")).alias("n_zero_norm"),

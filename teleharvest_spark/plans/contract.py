@@ -49,9 +49,10 @@ from .. import schema as canonical
 
 SCHEMA_BASELINE_DIRNAME = "_schema_baseline"
 
-# Severity taxonomy: errors break the suite's reads; warns are
-# legitimate evolution worth surfacing.
-ERROR_CHECKS = frozenset({"missing_column", "type_mismatch"})
+# Severity taxonomy: errors (missing_column, type_mismatch) break the
+# suite's reads; warns are legitimate evolution worth surfacing. The
+# severity is carried on each diff row — there is no separate registry
+# to keep in sync.
 
 
 @dataclass(frozen=True)
@@ -74,6 +75,30 @@ def contract_of(struct: T.StructType) -> tuple[ColumnSpec, ...]:
 
 # The canonical fact-table contract (BASELINE.json input_hint shape).
 SEQUENCES_CONTRACT = contract_of(canonical.SEQUENCES)
+
+
+def _strip_nullability(dt: T.DataType) -> T.DataType:
+    """Recursively normalize nullability flags (``containsNull``,
+    ``valueContainsNull``, field ``nullable``) to True so type
+    comparison matches the module contract: nullability is NOT part of
+    the contract, at any nesting depth. Without this, a producer that
+    writes ``array<int>`` with non-null elements fails the gate with
+    the absurd diff "expected array<int>, observed array<int>"
+    (DataType equality includes containsNull; simpleString does not)."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_nullability(dt.keyType), _strip_nullability(dt.valueType), True
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _strip_nullability(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    return dt
 
 
 def _widens(expected: T.DataType, observed: T.DataType) -> bool:
@@ -140,8 +165,8 @@ def schema_diff(
                     }
                 )
             continue
-        got = obs[spec.name]
-        want = _parse_dtype(spec.dtype)
+        got = _strip_nullability(obs[spec.name])
+        want = _strip_nullability(_parse_dtype(spec.dtype))
         if got == want or (allow_widening and _widens(want, got)):
             continue
         diffs.append(
@@ -316,10 +341,13 @@ def schema_gate(
     if prev is not None:
         diffs += schema_drift(observed, prev)
     errors = [d for d in diffs if d["severity"] == "error"]
-    if diffs:
-        report_df(spark, diffs).coalesce(1).write.mode("overwrite").parquet(
-            f"{output_path}/schema_violations/run_id={run_id}"
-        )
+    # ALWAYS overwrite the run's report dir — a clean replay of a
+    # run_id that previously failed the gate must retire the stale
+    # error rows, or the violations table claims a completed run was
+    # refused (the replay-idempotency convention this module cites)
+    report_df(spark, diffs).coalesce(1).write.mode("overwrite").parquet(
+        f"{output_path}/schema_violations/run_id={run_id}"
+    )
     if errors and on_mismatch == "fail":
         raise SchemaContractError(errors)
     if not errors:

@@ -40,6 +40,14 @@ def test_bloom_prefilter_schema_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # ONE broadcast build: the k probe joins share one canonical dim
+    # plan (identical projection; only the subquery alias differs,
+    # erased at analysis), so AQE's runtime stage reuse replaces the
+    # other k-1 with ReusedExchange. Visible only in the FINAL
+    # adaptive plan — execute THIS df (count() would plan separately)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= K - 1, final
 
 
 def test_bloom_write_read_append_fold(spark, tmp_path):
@@ -58,6 +66,56 @@ def test_bloom_write_read_append_fold(spark, tmp_path):
     assert words.groupBy("word").count().where("count > 1").count() == 0
     with pytest.raises(ValueError, match="param mismatch"):
         BL.write_bloom(BL.bloom_build(b1, ["a", "b"], M, 3), p, M, 3, ["a", "b"])
+
+
+def test_index_bloom_coverage_invariant(spark, tmp_path):
+    """<path>/bloom must cover EVERY key in <path>/buckets or the
+    prefilter silently drops true candidates. write_dedup_index
+    enforces it BEFORE any write: no bloomless append to a bloomed
+    index, no bloom-introducing append to a bloomless one, no param
+    drift — and mode='overwrite' retires a stale bloom."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    c1 = docs.where(F.pmod("doc_id", F.lit(4)) == 0)
+    c2 = docs.where(F.pmod("doc_id", F.lit(4)) == 1)
+
+    # (a) bloomless index + bloomed append → refused, nothing written
+    idx_a = str(tmp_path / "idx_a")
+    dedup.write_dedup_index(c1, idx_a, k=3)
+    n_sigs = spark.read.parquet(f"{idx_a}/sigs").count()
+    with pytest.raises(ValueError, match="has no bloom"):
+        dedup.write_dedup_index(c2, idx_a, k=3, bloom_bits=1 << 20)
+    assert spark.read.parquet(f"{idx_a}/sigs").count() == n_sigs
+
+    # (b) bloomed index + bloomless append → refused, nothing written
+    idx_b = str(tmp_path / "idx_b")
+    dedup.write_dedup_index(c1, idx_b, k=3, bloom_bits=1 << 20)
+    n_sigs = spark.read.parquet(f"{idx_b}/sigs").count()
+    with pytest.raises(ValueError, match="stale"):
+        dedup.write_dedup_index(c2, idx_b, k=3)
+    assert spark.read.parquet(f"{idx_b}/sigs").count() == n_sigs
+
+    # (c) param drift on append → refused BEFORE the sigs write
+    with pytest.raises(ValueError, match="param mismatch"):
+        dedup.write_dedup_index(c2, idx_b, k=3, bloom_bits=1 << 21)
+    assert spark.read.parquet(f"{idx_b}/sigs").count() == n_sigs
+
+    # (d) matching append maintains coverage: both batches' keys pass
+    dedup.write_dedup_index(c2, idx_b, k=3, bloom_bits=1 << 20)
+    words, meta = BL.read_bloom(spark, f"{idx_b}/bloom")
+    all_buckets = spark.read.parquet(f"{idx_b}/buckets")
+    kept = BL.bloom_prefilter(
+        all_buckets, words, ["band", "bucket"], meta["m_bits"], meta["k"]
+    )
+    assert kept.count() == all_buckets.count()
+
+    # (e) overwrite without bloom_bits retires the stale bloom...
+    dedup.write_dedup_index(c1, idx_b, k=3, mode="overwrite")
+    assert BL.bloom_meta_of(f"{idx_b}/bloom") is None
+    # ...and overwrite may change params freely
+    dedup.write_dedup_index(c1, idx_b, k=3, mode="overwrite", bloom_bits=1 << 18)
+    assert BL.bloom_meta_of(f"{idx_b}/bloom")["m_bits"] == 1 << 18
 
 
 def test_incremental_dedup_bloom_identical(spark, tmp_path):

@@ -139,6 +139,23 @@ def test_degraded_mode_suite_hash_changes():
     assert on.suite_hash() != off.suite_hash()
 
 
+def test_suite_hash_stable_under_field_addition():
+    """suite_hash covers only NON-default fields, so adding a new
+    (default-disabled) check field in a later release cannot change
+    the hash of existing suites — which would anti-join-miss every
+    stored manifest row and re-validate the whole warehouse on
+    upgrade. Simulated by the equivalent observable: explicitly
+    passing a default value hashes identically to omitting the field,
+    while any non-default value re-hashes."""
+    base = CheckSuite()
+    assert CheckSuite(vocab_size=None, forbid_null_token=False).suite_hash() == \
+        base.suite_hash()
+    assert CheckSuite(min_n_tok=16).suite_hash() == base.suite_hash()
+    assert CheckSuite(vocab_size=50_000).suite_hash() != base.suite_hash()
+    assert CheckSuite(forbid_null_token=True).suite_hash() != base.suite_hash()
+    assert CheckSuite(min_n_tok=17).suite_hash() != base.suite_hash()
+
+
 def test_per_source_bound_overrides(spark):
     """FIXTURES.md T2: the allowed-source dimension carries per-source
     min/max_n_tok; rows compare against their source's bound, falling

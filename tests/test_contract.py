@@ -52,6 +52,35 @@ class TestSchemaDiff:
             }
         ]
 
+    def test_nested_nullability_is_not_a_mismatch(self):
+        """A producer writing non-nullable array elements (or struct
+        fields) conforms: nullability is not part of the contract at
+        ANY nesting depth — without normalization this produced the
+        absurd diff 'expected array<int>, observed array<int>'."""
+        nn = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), False),
+                T.StructField(
+                    "tokens", T.ArrayType(T.IntegerType(), containsNull=False), False
+                ),
+                T.StructField("n_tok", T.IntegerType(), False),
+                T.StructField("source", T.StringType(), False),
+            ]
+        )
+        assert C.schema_diff(nn, C.SEQUENCES_CONTRACT) == []
+        # widening still composes with non-null elements
+        widened_nn = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType(), False),
+                T.StructField(
+                    "tokens", T.ArrayType(T.LongType(), containsNull=False), False
+                ),
+                T.StructField("n_tok", T.LongType(), False),
+                T.StructField("source", T.StringType(), False),
+            ]
+        )
+        assert C.schema_diff(widened_nn, C.SEQUENCES_CONTRACT) == []
+
     def test_retype_is_error(self):
         d = C.schema_diff(
             _struct("doc_id string, tokens array<string>, n_tok int, source string"),
@@ -177,6 +206,21 @@ class TestGate:
         assert dict(
             (f.name, f.dataType.simpleString()) for f in stored.fields
         )["tokens"] == "array<int>"
+
+    def test_clean_replay_retires_stale_error_report(self, spark, tmp_path):
+        """A run_id that previously failed the gate and is replayed
+        after the upstream fix must OVERWRITE its report dir with the
+        (now clean) diff set — a stale error report for a completed
+        run breaks the replay-idempotency contract."""
+        out = str(tmp_path / "wh")
+        broken = _struct("doc_id string, n_tok int, source string")
+        with pytest.raises(C.SchemaContractError):
+            C.schema_gate(spark, broken, out, "r1")
+        rep = spark.read.parquet(f"{out}/schema_violations/run_id=r1")
+        assert rep.where(F.col("severity") == "error").count() == 1
+        C.schema_gate(spark, _struct(CANON), out, "r1")
+        rep = spark.read.parquet(f"{out}/schema_violations/run_id=r1")
+        assert rep.count() == 0
 
     def test_report_mode_proceeds_without_store_advance(self, spark, tmp_path):
         out = str(tmp_path / "wh")

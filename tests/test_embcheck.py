@@ -40,6 +40,30 @@ def test_validate_embeddings_first_fail(spark):
     assert got[8][0] == "wrong_dim"
 
 
+def test_null_element_is_caught_not_waved_through(spark):
+    """A NULL element makes every numeric predicate three-valued
+    (isnan(NULL) is NULL → exists() is NULL → cascade coalesce would
+    pass the row through EVERY check) — the null_element check must
+    catch it first, and with the exact count."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, None, 2.0]),
+            (2, [None, None, None]),
+            (3, [1.0, 2.0, 3.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["check_name"], r["reason"])
+        for r in embcheck.validate_embeddings(df, dim=3).collect()
+    }
+    assert got[1] == ("null_element", "1 NULL element(s)")
+    assert got[2] == ("null_element", "3 NULL element(s)")
+    assert 3 not in got
+    stats = embcheck.embedding_stats(df, dim=3).collect()[0]
+    assert stats["n_null_element"] == 2 and stats["n_violations"] == 2
+
+
 def test_embedding_stats_counts(spark):
     df = _fixture(spark)
     per_src = {
