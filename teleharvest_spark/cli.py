@@ -171,6 +171,7 @@ def run(
     history_anomalies: bool = False,
     schema_contract: bool = True,
     on_schema_mismatch: str = "fail",
+    key_index: bool = False,
 ) -> dict:
     """``drift_baseline``:
 
@@ -183,6 +184,15 @@ def run(
       source absent from the stored baseline compares against zero
       counts and fails loudly (novel sources are drift by definition).
       Every drift-enabled run stores its histogram for the next one.
+
+    ``key_index=True`` maintains the persisted per-partition doc_id
+    occurrence index (``<out>/_key_index``) and, under ``--resume``,
+    folds already-validated partitions' counts into the uniqueness
+    check — WITHOUT it, a resume run's uniqueness scope is the pending
+    partitions only, and a doc_id duplicated against an
+    already-validated partition passes silently (documented
+    trade-off: the index costs one column-pruned (source, doc_id)
+    aggregate per run).
     """
     sequences = spark.read.parquet(input_path)
     schema_report: dict = {}
@@ -234,6 +244,16 @@ def run(
         )
         snapshots = snapshots.where(F.col("partition").isin(pending_sources))
 
+    stored_key_counts = None
+    if key_index and resume:
+        from .operators import uniqueness
+
+        stored_key_counts = uniqueness.cross_partition_counts(
+            sequences,
+            uniqueness.read_key_index(spark, output_path),
+            pending_sources,
+        )
+
     t0 = time.perf_counter()
     res = suite_plan.run_suite(
         sequences,
@@ -241,6 +261,7 @@ def run(
         baseline_hist=baseline_hist,
         drift_vs_global=drift,
         source_dim=source_dim,
+        stored_key_counts=stored_key_counts,
     )
     # violations land hive-partitioned by a DERIVED dir column with
     # bounded file counts — the common failure-triage read ("show me
@@ -262,6 +283,13 @@ def run(
     )
     res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
     mf.append_manifest_rows(spark, output_path, res.verdicts, snapshots, suite, run_id)
+    if key_index:
+        # AFTER the result writes: the dup set that read the old index
+        # rows is already persisted+materialized, so the dynamic
+        # partition overwrite below can't feed back into this run
+        from .operators import uniqueness
+
+        uniqueness.write_key_index(sequences, output_path)
     if drift and drift_baseline == "previous" and res.hist is not None:
         _store_baseline(spark, output_path, res.hist, prev_baseline, run_id)
     history_report = {}
@@ -408,6 +436,10 @@ def embeddings_pass(
     viol.unpersist()
     return {
         "run_id": run_id,
+        # not a second payload scan: count() prunes to zero columns,
+        # so this reads parquet footers + row-group counts only — the
+        # expensive embedding-array decode happened exactly once, in
+        # the cascade pass above
         "vectors": emb.count(),
         "embedding_failed": sum(by_rule.values()),
         "embedding_failed_by_rule": by_rule,
@@ -421,6 +453,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--suite-json", default=None, help="JSON file of CheckSuite overrides")
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--resume", action="store_true", help="skip partitions already in the manifest")
+    ap.add_argument(
+        "--key-index",
+        action="store_true",
+        help="maintain the per-partition doc_id index so --resume runs "
+        "flag duplicates against already-validated partitions "
+        "(full-run parity for the uniqueness check)",
+    )
     ap.add_argument("--no-drift", action="store_true", help="skip the KS/PSI drift check")
     ap.add_argument(
         "--token-drift",
@@ -740,6 +779,7 @@ def main(argv: list[str] | None = None) -> int:
             history_anomalies=args.history_anomalies,
             schema_contract=not args.no_schema_contract,
             on_schema_mismatch=args.schema_mismatch,
+            key_index=args.key_index,
         )
     if quality_report is not None:
         report["quality"] = quality_report

@@ -24,23 +24,42 @@ structs) whose partials cannot collapse map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 DEFAULT_SALT = 16
 
+KEY_INDEX_DIRNAME = "_key_index"
 
-def duplicate_keys(df: DataFrame, key: str = "doc_id") -> DataFrame:
+
+def duplicate_keys(
+    df: DataFrame, key: str = "doc_id", stored_counts: DataFrame | None = None
+) -> DataFrame:
     """Keys appearing more than once → (key, dup_count).
 
     One column-pruned scan (just ``key``), one shuffle of ≤ one partial
     row per (task, distinct key) — hot keys collapse map-side
     (HashAggregate partial_count), so no salting is needed for count.
+
+    ``stored_counts`` — (key, n_stored) occurrence counts from OUTSIDE
+    ``df`` (the key index of already-validated partitions under
+    ``--resume``, :func:`cross_partition_counts`) — folds into the
+    totals, so a key seen once here and once in a validated partition
+    reports dup_count=2 exactly as a full run would. The table is
+    pre-restricted to overlapping keys (tiny), hence broadcast.
     """
-    return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("dup_count"))
-        .where(F.col("dup_count") > 1)
-    )
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("dup_count"))
+    if stored_counts is not None:
+        counts = (
+            counts.join(F.broadcast(stored_counts), key, "left")
+            .withColumn(
+                "dup_count",
+                F.col("dup_count") + F.coalesce(F.col("n_stored"), F.lit(0)),
+            )
+            .drop("n_stored")
+        )
+    return counts.where(F.col("dup_count") > 1)
 
 
 def salted_partial_counts(
@@ -75,6 +94,95 @@ def salted_partial_counts(
         df.select(F.col(key), salt_col.alias("_salt"))
         .groupBy(key, "_salt")
         .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+
+
+def key_index_path(output_path: str) -> str:
+    return os.path.join(output_path, KEY_INDEX_DIRNAME)
+
+
+def write_key_index(
+    df: DataFrame,
+    output_path: str,
+    key: str = "doc_id",
+    partition_col: str = "source",
+) -> None:
+    """Persist per-partition key occurrence counts —
+    ``<out>/_key_index/partition=<p>/`` rows of (key, n).
+
+    This is the uniqueness check's cross-snapshot memory (the
+    dedup_index idiom, operators/dedup.py:283, applied to exact keys):
+    a ``--resume`` run sees only pending partitions, so a doc_id
+    duplicated between a pending partition and an already-validated
+    one is otherwise invisible. One column-pruned two-level hash
+    aggregate over (partition, key); DYNAMIC partition overwrite so a
+    re-validated partition atomically replaces its rows and stale
+    counts are impossible. Size: one row per distinct key — the same
+    scale class as the MinHash sig index, and the token arrays are
+    never decoded.
+    """
+    counts = (
+        df.groupBy(
+            F.coalesce(F.col(partition_col), F.lit("__null__")).alias("partition"),
+            F.col(key),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    (
+        counts.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("partition")
+        .parquet(key_index_path(output_path))
+    )
+
+
+def read_key_index(
+    spark: SparkSession, output_path: str, key: str = "doc_id"
+) -> DataFrame:
+    """(key, n, partition) of the stored key index — empty before the
+    first indexed run."""
+    schema = T.StructType(
+        [
+            T.StructField(key, T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+            T.StructField("partition", T.StringType(), True),
+        ]
+    )
+    try:
+        return spark.read.schema(schema).parquet(key_index_path(output_path))
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def cross_partition_counts(
+    pending_df: DataFrame,
+    index: DataFrame,
+    pending_partitions: list[str],
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, n_stored) for keys of ``pending_df`` that already occur in
+    validated partitions OUTSIDE the pending set.
+
+    Pending partitions' own index rows are stale by definition (they
+    are being re-validated) and excluded — hive partition pruning
+    makes the exclusion a directory skip, not a filter scan. Join
+    shape at scale: the pending batch's distinct keys are the small
+    side and broadcast, so the (huge) stored index streams through a
+    BroadcastHashJoin map-side — never shuffled; the surviving
+    aggregate is bounded by the overlap, not the corpus.
+
+    Scope note: this makes a resume run's verdicts equal a full run's
+    restricted to the pending partitions (pinned). Rows in the OLD
+    partition are not retro-flagged — they were validated before the
+    duplicate existed; re-queue that partition (touch it, or change
+    the suite) to surface its side of the pair.
+    """
+    keep = index.where(~F.col("partition").isin(list(pending_partitions)))
+    probe = pending_df.select(key).distinct()
+    return (
+        keep.join(F.broadcast(probe), key, "semi")
+        .groupBy(key)
+        .agg(F.sum("n").alias("n_stored"))
     )
 
 

@@ -61,6 +61,7 @@ def run_suite(
     baseline_hist: DataFrame | None = None,
     drift_vs_global: bool = False,
     source_dim: DataFrame | None = None,
+    stored_key_counts: DataFrame | None = None,
 ) -> ValidationResult:
     """Run every check family over the sequences table.
 
@@ -69,6 +70,11 @@ def run_suite(
     Violation precedence on union: cascade reason wins for a doc that
     is both (matches the reference's in-order reporting); uniqueness
     rows are additive.
+
+    ``stored_key_counts`` — (doc_id, n_stored) from the persisted key
+    index (uniqueness.cross_partition_counts): folds already-validated
+    partitions' occurrences into the dup totals so a resume-scoped run
+    still flags cross-partition duplicates with full-run counts.
     """
     # Optional per-source threshold overrides (FIXTURES.md T2): the
     # dimension broadcast-joins onto the fact for the cascade only —
@@ -87,7 +93,9 @@ def run_suite(
     # vs shuffle join (adversarial corpus: 10^9 dup keys at 10^12 rows
     # won't fit an executor). Without the explicit hint the static
     # plan would sort-merge-join and shuffle-write the whole fact.
-    dups = uniqueness.duplicate_keys(sequences, key="doc_id").persist()
+    dups = uniqueness.duplicate_keys(
+        sequences, key="doc_id", stored_counts=stored_key_counts
+    ).persist()
     dups_side = dups if dups.count() > 5_000_000 else F.broadcast(dups)
 
     # ONE full decode of the tokens column produces BOTH violation
