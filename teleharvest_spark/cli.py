@@ -172,6 +172,7 @@ def run(
     schema_contract: bool = True,
     on_schema_mismatch: str = "fail",
     key_index: bool = False,
+    corpus_states: bool = False,
 ) -> dict:
     """``drift_baseline``:
 
@@ -234,11 +235,51 @@ def run(
             # would silently pass.
             from .operators import drift as drift_ops
 
-            baseline_hist = (
-                drift_ops.ntok_histogram(sequences)
-                .groupBy("bucket")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
+            pooled_stored = None
+            if corpus_states:
+                # Skipped partitions' histograms come from their
+                # STORED states instead of a full-table rescan —
+                # exact, because a partition is only skipped when its
+                # snapshot (content) is unchanged. Pending partitions
+                # pool their CURRENT histogram (a pending-only scan).
+                # Falls back to the rescan when any non-pending
+                # source lacks a state (flag enabled mid-history).
+                from .plans import states as st
+
+                from .sources.writer import dir_key_value
+
+                stored = st.read_states(spark, output_path)
+                stated = {
+                    r["partition"]
+                    for r in stored.select("partition").distinct().collect()
+                }
+                non_pending = {
+                    dir_key_value(r["partition"])
+                    for r in snapshots.select("partition").collect()
+                } - {dir_key_value(p) for p in pending_sources} - {"__null__"}
+                if non_pending <= stated:
+                    pooled_stored = st.pooled_hist_from_states(
+                        stored, exclude_partitions=pending_sources
+                    )
+            if pooled_stored is not None:
+                pending_seq = sequences.where(
+                    F.coalesce(F.col("source"), F.lit("__null__")).isin(
+                        pending_sources
+                    )
+                )
+                baseline_hist = (
+                    drift_ops.ntok_histogram(pending_seq)
+                    .select("bucket", "cnt")
+                    .unionByName(pooled_stored)
+                    .groupBy("bucket")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+            else:
+                baseline_hist = (
+                    drift_ops.ntok_histogram(sequences)
+                    .groupBy("bucket")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
         sequences = sequences.where(
             F.coalesce(F.col("source"), F.lit("__null__")).isin(pending_sources)
         )
@@ -290,6 +331,10 @@ def run(
         from .operators import uniqueness
 
         uniqueness.write_key_index(sequences, output_path)
+    if corpus_states:
+        from .plans import states as st
+
+        st.write_states(sequences, output_path, run_id)
     if drift and drift_baseline == "previous" and res.hist is not None:
         _store_baseline(spark, output_path, res.hist, prev_baseline, run_id)
     history_report = {}
@@ -459,6 +504,20 @@ def main(argv: list[str] | None = None) -> int:
         help="maintain the per-partition doc_id index so --resume runs "
         "flag duplicates against already-validated partitions "
         "(full-run parity for the uniqueness check)",
+    )
+    ap.add_argument(
+        "--corpus-states",
+        action="store_true",
+        help="persist mergeable per-partition stat states (HLL distinct, "
+        "n_tok moments + histogram); --resume drift pools skipped "
+        "partitions from their stored states instead of rescanning "
+        "the full table",
+    )
+    ap.add_argument(
+        "--corpus-stats",
+        action="store_true",
+        help="report corpus-level stats by merging the stored states "
+        "under --output (no data scan, no --input needed)",
     )
     ap.add_argument("--no-drift", action="store_true", help="skip the KS/PSI drift check")
     ap.add_argument(
@@ -653,11 +712,12 @@ def main(argv: list[str] | None = None) -> int:
         and args.prep_batch_docs is None
         and not args.corpus_report
         and not args.compact_indexes
+        and not args.corpus_stats
     ):
         ap.error(
             "at least one of --input / --quality-docs / "
             "--validate-embeddings / --prep-docs / --prep-batch-docs / "
-            "--corpus-report / --compact-indexes is required"
+            "--corpus-report / --compact-indexes / --corpus-stats is required"
         )
     if args.run_all and args.input is None:
         ap.error("--run-all requires --input")
@@ -672,6 +732,15 @@ def main(argv: list[str] | None = None) -> int:
         from . import pipeline
 
         print(json.dumps(pipeline.corpus_report(spark, args.output)))
+        return 0
+    if args.corpus_stats and args.input is None:
+        # report-only: merge the stored states — no data scan at all
+        from .plans import states as st
+
+        row = st.merge_states(st.read_states(spark, args.output)).collect()[0]
+        out = row.asDict()
+        out.pop("ntok_hist", None)  # 128 buckets — keep the line readable
+        print(json.dumps(out))
         return 0
     qfams = tuple(
         f.strip() for f in args.quality_families.split(",") if f.strip()
@@ -780,6 +849,7 @@ def main(argv: list[str] | None = None) -> int:
             schema_contract=not args.no_schema_contract,
             on_schema_mismatch=args.schema_mismatch,
             key_index=args.key_index,
+            corpus_states=args.corpus_states,
         )
     if quality_report is not None:
         report["quality"] = quality_report

@@ -120,10 +120,18 @@ def write_key_index(
     counts are impossible. Size: one row per distinct key — the same
     scale class as the MinHash sig index, and the token arrays are
     never decoded.
+
+    The partition dir key uses the source_dir convention
+    (sources/writer.py: NULL → '__null__', '' → '__empty__') because
+    hive encoding maps BOTH to __HIVE_DEFAULT_PARTITION__, which would
+    read back as NULL and break the exclusion filter for
+    empty-string-source partitions.
     """
+    from ..sources.writer import source_dir_col
+
     counts = (
         df.groupBy(
-            F.coalesce(F.col(partition_col), F.lit("__null__")).alias("partition"),
+            source_dir_col(partition_col).alias("partition"),
             F.col(key),
         )
         .agg(F.count(F.lit(1)).alias("n"))
@@ -176,8 +184,15 @@ def cross_partition_counts(
     partition are not retro-flagged — they were validated before the
     duplicate existed; re-queue that partition (touch it, or change
     the suite) to surface its side of the pair.
+
+    ``pending_partitions`` is accepted in the MANIFEST domain (NULL
+    already '__null__', '' verbatim) and translated to the index's dir
+    domain here, so callers never juggle the two conventions.
     """
-    keep = index.where(~F.col("partition").isin(list(pending_partitions)))
+    from ..sources.writer import dir_key_value
+
+    excl = [dir_key_value(p) for p in pending_partitions]
+    keep = index.where(~F.col("partition").isin(excl))
     probe = pending_df.select(key).distinct()
     return (
         keep.join(F.broadcast(probe), key, "semi")

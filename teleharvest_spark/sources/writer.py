@@ -49,6 +49,18 @@ def source_dir_col(col: str = "source") -> F.Column:
     )
 
 
+def dir_key_value(v: str | None) -> str:
+    """Python-side twin of :func:`source_dir_col` for single values —
+    use it to translate manifest-domain partition names (where NULL is
+    already '__null__' but '' is verbatim) into the hive-safe dir
+    domain before filtering a dir-partitioned table."""
+    if v is None:
+        return "__null__"
+    if v == "":
+        return "__empty__"
+    return v
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -117,12 +117,26 @@ def test_write_key_index_dynamic_overwrite(spark, tmp_path):
         for r in uniqueness.read_key_index(spark, out).collect()
     }
     assert idx == {("a", "a1"): 1, ("a", "a2"): 1, ("b", "b1"): 1}
-    # NULL source lands under the __null__ partition key
-    uniqueness.write_key_index(_seq(spark, _rows(None, ["n1"])), out)
-    assert ("__null__", "n1") in {
+    # NULL source lands under __null__, empty string under __empty__
+    # (hive maps both to the default partition otherwise — they must
+    # stay distinct and re-readable)
+    uniqueness.write_key_index(
+        _seq(spark, _rows(None, ["n1"]) + _rows("", ["e1"])), out
+    )
+    parts = {
         (r["partition"], r["doc_id"])
         for r in uniqueness.read_key_index(spark, out).collect()
     }
+    assert {("__null__", "n1"), ("__empty__", "e1")} <= parts
+    # exclusion accepts manifest-domain names ('' verbatim)
+    batch = _seq(spark, _rows("x", ["e1"]))
+    idx = uniqueness.read_key_index(spark, out)
+    assert uniqueness.cross_partition_counts(batch, idx, ["", "x"]).count() == 0
+    got = {
+        r["doc_id"]: r["n_stored"]
+        for r in uniqueness.cross_partition_counts(batch, idx, ["x"]).collect()
+    }
+    assert got == {"e1": 1}
 
 
 def test_resume_key_index_full_run_parity(spark, tmp_path):
