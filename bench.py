@@ -625,6 +625,135 @@ def incremental_spans_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def resume_bench(spark, sf_dir: str) -> dict:
+    """The manifest/resume story's scale payoff on the north-rule fact
+    table: a fully-validated corpus receives ONE new partition.
+
+    * ``full_run_sec`` — no manifest: the whole table re-validates
+      (what an engine without checkpointed lineage pays per arrival).
+    * ``resume_rescan_sec`` — manifest skip (only the new partition
+      runs the suite) but the drift_vs_global baseline re-pools the
+      FULL table (corpus_states=False): one O(|table|) scan survives.
+    * ``resume_states_sec`` — manifest skip + baseline pooled from the
+      stored per-partition stat states (corpus_states=True): every job
+      in the run touches only the pending partition. At 10^12 rows
+      this is O(|table|) vs O(|delta|) per validation run.
+    * ``resume_noop_sec`` — nothing changed: manifest read + anti-join
+      only (metadata-sized).
+
+    Local numbers compress the ratios (the pending partition is 1/9 of
+    the table and fixed JVM/job overhead sets a floor); the scale
+    story is which terms grow with |table| — full: everything; rescan:
+    one scan; states: nothing (bitwise-parity of the two baselines is
+    pinned in tests/test_states.py).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark import cli
+
+    rows = max(SUITE_ROWS // 2, 60_000)
+    check = CheckSuite(
+        banned_tokens=datagen.BANNED_IDS,
+        allowed_sources=tuple(datagen.SOURCES) + ("src_new",),
+    )
+    v1, v2 = "/tmp/bench_resume_v1", "/tmp/bench_resume_v2"
+    shutil.rmtree(v1, ignore_errors=True)
+    shutil.rmtree(v2, ignore_errors=True)
+    datagen.generate_sequences(spark, rows, check).write.parquet(v1)
+    base = spark.read.parquet(v1)
+    # donor is a COLD source (src_00 holds ~50% of rows by design —
+    # datagen's skew path; src_07 is the drifted one): the arriving
+    # partition should be ~1/14 of the corpus, the incremental shape
+    newp = (
+        base.where(F.col("source") == datagen.SOURCES[3])
+        .withColumn("source", F.lit("src_new"))
+        .withColumn("doc_id", F.concat(F.lit("new_"), F.col("doc_id")))
+    )
+    base.unionByName(newp).write.parquet(v2)
+    out = {
+        "table_rows": rows,
+        "new_partition_rows": newp.count(),
+    }
+
+    wh, snap = "/tmp/bench_resume_wh", "/tmp/bench_resume_wh_snap"
+
+    def seed(flag: bool) -> None:
+        shutil.rmtree(wh, ignore_errors=True)
+        cli.run(spark, v1, wh, check, run_id="r1", corpus_states=flag)
+        shutil.rmtree(snap, ignore_errors=True)
+        shutil.copytree(wh, snap)
+
+    def restore() -> None:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.copytree(snap, wh)
+
+    def best2(fn, setup) -> float:
+        setup()
+        fn()  # warm
+        samples = []
+        for _ in range(2):
+            setup()
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3)
+
+    out["full_run_sec"] = best2(
+        lambda: cli.run(spark, v2, wh, check, run_id="rf"),
+        lambda: shutil.rmtree(wh, ignore_errors=True),
+    )
+    for name, flag in (("resume_rescan_sec", False), ("resume_states_sec", True)):
+        seed(flag)
+        out[name] = best2(
+            lambda: cli.run(
+                spark, v2, wh, check, run_id="r2", resume=True, corpus_states=flag
+            ),
+            restore,
+        )
+    # warehouse now holds v2 fully validated (last sample) → no-op skip
+    t0 = time.perf_counter()
+    rep = cli.run(
+        spark, v2, wh, check, run_id="r3", resume=True, corpus_states=True
+    )
+    out["resume_noop_sec"] = round(time.perf_counter() - t0, 3)
+    out["noop_skipped"] = bool(rep.get("skipped"))
+
+    # The two opposing terms, isolated (local walls above conflate
+    # them with fixed job overhead): the rescan mode's baseline scan
+    # grows with |table|; the states mode replaces it with a
+    # maintenance pass that grows with |delta| only.
+    from teleharvest_spark.operators import drift as drift_ops
+    from teleharvest_spark.plans import states as st
+
+    v2_df = spark.read.parquet(v2)
+    out["baseline_rescan_scan_sec"] = best2(
+        lambda: (
+            drift_ops.ntok_histogram(v2_df)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .count()
+        ),
+        lambda: None,
+    )
+    pend = v2_df.where(F.col("source") == "src_new")
+    out["states_maintenance_sec"] = best2(
+        lambda: st.write_states(pend, wh, run_id="bench"),
+        lambda: None,
+    )
+    out["speedup_states_vs_full"] = round(
+        out["full_run_sec"] / max(out["resume_states_sec"], 1e-9), 2
+    )
+    out["speedup_states_vs_rescan"] = round(
+        out["resume_rescan_sec"] / max(out["resume_states_sec"], 1e-9), 2
+    )
+    for p in (v1, v2, wh, snap):
+        shutil.rmtree(p, ignore_errors=True)
+    print(f"# resume: {out}", file=sys.stderr)
+    return out
+
+
 def corpus_clean_bench(spark, sf_dir: str) -> dict:
     """Session-3 operators over the documents table: C4-style
     cross-document line dedup (hot-line dimension + rebuild) and the
@@ -846,6 +975,7 @@ def main() -> None:
     prep = prep_pipeline_bench(spark, sf_dir)
     corpus_clean = corpus_clean_bench(spark, sf_dir)
     curation = curation_bench(spark, sf_dir)
+    resume = resume_bench(spark, sf_dir)
 
     sf1 = None
     if SF1_ENABLED and "0.1" in sf_dir:
@@ -872,6 +1002,7 @@ def main() -> None:
         "prep_pipeline": prep,
         "corpus_clean": corpus_clean,
         "curation": curation,
+        "resume": resume,
         "memory": memory_telemetry(spark),
         "spill": spill_telemetry(),
     }

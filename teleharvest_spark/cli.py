@@ -173,6 +173,7 @@ def run(
     on_schema_mismatch: str = "fail",
     key_index: bool = False,
     corpus_states: bool = False,
+    violation_sample: int | None = None,
 ) -> dict:
     """``drift_baseline``:
 
@@ -303,6 +304,7 @@ def run(
         drift_vs_global=drift,
         source_dim=source_dim,
         stored_key_counts=stored_key_counts,
+        violation_sample=violation_sample,
     )
     # violations land hive-partitioned by a DERIVED dir column with
     # bounded file counts — the common failure-triage read ("show me
@@ -365,10 +367,24 @@ def run(
     )
     n_rows = sequences.count()
     wall = time.perf_counter() - t0
+    sample_report = {}
+    if violation_sample is not None:
+        # the written violations are a bounded sample; the EXACT total
+        # lives in the verdicts' per-check counts
+        sample_report = {
+            "violations_written": res.violations.count(),
+            "violation_sample": violation_sample,
+        }
+        n_viol_exact = (
+            res.verdicts.agg(F.sum("violation_rows")).first()[0] or 0
+        )
+    else:
+        n_viol_exact = res.violations.count()
     report = {
         "run_id": run_id,
         "validated_rows": n_rows,
-        "violations": res.violations.count(),
+        "violations": n_viol_exact,
+        **sample_report,
         "partitions": res.verdicts.count(),
         "wall_sec": round(wall, 3),
         "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
@@ -518,6 +534,15 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="report corpus-level stats by merging the stored states "
         "under --output (no data scan, no --input needed)",
+    )
+    ap.add_argument(
+        "--violation-sample",
+        type=int,
+        default=None,
+        help="cap the WRITTEN violation rows at N per (source, check) "
+        "— a deterministic content-hash sample; verdict counts stay "
+        "exact. Bounds the diagnostic output when a systematic failure "
+        "would otherwise write a corpus-sized violations table",
     )
     ap.add_argument("--no-drift", action="store_true", help="skip the KS/PSI drift check")
     ap.add_argument(
@@ -850,6 +875,7 @@ def main(argv: list[str] | None = None) -> int:
             on_schema_mismatch=args.schema_mismatch,
             key_index=args.key_index,
             corpus_states=args.corpus_states,
+            violation_sample=args.violation_sample,
         )
     if quality_report is not None:
         report["quality"] = quality_report

@@ -55,6 +55,61 @@ class ValidationResult:
         return nv, self.verdicts.count()
 
 
+def sample_violations(
+    violations: DataFrame,
+    per_check_counts: DataFrame,
+    limit: int,
+    oversample: int = 4,
+) -> DataFrame:
+    """Deterministic ≤``limit``-row sample per (source, check_name).
+
+    At 10^12 rows a SYSTEMATIC failure (bad threshold, corrupt source)
+    makes the violations set corpus-sized — and each row carries its
+    token array, so writing it is a second copy of the corpus. The cap
+    bounds the written diagnostic at |sources|×|checks|×limit rows
+    while the verdicts keep EXACT per-check counts.
+
+    Two-phase, shuffle-bounded: a content-defined hash filter keeps
+    ~``oversample × limit`` candidates per group MAP-SIDE (the fat
+    token payload never enters a shuffle at pathological volume), then
+    an exact window trim picks the ``limit`` lowest-hash survivors.
+    The hash priority is content-derived (xxhash64 over the full row),
+    so the sample is reproducible under any partitioning and any
+    engine — not "first K encountered". Groups at or under
+    ``oversample × limit`` keep probability 1, so groups ≤ limit are
+    returned COMPLETE; larger groups yield the limit lowest-hash rows
+    among survivors (a deterministic sample, not the global minimum —
+    the distinction is immaterial for a diagnostic sample and buying
+    exactness would cost a corpus-wide sort).
+    """
+    from pyspark.sql import Window
+
+    m = 1 << 32
+    thr = per_check_counts.select(
+        F.col("source").alias("_s"),
+        F.col("check_name").alias("_c"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(oversample * limit)) / F.col("check_cnt").cast("double"),
+        ).alias("_p"),
+    )
+    h64 = F.xxhash64("doc_id", "check_name", "reason", "tokens")
+    w = Window.partitionBy("source", "check_name").orderBy("_h")
+    return (
+        violations.join(
+            F.broadcast(thr),
+            F.col("source").eqNullSafe(F.col("_s"))
+            & (F.col("check_name") == F.col("_c")),
+            "inner",
+        )
+        .withColumn("_h", h64)
+        .where((F.pmod(F.col("_h"), F.lit(m)).cast("double") / m) < F.col("_p"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= limit)
+        .drop("_s", "_c", "_p", "_h", "_rn")
+    )
+
+
 def run_suite(
     sequences: DataFrame,
     suite: CheckSuite,
@@ -62,6 +117,7 @@ def run_suite(
     drift_vs_global: bool = False,
     source_dim: DataFrame | None = None,
     stored_key_counts: DataFrame | None = None,
+    violation_sample: int | None = None,
 ) -> ValidationResult:
     """Run every check family over the sequences table.
 
@@ -130,7 +186,7 @@ def run_suite(
             )
         )
     )
-    violations = (
+    violations_plan = (
         annotated.select(
             "doc_id",
             "source",
@@ -143,8 +199,24 @@ def run_suite(
         )
         .select("doc_id", "source", F.col("_v.check_name"), F.col("_v.reason"), "tokens")
         .select("doc_id", "source", "check_name", "reason", "tokens")
-        .persist()
     )
+    per_check = None
+    if violation_sample is None:
+        violations = violations_plan.persist()
+    else:
+        # Capped mode trades ONE extra decode pass (counts, then the
+        # filtered sample — the uncapped set is never persisted, since
+        # at pathological volume persisting it IS the problem) for an
+        # output bounded by |sources|×|checks|×limit. The capped set is
+        # persisted: it is bounded by construction.
+        per_check = (
+            violations_plan.groupBy("source", "check_name")
+            .agg(F.count(F.lit(1)).alias("check_cnt"))
+            .persist()
+        )
+        violations = sample_violations(
+            violations_plan, per_check, violation_sample
+        ).persist()
 
     # persisted: tiny (one row per source), independent of violations —
     # materialize() overlaps this scan with the big tokens decode
@@ -177,9 +249,12 @@ def run_suite(
     # history.py) can flag ONE check's failure count jumping even when
     # the total stays inside its band. Two-level agg over the already-
     # tiny violations set.
+    if per_check is None:
+        per_check = violations.groupBy("source", "check_name").agg(
+            F.count(F.lit(1)).alias("check_cnt")
+        )
     viol_counts = (
-        violations.groupBy("source", "check_name")
-        .agg(F.count(F.lit(1)).alias("check_cnt"))
+        per_check
         .groupBy("source")
         .agg(
             F.sum("check_cnt").alias("violation_rows"),
@@ -225,6 +300,7 @@ def run_suite(
         stats=part_stats,
         hist=hist,
         _cached=(violations, dups)
+        + ((per_check,) if violation_sample is not None else ())
         + overlap
         + ((hist,) if hist is not None else ()),
         _overlap=overlap,
