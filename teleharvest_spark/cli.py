@@ -89,6 +89,10 @@ def build_suite(path: str | None) -> CheckSuite:
     for k in ("banned_tokens", "allowed_sources"):
         if k in overrides:
             overrides[k] = tuple(overrides[k])
+    if "custom_checks" in overrides:
+        overrides["custom_checks"] = tuple(
+            (str(n), str(e)) for n, e in overrides["custom_checks"]
+        )
     return CheckSuite(**overrides)
 
 

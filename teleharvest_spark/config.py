@@ -57,6 +57,14 @@ class CheckSuite:
     min_er: float = 0.025
     min_views: int = 50
 
+    # Declarative user checks (no reference analogue): (name, sql_expr)
+    # pairs appended after every built-in; a row FAILS when the boolean
+    # SQL expression is TRUE (NULL result = pass — three-valued SQL).
+    # Compiled via F.expr into the same single-scan cascade projection,
+    # and hashed into suite_hash like any threshold, so adding or
+    # editing one re-queues every manifest partition.
+    custom_checks: tuple[tuple[str, str], ...] = ()
+
     # Late-data lookback depth (reference: PROCESSOR_LIMIT, settings.py:11).
     lookback_limit: int = 1000
 

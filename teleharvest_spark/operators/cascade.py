@@ -199,6 +199,31 @@ def sequence_checks(suite: CheckSuite, per_source_bounds: bool = False) -> list[
                 F.concat(F.lit("source "), source, F.lit(" not in allowed set")),
             )
         )
+    # Declarative user checks (suite.custom_checks): arbitrary SQL
+    # boolean predicates over the row, TRUE = fail. Appended LAST so
+    # built-in semantics keep precedence in first-fail reporting; a
+    # NULL predicate result is NOT a failure (three-valued SQL
+    # semantics — an expression that can't decide shouldn't flag the
+    # row; users who want NULL-fails write `x IS NULL OR ...`
+    # explicitly, matching how the built-ins spell it out). Stays pure
+    # Catalyst: F.expr compiles into the same single narrow projection
+    # as every built-in — no UDF, no extra scan.
+    if suite.custom_checks:
+        reserved = {c.name for c in checks} | {"duplicate_key"}
+        for name, expr in suite.custom_checks:
+            if name in reserved:
+                raise ValueError(
+                    f"custom check name {name!r} collides with a "
+                    "built-in check"
+                )
+            reserved.add(name)
+            checks.append(
+                Check(
+                    name,
+                    F.coalesce(F.expr(expr), F.lit(False)),
+                    F.lit(f"custom: {expr}"),
+                )
+            )
     return checks
 
 
