@@ -540,6 +540,21 @@ def main(argv: list[str] | None = None) -> int:
         "under --output (no data scan, no --input needed)",
     )
     ap.add_argument(
+        "--suggest-suite",
+        default=None,
+        metavar="PATH",
+        help="profile --input once and write a suggested suite-overrides "
+        "JSON to PATH (feed it back via --suite-json); prints the "
+        "profile evidence and exits",
+    )
+    ap.add_argument(
+        "--source-cap",
+        type=int,
+        default=100,
+        help="--suggest-suite: max distinct sources to enumerate into "
+        "allowed_sources (beyond it the source check is left open)",
+    )
+    ap.add_argument(
         "--violation-sample",
         type=int,
         default=None,
@@ -752,6 +767,18 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--run-all requires --input")
 
     spark = get_spark(app_name=f"validate-{args.run_id}", master=args.master)
+    if args.suggest_suite:
+        if args.input is None:
+            ap.error("--suggest-suite requires --input")
+        from .plans import suggest as sg
+
+        rep = sg.suggestion_report(
+            spark.read.parquet(args.input), source_cap=args.source_cap
+        )
+        with open(args.suggest_suite, "w", encoding="utf-8") as f:
+            json.dump(rep["suite"], f, indent=2)
+        print(json.dumps(rep))
+        return 0
     if args.compact_indexes:
         from . import pipeline
 
