@@ -59,15 +59,30 @@ def violations_sink(
     suite: CheckSuite,
     sink_path: str,
     files_per_partition: int = 4,
+    violation_sample: int | None = None,
 ):
     """foreachBatch body: cascade the batch, write its violations to
     ``<sink>/batch_id=<id>`` in the partitioned layout (overwrite —
-    replay-idempotent)."""
+    replay-idempotent).
+
+    ``violation_sample``: cap written rows at N per (source, check)
+    PER MICRO-BATCH via plans/suite.sample_violations — a stream stuck
+    on a systematically-failing source then writes a bounded diagnostic
+    per batch instead of re-materializing the batch. The sample is
+    content-hash derived, so a REPLAYED batch samples the exact same
+    rows and the overwrite stays byte-idempotent.
+    """
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        viol = violation_rows(batch, suite).withColumn(
-            "source_dir", source_dir_col()
-        )
+        viol = violation_rows(batch, suite)
+        if violation_sample is not None:
+            from ..plans.suite import sample_violations
+
+            per_check = viol.groupBy("source", "check_name").agg(
+                F.count(F.lit(1)).alias("check_cnt")
+            )
+            viol = sample_violations(viol, per_check, violation_sample)
+        viol = viol.withColumn("source_dir", source_dir_col())
         write_partitioned(
             viol,
             f"{sink_path}/batch_id={batch_id}",
@@ -87,11 +102,16 @@ def start_violations_writer(
     sink_path: str,
     checkpoint: str,
     files_per_partition: int = 4,
+    violation_sample: int | None = None,
 ):
     """Wire a sequence stream into the partitioned violations table."""
     return (
         stream.writeStream.outputMode("append")
-        .foreachBatch(violations_sink(suite, sink_path, files_per_partition))
+        .foreachBatch(
+            violations_sink(
+                suite, sink_path, files_per_partition, violation_sample
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

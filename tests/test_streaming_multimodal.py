@@ -523,6 +523,42 @@ def test_streaming_violations_writer_layout_and_replay(spark, suite, tmp_path):
     assert spark.read.parquet(sink).count() == n2
 
 
+def test_streaming_violations_sample_cap_and_replay_identical(
+    spark, suite, tmp_path
+):
+    """violation_sample caps the per-micro-batch write at N per
+    (source, check) and — because the sample is content-hash derived —
+    a replayed batch rewrites the exact same rows."""
+    from teleharvest_spark.streaming import violations as sv
+
+    sink = str(tmp_path / "viol_capped")
+    # 40 rows of one source all failing too_short (systematic failure)
+    batch = spark.createDataFrame(
+        [(f"d{i}", [1, 2], 2, "src_00") for i in range(40)]
+        + [("ok1", [1] * 400, 400, "src_00")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    body = sv.violations_sink(suite, sink, violation_sample=5)
+    body(batch, 0)
+    rows = spark.read.parquet(sink)
+    per_group = (
+        rows.groupBy("source", "check_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= 5 for r in per_group)
+    first = sorted(
+        (r["doc_id"], r["check_name"]) for r in rows.collect()
+    )
+    assert len(first) == 5
+    body(batch, 0)  # replay
+    again = sorted(
+        (r["doc_id"], r["check_name"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert again == first
+
+
 def test_streaming_prep_ingest_grows_corpus_and_dedups(spark, tmp_path):
     """Continuous corpus ingestion: each micro-batch runs the
     idempotent incremental prep — fresh docs land, dups of earlier
