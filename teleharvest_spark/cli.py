@@ -178,6 +178,7 @@ def run(
     key_index: bool = False,
     corpus_states: bool = False,
     violation_sample: int | None = None,
+    emit_valid: str | None = None,
 ) -> dict:
     """``drift_baseline``:
 
@@ -328,6 +329,32 @@ def run(
         sort_within="doc_id",
         mode="append",
     )
+    certified_report = {}
+    if emit_valid:
+        # The reference's insert path (S4): failing rows are SKIPPED,
+        # passing rows persist (processor.py:81-137 writes only
+        # messages that clear the cascade). Certified rows = this
+        # run's rows anti-joined (null-safely — NULL doc_ids group
+        # their own violations) against the UNCAPPED failing-id set;
+        # AQE broadcasts the usually-tiny id set and falls back to a
+        # shuffle join on a pathological corpus. Dynamic partition
+        # overwrite: a re-validated partition replaces its certified
+        # dir, untouched partitions keep theirs — the certified table
+        # stays consistent under --resume.
+        fid = res.failing_ids.select(F.col("doc_id").alias("_fid"))
+        valid = sequences.join(
+            fid, F.col("doc_id").eqNullSafe(F.col("_fid")), "left_anti"
+        ).withColumn("source_dir", source_dir_col())
+        write_partitioned(
+            valid,
+            emit_valid,
+            partition_by=("source_dir",),
+            files_per_partition=4,
+            sort_within="doc_id",
+            mode="overwrite",
+            dynamic=True,
+        )
+        certified_report = {"certified_rows": valid.count()}
     res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
     mf.append_manifest_rows(spark, output_path, res.verdicts, snapshots, suite, run_id)
     if key_index:
@@ -389,6 +416,7 @@ def run(
         "validated_rows": n_rows,
         "violations": n_viol_exact,
         **sample_report,
+        **certified_report,
         "partitions": res.verdicts.count(),
         "wall_sec": round(wall, 3),
         "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
@@ -553,6 +581,15 @@ def main(argv: list[str] | None = None) -> int:
         default=100,
         help="--suggest-suite: max distinct sources to enumerate into "
         "allowed_sources (beyond it the source check is left open)",
+    )
+    ap.add_argument(
+        "--emit-valid",
+        default=None,
+        metavar="PATH",
+        help="also write the CERTIFIED rows (every row with no "
+        "violation) to PATH, hive-partitioned by source_dir with "
+        "dynamic partition overwrite — the validated-table output "
+        "downstream consumers read; consistent under --resume",
     )
     ap.add_argument(
         "--violation-sample",
@@ -907,6 +944,7 @@ def main(argv: list[str] | None = None) -> int:
             key_index=args.key_index,
             corpus_states=args.corpus_states,
             violation_sample=args.violation_sample,
+            emit_valid=args.emit_valid,
         )
     if quality_report is not None:
         report["quality"] = quality_report

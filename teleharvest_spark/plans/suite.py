@@ -25,6 +25,11 @@ class ValidationResult:
     violations: DataFrame  # schema.VIOLATIONS
     verdicts: DataFrame    # per-source verdict + metrics
     stats: DataFrame       # raw per-partition stats
+    # distinct doc_ids with ANY violation — ALWAYS the uncapped set
+    # (under violation_sample the violations field is a bounded sample;
+    # certification must never pass a row whose violation was merely
+    # unsampled)
+    failing_ids: DataFrame | None = None
     hist: DataFrame | None = None  # per-(source, bucket) n_tok histogram of THIS run
     _cached: tuple = ()    # internal: persisted DataFrames to release
     _overlap: tuple = ()   # internal: persisted branches independent of violations
@@ -293,11 +298,15 @@ def run_suite(
             F.lit("fail"),
         ).otherwise(F.lit("pass")),
     )
+    failing_ids = (
+        violations if violation_sample is None else violations_plan
+    ).select("doc_id").distinct()
     overlap = (part_stats,) + ((drift_v,) if drift_v is not None else ())
     return ValidationResult(
         violations=violations,
         verdicts=verdicts,
         stats=part_stats,
+        failing_ids=failing_ids,
         hist=hist,
         _cached=(violations, dups)
         + ((per_check,) if violation_sample is not None else ())

@@ -69,6 +69,7 @@ def write_partitioned(
     sort_within: str | None = None,
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
+    dynamic: bool = False,
 ) -> None:
     """One shuffle keyed by (partition cols, file bucket), optional
     within-task sort, then a hive-partitioned parquet write.
@@ -115,6 +116,11 @@ def write_partitioned(
     if sort_within:
         shuffled = shuffled.sortWithinPartitions(*partition_by, sort_within)
     writer = shuffled.write.mode(mode).partitionBy(*partition_by)
+    if dynamic:
+        # overwrite only the partition dirs present in df (the
+        # key-index/states convention) — a resume-scoped write replaces
+        # re-validated partitions and leaves the rest in place
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)

@@ -164,26 +164,30 @@ def test_repeated_suite_runs_leave_no_persisted_rdds(spark, suite):
     from teleharvest_spark import datagen
     from teleharvest_spark.plans import suite as suite_plan
 
-    def persisted_count():
-        # persistentRdds includes localCheckpoint RDDs; count only the
-        # deserialized MEMORY_AND_DISK ones (the persist() signature)
-        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
-        n = 0
+    def persisted_ids():
+        # persistentRdds includes localCheckpoint RDDs; track only the
+        # deserialized MEMORY_AND_DISK ones (the persist() signature).
+        # Compare by RDD-id SET, not count: a pre-existing cache from
+        # another test may be released asynchronously mid-test, which
+        # would make a count delta spuriously negative.
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        ids = set()
         while it.hasNext():
-            sl = it.next().getStorageLevel()
+            e = it.next()  # scala Tuple2[int, RDD]
+            sl = e._2().getStorageLevel()
             if sl.deserialized() and sl.useMemory():
-                n += 1
-        return n
+                ids.add(e._1())
+        return ids
 
-    # delta, not absolute: the session is shared across the test run
-    # and other tests may hold legitimate caches
-    before = persisted_count()
+    # set delta, not absolute: the session is shared across the test
+    # run and other tests may hold legitimate caches
+    before = persisted_ids()
     df = datagen.generate_sequences(spark, 1_000, suite)
     for _ in range(3):
         res = suite_plan.run_suite(df, suite, drift_vs_global=True)
         res.materialize()
         res.cleanup()
-    assert persisted_count() - before == 0
+    assert persisted_ids() - before == set()
 
 
 def test_spans_from_grams_broadcasts_stored_gram_dimension(spark, tmp_path):
