@@ -93,6 +93,10 @@ def build_suite(path: str | None) -> CheckSuite:
         overrides["custom_checks"] = tuple(
             (str(n), str(e)) for n, e in overrides["custom_checks"]
         )
+    if "check_tolerances" in overrides:
+        overrides["check_tolerances"] = tuple(
+            (str(n), float(v)) for n, v in overrides["check_tolerances"]
+        )
     return CheckSuite(**overrides)
 
 

@@ -57,6 +57,21 @@ class CheckSuite:
     min_er: float = 0.025
     min_views: int = 50
 
+    # Violation tolerance (no reference analogue — the reference fails
+    # a batch on any violation, which this default reproduces; at
+    # 10^12 rows a partition-level verdict usually wants "fail when
+    # MORE THAN x% of rows violate", the Deequ/Great-Expectations
+    # assertion shape). A partition fails the violation clause when ANY
+    # check's violation-row count exceeds its tolerated fraction of the
+    # partition's rows (strict >: a frac exactly at the tolerance
+    # passes). check_tolerances overrides the global fraction for the
+    # named checks only. Row-level certification (--emit-valid) is
+    # unaffected: a tolerated row is still a violation and is never
+    # certified. Both default to the strict semantics, so existing
+    # suite hashes are stable.
+    max_violation_frac: float = 0.0
+    check_tolerances: tuple[tuple[str, float], ...] = ()
+
     # Declarative user checks (no reference analogue): (name, sql_expr)
     # pairs appended after every built-in; a row FAILS when the boolean
     # SQL expression is TRUE (NULL result = pass — three-valued SQL).

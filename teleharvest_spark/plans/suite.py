@@ -289,11 +289,50 @@ def run_suite(
     else:
         drift_fail = F.lit(False)
 
+    if suite.max_violation_frac > 0.0 or suite.check_tolerances:
+        # Tolerance mode (Deequ/GE assertion shape): the partition's
+        # violation clause fails when ANY check's violation-row count
+        # exceeds its tolerated fraction of the partition's rows —
+        # per-check override first, else the global max_violation_frac.
+        # Pure map-expression over the already-computed viol_by_check:
+        # no extra scan, no extra join. Strict >: exactly-at-tolerance
+        # passes. violation_rows stays the EXACT total either way.
+        tol = dict(suite.check_tolerances)
+        if tol:
+            tol_map = F.create_map(
+                *[
+                    x
+                    for name, frac in tol.items()
+                    for x in (F.lit(name), F.lit(float(frac)))
+                ]
+            )
+
+            def tol_expr(k):
+                return F.coalesce(
+                    F.element_at(tol_map, k),
+                    F.lit(float(suite.max_violation_frac)),
+                )
+
+        else:
+
+            def tol_expr(k):
+                return F.lit(float(suite.max_violation_frac))
+
+        viol_fail = F.coalesce(
+            F.exists(
+                F.map_entries(F.col("viol_by_check")),
+                lambda e: e.value.cast("double")
+                > tol_expr(e.key) * F.col("row_count").cast("double"),
+            ),
+            F.lit(False),
+        )
+    else:
+        viol_fail = F.col("violation_rows") > 0
     verdicts = verdicts.withColumn(
         "verdict",
         F.when(
             (F.col("stats_verdict") == "fail")
-            | (F.col("violation_rows") > 0)
+            | viol_fail
             | F.coalesce(drift_fail, F.lit(False)),
             F.lit("fail"),
         ).otherwise(F.lit("pass")),

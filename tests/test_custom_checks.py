@@ -87,12 +87,19 @@ def test_build_suite_json_roundtrip(tmp_path):
     p = tmp_path / "suite.json"
     p.write_text(
         json.dumps(
-            {"min_n_tok": 2, "custom_checks": [["dense", "n_tok > 100"]]}
+            {
+                "min_n_tok": 2,
+                "custom_checks": [["dense", "n_tok > 100"]],
+                "max_violation_frac": 0.05,
+                "check_tolerances": [["banned_token", 0.5]],
+            }
         )
     )
     suite = build_suite(str(p))
     assert suite.custom_checks == (("dense", "n_tok > 100"),)
     assert suite.min_n_tok == 2
+    assert suite.max_violation_frac == 0.05
+    assert suite.check_tolerances == (("banned_token", 0.5),)
 
 
 def test_run_suite_counts_custom_violations(spark):

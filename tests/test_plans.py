@@ -209,3 +209,95 @@ def test_spans_from_grams_broadcasts_stored_gram_dimension(spark, tmp_path):
     spans, _ = dedup.batch_duplicated_spans(docs.limit(10), stored, k=8)
     plan = _plan_of(spans)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def _tol_rows(spec):
+    """spec: [(source, n_banned, n_flagged, n_ok)] → sequence rows.
+    Row-level-ONLY violations (the partition stats verdict mirrors the
+    n_tok bounds, so length violations can't demonstrate tolerance):
+    banned rows contain token 999; flagged rows have an ``xx_``-prefixed
+    doc_id for a custom check; ok rows have 20 clean tokens."""
+    rows = []
+    for src, n_banned, n_flagged, n_ok in spec:
+        for i in range(n_banned):
+            rows.append((f"{src}_b{i}", list(range(19)) + [999], 20, src))
+        for i in range(n_flagged):
+            rows.append((f"xx_{src}_f{i}", list(range(20)), 20, src))
+        for i in range(n_ok):
+            rows.append((f"{src}_k{i}", list(range(20)), 20, src))
+    return rows
+
+
+def _tol_df(spark, spec):
+    return spark.createDataFrame(
+        _tol_rows(spec),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+
+
+def test_violation_tolerance_partition_verdicts(spark):
+    """max_violation_frac: a partition passes when every check's
+    violation fraction is AT or below the tolerance (strict >), fails
+    when any exceeds it; violation_rows stays the exact total and
+    failing_ids still lists every tolerated row (row-level
+    certification is unaffected by partition-level tolerance)."""
+    from teleharvest_spark.config import CheckSuite
+
+    suite = CheckSuite(banned_tokens=(999,), max_violation_frac=0.2)
+    # src_a: 1/10 banned (0.1 ≤ 0.2) → pass; src_b: 3/10 (0.3) → fail;
+    # src_c: 2/10 banned — exactly at tolerance → pass
+    df = _tol_df(
+        spark, [("src_a", 1, 0, 9), ("src_b", 3, 0, 7), ("src_c", 2, 0, 8)]
+    )
+    res = suite_plan.run_suite(df, suite)
+    v = {r["source"]: r for r in res.verdicts.collect()}
+    assert v["src_a"]["verdict"] == "pass"
+    assert v["src_a"]["violation_rows"] == 1  # exact count preserved
+    assert v["src_b"]["verdict"] == "fail"
+    assert v["src_c"]["verdict"] == "pass"
+    fids = {r["doc_id"] for r in res.failing_ids.collect()}
+    assert "src_a_b0" in fids  # tolerated row is still not certifiable
+    res.cleanup()
+
+    # default suite (max_violation_frac=0.0): same data, all three fail
+    res0 = suite_plan.run_suite(df, CheckSuite(banned_tokens=(999,)))
+    assert {
+        r["verdict"] for r in res0.verdicts.collect()
+    } == {"fail"}
+    res0.cleanup()
+
+
+def test_per_check_tolerance_overrides_global(spark):
+    """check_tolerances: the named check gets its own fraction; every
+    other check keeps the global one (default 0.0 = strict)."""
+    from teleharvest_spark.config import CheckSuite
+
+    suite = CheckSuite(
+        banned_tokens=(999,),
+        custom_checks=(("bad_prefix", "doc_id LIKE 'xx_%'"),),
+        check_tolerances=(("banned_token", 0.5),),
+    )
+    # src_a: 2/10 banned, tolerated (0.2 ≤ 0.5) → pass
+    # src_b: 2/10 banned tolerated BUT 1 bad_prefix row at the strict
+    # global 0.0 → fail
+    df = _tol_df(spark, [("src_a", 2, 0, 8), ("src_b", 2, 1, 7)])
+    res = suite_plan.run_suite(df, suite)
+    v = {r["source"]: r for r in res.verdicts.collect()}
+    assert v["src_a"]["verdict"] == "pass"
+    assert v["src_b"]["verdict"] == "fail"
+    res.cleanup()
+
+
+def test_tolerance_is_suite_hash_sensitive_and_default_stable(spark):
+    from teleharvest_spark.config import CheckSuite
+
+    base = CheckSuite(min_n_tok=10)
+    assert (
+        CheckSuite(min_n_tok=10, max_violation_frac=0.0).suite_hash()
+        == base.suite_hash()
+    )
+    assert CheckSuite(min_n_tok=10, max_violation_frac=0.1).suite_hash() != base.suite_hash()
+    assert (
+        CheckSuite(min_n_tok=10, check_tolerances=(("too_short", 0.5),)).suite_hash()
+        != base.suite_hash()
+    )
