@@ -35,13 +35,7 @@ from ..operators import cascade
 from ..sources.writer import source_dir_col, write_partitioned
 
 
-def violation_rows(batch: DataFrame, suite: CheckSuite) -> DataFrame:
-    """Row-wise cascade violation records of one micro-batch, in the
-    batch violations schema (doc_id, source, check_name, reason,
-    tokens) — the per-row invariant (token-array equality with the
-    reference's reported rows) rides along exactly as in
-    plans/suite.py."""
-    annotated = cascade.apply_cascade(batch, cascade.sequence_checks(suite))
+def _select_violations(annotated: DataFrame, batch_cols: list[str]) -> DataFrame:
     return annotated.where(F.col(cascade.FIRST_FAIL_COL).isNotNull()).select(
         "doc_id",
         "source",
@@ -49,10 +43,20 @@ def violation_rows(batch: DataFrame, suite: CheckSuite) -> DataFrame:
         F.col(cascade.REASON_COL).alias("reason"),
         (
             F.col("tokens")
-            if "tokens" in batch.columns
+            if "tokens" in batch_cols
             else F.lit(None).cast("array<int>")
         ).alias("tokens"),
     )
+
+
+def violation_rows(batch: DataFrame, suite: CheckSuite) -> DataFrame:
+    """Row-wise cascade violation records of one micro-batch, in the
+    batch violations schema (doc_id, source, check_name, reason,
+    tokens) — the per-row invariant (token-array equality with the
+    reference's reported rows) rides along exactly as in
+    plans/suite.py."""
+    annotated = cascade.apply_cascade(batch, cascade.sequence_checks(suite))
+    return _select_violations(annotated, batch.columns)
 
 
 def violations_sink(
@@ -60,6 +64,7 @@ def violations_sink(
     sink_path: str,
     files_per_partition: int = 4,
     violation_sample: int | None = None,
+    emit_valid: str | None = None,
 ):
     """foreachBatch body: cascade the batch, write its violations to
     ``<sink>/batch_id=<id>`` in the partitioned layout (overwrite —
@@ -71,10 +76,26 @@ def violations_sink(
     per batch instead of re-materializing the batch. The sample is
     content-hash derived, so a REPLAYED batch samples the exact same
     rows and the overwrite stays byte-idempotent.
+
+    ``emit_valid``: also land the CERTIFIED rows (cascade-clean, in the
+    batch's own schema) under ``<emit_valid>/batch_id=<id>`` — the
+    streaming twin of cli.run's --emit-valid (the reference's S4 insert
+    path: failing rows skipped, passing rows persist). Certification
+    here is CASCADE-scoped: cross-row uniqueness belongs upstream in
+    ingest.streaming_dedup (watermark-bounded state), and the
+    certified set is always the full uncapped complement — the sample
+    cap only bounds the diagnostic, never widens certification. One
+    cascade pass feeds both writes (the batch is persisted for the
+    duration of the two writes).
     """
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        viol = violation_rows(batch, suite)
+        annotated = cascade.apply_cascade(
+            batch, cascade.sequence_checks(suite)
+        )
+        if emit_valid is not None:
+            annotated = annotated.persist()
+        viol = _select_violations(annotated, batch.columns)
         if violation_sample is not None:
             from ..plans.suite import sample_violations
 
@@ -91,6 +112,21 @@ def violations_sink(
             sort_within="doc_id",
             mode="overwrite",
         )
+        if emit_valid is not None:
+            certified = (
+                annotated.where(F.col(cascade.FIRST_FAIL_COL).isNull())
+                .select(*batch.columns)
+                .withColumn("source_dir", source_dir_col())
+            )
+            write_partitioned(
+                certified,
+                f"{emit_valid}/batch_id={batch_id}",
+                partition_by=("source_dir",),
+                files_per_partition=files_per_partition,
+                sort_within="doc_id",
+                mode="overwrite",
+            )
+            annotated.unpersist()
 
     return sink
 
@@ -103,13 +139,19 @@ def start_violations_writer(
     checkpoint: str,
     files_per_partition: int = 4,
     violation_sample: int | None = None,
+    emit_valid: str | None = None,
 ):
-    """Wire a sequence stream into the partitioned violations table."""
+    """Wire a sequence stream into the partitioned violations table
+    (and, with ``emit_valid``, the certified table)."""
     return (
         stream.writeStream.outputMode("append")
         .foreachBatch(
             violations_sink(
-                suite, sink_path, files_per_partition, violation_sample
+                suite,
+                sink_path,
+                files_per_partition,
+                violation_sample,
+                emit_valid,
             )
         )
         .option("checkpointLocation", checkpoint)

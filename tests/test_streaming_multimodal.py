@@ -692,3 +692,75 @@ def test_streaming_prep_ingest_semantic_dedup_from_batch_embeddings(spark, tmp_p
     assert pipeline.read_prep_corpus(spark, out).where(
         F.col("doc_id") == 500
     ).count() == 0
+
+
+def test_streaming_emit_valid_certifies_cascade_clean_rows(
+    spark, suite, tmp_path
+):
+    """Streaming twin of cli --emit-valid: each micro-batch's
+    cascade-clean rows land under <cert>/batch_id=<n> in the batch's
+    own schema; certified + violating doc_ids partition the batch; the
+    violation-sample cap never widens certification; replaying a batch
+    is byte-idempotent for BOTH tables."""
+    from teleharvest_spark import datagen
+    from teleharvest_spark.streaming import ingest
+    from teleharvest_spark.streaming import violations as sv
+
+    drop = tmp_path / "cdrop"
+    drop.mkdir()
+    sink = str(tmp_path / "viol")
+    cert = str(tmp_path / "cert")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = datagen.generate_sequences(spark, 1_000, suite)
+    b1.write.mode("append").parquet(str(drop))
+    stream = ingest.stream_sequences(spark, str(drop))
+    q = sv.start_violations_writer(
+        spark, stream, suite, sink, ckpt, violation_sample=2, emit_valid=cert
+    )
+    q.awaitTermination()
+
+    certified = spark.read.parquet(cert)
+    assert {"batch_id", "source_dir"} <= set(certified.columns)
+    assert certified.count() > 0
+    # partition invariant vs the UNCAPPED failing set (sample=2 caps
+    # the written diagnostic only)
+    viol_full = sv.violation_rows(b1, suite)
+    failing = {r["doc_id"] for r in viol_full.select("doc_id").distinct().collect()}
+    cert_ids = {r["doc_id"] for r in certified.select("doc_id").collect()}
+    assert not (cert_ids & failing)
+    # distinct-id partition (datagen plants duplicate doc_ids — the
+    # streaming sink is cascade-scoped, so both copies certify; the
+    # cross-row dup check lives upstream in ingest.streaming_dedup)
+    all_ids = {r["doc_id"] for r in b1.select("doc_id").collect()}
+    assert cert_ids | failing == all_ids
+    # written violations really are capped below the failing set
+    assert spark.read.parquet(sink).count() < viol_full.count()
+
+    # second micro-batch appends its own batch dir
+    b2 = spark.createDataFrame(
+        [("ok_new", [1] * 400, 400, "src_00"), ("bad_new", None, None, "src_00")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    b2.write.mode("append").parquet(str(drop))
+    q = sv.start_violations_writer(
+        spark,
+        ingest.stream_sequences(spark, str(drop)),
+        suite,
+        sink,
+        ckpt,
+        violation_sample=2,
+        emit_valid=cert,
+    )
+    q.awaitTermination()
+    after = spark.read.parquet(cert)
+    assert after.where(F.col("doc_id") == "ok_new").count() == 1
+    assert after.where(F.col("doc_id") == "bad_new").count() == 0
+
+    # replay batch 0: both tables stay row-identical (fresh plans —
+    # the overwrite swapped the files)
+    n_cert = after.count()
+    n_viol = spark.read.parquet(sink).count()
+    sv.violations_sink(suite, sink, violation_sample=2, emit_valid=cert)(b1, 0)
+    assert spark.read.parquet(cert).count() == n_cert
+    assert spark.read.parquet(sink).count() == n_viol
