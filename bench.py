@@ -754,6 +754,64 @@ def resume_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def certify_bench(spark, sf_dir: str) -> dict:
+    """Certified-rows emission (--emit-valid): the validated-table
+    output downstream consumers read. Measures the full validation run
+    with and without the certified write on the same seeded table —
+    the delta is the cost of re-materializing the passing rows
+    (anti-join against the usually-tiny failing-id set is broadcast;
+    the write is one layout shuffle + parquet encode, i.e. I/O-bound
+    and linear in |table|, which is the honest floor for emitting a
+    certified copy of the corpus)."""
+    import shutil
+
+    from teleharvest_spark import cli
+
+    rows = max(SUITE_ROWS // 2, 60_000)
+    check = CheckSuite(
+        banned_tokens=datagen.BANNED_IDS,
+        allowed_sources=tuple(datagen.SOURCES),
+    )
+    src = "/tmp/bench_certify_src"
+    shutil.rmtree(src, ignore_errors=True)
+    datagen.generate_sequences(spark, rows, check).write.parquet(src)
+    out = {"table_rows": rows}
+
+    def best2(fn) -> float:
+        fn()  # warm
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3)
+
+    wh, cert = "/tmp/bench_certify_wh", "/tmp/bench_certify_out"
+
+    def run(emit: bool) -> None:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(cert, ignore_errors=True)
+        cli.run(
+            spark, src, wh, check, run_id="rb",
+            emit_valid=cert if emit else None,
+        )
+
+    out["validate_only_sec"] = best2(lambda: run(False))
+    out["validate_certify_sec"] = best2(lambda: run(True))
+    out["certify_overhead_sec"] = round(
+        out["validate_certify_sec"] - out["validate_only_sec"], 3
+    )
+    n_cert = spark.read.parquet(cert).count()
+    out["certified_rows"] = n_cert
+    out["certified_rows_per_sec"] = round(
+        n_cert / max(out["certify_overhead_sec"], 1e-9), 1
+    )
+    for p in (src, wh, cert):
+        shutil.rmtree(p, ignore_errors=True)
+    print(f"# certify: {out}", file=sys.stderr)
+    return out
+
+
 def corpus_clean_bench(spark, sf_dir: str) -> dict:
     """Session-3 operators over the documents table: C4-style
     cross-document line dedup (hot-line dimension + rebuild) and the
@@ -976,6 +1034,7 @@ def main() -> None:
     corpus_clean = corpus_clean_bench(spark, sf_dir)
     curation = curation_bench(spark, sf_dir)
     resume = resume_bench(spark, sf_dir)
+    certify = certify_bench(spark, sf_dir)
 
     sf1 = None
     if SF1_ENABLED and "0.1" in sf_dir:
@@ -1003,6 +1062,7 @@ def main() -> None:
         "corpus_clean": corpus_clean,
         "curation": curation,
         "resume": resume,
+        "certify": certify,
         "memory": memory_telemetry(spark),
         "spill": spill_telemetry(),
     }

@@ -345,10 +345,16 @@ def run(
         # overwrite: a re-validated partition replaces its certified
         # dir, untouched partitions keep theirs — the certified table
         # stays consistent under --resume.
+        from pyspark.sql import Observation
+
         fid = res.failing_ids.select(F.col("doc_id").alias("_fid"))
         valid = sequences.join(
             fid, F.col("doc_id").eqNullSafe(F.col("_fid")), "left_anti"
         ).withColumn("source_dir", source_dir_col())
+        # the row count rides the write itself (Observation) — a
+        # .count() here would re-run the anti-join scan a second time
+        cert_obs = Observation("certified")
+        valid = valid.observe(cert_obs, F.count(F.lit(1)).alias("n"))
         write_partitioned(
             valid,
             emit_valid,
@@ -358,7 +364,7 @@ def run(
             mode="overwrite",
             dynamic=True,
         )
-        certified_report = {"certified_rows": valid.count()}
+        certified_report = {"certified_rows": cert_obs.get["n"]}
     res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
     mf.append_manifest_rows(spark, output_path, res.verdicts, snapshots, suite, run_id)
     if key_index:

@@ -117,3 +117,29 @@ def test_emit_valid_resume_overwrites_only_pending_partition(spark, tmp_path):
         r["doc_id"]
         for r in after.where(F.col("source_dir") == "src_00").collect()
     } == before
+
+
+def test_certified_anti_join_broadcasts_failing_ids(spark, tmp_path):
+    """Scale contract: the certified write's anti-join must broadcast
+    the (usually tiny) failing-id set — a sort-merge anti-join here
+    would shuffle-write the whole fact including the token arrays. AQE
+    resolves the join at runtime, so the pin reads the FINAL adaptive
+    plan after an action."""
+    from teleharvest_spark import datagen
+    from teleharvest_spark.plans import suite as suite_plan
+    from teleharvest_spark.sources.writer import source_dir_col
+
+    suite = _suite()
+    inp = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 8000, suite).write.parquet(inp)
+    sequences = spark.read.parquet(inp)
+    res = suite_plan.run_suite(sequences, suite)
+    fid = res.failing_ids.select(F.col("doc_id").alias("_fid"))
+    valid = sequences.join(
+        fid, F.col("doc_id").eqNullSafe(F.col("_fid")), "left_anti"
+    ).withColumn("source_dir", source_dir_col())
+    assert valid.count() > 0
+    plan = valid._jdf.queryExecution().executedPlan().toString()
+    res.cleanup()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
