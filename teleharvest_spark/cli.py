@@ -97,6 +97,10 @@ def build_suite(path: str | None) -> CheckSuite:
         overrides["check_tolerances"] = tuple(
             (str(n), float(v)) for n, v in overrides["check_tolerances"]
         )
+    if "stat_checks" in overrides:
+        overrides["stat_checks"] = tuple(
+            (str(n), str(e)) for n, e in overrides["stat_checks"]
+        )
     return CheckSuite(**overrides)
 
 

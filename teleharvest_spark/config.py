@@ -80,6 +80,18 @@ class CheckSuite:
     # editing one re-queues every manifest partition.
     custom_checks: tuple[tuple[str, str], ...] = ()
 
+    # Declarative PARTITION-level assertions (no reference analogue —
+    # the aggregate-side twin of custom_checks): (name, sql_expr) pairs
+    # evaluated over each partition's STATS row (columns: row_count,
+    # null_tokens, null_n_tok, min_n_tok, max_n_tok, avg_n_tok,
+    # ntok_quantiles array, approx_distinct_doc_id, total_tokens,
+    # null_rate). TRUE fails the partition, NULL passes (three-valued
+    # SQL, same contract as custom_checks); names land in
+    # failed_stat_checks after the built-ins; collisions with built-in
+    # stat-check names raise. Evaluated over |partitions| rows — zero
+    # data-scan cost. Hashed into suite_hash like any threshold.
+    stat_checks: tuple[tuple[str, str], ...] = ()
+
     # Late-data lookback depth (reference: PROCESSOR_LIMIT, settings.py:11).
     lookback_limit: int = 1000
 

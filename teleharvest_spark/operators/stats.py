@@ -80,24 +80,43 @@ def quantile_trim(
     )
 
 
+_BUILTIN_STAT_CHECKS = ("null_rate", "min_n_tok", "max_n_tok", "dup_rate")
+
+
 def stats_verdicts(stats: DataFrame, suite: CheckSuite) -> DataFrame:
     """Declarative thresholds over the stats row → per-partition verdict.
 
     Reference analogue: settings.py:11-16 thresholds driving pass/fail.
+
+    ``suite.stat_checks`` appends user (name, sql_expr) assertions over
+    the same stats row — TRUE fails, NULL passes (the custom_checks
+    contract, aggregate-side). They evaluate over |partitions| rows, so
+    an arbitrary number of them costs nothing at any scale.
     """
-    failed = F.array_compact(
-        F.array(
-            F.when(F.col("null_rate") > suite.max_null_rate, F.lit("null_rate")),
-            F.when(F.col("min_n_tok") < suite.min_n_tok, F.lit("min_n_tok")),
-            F.when(F.col("max_n_tok") > suite.max_n_tok, F.lit("max_n_tok")),
-            # HLL++ rsd=0.01 → allow 4σ slack before flagging duplicates
-            F.when(
-                F.col("approx_distinct_doc_id").cast("double")
-                < F.col("row_count").cast("double") * (1.0 - suite.max_dup_rate - 0.04),
-                F.lit("dup_rate"),
-            ),
-        )
-    )
+    entries = [
+        F.when(F.col("null_rate") > suite.max_null_rate, F.lit("null_rate")),
+        F.when(F.col("min_n_tok") < suite.min_n_tok, F.lit("min_n_tok")),
+        F.when(F.col("max_n_tok") > suite.max_n_tok, F.lit("max_n_tok")),
+        # HLL++ rsd=0.01 → allow 4σ slack before flagging duplicates
+        F.when(
+            F.col("approx_distinct_doc_id").cast("double")
+            < F.col("row_count").cast("double") * (1.0 - suite.max_dup_rate - 0.04),
+            F.lit("dup_rate"),
+        ),
+    ]
+    if suite.stat_checks:
+        reserved = set(_BUILTIN_STAT_CHECKS)
+        for name, expr in suite.stat_checks:
+            if name in reserved:
+                raise ValueError(
+                    f"stat check name {name!r} collides with a "
+                    "built-in or earlier stat check"
+                )
+            reserved.add(name)
+            entries.append(
+                F.when(F.coalesce(F.expr(expr), F.lit(False)), F.lit(name))
+            )
+    failed = F.array_compact(F.array(*entries))
     return stats.withColumn("failed_stat_checks", failed).withColumn(
         "stats_verdict",
         F.when(F.size("failed_stat_checks") == 0, F.lit("pass")).otherwise(F.lit("fail")),

@@ -66,3 +66,71 @@ def test_clean_partition_passes(spark):
     v = stats.stats_verdicts(stats.partition_stats(df), suite).collect()
     assert v[0]["stats_verdict"] == "pass"
     assert v[0]["failed_stat_checks"] == []
+
+
+def _stat_df(spark):
+    return spark.createDataFrame(
+        [(f"b{i}", "big", [1] * 20, 20) for i in range(50)]
+        + [(f"s{i}", "small", [1] * 20, 20) for i in range(3)],
+        "doc_id string, source string, tokens array<int>, n_tok int",
+    )
+
+
+def test_declarative_stat_checks_fail_and_null_pass(spark):
+    """stat_checks: TRUE fails the partition, NULL passes (three-valued
+    SQL, the custom_checks contract aggregate-side); names land in
+    failed_stat_checks after built-ins."""
+    suite = CheckSuite(
+        min_n_tok=1,
+        stat_checks=(
+            ("low_volume", "row_count < 10"),
+            # NULL predicate (comparing against NULL) must pass
+            ("null_pred", "row_count < CAST(NULL AS INT)"),
+        ),
+    )
+    st = stats.stats_verdicts(stats.partition_stats(_stat_df(spark)), suite)
+    rows = {r["source"]: r for r in st.collect()}
+    assert rows["small"]["stats_verdict"] == "fail"
+    assert rows["small"]["failed_stat_checks"] == ["low_volume"]
+    assert rows["big"]["stats_verdict"] == "pass"
+    assert rows["big"]["failed_stat_checks"] == []
+
+
+def test_stat_checks_can_read_quantiles_and_ratios(spark):
+    """The stats row's derived columns (quantile array, averages) are
+    addressable from the SQL expression."""
+    suite = CheckSuite(
+        min_n_tok=1,
+        stat_checks=(("median_cap", "ntok_quantiles[0] > 5"),),
+    )
+    st = stats.stats_verdicts(stats.partition_stats(_stat_df(spark)), suite)
+    assert {r["stats_verdict"] for r in st.collect()} == {"fail"}  # median 20 > 5
+
+
+def test_stat_check_name_collision_raises(spark):
+    import pytest
+
+    suite = CheckSuite(stat_checks=(("dup_rate", "row_count < 0"),))
+    with pytest.raises(ValueError, match="collides"):
+        stats.stats_verdicts(stats.partition_stats(_stat_df(spark)), suite)
+    suite2 = CheckSuite(
+        stat_checks=(("x", "row_count < 0"), ("x", "row_count > 0"))
+    )
+    with pytest.raises(ValueError, match="collides"):
+        stats.stats_verdicts(stats.partition_stats(_stat_df(spark)), suite2)
+
+
+def test_stat_checks_suite_hash_and_json(tmp_path):
+    import json
+
+    from teleharvest_spark.cli import build_suite
+
+    base = CheckSuite()
+    assert CheckSuite(stat_checks=()).suite_hash() == base.suite_hash()
+    assert (
+        CheckSuite(stat_checks=(("lv", "row_count < 10"),)).suite_hash()
+        != base.suite_hash()
+    )
+    p = tmp_path / "suite.json"
+    p.write_text(json.dumps({"stat_checks": [["lv", "row_count < 10"]]}))
+    assert build_suite(str(p)).stat_checks == (("lv", "row_count < 10"),)
