@@ -351,14 +351,21 @@ def run(
         # stays consistent under --resume.
         from pyspark.sql import Observation
 
+        from .sources.writer import dir_key_value
+
         fid = res.failing_ids.select(F.col("doc_id").alias("_fid"))
         valid = sequences.join(
             fid, F.col("doc_id").eqNullSafe(F.col("_fid")), "left_anti"
         ).withColumn("source_dir", source_dir_col())
-        # the row count rides the write itself (Observation) — a
-        # .count() here would re-run the anti-join scan a second time
+        # the row count and written-partition set ride the write itself
+        # (Observation) — a .count() here would re-run the anti-join
+        # scan a second time
         cert_obs = Observation("certified")
-        valid = valid.observe(cert_obs, F.count(F.lit(1)).alias("n"))
+        valid = valid.observe(
+            cert_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("source_dir").alias("dirs"),
+        )
         write_partitioned(
             valid,
             emit_valid,
@@ -366,9 +373,34 @@ def run(
             files_per_partition=4,
             sort_within="doc_id",
             mode="overwrite",
-            dynamic=True,
+            # a full run rewrites the whole certified table (a source
+            # removed from the input leaves no stale dir); a resume-
+            # scoped run replaces only the partitions it re-validated
+            dynamic=resume,
         )
-        certified_report = {"certified_rows": cert_obs.get["n"]}
+        try:
+            metrics = cert_obs.get
+            n_cert, written_dirs = metrics["n"], set(metrics["dirs"] or [])
+        except Exception:
+            # AQE empty-relation propagation eliminates the
+            # CollectMetrics node when the certified set is provably
+            # empty (every row failed); the write itself committed, so
+            # absent metrics mean zero certified rows.
+            n_cert, written_dirs = 0, set()
+        if resume:
+            # dynamic overwrite cannot CLEAR a re-validated partition
+            # whose certified set came back empty (zero rows → no dir
+            # written) — drop those dirs explicitly, or rows certified
+            # against the OLD data survive a failing re-delivery.
+            # Local-fs dir surgery, same caveat as compact_partitioned
+            # (Iceberg's atomic snapshot commit is the managed fix).
+            import shutil
+
+            for d in {dir_key_value(p) for p in pending_sources} - written_dirs:
+                shutil.rmtree(
+                    f"{emit_valid}/source_dir={d}", ignore_errors=True
+                )
+        certified_report = {"certified_rows": n_cert}
     res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
     mf.append_manifest_rows(spark, output_path, res.verdicts, snapshots, suite, run_id)
     if key_index:

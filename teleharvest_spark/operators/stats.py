@@ -92,18 +92,39 @@ def stats_verdicts(stats: DataFrame, suite: CheckSuite) -> DataFrame:
     the same stats row — TRUE fails, NULL passes (the custom_checks
     contract, aggregate-side). They evaluate over |partitions| rows, so
     an arbitrary number of them costs nothing at any scale.
+
+    Tolerance interaction: the min/max_n_tok entries MIRROR the
+    row-level too_short/too_long cascade checks (one bad row trips
+    both). When the suite declares a violation tolerance that covers
+    the row check (a ``check_tolerances`` entry for it, or a global
+    ``max_violation_frac`` > 0), the mirror DEFERS — the row-level
+    count, which is exact, is the decisive semantics; otherwise one
+    tolerated short row would still fail the partition through the
+    stats side and the tolerance would be inert. null_rate and
+    dup_rate have their OWN fractional knobs (max_null_rate,
+    max_dup_rate) and never defer.
     """
+    tol_names = {n for n, _ in suite.check_tolerances}
+    tolerant = suite.max_violation_frac > 0.0
     entries = [
         F.when(F.col("null_rate") > suite.max_null_rate, F.lit("null_rate")),
-        F.when(F.col("min_n_tok") < suite.min_n_tok, F.lit("min_n_tok")),
-        F.when(F.col("max_n_tok") > suite.max_n_tok, F.lit("max_n_tok")),
+    ]
+    if not (tolerant or "too_short" in tol_names):
+        entries.append(
+            F.when(F.col("min_n_tok") < suite.min_n_tok, F.lit("min_n_tok"))
+        )
+    if not (tolerant or "too_long" in tol_names):
+        entries.append(
+            F.when(F.col("max_n_tok") > suite.max_n_tok, F.lit("max_n_tok"))
+        )
+    entries.append(
         # HLL++ rsd=0.01 → allow 4σ slack before flagging duplicates
         F.when(
             F.col("approx_distinct_doc_id").cast("double")
             < F.col("row_count").cast("double") * (1.0 - suite.max_dup_rate - 0.04),
             F.lit("dup_rate"),
-        ),
-    ]
+        )
+    )
     if suite.stat_checks:
         reserved = set(_BUILTIN_STAT_CHECKS)
         for name, expr in suite.stat_checks:

@@ -146,6 +146,17 @@ def run_suite(
     else:
         cascade_input = sequences
         checks = cascade.sequence_checks(suite)
+    if suite.check_tolerances:
+        # a typo'd tolerance name would silently keep strict verdicts —
+        # surface the misconfiguration, matching the collision-raising
+        # convention of custom_checks/stat_checks
+        known = {c.name for c in checks} | {"duplicate_key"}
+        unknown = sorted({n for n, _ in suite.check_tolerances} - known)
+        if unknown:
+            raise ValueError(
+                f"check_tolerances name(s) {unknown} match no check in "
+                f"this suite (known: {sorted(known)})"
+            )
     # Duplicate-key detection runs on a column-pruned scan (doc_id
     # only — the tokens array is never decoded here; the array decode
     # IS the scan cost, ~33s/2M rows measured). The dup
@@ -206,16 +217,25 @@ def run_suite(
         .select("doc_id", "source", "check_name", "reason", "tokens")
     )
     per_check = None
+    viol_keys = None
     if violation_sample is None:
         violations = violations_plan.persist()
     else:
         # Capped mode trades ONE extra decode pass (counts, then the
-        # filtered sample — the uncapped set is never persisted, since
-        # at pathological volume persisting it IS the problem) for an
-        # output bounded by |sources|×|checks|×limit. The capped set is
-        # persisted: it is bounded by construction.
+        # filtered sample — the uncapped TOKEN-CARRYING set is never
+        # persisted, since at pathological volume persisting it IS the
+        # problem) for an output bounded by |sources|×|checks|×limit.
+        # The narrow (doc_id, source, check_name) projection IS
+        # persisted: ~100× smaller than the violations rows (no token
+        # arrays), spillable, and it serves BOTH the per-check counts
+        # and the failing-id set — without it, certification
+        # (emit_valid) would re-run the full cascade decode a third
+        # time just to rebuild the failing ids.
+        viol_keys = violations_plan.select(
+            "doc_id", "source", "check_name"
+        ).persist()
         per_check = (
-            violations_plan.groupBy("source", "check_name")
+            viol_keys.groupBy("source", "check_name")
             .agg(F.count(F.lit(1)).alias("check_cnt"))
             .persist()
         )
@@ -338,7 +358,7 @@ def run_suite(
         ).otherwise(F.lit("pass")),
     )
     failing_ids = (
-        violations if violation_sample is None else violations_plan
+        violations if violation_sample is None else viol_keys
     ).select("doc_id").distinct()
     overlap = (part_stats,) + ((drift_v,) if drift_v is not None else ())
     return ValidationResult(
@@ -348,7 +368,7 @@ def run_suite(
         failing_ids=failing_ids,
         hist=hist,
         _cached=(violations, dups)
-        + ((per_check,) if violation_sample is not None else ())
+        + ((per_check, viol_keys) if violation_sample is not None else ())
         + overlap
         + ((hist,) if hist is not None else ()),
         _overlap=overlap,

@@ -95,38 +95,44 @@ def violations_sink(
         )
         if emit_valid is not None:
             annotated = annotated.persist()
-        viol = _select_violations(annotated, batch.columns)
-        if violation_sample is not None:
-            from ..plans.suite import sample_violations
+        try:
+            viol = _select_violations(annotated, batch.columns)
+            if violation_sample is not None:
+                from ..plans.suite import sample_violations
 
-            per_check = viol.groupBy("source", "check_name").agg(
-                F.count(F.lit(1)).alias("check_cnt")
-            )
-            viol = sample_violations(viol, per_check, violation_sample)
-        viol = viol.withColumn("source_dir", source_dir_col())
-        write_partitioned(
-            viol,
-            f"{sink_path}/batch_id={batch_id}",
-            partition_by=("source_dir",),
-            files_per_partition=files_per_partition,
-            sort_within="doc_id",
-            mode="overwrite",
-        )
-        if emit_valid is not None:
-            certified = (
-                annotated.where(F.col(cascade.FIRST_FAIL_COL).isNull())
-                .select(*batch.columns)
-                .withColumn("source_dir", source_dir_col())
-            )
+                per_check = viol.groupBy("source", "check_name").agg(
+                    F.count(F.lit(1)).alias("check_cnt")
+                )
+                viol = sample_violations(viol, per_check, violation_sample)
+            viol = viol.withColumn("source_dir", source_dir_col())
             write_partitioned(
-                certified,
-                f"{emit_valid}/batch_id={batch_id}",
+                viol,
+                f"{sink_path}/batch_id={batch_id}",
                 partition_by=("source_dir",),
                 files_per_partition=files_per_partition,
                 sort_within="doc_id",
                 mode="overwrite",
             )
-            annotated.unpersist()
+            if emit_valid is not None:
+                certified = (
+                    annotated.where(F.col(cascade.FIRST_FAIL_COL).isNull())
+                    .select(*batch.columns)
+                    .withColumn("source_dir", source_dir_col())
+                )
+                write_partitioned(
+                    certified,
+                    f"{emit_valid}/batch_id={batch_id}",
+                    partition_by=("source_dir",),
+                    files_per_partition=files_per_partition,
+                    sort_within="doc_id",
+                    mode="overwrite",
+                )
+        finally:
+            # release even on a failed write: foreachBatch retries
+            # build a NEW persisted frame each attempt, so a leak here
+            # accumulates full micro-batch caches across retries
+            if emit_valid is not None:
+                annotated.unpersist()
 
     return sink
 

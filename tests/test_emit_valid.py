@@ -143,3 +143,74 @@ def test_certified_anti_join_broadcasts_failing_ids(spark, tmp_path):
     res.cleanup()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_emit_valid_empty_certified_set_completes(spark, tmp_path):
+    """Every row failing + emit_valid must complete the run (verdicts +
+    manifest written) with certified_rows == 0 — AQE's empty-relation
+    propagation eliminates the observe node, which must not crash the
+    count retrieval."""
+    suite = CheckSuite(
+        banned_tokens=datagen.BANNED_IDS,
+        allowed_sources=("nothing_matches",),  # every row unknown_source
+    )
+    inp = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 500, _suite()).write.parquet(inp)
+    out, cert = str(tmp_path / "wh"), str(tmp_path / "cert")
+    rep = cli.run(spark, inp, out, suite, run_id="r1", emit_valid=cert)
+    assert rep["certified_rows"] == 0
+    assert spark.read.parquet(f"{out}/verdicts/r1").count() > 0  # run completed
+    import glob
+
+    assert not glob.glob(f"{cert}/source_dir=*/*.parquet")
+
+
+def test_emit_valid_resume_clears_now_failing_partition(spark, tmp_path):
+    """A re-validated partition whose rows ALL fail now must lose its
+    stale certified dir (dynamic overwrite alone writes nothing for an
+    empty partition); untouched partitions keep theirs."""
+    suite = _suite()
+    v1 = datagen.generate_sequences(spark, 6000, suite)
+    inp1 = str(tmp_path / "v1")
+    v1.write.parquet(inp1)
+    out, cert = str(tmp_path / "wh"), str(tmp_path / "cert")
+    cli.run(spark, inp1, out, suite, run_id="r1", emit_valid=cert)
+    before = spark.read.parquet(cert)
+    assert before.where(F.col("source_dir") == "src_03").count() > 0
+    n_before_00 = before.where(F.col("source_dir") == "src_00").count()
+
+    # re-deliver src_03 fully corrupt (NULL payload on every row)
+    corrupt = (
+        v1.where(F.col("source") == "src_03")
+        .withColumn("tokens", F.lit(None).cast("array<int>"))
+        .withColumn("n_tok", F.lit(None).cast("int"))
+    )
+    inp2 = str(tmp_path / "v2")
+    v1.where(F.col("source") != "src_03").unionByName(corrupt).write.parquet(inp2)
+    rep = cli.run(
+        spark, inp2, out, suite, run_id="r2", resume=True, emit_valid=cert
+    )
+    after = spark.read.parquet(cert)
+    assert after.where(F.col("source_dir") == "src_03").count() == 0
+    assert after.where(F.col("source_dir") == "src_00").count() == n_before_00
+
+
+def test_emit_valid_full_run_drops_removed_source_dir(spark, tmp_path):
+    """A full (non-resume) run statically overwrites the certified
+    table — a source absent from the new input leaves no stale dir."""
+    suite = _suite()
+    v1 = datagen.generate_sequences(spark, 6000, suite)
+    inp1, inp2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    v1.write.parquet(inp1)
+    v1.where(F.col("source") != "src_03").write.parquet(inp2)
+    out, cert = str(tmp_path / "wh"), str(tmp_path / "cert")
+    cli.run(spark, inp1, out, suite, run_id="r1", emit_valid=cert)
+    assert (
+        spark.read.parquet(cert).where(F.col("source_dir") == "src_03").count()
+        > 0
+    )
+    cli.run(spark, inp2, str(tmp_path / "wh2"), suite, run_id="r2", emit_valid=cert)
+    assert (
+        spark.read.parquet(cert).where(F.col("source_dir") == "src_03").count()
+        == 0
+    )

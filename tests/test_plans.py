@@ -301,3 +301,43 @@ def test_tolerance_is_suite_hash_sensitive_and_default_stable(spark):
         CheckSuite(min_n_tok=10, check_tolerances=(("too_short", 0.5),)).suite_hash()
         != base.suite_hash()
     )
+
+
+def test_length_tolerance_defers_stats_mirror(spark):
+    """With a tolerance covering too_short, the partition-level
+    min_n_tok stats mirror defers — the exact row-level count under its
+    budget passes the partition (without the deferral one tolerated
+    short row failed it through the stats side)."""
+    from teleharvest_spark.config import CheckSuite
+
+    rows = (
+        [(f"a{i}", list(range(5)), 5, "src_a") for i in range(1)]
+        + [(f"ak{i}", list(range(20)), 20, "src_a") for i in range(9)]
+        + [(f"b{i}", list(range(5)), 5, "src_b") for i in range(4)]
+        + [(f"bk{i}", list(range(20)), 20, "src_b") for i in range(6)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    suite = CheckSuite(
+        min_n_tok=10, check_tolerances=(("too_short", 0.2),)
+    )
+    res = suite_plan.run_suite(df, suite)
+    v = {r["source"]: r for r in res.verdicts.collect()}
+    assert v["src_a"]["verdict"] == "pass"   # 0.1 ≤ 0.2, mirror deferred
+    assert "min_n_tok" not in v["src_a"]["failed_stat_checks"]
+    assert v["src_b"]["verdict"] == "fail"   # 0.4 > 0.2
+    res.cleanup()
+
+
+def test_unknown_tolerance_name_raises(spark):
+    from teleharvest_spark.config import CheckSuite
+    import pytest
+
+    df = spark.createDataFrame(
+        [("d1", [1] * 20, 20, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    suite = CheckSuite(check_tolerances=(("banned-token", 0.1),))  # typo
+    with pytest.raises(ValueError, match="match no check"):
+        suite_plan.run_suite(df, suite)
