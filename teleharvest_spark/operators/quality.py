@@ -59,6 +59,9 @@ __all__ = [
     "language_signals",
     "language_checks",
     "language_gate",
+    "compression_signals",
+    "compression_checks",
+    "compression_gate",
     "quality_gate",
     "family_signal_cols",
     "QUALITY_FAMILIES",
@@ -617,6 +620,108 @@ def language_gate(
     return apply_cascade(joined, language_checks(**thresholds))
 
 
+def compression_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — ``comp_ratio`` =
+    compressed bytes / raw UTF-8 bytes (plus ``n_bytes``). The
+    compression-ratio filter from public web-corpus pipelines
+    (RefinedWeb / CulturaX lineage): natural language sits around
+    0.3–0.6, BELOW that is machine-generated repetition the line/bigram
+    rules can miss (non-line-aligned templating, long period-k loops),
+    ABOVE ~1.0 is incompressible noise (random strings, base64 blobs,
+    minified/encrypted payloads). NULL and empty text yield a NULL
+    ratio (no evidence — the cascade's NULL-passes contract applies).
+
+    Execution shape: this is the engine's one intentionally
+    Python-bound quality family — zlib has no Catalyst expression. It
+    is still the fast path of that boundary: ONE Arrow-batched pandas
+    UDF whose per-row work is a C call (zlib), no shuffles, and only
+    (id, text) crosses into the Python worker. That is why the family
+    is opt-in rather than in :func:`quality_gate`'s default tuple,
+    mirroring ``language``.
+
+    Reference analogue: the reference has no corpus-noise gate at all
+    (it trusts curated channels, processor.py:90-95); this family is
+    the web-scale replacement for that trust.
+    """
+    import pandas as pd  # noqa: F401  (pandas_udf signature)
+
+    @F.pandas_udf("double")
+    def _ratio(texts):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+
+        return texts.map(one)
+
+    s = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.octet_length(F.coalesce(s, F.lit(""))).alias("n_bytes"),
+        _ratio(s).alias("comp_ratio"),
+    )
+
+
+def compression_checks(
+    min_comp_ratio: float = 0.10,
+    max_comp_ratio: float = 1.05,
+    min_bytes_for_ratio: int = 256,
+):
+    """Compression rules as cascade ``Check``s over
+    :func:`compression_signals` columns. Both rules apply only at
+    ``n_bytes >= min_bytes_for_ratio``: zlib's ~11-byte header and
+    cold dictionary make ratios on short docs pure noise (a 20-byte
+    doc "compresses" to 1.4× regardless of content), and short-doc
+    quality already belongs to the length/word-count rules."""
+    from .cascade import Check
+
+    sized = F.col("n_bytes") >= F.lit(min_bytes_for_ratio)
+    return [
+        Check(
+            name="too_compressible",
+            fails=sized & (F.col("comp_ratio") < F.lit(min_comp_ratio)),
+            reason=F.format_string(
+                f"comp_ratio=%.4f < {min_comp_ratio}", F.col("comp_ratio")
+            ),
+        ),
+        Check(
+            name="incompressible",
+            fails=sized & (F.col("comp_ratio") > F.lit(max_comp_ratio)),
+            reason=F.format_string(
+                f"comp_ratio=%.4f > {max_comp_ratio}", F.col("comp_ratio")
+            ),
+        ),
+    ]
+
+
+def compression_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """``df`` + compression-signal columns + cascade verdict columns —
+    same contract as the other family gates so it composes into
+    :func:`quality_gate`."""
+    from .cascade import apply_cascade
+
+    sig = compression_signals(df, text_col=text_col, id_col=id_col).select(
+        id_col, "n_bytes", "comp_ratio"
+    )
+    joined = df.join(sig, id_col, "left")
+    return apply_cascade(joined, compression_checks(**thresholds))
+
+
 # ---------------------------------------------------------------------------
 # composed gate over every family
 
@@ -647,6 +752,12 @@ QUALITY_FAMILIES: dict[str, dict] = {
     # caller decision, not a default drop
     "language": {
         "signal_cols": ("lang_pred", "lang_hit_frac"),
+    },
+    # opt-in: the one family that crosses the Python-worker boundary
+    # (zlib has no Catalyst expression) — callers buy the Arrow round
+    # trip explicitly rather than the default gate paying it
+    "compression": {
+        "signal_cols": ("n_bytes", "comp_ratio"),
     },
 }
 
@@ -706,6 +817,7 @@ def quality_gate(
         "repetition": (repetition_fractions, repetition_checks),
         "gopher_words": (gopher_word_signals, gopher_word_checks),
         "language": (language_signals, language_checks),
+        "compression": (compression_signals, compression_checks),
     }
     joined = df
     checks = []

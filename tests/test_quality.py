@@ -395,3 +395,93 @@ def test_language_family_detection_and_gate(spark):
     assert got[1] == (True, None)
     assert got[2] == (False, "lang_allowed")
     assert set(quality.family_signal_cols(("language",))) <= set(comp.columns)
+
+
+def test_compression_signals_match_local_zlib(spark):
+    """comp_ratio is bit-exactly len(zlib.compress(utf8, 6))/len(utf8)
+    — the Arrow batch path computes the same number the plain library
+    call does; NULL and empty text yield NULL (no evidence)."""
+    import zlib
+
+    texts = {
+        0: "ordinary prose with some variety in it, like real text has.",
+        1: "spam spam spam " * 200,
+        2: "",
+        3: None,
+        4: "unicode café — bytes != chars ü" * 20,
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["comp_ratio"])
+        for r in quality.compression_signals(df).collect()
+    }
+    for k, t in texts.items():
+        if not t:
+            assert got[k][1] is None
+            assert got[k][0] == 0
+            continue
+        b = t.encode("utf-8")
+        assert got[k][0] == len(b)
+        assert abs(got[k][1] - len(zlib.compress(b, 6)) / len(b)) < 1e-12
+    assert got[1][1] < 0.05          # heavy repetition compresses away
+    assert 0.3 < got[0][1] <= 1.05   # prose sits in the natural band
+
+
+def test_compression_gate_verdicts(spark):
+    """Default thresholds: templated repetition fails too_compressible,
+    incompressible noise fails incompressible, prose and short/NULL
+    docs pass (short docs are exempt below min_bytes_for_ratio)."""
+    import hashlib
+    from teleharvest_spark.operators.cascade import FIRST_FAIL_COL, VERDICT_COL
+
+    # deterministic incompressible bytes: chained sha256 hex
+    h, noise = b"seed", []
+    for _ in range(40):
+        h = hashlib.sha256(h).digest()
+        noise.append(h.hex())
+    prose = (
+        "It was a bright cold day in April and the clocks were striking "
+        "thirteen while a man slipped quickly through the glass doors, "
+        "though not quickly enough to prevent a swirl of gritty dust from "
+        "entering along with him. Outside, even through the shut window "
+        "pane, the world looked cold; down in the street little eddies of "
+        "wind were whirling dust and torn paper into spirals, and though "
+        "the sun was shining the light seemed harsh and flat."
+    )  # 434 bytes, ratio 0.60 — the natural-language band
+    docs = [
+        Row(doc_id=0, text=prose),
+        Row(doc_id=1, text="buy now " * 500),            # too compressible
+        Row(doc_id=2, text="".join(noise)),              # hex noise ~0.55, passes
+        Row(doc_id=3, text="hi"),                        # short: exempt
+        Row(doc_id=4, text=None),                        # NULL: passes
+    ]
+    df = spark.createDataFrame(docs)
+    out = {
+        r["doc_id"]: (r[VERDICT_COL], r[FIRST_FAIL_COL])
+        for r in quality.compression_gate(df).collect()
+    }
+    assert out[0] == (True, None)
+    assert out[1] == (False, "too_compressible")
+    assert out[2] == (True, None)
+    assert out[3] == (True, None)
+    assert out[4] == (True, None)
+
+    # tightened ceiling turns the hex noise into a failure
+    out2 = {
+        r["doc_id"]: (r[VERDICT_COL], r[FIRST_FAIL_COL])
+        for r in quality.compression_gate(df, max_comp_ratio=0.50).collect()
+    }
+    assert out2[2] == (False, "incompressible")
+
+    # composes into quality_gate as an opt-in family
+    assert "comp_ratio" not in quality.quality_gate(df).columns
+    comp = quality.quality_gate(
+        df,
+        families=("encoding", "compression"),
+        thresholds={"compression": {"min_comp_ratio": 0.005}},
+    )
+    got = {r["doc_id"]: r[VERDICT_COL] for r in comp.collect()}
+    assert got[1] is True  # loosened floor admits the template doc
+    assert set(quality.family_signal_cols(("compression",))) <= set(comp.columns)
