@@ -25,6 +25,8 @@ xxhash64 of the shingle — still never all-pairs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import (
@@ -148,3 +150,107 @@ def decontaminate(
         train, eval_df, tokens_col=tokens_col, id_col=id_col, k=k, pad=pad
     )
     return remove_spans(train, spans, tokens_col=tokens_col, id_col=id_col)
+
+
+def semantic_contamination(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    tau: float = 0.95,
+    dim: int | None = None,
+    max_eval_rows: int = 65536,
+) -> DataFrame:
+    """(doc_id, eval_id, cosine) for every training doc whose embedding
+    is within cosine ``tau`` of SOME eval embedding — the semantic
+    complement of the exact 13-gram scan: paraphrased or re-formatted
+    benchmark leakage shares no k-gram but sits next to the eval doc in
+    embedding space (the public train-test-similarity screens run
+    alongside n-gram decontamination, e.g. the Phi/SemDeDup lineage).
+    One row per train doc (its NEAREST eval doc), only rows ≥ tau.
+
+    Scale design (100 TB train, 10^3-10^4 eval rows): the eval matrix
+    is unit-normalized ONCE on the driver and closed over by an
+    Arrow-batched pandas UDF — per train batch one (batch × dim) @
+    (dim × n_eval) matmul, rowwise max + argmax. The train side is a
+    pure projection + filter: ZERO shuffles, no join, output bounded by
+    true contamination volume. Eval sets are benchmark-sized by
+    definition; ``max_eval_rows`` guards the driver collect (the
+    bounded-collect convention: similarity.train_centroids) — a larger
+    "eval" side is a corpus-vs-corpus job, which is semdedup/IVF
+    territory, and raises here with that routing.
+
+    ``dim`` is required when it cannot be read off the first eval row
+    (the embedding_near_dups lesson: never guess a default dimension).
+    Train rows with NULL or wrong-``dim`` embeddings are skipped (no
+    evidence — the cascade convention), pinned in tests.
+    """
+    from pyspark.sql import types as T
+
+    ev = eval_emb.select(eval_id_col, vec_col).limit(max_eval_rows + 1).collect()
+    if len(ev) > max_eval_rows:
+        raise ValueError(
+            f"eval side exceeds max_eval_rows={max_eval_rows}; "
+            "corpus-vs-corpus similarity belongs to semdedup/ivf_topk, "
+            "not the broadcast eval screen"
+        )
+    ev = [r for r in ev if r[vec_col] is not None]
+    if not ev:
+        raise ValueError("eval side has no non-NULL embeddings")
+    if dim is None:
+        dim = len(ev[0][vec_col])
+    ev = [r for r in ev if len(r[vec_col]) == dim]
+    eval_ids = [r[eval_id_col] for r in ev]
+    E = np.asarray([r[vec_col] for r in ev], dtype=np.float64)
+    norms = np.linalg.norm(E, axis=1)
+    E = E / np.where(norms == 0, 1.0, norms)[:, None]
+    ET = E.T.copy()  # (dim, n_eval), contiguous for the batch matmul
+
+    out_t = T.StructType(
+        [
+            T.StructField("eval_idx", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _nearest(vecs: pd.Series) -> pd.DataFrame:
+        n = len(vecs)
+        idx = np.full(n, -1, dtype=np.int64)
+        cos = np.full(n, np.nan)
+        ok = np.array(
+            [v is not None and len(v) == dim for v in vecs], dtype=bool
+        )
+        if ok.any():
+            V = np.asarray([v for v, k in zip(vecs, ok) if k], dtype=np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            V = V / np.where(vn == 0, 1.0, vn)[:, None]
+            S = V @ ET
+            idx[ok] = S.argmax(axis=1)
+            cos[ok] = S.max(axis=1)
+        return pd.DataFrame({"eval_idx": idx, "cosine": cos})
+
+    hit = (
+        train_emb.select(F.col(id_col), _nearest(F.col(vec_col)).alias("nn"))
+        .select(
+            id_col,
+            F.col("nn.eval_idx").alias("eval_idx"),
+            F.col("nn.cosine").alias("cosine"),
+        )
+        # eval_idx >= 0 first: skipped rows carry cosine=NaN, and Spark
+        # orders NaN ABOVE every real number, so `NaN >= tau` is TRUE —
+        # without the idx guard every NULL/wrong-dim row would "hit"
+        .where((F.col("eval_idx") >= 0) & (F.col("cosine") >= F.lit(float(tau))))
+    )
+    # idx -> eval_id via a broadcast dimension (an eval-sized literal
+    # array expression would bloat the plan at max_eval_rows)
+    spark = train_emb.sparkSession
+    id_type = eval_emb.schema[eval_id_col].dataType.simpleString()
+    id_dim = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(eval_ids)],
+        schema=f"eval_idx int, {eval_id_col} {id_type}",
+    )
+    return hit.join(F.broadcast(id_dim), "eval_idx").select(
+        id_col, eval_id_col, "cosine"
+    )

@@ -161,3 +161,91 @@ def test_remove_spans_trims_duplicated_passages(spark):
     out = {r["doc_id"]: r["tokens"] for r in dedup.remove_spans(docs, spans).collect()}
     assert out[1] == list(range(10))
     assert out[2] == list(range(30, 45))
+
+
+def _unit(seed: int, dim: int = 8, flip: int | None = None) -> list[float]:
+    """Deterministic unit vector; `flip` perturbs one coordinate so the
+    pair is near-but-not-equal."""
+    import hashlib
+    import math
+
+    v = [
+        int.from_bytes(hashlib.sha256(f"{seed}:{i}".encode()).digest()[:4], "big")
+        / 2**32
+        - 0.5
+        for i in range(dim)
+    ]
+    if flip is not None:
+        v[flip] += 0.15
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def test_semantic_contamination_planted_hits(spark):
+    """Exact copy hits at cosine 1, a jittered paraphrase hits above
+    tau, far vectors / NULL / wrong-dim rows never hit; the reported
+    eval_id is the argmax neighbor; zero shuffles in the scan side."""
+    import numpy as np
+
+    dim = 8
+    ev = [("ev_a", _unit(1, dim)), ("ev_b", _unit(2, dim))]
+    train = [
+        (10, _unit(1, dim)),            # exact copy of ev_a
+        (11, _unit(2, dim, flip=3)),    # near ev_b
+        (12, _unit(99, dim)),           # unrelated
+        (13, None),                     # NULL: skipped
+        (14, _unit(5, dim)[:4]),        # wrong dim: skipped
+    ]
+    t = spark.createDataFrame(train, "doc_id long, embedding array<float>")
+    e = spark.createDataFrame(ev, "eval_id string, embedding array<float>")
+    got = {
+        r["doc_id"]: (r["eval_id"], r["cosine"])
+        for r in contamination.semantic_contamination(
+            t, e, tau=0.9, dim=dim
+        ).collect()
+    }
+    assert set(got) == {10, 11}
+    assert got[10][0] == "ev_a" and got[10][1] > 0.9999
+    assert got[11][0] == "ev_b" and 0.9 <= got[11][1] < 1.0
+    # parity with plain numpy for the near pair
+    E = np.array(ev[1][1]); V = np.array(train[1][1])
+    want = float(E @ V / (np.linalg.norm(E) * np.linalg.norm(V)))
+    assert abs(got[11][1] - want) < 1e-6
+
+
+def test_semantic_contamination_guards(spark):
+    import pytest
+
+    t = spark.createDataFrame(
+        [(1, _unit(1))], "doc_id long, embedding array<float>"
+    )
+    e_null = spark.createDataFrame(
+        [("e", None)], "eval_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no non-NULL"):
+        contamination.semantic_contamination(t, e_null, dim=8)
+    e_big = spark.createDataFrame(
+        [(f"e{i}", _unit(i)) for i in range(5)],
+        "eval_id string, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="max_eval_rows"):
+        contamination.semantic_contamination(t, e_big, dim=8, max_eval_rows=3)
+    # dim inferred off the first eval row when omitted
+    out = contamination.semantic_contamination(t, e_big.limit(2), tau=2.0)
+    assert out.count() == 0  # tau above 1: nothing can hit
+
+
+def test_semantic_contamination_no_shuffle_scan(spark):
+    """The train side is projection+filter feeding a broadcast id join
+    — no SortMergeJoin, no Exchange hashpartitioning on the scan."""
+    t = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(50)], "doc_id long, embedding array<float>"
+    )
+    e = spark.createDataFrame(
+        [("e0", _unit(1))], "eval_id string, embedding array<float>"
+    )
+    plan = contamination.semantic_contamination(
+        t, e, tau=0.99, dim=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
