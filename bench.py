@@ -951,6 +951,47 @@ def curation_bench(spark, sf_dir: str) -> dict:
 
     out["lm_score_bucket_sec"] = best2(lm_pass)
     out["lm_tail_docs"] = kept_box["lm_tail"]
+
+    # semantic contamination screen (session-10): a 100-row "eval set"
+    # of verbatim corpus vectors (vec_id % 40 == 0 ⊂ the twinned % 5
+    # slice, so each eval row hits itself at cos 1.0 AND its jittered
+    # twin near tau — the exact and paraphrase regimes both exercised)
+    # broadcast against the full embeddings table — one matmul per
+    # Arrow batch
+    ev = (
+        emb.where(F.col("vec_id") % 40 == 0)
+        .limit(100)
+        .select(F.concat(F.lit("ev_"), F.col("vec_id")).alias("eval_id"), "embedding")
+    )
+
+    def contam_pass():
+        from teleharvest_spark.operators.contamination import semantic_contamination
+
+        kept_box["contam"] = semantic_contamination(
+            corpus.withColumnRenamed("vec_id", "doc_id"),
+            ev,
+            id_col="doc_id",
+            tau=0.95,
+            dim=64,
+        ).count()
+
+    out["semantic_contam_sec"] = best2(contam_pass)
+    out["semantic_contam_hits"] = kept_box["contam"]
+
+    # compression-ratio quality family (session-10): the one
+    # Python-bound family — zlib ratio over every document text
+    from teleharvest_spark.operators.cascade import VERDICT_COL
+    from teleharvest_spark.operators.quality import compression_gate
+
+    def comp_pass():
+        kept_box["comp_fail"] = (
+            compression_gate(docs.select("doc_id", "text"))
+            .where(~F.col(VERDICT_COL))
+            .count()
+        )
+
+    out["compression_gate_sec"] = best2(comp_pass)
+    out["compression_failed"] = kept_box["comp_fail"]
     print(f"# curation: {out}", file=sys.stderr)
     return out
 
