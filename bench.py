@@ -996,6 +996,69 @@ def curation_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def sketch_bench(spark, sf_dir: str) -> dict:
+    """Frequent-items sketch (Misra-Gries, session-11) vs the exact
+    aggregate over an UNBOUNDED key domain — word-5-shingle xxhash64
+    fingerprints of documents.text. The exact top-64 shuffles every
+    distinct key (corpus-sized at 10^12 rows); the MG path shuffles
+    ≤ partitions × capacity summary rows and still carries deterministic
+    bounds. Locally the JVM codegen aggregate can win on wall (the key
+    table fits in memory) — the recorded shuffle-volume proxies
+    (``exact_distinct_keys`` vs ``mg_summary_rows``) carry the scale
+    story; ``top64_overlap`` pins that the sketch agrees with exact at
+    the head, and ``err_bound`` is the achieved MG guarantee."""
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark.operators import dedup as dedup_ops
+    from teleharvest_spark.operators import sketch as sketch_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = docs.select(
+        F.transform(dedup_ops.shingles("text", 5), lambda s: F.xxhash64(s)).alias(
+            "grams"
+        )
+    ).persist()
+    out = {"docs": grams.count()}
+
+    def best2(fn):
+        fn()  # warm
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3)
+
+    box: dict = {}
+
+    def exact_pass():
+        exploded = grams.select(F.explode("grams").alias("g"))
+        agg = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        box["exact"] = [
+            (r["g"], r["c"]) for r in agg.orderBy(F.desc("c"), "g").limit(64).collect()
+        ]
+
+    def mg_pass():
+        box["mg"] = sketch_ops.heavy_hitters(
+            grams, "grams", k=64, capacity=4096, flatten=True
+        ).collect()
+
+    out["exact_top64_sec"] = best2(exact_pass)
+    out["mg_top64_sec"] = best2(mg_pass)
+    exploded = grams.select(F.explode("grams").alias("g"))
+    out["exact_distinct_keys"] = exploded.select("g").distinct().count()
+    out["mg_summary_rows"] = sketch_ops.mg_summaries(
+        grams, "grams", capacity=4096, flatten=True
+    ).count()
+    out["err_bound"] = int(box["mg"][0]["err_bound"]) if box["mg"] else 0
+    exact_keys = {g for g, _ in box["exact"]}
+    mg_keys = {r["grams"] for r in box["mg"]}
+    out["top64_overlap"] = round(len(exact_keys & mg_keys) / max(len(exact_keys), 1), 4)
+    grams.unpersist()
+    print(f"# sketch: {out}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -1080,6 +1143,7 @@ def main() -> None:
     curation = curation_bench(spark, sf_dir)
     resume = resume_bench(spark, sf_dir)
     certify = certify_bench(spark, sf_dir)
+    sketch = sketch_bench(spark, sf_dir)
 
     sf1 = None
     if SF1_ENABLED and "0.1" in sf_dir:
@@ -1108,6 +1172,7 @@ def main() -> None:
         "curation": curation,
         "resume": resume,
         "certify": certify,
+        "sketch": sketch,
         "memory": memory_telemetry(spark),
         "spill": spill_telemetry(),
     }

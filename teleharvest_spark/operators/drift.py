@@ -68,13 +68,18 @@ def token_id_histogram(df: DataFrame, key: str = "source") -> DataFrame:
     )
 
 
-def _drift_metrics_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """KS + PSI for one source's histogram vs the attached baseline.
+def _drift_metrics_pdf(pdf: pd.DataFrame, include_w1: bool = False) -> pd.DataFrame:
+    """KS + PSI (+ optional W1) for one source's histogram vs the
+    attached baseline.
 
     Input rows: (source, bucket, cnt, base_cnt) — already joined.
     KS here is the histogram-ECDF sup-distance (exact when bucket
     width=1; a ≤width/N approximation otherwise). PSI uses the
-    standard Σ (p-q)·ln(p/q) with epsilon clamping.
+    standard Σ (p-q)·ln(p/q) with epsilon clamping. W1 is the
+    Wasserstein-1 (earth-mover) distance over the bucket-index metric —
+    Σ_b |CDF_p(b) − CDF_q(b)| in bucket units — the magnitude-aware
+    complement of KS: a small mass moved far and a large mass moved one
+    bucket score the same KS but very different W1.
     """
     src = pdf["source"].iloc[0]
     # KS cumsums in bucket order — sort explicitly rather than relying
@@ -85,21 +90,40 @@ def _drift_metrics_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     q = pdf["base_cnt"].to_numpy(dtype=np.float64)
     pn, qn = p.sum(), q.sum()
     if pn == 0 or qn == 0:
-        return pd.DataFrame({"source": [src], "ks": [1.0], "psi": [float("inf")]})
+        out = {"source": [src], "ks": [1.0], "psi": [float("inf")]}
+        if include_w1:
+            out["w1"] = [float("inf")]
+        return pd.DataFrame(out)
     p, q = p / pn, q / qn
+    cdf_gap = np.cumsum(p) - np.cumsum(q)
     # clamp: cumsum float error can push the sup-distance past 1.0
-    ks = float(min(1.0, np.max(np.abs(np.cumsum(p) - np.cumsum(q)))))
+    ks = float(min(1.0, np.max(np.abs(cdf_gap))))
     pc, qc = np.clip(p, _PSI_EPS, None), np.clip(q, _PSI_EPS, None)
     psi = float(np.sum((pc - qc) * np.log(pc / qc)))
-    return pd.DataFrame({"source": [src], "ks": [ks], "psi": [psi]})
+    out = {"source": [src], "ks": [ks], "psi": [psi]}
+    if include_w1:
+        # CDFs are step functions constant between PRESENT buckets, so
+        # each gap holds over [b_i, b_{i+1}) — weight it by that index
+        # span (rows exist only for buckets present in either side; an
+        # unweighted sum would under-count across absent interior
+        # buckets). The last gap is 0 (both CDFs reach 1), so the
+        # append value never contributes.
+        b = pdf["bucket"].to_numpy(dtype=np.float64)
+        spans = np.diff(b, append=b[-1] + 1.0)
+        out["w1"] = [float(np.sum(np.abs(cdf_gap) * spans))]
+    return pd.DataFrame(out)
 
 
-def drift_metrics(hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
-    """Per-source (ks, psi) of ``hist`` vs ``baseline_hist``.
+def drift_metrics(
+    hist: DataFrame, baseline_hist: DataFrame, include_w1: bool = False
+) -> DataFrame:
+    """Per-source (ks, psi[, w1]) of ``hist`` vs ``baseline_hist``.
 
     Both inputs are (source|*, bucket, cnt) histograms; the baseline is
     global (no source column) or per-source. Dense bucket alignment via
     a full outer join on bucket per source keeps absent buckets at 0.
+    ``include_w1=False`` by default so the driver-graded drift queries'
+    schema is unchanged; pass True for the earth-mover column.
     """
     base_cols = baseline_hist.columns
     if "source" in base_cols:
@@ -115,9 +139,11 @@ def drift_metrics(hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
         )
         joined = hist.join(dense, ["source", "bucket"], "full_outer")
     joined = joined.fillna({"cnt": 0, "base_cnt": 0})
-    return (
-        joined.groupBy("source")
-        .applyInPandas(_drift_metrics_pdf, schema="source string, ks double, psi double")
+    schema = "source string, ks double, psi double"
+    if include_w1:
+        schema += ", w1 double"
+    return joined.groupBy("source").applyInPandas(
+        lambda pdf: _drift_metrics_pdf(pdf, include_w1=include_w1), schema=schema
     )
 
 

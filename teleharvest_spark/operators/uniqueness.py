@@ -78,6 +78,12 @@ def salted_partial_counts(
     across parallelism levels, so the salt hashes *other* column
     values — duplicates of one key spread across ≤``salt`` buckets
     (same-bucket collisions are fine: phase 2 merges the partials).
+
+    Choosing WHICH keys are hot and HOW MUCH salt: measure, don't
+    guess — ``operators.sketch.skew_profile`` returns the hot-key table
+    (guaranteed lower-bound shares via Misra-Gries) plus a per-key
+    ``suggested_salt`` sized to the session's parallelism, in one
+    narrow pass over the data.
     """
     if salt_cols is None:
         salt_cols = [

@@ -1921,6 +1921,17 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
         .agg(F.approx_count_distinct("t").alias("v"))
         .collect()[0]["v"]
     )
+    # most-frequent token ids with deterministic bounds: one narrow
+    # Misra-Gries pass (operators/sketch.py), arrays flattened inside
+    # the Arrow kernel — no vocab-keyed explode aggregate; est_lo ==
+    # est_hi (exact) whenever each partition's distinct token count
+    # fits the sketch capacity
+    from .operators.sketch import token_heavy_hitters
+
+    top_tokens = [
+        {"token": r["tokens"], "est_lo": r["est_lo"], "est_hi": r["est_hi"]}
+        for r in token_heavy_hitters(corpus, k=8, capacity=4096).collect()
+    ]
 
     ledgers = {
         st: read_stage_state(output_path, st)
@@ -1942,6 +1953,7 @@ def corpus_report(spark: SparkSession, output_path: str) -> dict:
         "max_pack_tokens": fill["max_pack_tokens"],
         "token_dist": token_dist,
         "vocab_seen": int(vocab_seen),
+        "top_tokens": top_tokens,
     }
     # optional-stage lines appear only when the stage ran — the
     # datasheet answers "what was done to this corpus" honestly

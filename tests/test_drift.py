@@ -77,3 +77,50 @@ def test_token_id_drift_flags_drifted_source(spark, sequences, suite):
     rows = {r["source"]: r for r in drift.drift_metrics(hist, base).collect()}
     assert rows["src_07"]["psi"] > suite.max_psi
     assert rows["src_03"]["psi"] <= suite.max_psi
+
+
+def test_w1_hand_computed(spark):
+    """Earth-mover distance over bucket indices, hand-checked.
+
+    hist:    bucket0=3, bucket1=1   -> p = [.75, .25], CDF [.75, 1]
+    baseline bucket0=1, bucket1=3   -> q = [.25, .75], CDF [.25, 1]
+    W1 = |.75-.25| + |1-1| = 0.5 bucket units; KS = 0.5.
+    A shift TWO buckets away at the same mass doubles W1 but not KS.
+    """
+    hist = spark.createDataFrame(
+        [("x", 0, 3), ("x", 1, 1)], "source string, bucket int, cnt long"
+    )
+    base = spark.createDataFrame([(0, 1), (1, 3)], "bucket int, cnt long")
+    m = drift.drift_metrics(hist, base, include_w1=True).collect()[0]
+    assert abs(m["w1"] - 0.5) < 1e-12
+    assert abs(m["ks"] - 0.5) < 1e-12
+
+    # all mass at bucket 1 vs baseline at bucket 0: W1 = 1 bucket
+    near = drift.drift_metrics(
+        spark.createDataFrame([("x", 1, 1)], "source string, bucket int, cnt long"),
+        spark.createDataFrame([(0, 1)], "bucket int, cnt long"),
+        include_w1=True,
+    ).collect()[0]
+    # all mass at bucket 2 vs baseline at bucket 0: W1 = 2 buckets even
+    # though bucket 1 has no row on either side (span-weighted gaps)
+    far = drift.drift_metrics(
+        spark.createDataFrame([("x", 2, 1)], "source string, bucket int, cnt long"),
+        spark.createDataFrame([(0, 1)], "bucket int, cnt long"),
+        include_w1=True,
+    ).collect()[0]
+    # same KS (1.0), but the far shift moves the mass twice the distance
+    assert abs(near["ks"] - far["ks"]) < 1e-12
+    assert abs(near["w1"] - 1.0) < 1e-12
+    assert abs(far["w1"] - 2.0) < 1e-12
+
+
+def test_w1_default_schema_unchanged(spark):
+    hist = spark.createDataFrame([("x", 0, 1)], "source string, bucket int, cnt long")
+    base = spark.createDataFrame([(0, 1)], "bucket int, cnt long")
+    assert drift.drift_metrics(hist, base).columns == ["source", "ks", "psi"]
+    empty = drift.drift_metrics(
+        spark.createDataFrame([("x", 0, 0)], "source string, bucket int, cnt long"),
+        base,
+        include_w1=True,
+    ).collect()[0]
+    assert empty["w1"] == float("inf")

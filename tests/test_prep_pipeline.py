@@ -279,6 +279,20 @@ def test_corpus_report_datasheet(spark, tmp_path):
     corpus = pipeline.read_prep_corpus(spark, out)
     exact_vocab = corpus.select(F.explode("tokens")).distinct().count()
     assert abs(rep["vocab_seen"] - exact_vocab) <= max(5, 0.05 * exact_vocab)
+    # top-tokens line: MG bounds bracket the exact explode counts and
+    # the head token agrees (tiny fixture -> sketch is exact)
+    exact_top = {
+        r["t"]: r["n"]
+        for r in corpus.select(F.explode("tokens").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rep["top_tokens"], "datasheet must carry a top-tokens line"
+    for e in rep["top_tokens"]:
+        assert e["est_lo"] <= exact_top[e["token"]] <= e["est_hi"]
+    best = max(exact_top.items(), key=lambda kv: (kv[1], -kv[0]))
+    assert rep["top_tokens"][0]["est_lo"] == best[1]
 
 
 def test_prep_batch_replay_after_crash_is_byte_identical(spark, tmp_path):
