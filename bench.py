@@ -315,6 +315,34 @@ def approx_recall(spark, sf_dir: str, qs) -> dict[str, float]:
     out["ann_lsh_scan_frac"] = round(
         sim_ops.lsh_scan_fraction(probes, emb, dim=64, **entry.ANN_LSH_PARAMS), 4
     )
+
+    # serving shape: stored IVF index (train+assign paid once at build)
+    # vs the inline path that re-trains and re-assigns per call — the
+    # query wall is what a repeated-probe-batch consumer actually pays.
+    # At bench scale the fixed overhead (store read, meta, extra probe
+    # pass) can exceed the skipped corpus assignment — the payoff term
+    # is the corpus-sized assignment the query never runs (it lives in
+    # ivf_index_build_sec and grows with |corpus|; the query cost is
+    # bounded by the probed cells), the incremental_dedup protocol
+    import shutil
+    import tempfile
+
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        p = entry.ANN_IVF_PARAMS
+        t0 = time.perf_counter()
+        sim_ops.build_ivf_index(
+            emb, ivf_dir, dim=64, n_cells=p["n_cells"], spill_eps=p["spill_eps"]
+        )
+        out["ivf_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        sim_ops.query_ivf_index(probes, ivf_dir, k=5, n_probe=p["n_probe"]).count()
+        out["ivf_index_query_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        sim_ops.ivf_topk(probes, emb, dim=64, k=5, **p).count()
+        out["ivf_inline_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
     return out
 
 

@@ -585,6 +585,65 @@ def embeddings_pass(
     }
 
 
+def skew_pass(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    run_id: str,
+    cols: tuple[str, ...],
+    min_share: float = 0.01,
+) -> dict:
+    """Measured skew report (operators/sketch.py `skew_profile`): for
+    each requested column, the keys whose guaranteed lower-bound share
+    of rows is ≥ ``min_share``, with a per-key ``suggested_salt`` sized
+    to the session's parallelism. This is the evidence table behind the
+    north rule's "salting for hot source values" requirement — measure
+    WHICH values are hot before paying for a salted plan (AQE splits
+    skewed join partitions at runtime; skewed groupBy hot keys need the
+    manual decision this table feeds). One narrow column-pruned MG pass
+    per column; output is sketch-sized. Rows land in
+    ``<out>/skew_profile/run_id=<id>`` (overwrite — the
+    replay-idempotency convention) so later runs can diff hot-key
+    churn."""
+    from .operators.sketch import skew_profile
+
+    df = spark.read.parquet(input_path)
+    frames = []
+    for c in cols:
+        prof = skew_profile(df, c, min_share=min_share)
+        frames.append(
+            prof.select(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("key"),
+                "est_lo",
+                "share_lo",
+                "suggested_salt",
+            )
+        )
+    allp = frames[0]
+    for f in frames[1:]:
+        allp = allp.unionByName(f)
+    out_dir = f"{output_path}/skew_profile/run_id={run_id}"
+    allp.write.mode("overwrite").parquet(out_dir)
+    # bounded: skew_profile returns ≤ ceil(2/min_share) rows per column
+    rows = spark.read.parquet(out_dir).collect()
+    return {
+        "run_id": run_id,
+        "columns": list(cols),
+        "min_share": min_share,
+        "hot_keys": [
+            {
+                "column": r["column"],
+                "key": r["key"],
+                "est_lo": r["est_lo"],
+                "share_lo": round(r["share_lo"], 4),
+                "suggested_salt": r["suggested_salt"],
+            }
+            for r in sorted(rows, key=lambda r: (r["column"], -r["share_lo"]))
+        ],
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="teleharvest-validate")
     ap.add_argument("--input", default=None, help="sequences table path (parquet)")
@@ -723,10 +782,10 @@ def main(argv: list[str] | None = None) -> int:
         "--prep-clean",
         default=None,
         help="prep-docs: JSON clean-stage params, e.g. "
-        '\'{"pii": true, "c4_lines": true, "line_dedup": '
-        '{"min_count": 3}}\' — text repair (PII redaction, C4 line '
-        "cleanup, cross-document hot-line removal) before the quality "
-        "gate",
+        '\'{"normalize": true, "pii": true, "c4_lines": true, '
+        '"line_dedup": {"min_count": 3}}\' — text repair (unicode NFC '
+        "normalization, PII redaction, C4 line cleanup, cross-document "
+        "hot-line removal) before the quality gate",
     )
     ap.add_argument(
         "--prep-chunk",
@@ -823,6 +882,22 @@ def main(argv: list[str] | None = None) -> int:
         "(omit to skip the dimension check)",
     )
     ap.add_argument(
+        "--skew-report",
+        default=None,
+        metavar="COLS",
+        help="comma list of --input columns to skew-profile (measured "
+        "hot-key table + suggested salt via a Misra-Gries pass; rows "
+        "land in <output>/skew_profile/run_id=<id>); prints the report "
+        "and exits",
+    )
+    ap.add_argument(
+        "--skew-min-share",
+        type=float,
+        default=0.01,
+        help="--skew-report: report keys whose guaranteed lower-bound "
+        "row share is at least this fraction",
+    )
+    ap.add_argument(
         "--quality-families",
         default="repetition",
         help="comma list of quality check families for --quality-docs "
@@ -861,6 +936,19 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.suggest_suite, "w", encoding="utf-8") as f:
             json.dump(rep["suite"], f, indent=2)
         print(json.dumps(rep))
+        return 0
+    if args.skew_report:
+        if args.input is None:
+            ap.error("--skew-report requires --input")
+        cols = tuple(c.strip() for c in args.skew_report.split(",") if c.strip())
+        print(
+            json.dumps(
+                skew_pass(
+                    spark, args.input, args.output, args.run_id,
+                    cols=cols, min_share=args.skew_min_share,
+                )
+            )
+        )
         return 0
     if args.compact_indexes:
         from . import pipeline

@@ -8,6 +8,7 @@ counting, rolling-hash fingerprinting.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 # ONE portable whitespace definition for the whole engine. Java's \s
@@ -198,6 +199,65 @@ def redact_pii(
     for kind in kinds:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+# Invisible characters a tokenizer should never see: zero-width
+# space/non-joiner/joiner, BOM-as-ZWNBSP, soft hyphen. Kept as a
+# codegen regexp class — no UDF needed for the strip.
+_ZERO_WIDTH_CLASS = "[\u200b\u200c\u200d\ufeff\u00ad]"
+
+
+def normalize_text(
+    col: Column,
+    form: str | None = "NFC",
+    strip_zero_width: bool = True,
+    collapse_spaces: bool = False,
+) -> Column:
+    """Unicode text normalization as a REPAIR step (clean stage).
+
+    Scraped corpora mix composed and decomposed forms of the same
+    grapheme ("é" as U+00E9 vs e+U+0301) — exact dedup, shingling, and
+    stop-word matching all silently fork on the byte difference.
+    ``form`` applies ``unicodedata.normalize`` (NFC default; NFKC folds
+    compatibility characters — ligatures, full-width forms — which is
+    lossier but what most tokenizer pipelines want); ``None`` skips it
+    and the whole expression stays codegen. Zero-width characters and
+    soft hyphens are stripped by a regexp class; ``collapse_spaces``
+    additionally folds horizontal whitespace runs to one space and
+    trims line edges (line STRUCTURE is preserved — C4 line rules and
+    line dedup key on it). NULL stays NULL.
+
+    Execution shape: the strips are regexp_replace (whole-stage
+    codegen); the normalize itself is one Arrow-batched pandas UDF
+    whose per-row work is CPython's C-level unicodedata — the same
+    deliberate C-call boundary as the compression family
+    (operators/quality.py), zero shuffles either way.
+    """
+    out = col
+    if strip_zero_width:
+        out = F.regexp_replace(out, _ZERO_WIDTH_CLASS, "")
+    if collapse_spaces:
+        out = F.regexp_replace(out, r"[^\S\n]+", " ")
+        out = F.regexp_replace(out, r" ?\n ?", "\n")
+        # F.trim strips ONLY ' ' — spell the class out (module policy)
+        out = F.regexp_replace(out, rf"^{WS}+|{WS}+$", "")
+    if form is not None:
+        if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+            raise ValueError(f"unknown unicode normalization form {form!r}")
+        out = _unicode_normalize_udf(form)(out)
+    return out
+
+
+def _unicode_normalize_udf(form: str):
+    @F.pandas_udf("string")
+    def fn(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return fn
 
 
 def pii_counts(col: Column, kinds: tuple[str, ...] = ("email", "ip", "phone")) -> list[Column]:

@@ -213,6 +213,66 @@ def band_buckets(
     )
 
 
+def plan_lsh(threshold: float, n_perm: int = 64, probe: tuple = (0.1, 0.05)) -> dict:
+    """Choose (bands, rows_per_band) for a target Jaccard threshold.
+
+    Standard banding math (Leskovec/Rajaraman/Ullman, *Mining of
+    Massive Datasets* §3.4, public): with b bands of r rows each, a
+    pair of Jaccard similarity s collides in ≥1 band with probability
+    p(s) = 1 − (1 − s^r)^b, an S-curve whose inflection sits at
+    t* ≈ (1/b)^(1/r). The planner enumerates every b dividing
+    ``n_perm`` and returns the configuration whose t* is closest to
+    ``threshold``, plus the curve evaluated around it so the caller
+    sees the miss/false-candidate trade it bought:
+
+    - ``p_at_threshold``: detection probability exactly at the target;
+    - ``p_above`` / ``p_below``: at threshold ± each ``probe`` offset
+      (false-negative risk lives in p_above < 1; wasted candidate
+      verification lives in p_below > 0).
+
+    Pure driver-side arithmetic — feed the result's ``bands`` straight
+    into :func:`minhash_lsh_pairs` / :func:`write_dedup_index`. At
+    scale the choice matters asymmetrically: too-few bands silently
+    MISS near-dups (unrecoverable), too-many bands inflate the
+    candidate join (recoverable cost, bounded by the verify step), so
+    ties between equally-close configurations break toward more bands.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if n_perm < 2:
+        raise ValueError("n_perm must be >= 2")
+
+    def curve(b: int, r: int, s: float) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    best = None
+    for b in range(1, n_perm + 1):
+        if n_perm % b:
+            continue
+        r = n_perm // b
+        t_star = (1.0 / b) ** (1.0 / r)
+        # distance first; tie → larger b (misses are unrecoverable)
+        key = (abs(t_star - threshold), -b)
+        if best is None or key < best[0]:
+            best = (key, b, r, t_star)
+    _, b, r, t_star = best
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "n_perm": n_perm,
+        "t_star": round(t_star, 4),
+        "p_at_threshold": round(curve(b, r, threshold), 4),
+        "p_above": {
+            round(threshold + d, 4): round(curve(b, r, min(threshold + d, 1.0)), 4)
+            for d in probe
+        },
+        "p_below": {
+            round(threshold - d, 4): round(curve(b, r, max(threshold - d, 0.0)), 4)
+            for d in probe
+        },
+    }
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

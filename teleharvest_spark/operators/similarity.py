@@ -538,3 +538,216 @@ def lsh_scan_fraction(
         .collect()[0]
     )
     return float(row["avg_scanned"] or 0.0) / max(n_corpus, 1)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — the similarity-search twin of the dedup/semdedup
+# index idiom (operators/dedup.py write_dedup_index): train + assign the
+# corpus ONCE, then every probe batch pays only its own assignment plus
+# a pruned read of the probed cells.
+
+IVF_META = "meta.json"
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_cells: int = 16,
+    n_iter: int = 10,
+    sample_size: int = 4096,
+    spill_eps: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train centroids and persist the cell-assigned corpus at ``path``.
+
+    Layout: ``<path>/centroids`` (cell, centroid) parquet — n_cells
+    rows; ``<path>/cells`` (neighbor_id, embedding) parquet
+    HIVE-PARTITIONED BY ``cell``, so a query probing n_probe of
+    n_cells cells reads only those directories (partition pruning does
+    on disk what the equi-join's selectivity does in memory — the rest
+    of the corpus is never even opened); ``<path>/meta.json`` written
+    LAST via tmp+rename (the lm_store crash convention — no readable-
+    but-partial index). Rows with NULL vectors are excluded (they have
+    no cell; route them to the embedding-validation family first).
+
+    ``ivf_topk`` recomputes this assignment per call — right for
+    one-shot jobs; the index is for the serving shape, where the same
+    corpus answers many probe batches and per-call re-assignment is
+    the dominant waste.
+    """
+    import json as _json
+    import os as _os
+
+    cents_unit = train_centroids(
+        corpus, dim, n_cells, n_iter=n_iter, sample_size=sample_size,
+        id_col=id_col, vec_col=vec_col,
+    )
+    if cents_unit.size == 0:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents_unit)],
+        "cell int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    assigned = _assign_cells(corpus, cents_unit, spill_eps, id_col, vec_col)
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(_os.path.join(path, "cells"))
+    )
+    n = spark.read.parquet(_os.path.join(path, "cells")).count()
+    meta = {
+        "dim": dim,
+        "n_cells": int(len(cents_unit)),
+        "spill_eps": spill_eps,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "rows_indexed": int(n),
+    }
+    tmp = _os.path.join(path, IVF_META + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, _os.path.join(path, IVF_META))
+    return meta
+
+
+def _assign_cells(
+    corpus: DataFrame,
+    cents_unit: np.ndarray,
+    spill_eps: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(neighbor_id, embedding, cell) rows — spilled when eps > 0."""
+    base = corpus.where(F.col(vec_col).isNotNull())
+    if spill_eps > 0.0:
+        return base.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("embedding"),
+            F.explode(_cell_spill_udf(cents_unit, spill_eps)(F.col(vec_col))).alias(
+                "cell"
+            ),
+        )
+    return base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("embedding"),
+        F.try_element_at(_cell_assign_udf(cents_unit, 1)(F.col(vec_col)), F.lit(1)).alias(
+            "cell"
+        ),
+    )
+
+
+def read_ivf_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(path, IVF_META)
+    if not _os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no IVF index at {path} (meta.json missing — build_ivf_index "
+            "never completed there)"
+        )
+    with open(meta_path, encoding="utf-8") as f:
+        return _json.load(f)
+
+
+def _stored_centroids(spark, path: str, meta: dict) -> np.ndarray:
+    import os as _os
+
+    rows = (
+        spark.read.parquet(_os.path.join(path, "centroids"))
+        .orderBy("cell")
+        .collect()  # bounded: n_cells rows
+    )
+    return np.array([[float(x) for x in r["centroid"]] for r in rows], dtype=np.float64)
+
+
+def extend_ivf_index(batch: DataFrame, path: str) -> dict:
+    """Append a new batch to a stored index with the SAME centroids —
+    the incremental-ingest shape (dedup_index idiom): the batch alone
+    is assigned, nothing already indexed is touched or re-read. A
+    replayed append can duplicate a neighbor's row inside a cell;
+    ``query_ivf_index`` deduplicates (probe_id, neighbor_id) pairs, so
+    replays degrade cost, never correctness. Re-train (rebuild) when
+    accumulated batches meaningfully shift the distribution — the
+    centroids are frozen here by design, like the lm_store cut lines.
+    """
+    import os as _os
+
+    meta = read_ivf_meta(path)
+    cents_unit = _stored_centroids(batch.sparkSession, path, meta)
+    assigned = _assign_cells(
+        batch, cents_unit, float(meta["spill_eps"]), meta["id_col"], meta["vec_col"]
+    )
+    n_new = assigned.count()
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell")
+        .parquet(_os.path.join(path, "cells"))
+    )
+    return dict(meta, rows_appended=int(n_new))
+
+
+def query_ivf_index(
+    probes: DataFrame,
+    path: str,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a stored index: ``(probe_id, neighbor_id,
+    rank, sim)``, same contract as :func:`ivf_topk`.
+
+    The probe batch is assigned with the STORED centroids (no
+    training), the distinct probed-cell set collects (bounded by
+    n_cells, never by probe count), and the cells table is read with
+    ``cell IN (...)`` — hive partition pruning turns that into a
+    directory skip, so the un-probed fraction of the corpus costs zero
+    I/O. The cell-set collect re-runs the probe assignment once as a
+    narrow projection (cheaper than persisting probe-sized state just
+    to avoid it; the returned frame stays fully lazy). Self-matches
+    (same id on both sides) are excluded, mirroring ivf_topk.
+    """
+    import os as _os
+
+    spark = probes.sparkSession
+    meta = read_ivf_meta(path)
+    cents_unit = _stored_centroids(spark, path, meta)
+    n_probe = min(n_probe, len(cents_unit))
+
+    def assigned() -> DataFrame:
+        return probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("pvec"),
+            F.explode(_cell_assign_udf(cents_unit, n_probe)(F.col(vec_col))).alias(
+                "cell"
+            ),
+        )
+
+    probed_cells = sorted(
+        r["cell"] for r in assigned().select("cell").distinct().collect()
+    )  # bounded: <= n_cells values
+    cells = spark.read.parquet(_os.path.join(path, "cells")).where(
+        F.col("cell").isin(probed_cells)
+    )
+    sims = (
+        assigned()
+        .join(cells, "cell")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine(F.col("pvec"), F.col("embedding")).alias("sim"),
+        )
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )

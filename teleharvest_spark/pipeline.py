@@ -317,7 +317,9 @@ def prep_corpus(
     given (default params = the original six-stage pipeline, digest
     chain and warehouse layout byte-identical):
 
-    * ``clean`` (``clean_params``, before quality) — text REPAIR as
+    * ``clean`` (``clean_params``, before quality) — unicode
+      normalization first (``{"normalize": true}`` or
+      :func:`functions.text.normalize_text` kwargs), then text REPAIR as
       opposed to the quality stage's doc-level DROP: PII redaction
       (``{"pii": true}`` or a kinds tuple), C4 line cleanup
       (``{"c4_lines": true}`` or kwargs), cross-document hot-line
@@ -453,6 +455,18 @@ def prep_corpus(
             report["stages"]["clean"] = {"skipped": True}
         else:
             out = docs
+            if clean_params.get("normalize"):
+                # FIRST: composed/decomposed unicode forks every
+                # downstream byte-keyed step (PII patterns, line
+                # hashes, shingles) — normalize before any of them
+                from .functions.text import normalize_text
+
+                kw = (
+                    clean_params["normalize"]
+                    if isinstance(clean_params["normalize"], dict)
+                    else {}
+                )
+                out = out.withColumn("text", normalize_text(F.col("text"), **kw))
             if clean_params.get("pii"):
                 kinds = (
                     tuple(clean_params["pii"])
@@ -1409,11 +1423,19 @@ def prep_batch(
         if clean_params.get("line_dedup"):
             raise ValueError(
                 "line_dedup is a base-build (prep_corpus) operation — "
-                "batch ingest supports the per-doc repairs pii/c4_lines"
+                "batch ingest supports the per-doc repairs "
+                "normalize/pii/c4_lines"
             )
-        from .functions.text import redact_pii
+        from .functions.text import normalize_text, redact_pii
         from .operators.quality import c4_clean_lines
 
+        if clean_params.get("normalize"):
+            kw = (
+                clean_params["normalize"]
+                if isinstance(clean_params["normalize"], dict)
+                else {}
+            )
+            batch = batch.withColumn("text", normalize_text(F.col("text"), **kw))
         if clean_params.get("pii"):
             kinds = (
                 tuple(clean_params["pii"])

@@ -417,3 +417,33 @@ def test_cli_history_anomalies(spark, suite, tmp_path):
     assert flagged.where(~F.col("anomaly")).count() == 0
     assert ("src_01", "null_rate") not in rows
     assert not any(p == "src_01" for p, _ in rows)
+
+
+def test_cli_skew_report(spark, tmp_path, capsys):
+    """--skew-report profiles hot keys on --input and writes the
+    evidence table under <out>/skew_profile/run_id=<id>."""
+    from pyspark.sql import Row
+
+    inp = str(tmp_path / "seq")
+    out = str(tmp_path / "out")
+    rows = [Row(doc_id=f"d{i}", tokens=[1], n_tok=1, source="hot") for i in range(450)]
+    rows += [
+        Row(doc_id=f"c{i}", tokens=[1], n_tok=1, source=f"cold_{i}") for i in range(550)
+    ]
+    spark.createDataFrame(rows).repartition(4).write.parquet(inp)
+    rc = cli.main(
+        [
+            "--input", inp, "--output", out, "--run-id", "sk1",
+            "--skew-report", "source,doc_id", "--skew-min-share", "0.05",
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    hot = [k for k in rep["hot_keys"] if k["column"] == "source"]
+    assert [k["key"] for k in hot] == ["hot"]
+    assert hot[0]["share_lo"] >= 0.40 and hot[0]["suggested_salt"] >= 1
+    # doc_id is unique -> no hot keys at a 5% share floor
+    assert not [k for k in rep["hot_keys"] if k["column"] == "doc_id"]
+    # persisted evidence table, replay-idempotent dir
+    stored = spark.read.parquet(f"{out}/skew_profile/run_id=sk1")
+    assert stored.count() == 1

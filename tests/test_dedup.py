@@ -363,3 +363,36 @@ def test_dedup_lines_global_scoped(spark):
     got = {r["doc_id"]: r["clean_text"]
            for r in dedup_lines_global(df, scope_col="source").collect()}
     assert got == {0: "keep a", 1: f"{line}\nkeep b", 2: "more a"}
+
+
+def test_plan_lsh_banding_math():
+    """Planner reproduces the textbook S-curve arithmetic."""
+    plan = dedup.plan_lsh(0.8, n_perm=64)
+    b, r = plan["bands"], plan["rows_per_band"]
+    assert b * r == 64
+    # t* of the chosen config is the closest divisor point to 0.8
+    for bb in (1, 2, 4, 8, 16, 32, 64):
+        t = (1.0 / bb) ** (bb / 64.0)
+        assert abs(plan["t_star"] - 0.8) <= abs(t - 0.8) + 1e-4  # t_star rounded
+    # hand-check the detection probability formula at the target
+    import math
+
+    expect = 1.0 - (1.0 - 0.8**r) ** b
+    assert math.isclose(plan["p_at_threshold"], expect, abs_tol=5e-5)
+    # S-curve shape: more similar -> likelier candidate
+    hi = list(plan["p_above"].values())
+    lo = list(plan["p_below"].values())
+    assert min(hi) >= plan["p_at_threshold"] >= max(lo)
+
+    # near-dup regime (low threshold) picks many bands / short rows;
+    # far threshold picks few bands / long rows
+    near = dedup.plan_lsh(0.35, n_perm=64)
+    far = dedup.plan_lsh(0.95, n_perm=64)
+    assert near["bands"] > far["bands"]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dedup.plan_lsh(1.5)
+    with _pt.raises(ValueError):
+        dedup.plan_lsh(0.5, n_perm=1)

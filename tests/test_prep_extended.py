@@ -629,3 +629,35 @@ def test_corpus_report_chunked_and_optional_stage_lines(spark, tmp_path):
     pipeline.prep_corpus(spark, inp, out2, run_id="dr2", capacity=4096)
     rep2 = pipeline.corpus_report(spark, out2)
     assert "clean_stage" not in rep2 and "decontamination" not in rep2
+
+
+def test_clean_normalize_unifies_unicode_twins(spark, tmp_path):
+    """normalize in clean_params: a composed/decomposed pair of the
+    same text (plus zero-width junk) becomes an EXACT duplicate, so
+    lexical dedup drops one; without normalize both survive."""
+    base = " ".join(f"caféw{j}" for j in range(30))          # NFC é
+    decomp = " ".join(f"caféw{j}" for j in range(30))       # e + U+0301
+    decomp = "​" + decomp                                     # zero-width
+    rows = [
+        Row(doc_id=1, text=base, source="web"),
+        Row(doc_id=2, text=decomp, source="web"),
+    ] + [
+        Row(doc_id=10 + i, text=" ".join(f"n{i}w{j}" for j in range(30)),
+            source="web")
+        for i in range(6)
+    ]
+    inp, out_a, out_b = (str(tmp_path / d) for d in ("docs", "wa", "wb"))
+    spark.createDataFrame(rows).write.parquet(inp)
+
+    plain = pipeline.prep_corpus(spark, inp, out_a, run_id="n0", capacity=64)
+    assert plain["stages"]["dedup"]["kept"] == 8  # twins NOT merged
+
+    rep = pipeline.prep_corpus(
+        spark, inp, out_b, run_id="n1", capacity=64,
+        clean_params={"normalize": True},
+    )
+    assert rep["stages"]["dedup"]["kept"] == 7  # one twin dropped
+    cleaned = spark.read.parquet(f"{out_b}/cleaned_docs")
+    texts = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    assert texts[1] == texts[2]  # byte-identical after repair
+    assert "​" not in texts[2] and "́" not in texts[2]

@@ -177,3 +177,86 @@ def test_lsh_multiprobe_superset_of_exact_bucket(spark):
              similarity.lsh_topk(probes, emb, dim=64, k=5, n_planes=0,
                                  n_tables=1, multiprobe=1).collect()}
     assert degen == exact
+
+
+def test_ivf_index_build_query_matches_inline(spark, tmp_path):
+    """Stored-index query ≡ the inline ivf_topk at the same params
+    (train_centroids is seed-deterministic, so both paths share the
+    exact cell geometry)."""
+    rng = np.random.RandomState(21)
+    rows = [(i, rng.randn(8).astype(np.float32).tolist(), 0) for i in range(60)]
+    df = _emb(spark, rows)
+    idx = str(tmp_path / "ivf")
+    meta = similarity.build_ivf_index(df, idx, dim=8, n_cells=4)
+    assert meta["rows_indexed"] == 60 and meta["n_cells"] == 4
+
+    inline = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_topk(df, df, dim=8, k=3, n_cells=4, n_probe=2).collect()
+    }
+    stored = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.query_ivf_index(df, idx, k=3, n_probe=2).collect()
+    }
+    assert stored == inline
+
+    # degenerate: probing every cell ≡ brute force
+    brute = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk(df, df, k=3).collect()
+    }
+    full = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.query_ivf_index(df, idx, k=3, n_probe=4).collect()
+    }
+    assert full == brute
+
+
+def test_ivf_index_partition_pruning_and_extend(spark, tmp_path):
+    """The probed-cell filter must reach the parquet read as a
+    directory skip, and an appended batch is queryable without
+    touching the stored rows."""
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.randn(8).astype(np.float32).tolist(), 0) for i in range(40)]
+    df = _emb(spark, rows)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(df, idx, dim=8, n_cells=4)
+
+    # one probe → n_probe=1 → exactly one cell dir read
+    probe = df.where(F.col("vec_id") == 0)
+    cents = similarity._stored_centroids(spark, idx, similarity.read_ivf_meta(idx))
+    assigned = probe.select(
+        F.explode(similarity._cell_assign_udf(cents, 1)(F.col("embedding"))).alias("c")
+    ).collect()
+    want_cell = assigned[0]["c"]
+    pruned = spark.read.parquet(f"{idx}/cells").where(F.col("cell") == want_cell)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    # the cell predicate must land in PartitionFilters (directory skip),
+    # NOT PushedFilters (row-group skip inside files already opened)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and f"= {want_cell})" in pf[0], plan
+
+    # extend: a twin of vec 0 lands in the same cell and ranks first
+    twin_vec = rows[0][1]
+    batch = _emb(spark, [(1000, twin_vec, 0)])
+    meta2 = similarity.extend_ivf_index(batch, idx)
+    assert meta2["rows_appended"] == 1
+    got = similarity.query_ivf_index(probe, idx, k=1, n_probe=1).collect()
+    assert got[0]["neighbor_id"] == 1000 and got[0]["sim"] == 1.0
+
+    # replayed append duplicates rows but never results
+    similarity.extend_ivf_index(batch, idx)
+    got2 = similarity.query_ivf_index(probe, idx, k=2, n_probe=1).collect()
+    assert [r["neighbor_id"] for r in got2 if r["rank"] == 1] == [1000]
+    assert len({(r["probe_id"], r["neighbor_id"]) for r in got2}) == len(got2)
+
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError, match="meta.json"):
+        similarity.read_ivf_meta(str(tmp_path / "nope"))

@@ -140,3 +140,53 @@ def test_hash_tokens_empty_text(spark):
         ).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 2}
+
+
+def test_normalize_text_nfc_and_zero_width(spark):
+    """Decomposed e+combining-acute folds to the composed form, zero-
+    width chars and soft hyphens vanish, NULL stays NULL."""
+    rows = [
+        ("decomp", "café"),            # NFD é
+        ("zw", "a​b‌c‍d﻿e­f"),
+        ("plain", "hello"),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, text string")
+    out = {
+        r["k"]: r["t"]
+        for r in df.select("k", TXT.normalize_text(F.col("text")).alias("t")).collect()
+    }
+    assert out["decomp"] == "café"
+    assert out["zw"] == "abcdef"
+    assert out["plain"] == "hello"
+    assert out["null"] is None
+
+    # NFKC folds compatibility chars (ligature fi, full-width A)
+    df2 = spark.createDataFrame([("x", "ﬁ Ａ")], "k string, text string")
+    got = df2.select(TXT.normalize_text(F.col("text"), form="NFKC").alias("t")).collect()
+    assert got[0]["t"] == "fi A"
+
+    # form=None keeps the expression UDF-free and only strips
+    got2 = (
+        spark.createDataFrame([("x", "a​b")], "k string, text string")
+        .select(TXT.normalize_text(F.col("text"), form=None).alias("t"))
+        .collect()
+    )
+    assert got2[0]["t"] == "ab"
+
+    # collapse_spaces folds runs but PRESERVES line structure
+    got3 = (
+        spark.createDataFrame([("x", "a   b\t c \n  d  e\n")], "k string, text string")
+        .select(
+            TXT.normalize_text(
+                F.col("text"), form=None, collapse_spaces=True
+            ).alias("t")
+        )
+        .collect()
+    )
+    assert got3[0]["t"] == "a b c\nd e"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="normalization form"):
+        TXT.normalize_text(F.col("text"), form="NFX")
