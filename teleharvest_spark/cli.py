@@ -941,6 +941,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.input is None:
             ap.error("--skew-report requires --input")
         cols = tuple(c.strip() for c in args.skew_report.split(",") if c.strip())
+        if not cols:
+            ap.error("--skew-report needs at least one column name")
         print(
             json.dumps(
                 skew_pass(

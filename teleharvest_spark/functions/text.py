@@ -234,17 +234,23 @@ def normalize_text(
     (operators/quality.py), zero shuffles either way.
     """
     out = col
-    if strip_zero_width:
-        out = F.regexp_replace(out, _ZERO_WIDTH_CLASS, "")
-    if collapse_spaces:
-        out = F.regexp_replace(out, r"[^\S\n]+", " ")
-        out = F.regexp_replace(out, r" ?\n ?", "\n")
-        # F.trim strips ONLY ' ' — spell the class out (module policy)
-        out = F.regexp_replace(out, rf"^{WS}+|{WS}+$", "")
+    # form FIRST: NFKC maps NBSP / U+2000-200A / U+3000 to plain
+    # spaces — strips and collapse must see those, or whitespace-
+    # variant twins survive the very repair meant to unify them
     if form is not None:
         if form not in ("NFC", "NFD", "NFKC", "NFKD"):
             raise ValueError(f"unknown unicode normalization form {form!r}")
         out = _unicode_normalize_udf(form)(out)
+    if strip_zero_width:
+        out = F.regexp_replace(out, _ZERO_WIDTH_CLASS, "")
+    if collapse_spaces:
+        # horizontal whitespace = module WS class minus \n, spelled
+        # out (bare \s/\S forks regex engines on \x0B — module policy)
+        hws = "[" + WS_CHARS.replace(r"\n", "") + "]"
+        out = F.regexp_replace(out, hws + "+", " ")
+        out = F.regexp_replace(out, r" ?\n ?", "\n")
+        # F.trim strips ONLY ' ' — spell the class out (module policy)
+        out = F.regexp_replace(out, rf"^{WS}+|{WS}+$", "")
     return out
 
 

@@ -586,6 +586,15 @@ def build_ivf_index(
     )
     if cents_unit.size == 0:
         raise ValueError("cannot build an IVF index over an empty corpus")
+    # REBUILD over an existing index: retract the old meta BEFORE
+    # touching centroids/cells — otherwise a crash mid-rebuild leaves
+    # yesterday's meta.json readable next to new centroids and stale
+    # cells, and queries silently mix the two geometries. With the
+    # meta gone, the crash window reads as "no index" (read_ivf_meta
+    # raises), which is the honest state.
+    old_meta = _os.path.join(path, IVF_META)
+    if _os.path.exists(old_meta):
+        _os.remove(old_meta)
     spark = corpus.sparkSession
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents_unit)],
@@ -681,13 +690,16 @@ def extend_ivf_index(batch: DataFrame, path: str) -> dict:
     cents_unit = _stored_centroids(batch.sparkSession, path, meta)
     assigned = _assign_cells(
         batch, cents_unit, float(meta["spill_eps"]), meta["id_col"], meta["vec_col"]
-    )
-    n_new = assigned.count()
-    (
-        assigned.write.mode("append")
-        .partitionBy("cell")
-        .parquet(_os.path.join(path, "cells"))
-    )
+    ).persist()  # batch-sized: ONE assignment pass serves count + write
+    try:
+        n_new = assigned.count()
+        (
+            assigned.write.mode("append")
+            .partitionBy("cell")
+            .parquet(_os.path.join(path, "cells"))
+        )
+    finally:
+        assigned.unpersist()
     return dict(meta, rows_appended=int(n_new))
 
 

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 _SENTINEL_COLS = ("__mg_dec", "__mg_n_obs")
+_RESERVED_COLS = ("est",) + _SENTINEL_COLS
 
 _ALLOWED_KEY_TYPES = (
     T.StringType,
@@ -54,6 +55,11 @@ _ALLOWED_KEY_TYPES = (
 
 def _key_dtype(df: DataFrame, col: str, from_array: bool) -> str:
     """SQL type string for the summary's key column; atomic types only."""
+    if col in _RESERVED_COLS:
+        raise ValueError(
+            f"column name {col!r} collides with the summary's own output "
+            f"columns {_RESERVED_COLS} — rename it before sketching"
+        )
     dt = df.schema[col].dataType
     if from_array:
         if not isinstance(dt, T.ArrayType):
@@ -154,7 +160,18 @@ def mg_summaries(
         raise ValueError("capacity must be >= 1")
     ktype = _key_dtype(df, col, flatten)
     schema = f"`{col}` {ktype}, est long, __mg_dec long, __mg_n_obs long"
-    return df.select(col).mapInPandas(_mg_kernel(col, capacity, flatten), schema=schema)
+    # NULL keys are excluded JVM-SIDE, not in the kernel: an Arrow
+    # batch that still contains a NULL arrives in pandas as float64 +
+    # NaN, and int64 keys above 2^53 (xxhash64 fingerprints — the
+    # advertised use) round and COLLIDE silently. With nulls filtered
+    # before the Python boundary, a long column stays int64 end to end.
+    if flatten:
+        narrowed = df.select(
+            F.filter(F.col(col), lambda x: x.isNotNull()).alias(col)
+        ).where(F.col(col).isNotNull())
+    else:
+        narrowed = df.select(col).where(F.col(col).isNotNull())
+    return narrowed.mapInPandas(_mg_kernel(col, capacity, flatten), schema=schema)
 
 
 def heavy_hitters(

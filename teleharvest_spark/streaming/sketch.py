@@ -21,27 +21,16 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.sketch import _batch_counts, _fold
 
 
-def streaming_token_heavy_hitters(
-    stream: DataFrame,
-    key: str = "source",
-    tokens_col: str = "tokens",
-    capacity: int = 1024,
-    k: int = 16,
-) -> DataFrame:
-    """Running per-``key`` top-k token ids over a token-array stream.
-
-    Output rows per trigger: ``(key, token, est_lo, est_hi, err_bound,
-    n_obs)`` — update semantics (a later trigger's rows for a key
-    supersede earlier ones). Arrays are flattened inside the Arrow
-    kernel; the MG fold is shared verbatim with the batch operator so
-    the guarantee can't fork.
-    """
+def _hh_update_fn(key: str, tokens_col: str, capacity: int, k: int):
+    """The per-key state-update function, factored to module level so
+    the drain edge can be pinned with a fake GroupState (the streaming
+    harness is too slow to exercise every branch end-to-end)."""
 
     def fn(
         key_tuple: tuple,
@@ -69,6 +58,23 @@ def streaming_token_heavy_hitters(
             dec += int(d)
         if acc is None or not len(acc):
             state.update(([], [], int(dec), int(n_obs)))
+            # summary drained (all-equal-counts pressure edge): an
+            # update-mode sink would otherwise retain the PREVIOUS
+            # trigger's rows with stale bounds for a key that did
+            # receive data — emit one NULL-token bounds row (the batch
+            # operator's sentinel, streamed) so err_bound/n_obs stay
+            # current downstream.
+            if dec or n_obs:
+                yield pd.DataFrame(
+                    {
+                        key: [key_tuple[0]],
+                        "token": [None],
+                        "est_lo": np.int64(0),
+                        "est_hi": np.int64(dec),
+                        "err_bound": np.int64(dec),
+                        "n_obs": np.int64(n_obs),
+                    }
+                )
             return
         state.update(
             (
@@ -92,12 +98,36 @@ def streaming_token_heavy_hitters(
             }
         )
 
+    return fn
+
+
+def streaming_token_heavy_hitters(
+    stream: DataFrame,
+    key: str = "source",
+    tokens_col: str = "tokens",
+    capacity: int = 1024,
+    k: int = 16,
+) -> DataFrame:
+    """Running per-``key`` top-k token ids over a token-array stream.
+
+    Output rows per trigger: ``(key, token, est_lo, est_hi, err_bound,
+    n_obs)`` — update semantics (a later trigger's rows for a key
+    supersede earlier ones; a NULL ``token`` row is the drained-summary
+    bounds sentinel). Arrays are flattened inside the Arrow kernel; the
+    MG fold is shared verbatim with the batch operator so the guarantee
+    can't fork. NULL array elements are filtered JVM-side before the
+    Python boundary (the batch operator's int64-precision guard).
+    """
+    cleaned = stream.select(
+        key,
+        F.filter(F.col(tokens_col), lambda x: x.isNotNull()).alias(tokens_col),
+    )
     out_schema = (
         f"{key} string, token long, est_lo long, est_hi long, "
         "err_bound long, n_obs long"
     )
-    return stream.groupBy(key).applyInPandasWithState(
-        fn,
+    return cleaned.groupBy(key).applyInPandasWithState(
+        _hh_update_fn(key, tokens_col, capacity, k),
         outputStructType=out_schema,
         stateStructType="toks array<long>, ests array<long>, dec long, n_obs long",
         outputMode="update",

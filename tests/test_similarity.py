@@ -260,3 +260,28 @@ def test_ivf_index_partition_pruning_and_extend(spark, tmp_path):
 
     with _pt.raises(FileNotFoundError, match="meta.json"):
         similarity.read_ivf_meta(str(tmp_path / "nope"))
+
+
+def test_ivf_index_rebuild_crash_window_reads_as_no_index(spark, tmp_path):
+    """A rebuild retracts meta.json FIRST: a crash between the new
+    centroids and the new meta must read as 'no index', never as the
+    old meta over mixed geometry."""
+    rng = np.random.RandomState(3)
+    df = _emb(spark, [(i, rng.randn(4).astype(np.float32).tolist(), 0) for i in range(20)])
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(df, idx, dim=4, n_cells=2)
+
+    # simulate the crash window: rebuild got as far as new centroids
+    # (meta already retracted), then died before writing meta back
+    import os
+
+    os.remove(os.path.join(idx, similarity.IVF_META))
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        similarity.query_ivf_index(df, idx, k=1, n_probe=1)
+
+    # a completed rebuild over the same path works end to end
+    meta = similarity.build_ivf_index(df, idx, dim=4, n_cells=4)
+    assert meta["n_cells"] == 4
+    assert similarity.query_ivf_index(df, idx, k=1, n_probe=4).count() == 20

@@ -179,3 +179,65 @@ def test_streaming_token_heavy_hitters_state_carryover(spark, tmp_path):
     assert by_tok2[7]["n_obs"] == 9  # all tokens for "a" so far
     # deterministic ordering inside the emitted top-k: est desc, id asc
     assert [r["token"] for r in got2] == [7, 2, 1]
+
+
+def test_int64_keys_survive_nulls_exactly(spark):
+    """xxhash64-scale keys (> 2^53) must come back bit-exact even when
+    NULL rows/elements share the scan — a NULL reaching the Arrow→
+    pandas boundary turns the long column float64 and ROUNDS the keys
+    (2^60+1 and 2^60+2 collide); the JVM-side null filter prevents it."""
+    a, b = (1 << 60) + 1, (1 << 60) + 2
+    rows = [(a,)] * 3 + [(b,)] * 2 + [(None,)]
+    df = spark.createDataFrame(rows, "k long").coalesce(1)
+    out = {r["k"]: r["est_lo"] for r in sketch.heavy_hitters(df, "k", k=5).collect()}
+    assert out == {a: 3, b: 2}
+
+    arr = spark.createDataFrame(
+        [([a, None, a],), ([b],), (None,)], "ks array<long>"
+    ).coalesce(1)
+    got = {
+        r["ks"]: r["est_lo"]
+        for r in sketch.heavy_hitters(arr, "ks", k=5, flatten=True).collect()
+    }
+    assert got == {a: 2, b: 1}
+
+
+def test_reserved_key_names_raise(spark):
+    df = spark.createDataFrame([(1,)], "est long")
+    with pytest.raises(ValueError, match="collides"):
+        sketch.heavy_hitters(df, "est")
+
+
+def test_streaming_drain_emits_bounds_sentinel():
+    """A trigger that drains a key's summary must still emit a row
+    (NULL token, current bounds) — update-mode sinks would otherwise
+    retain the previous trigger's stale top-k for that key."""
+    import pandas as pd
+
+    from teleharvest_spark.streaming.sketch import _hh_update_fn
+
+    class _FakeState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+        @property
+        def get(self):
+            return self._v
+
+    fn = _hh_update_fn("source", "tokens", capacity=2, k=4)
+    state = _FakeState()
+    # 3 distinct singletons at capacity 2 -> everything decrements away
+    batch = pd.DataFrame({"tokens": [[1], [2], [3]]})
+    out = list(fn(("a",), iter([batch]), state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["token"] is None or pd.isna(row["token"])
+    assert row["est_lo"] == 0 and row["err_bound"] == 1 and row["n_obs"] == 3
+    assert state.get == ([], [], 1, 3)
+    # a later healthy trigger emits real rows again, folding the state
+    out2 = list(fn(("a",), iter([pd.DataFrame({"tokens": [[7, 7]]})]), state))
+    r2 = {r["token"]: r for _, r in out2[0].iterrows()}
+    assert r2[7]["est_lo"] == 2 and r2[7]["est_hi"] == 3  # + carried dec

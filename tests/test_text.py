@@ -190,3 +190,15 @@ def test_normalize_text_nfc_and_zero_width(spark):
 
     with _pt.raises(ValueError, match="normalization form"):
         TXT.normalize_text(F.col("text"), form="NFX")
+
+
+def test_normalize_text_nfkc_spaces_are_collapsed(spark):
+    """NFKC maps NBSP/U+3000 to plain spaces — the collapse must see
+    them (form runs FIRST), or whitespace-variant twins survive."""
+    df = spark.createDataFrame([("x", "a  b　")], "k string, text string")
+    got = df.select(
+        TXT.normalize_text(
+            F.col("text"), form="NFKC", collapse_spaces=True
+        ).alias("t")
+    ).collect()
+    assert got[0]["t"] == "a b"
