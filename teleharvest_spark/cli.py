@@ -169,6 +169,74 @@ def token_drift_pass(
     return report
 
 
+HOT_TOKENS_DIRNAME = "_hot_tokens_baseline"
+
+
+def hot_tokens_pass(
+    spark: SparkSession,
+    sequences,
+    output_path: str,
+    run_id: str,
+    k: int = 64,
+    capacity: int = 4096,
+) -> dict:
+    """Opt-in cross-run HOT-TOKEN churn: this run's guaranteed top-k
+    token table (Misra-Gries, operators/sketch.py) vs the previous
+    run's stored table.
+
+    Complements the PSI vocab drift (``--token-drift``): PSI scores
+    the whole bucketed distribution with one number; churn names WHICH
+    high-frequency ids entered or left the head — the tokenizer-
+    regression / template-injection early warning — at sketch cost
+    (one narrow pass, ≤ k-row stored state) instead of a second
+    vocab-keyed histogram. Output: ``<out>/hot_tokens/<run_id>`` rows
+    ``(token, est_lo, est_hi, status ∈ entered|held|exited)``; the
+    stored baseline advances via the versioned-pointer store (the
+    token-drift convention), so a crashed pass never half-replaces it.
+    First pass writes the baseline and reports churn vs an empty head.
+    """
+    from .operators.sketch import token_heavy_hitters
+    from .streaming import refresh as vsink
+
+    bl_dir = os.path.join(output_path, HOT_TOKENS_DIRNAME)
+    cur = token_heavy_hitters(sequences, k=k, capacity=capacity)  # ≤ k rows, eager
+    prev = None
+    if vsink._latest_version(bl_dir) is not None:
+        prev = vsink.read_stored(spark, bl_dir)
+    report: dict = {"hot_tokens_baseline": prev is not None}
+    if prev is not None:
+        prev_keyed = prev.select(F.col("tokens"), F.lit(True).alias("_was_hot"))
+        joined = cur.join(prev_keyed, "tokens", "full_outer")
+        status = (
+            F.when(F.col("est_lo").isNull(), F.lit("exited"))
+            .when(F.col("_was_hot").isNull(), F.lit("entered"))
+            .otherwise(F.lit("held"))
+        )
+        rows = joined.select(
+            F.col("tokens").alias("token"), "est_lo", "est_hi",
+            status.alias("status"),
+        )
+        out_path = f"{output_path}/hot_tokens/{run_id}"
+        rows.write.mode("overwrite").parquet(out_path)
+        by = {
+            r["status"]: r["n"]
+            for r in spark.read.parquet(out_path)
+            .groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        held = by.get("held", 0)
+        report["hot_tokens_entered"] = by.get("entered", 0)
+        report["hot_tokens_exited"] = by.get("exited", 0)
+        report["hot_tokens_overlap"] = round(
+            held / max(held + by.get("entered", 0), 1), 4
+        )
+    vname = f"v{run_id}"
+    vdir = os.path.join(bl_dir, vname)
+    cur.write.mode("overwrite").parquet(vdir)
+    vsink._flip_pointer(bl_dir, vname)
+    vsink._gc_versions(bl_dir, vname)
+    return report
+
+
 def run(
     spark: SparkSession,
     input_path: str,
@@ -180,6 +248,7 @@ def run(
     source_dim_path: str | None = None,
     drift_baseline: str = "global",
     token_drift: bool = False,
+    hot_tokens: bool = False,
     history_anomalies: bool = False,
     schema_contract: bool = True,
     on_schema_mismatch: str = "fail",
@@ -442,6 +511,11 @@ def run(
         if token_drift
         else {}
     )
+    if hot_tokens:
+        token_report = {
+            **token_report,
+            **hot_tokens_pass(spark, sequences, output_path, run_id),
+        }
     n_rows = sequences.count()
     wall = time.perf_counter() - t0
     sample_report = {}
@@ -711,6 +785,14 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="opt-in temporal vocab-shift drift (token-id histograms "
         "vs the previous pass; costs one extra decode scan)",
+    )
+    ap.add_argument(
+        "--hot-tokens",
+        action="store_true",
+        help="opt-in cross-run hot-token churn: this run's guaranteed "
+        "top-k token table (Misra-Gries) vs the previous run's — names "
+        "which head ids entered/exited where PSI gives one number; "
+        "rows at <out>/hot_tokens/<run_id>",
     )
     ap.add_argument(
         "--history-anomalies",
@@ -1074,6 +1156,7 @@ def main(argv: list[str] | None = None) -> int:
             source_dim_path=args.source_dim,
             drift_baseline=args.drift_baseline,
             token_drift=args.token_drift,
+            hot_tokens=args.hot_tokens,
             history_anomalies=args.history_anomalies,
             schema_contract=not args.no_schema_contract,
             on_schema_mismatch=args.schema_mismatch,

@@ -447,3 +447,49 @@ def test_cli_skew_report(spark, tmp_path, capsys):
     # persisted evidence table, replay-idempotent dir
     stored = spark.read.parquet(f"{out}/skew_profile/run_id=sk1")
     assert stored.count() == 1
+
+
+def test_hot_tokens_churn(spark, tmp_path):
+    """Cross-run hot-token churn: first pass stores the head, an
+    identical pass holds it at overlap 1.0, a head shift is named
+    entered/exited; the stored baseline advances each pass."""
+    out = str(tmp_path / "wh")
+
+    def seqs(hot_id):
+        rows = [
+            (f"d{i}", [hot_id, hot_id, i % 7], "s") for i in range(50)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, source string"
+        )
+
+    r1 = cli.hot_tokens_pass(spark, seqs(999), out, "h1", k=4)
+    assert r1 == {"hot_tokens_baseline": False}
+
+    r2 = cli.hot_tokens_pass(spark, seqs(999), out, "h2", k=4)
+    assert r2["hot_tokens_baseline"] is True
+    assert r2["hot_tokens_entered"] == 0 and r2["hot_tokens_exited"] == 0
+    assert r2["hot_tokens_overlap"] == 1.0
+
+    r3 = cli.hot_tokens_pass(spark, seqs(555), out, "h3", k=4)
+    assert r3["hot_tokens_entered"] >= 1 and r3["hot_tokens_exited"] >= 1
+    rows = spark.read.parquet(f"{out}/hot_tokens/h3").collect()
+    by = {r["token"]: r["status"] for r in rows}
+    assert by[555] == "entered" and by[999] == "exited"
+    # baseline advanced: a fourth identical pass holds again
+    r4 = cli.hot_tokens_pass(spark, seqs(555), out, "h4", k=4)
+    assert r4["hot_tokens_overlap"] == 1.0
+
+
+def test_cli_run_with_hot_tokens_flag(spark, suite, tmp_path):
+    """--hot-tokens rides the validation run: first run stores the
+    baseline, second reports churn keys in the merged report."""
+    inp = str(tmp_path / "seqs")
+    out = str(tmp_path / "out")
+    datagen.generate_sequences(spark, 2_000, suite).write.parquet(inp)
+    r1 = cli.run(spark, inp, out, suite, run_id="t1", hot_tokens=True)
+    assert r1["hot_tokens_baseline"] is False
+    # second pass must NOT resume-skip (same data, new run) — force it
+    r2 = cli.run(spark, inp, out, suite, run_id="t2", hot_tokens=True)
+    assert r2["hot_tokens_baseline"] is True
+    assert r2["hot_tokens_overlap"] == 1.0
