@@ -1087,6 +1087,89 @@ def sketch_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def reconcile_bench(spark, sf_dir: str) -> dict:
+    """Session-12 reconciliation surfaces: full keyed row-diff vs the
+    checksum-then-diff composition (operators/reconcile.py), plus the
+    FDR drift pass wall.
+
+    The scale story is the restriction: ``targeted`` row-diffs ONLY
+    partitions whose order-independent checksums disagree, so its join
+    input is the touched slice — at 10^12 rows with one touched
+    partition the full diff shuffles the whole table and targeted
+    shuffles 1/|partitions| of it. Locally both are seconds; the
+    recorded ``diff_rows_full_join`` vs ``diff_rows_targeted_join``
+    input sizes carry the story. ``fdr`` is metadata-sized on top of
+    one histogram aggregate (|sources| rows through BH)."""
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark.operators import drift as drift_ops
+    from teleharvest_spark.operators import reconcile as rc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # synthetic "new snapshot": md5-picked ~20% of ONE source
+    # partition's rows get a text edit; every other partition matches
+    one_src = docs.select("source").where(F.col("source").isNotNull()).first()["source"]
+    touched = (F.col("source") == one_src) & (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        ) % 5 == 0
+    )
+    new = docs.withColumn(
+        "text", F.when(touched, F.concat(F.col("text"), F.lit(" edited"))).otherwise(F.col("text"))
+    )
+    out: dict = {"docs": docs.count(), "touched_source": one_src}
+
+    def best2(fn):
+        fn()
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3)
+
+    box: dict = {}
+
+    def full_pass():
+        box["full"] = rc.snapshot_diff(
+            docs, new, ("doc_id",), method="hash"
+        ).count()
+
+    def checksum_pass():
+        box["verdicts"] = {
+            r["status"]: 1
+            for r in rc.reconcile_tables(docs, new, "source").collect()
+        }
+
+    def targeted_pass():
+        verdicts, diff = rc.targeted_diff(docs, new, "source", ("doc_id",))
+        box["targeted"] = diff.count()
+
+    out["full_diff_sec"] = best2(full_pass)
+    out["checksum_only_sec"] = best2(checksum_pass)
+    out["targeted_diff_sec"] = best2(targeted_pass)
+    out["diff_rows"] = box["full"]
+    assert box["full"] == box["targeted"], (box["full"], box["targeted"])
+    # join-input proxies: rows entering the row-level diff join
+    out["diff_rows_full_join"] = out["docs"] * 2
+    out["diff_rows_targeted_join"] = (
+        docs.where(F.col("source") == one_src).count()
+        + new.where(F.col("source") == one_src).count()
+    )
+
+    seqs = spark.read.parquet("/tmp/bench_sequences.parquet")
+
+    def fdr_pass():
+        hist = drift_ops.ntok_histogram(seqs)
+        pooled = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+        box["fdr"] = drift_ops.drift_fdr(hist, pooled, alpha=0.05).count()
+
+    out["drift_fdr_sec"] = best2(fdr_pass)
+    out["drift_fdr_sources"] = box["fdr"]
+    print(f"# reconcile: {out}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -1172,6 +1255,7 @@ def main() -> None:
     resume = resume_bench(spark, sf_dir)
     certify = certify_bench(spark, sf_dir)
     sketch = sketch_bench(spark, sf_dir)
+    reconcile = reconcile_bench(spark, sf_dir)
 
     sf1 = None
     if SF1_ENABLED and "0.1" in sf_dir:
@@ -1201,6 +1285,7 @@ def main() -> None:
         "resume": resume,
         "certify": certify,
         "sketch": sketch,
+        "reconcile": reconcile,
         "memory": memory_telemetry(spark),
         "spill": spill_telemetry(),
     }

@@ -169,6 +169,141 @@ def token_drift_pass(
     return report
 
 
+def drift_fdr_pass(
+    spark: SparkSession,
+    sequences,
+    output_path: str,
+    run_id: str,
+    alpha: float,
+    baseline_hist=None,
+) -> dict:
+    """Opt-in FDR-controlled drift verdicts (``--drift-fdr ALPHA``).
+
+    The suite's fixed-threshold KS/PSI gate is a MAGNITUDE gate; at
+    many sources it needs a significance complement — on a perfectly
+    stable corpus, per-source α=0.05 tests flag ~5% of sources
+    spuriously. This pass converts each source's KS statistic to an
+    asymptotic p-value and applies Benjamini–Hochberg across sources
+    (operators/drift.drift_fdr), so expected false flags among the
+    flagged ≤ α however many sources exist. Baseline: the stored
+    temporal baseline when the run uses one, else the pooled current
+    corpus (the drift_vs_global shape). With a stored PER-SOURCE
+    baseline the pass also runs the categorical mix-shift χ² test
+    (did the source COMPOSITION move? — an upstream feed dying or
+    doubling shifts the mix before any payload drifts). Output:
+    ``<out>/drift_fdr/<run_id>``; metrics restricted to sources
+    observed THIS run (resume-filtered inputs must not score skipped
+    sources as vanished).
+    """
+    from .operators import drift as drift_ops
+
+    hist = drift_ops.ntok_histogram(sequences).persist()
+    has_stored_baseline = baseline_hist is not None and "source" in baseline_hist.columns
+    if baseline_hist is None:
+        baseline_hist = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    observed = hist.select("source").distinct()
+    out = (
+        drift_ops.drift_fdr(hist, baseline_hist, alpha=alpha)
+        .join(observed, "source", "semi")
+    )
+    out_path = f"{output_path}/drift_fdr/{run_id}"
+    out.write.mode("overwrite").parquet(out_path)
+    rows = spark.read.parquet(out_path)
+    report = {
+        "drift_fdr_alpha": alpha,
+        "drift_fdr_sources": rows.count(),
+        "drift_fdr_rejected": rows.where(F.col("reject")).count(),
+    }
+    if has_stored_baseline:
+        # categorical complement: did the source MIX move vs the stored
+        # baseline? Both sides restricted to sources observed THIS run
+        # (under --resume a skipped source is not a vanished source).
+        obs_counts = hist.groupBy("source").agg(F.sum("cnt").alias("cnt"))
+        base_counts = (
+            baseline_hist.groupBy("source")
+            .agg(F.sum("cnt").alias("cnt"))
+            .join(observed, "source", "semi")
+        )
+        mix = drift_ops.source_mix_shift(
+            obs_counts, base_counts, alpha=alpha
+        ).collect()[0]
+        report.update(
+            {
+                "mix_chi2": None if mix.chi2 == float("inf") else round(mix.chi2, 4),
+                "mix_p_value": mix.p_value,
+                "mix_verdict": mix.mix_verdict,
+            }
+        )
+    hist.unpersist()
+    return report
+
+
+def reconcile_pass(
+    spark: SparkSession,
+    input_path: str,
+    against_path: str,
+    output_path: str,
+    run_id: str,
+    keys: tuple[str, ...] = ("doc_id",),
+    method: str = "hash",
+) -> dict:
+    """Table parity check (``--reconcile-against``): the current input
+    vs a reference snapshot (yesterday's table, the pre-migration copy,
+    the certified output).
+
+    Checksum-first: per-partition order-independent content checksums
+    decide WHICH partitions differ at one-scan cost; only those enter
+    the row-level keyed diff (operators/reconcile.targeted_diff), so a
+    100 TB table with a few touched partitions row-diffs only the
+    touched slice. Writes ``<out>/reconcile/<run_id>`` (per-partition
+    verdicts) and ``<out>/reconcile_diff/<run_id>`` (added / removed /
+    changed keys); run_id-keyed overwrite = replay-idempotent.
+    """
+    from .operators import reconcile as rc
+
+    new = spark.read.parquet(input_path)
+    old = spark.read.parquet(against_path)
+    verdicts, diff = rc.targeted_diff(old, new, "source", keys, method=method)
+    verdicts.write.mode("overwrite").parquet(f"{output_path}/reconcile/{run_id}")
+    diff.write.mode("overwrite").parquet(f"{output_path}/reconcile_diff/{run_id}")
+    # column drill-down for the touched partitions only — which COLUMN
+    # changed; same |partitions|-sized cost class as the checksums
+    stored_v = spark.read.parquet(f"{output_path}/reconcile/{run_id}")
+    bad = stored_v.where(F.col("status") == "content_mismatch").select("source")
+    cols = rc.reconcile_columns(
+        old.join(F.broadcast(bad), old["source"].eqNullSafe(bad["source"]), "left_semi"),
+        new.join(F.broadcast(bad), new["source"].eqNullSafe(bad["source"]), "left_semi"),
+        "source",
+    ).where(F.col("status") != "match")
+    cols.write.mode("overwrite").parquet(f"{output_path}/reconcile_columns/{run_id}")
+    v = spark.read.parquet(f"{output_path}/reconcile/{run_id}")
+    d = spark.read.parquet(f"{output_path}/reconcile_diff/{run_id}")
+    by_status = {
+        r["status"]: r["n"]
+        for r in v.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    diff_by = {
+        r["status"]: r["n"]
+        for r in d.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    changed_cols = sorted(
+        r["column"]
+        for r in spark.read.parquet(f"{output_path}/reconcile_columns/{run_id}")
+        .select("column")
+        .distinct()
+        .collect()
+    )
+    return {
+        "run_id": run_id,
+        "reconcile_partitions": sum(by_status.values()),
+        "reconcile_matched": by_status.get("match", 0),
+        "reconcile_by_status": by_status,
+        "diff_rows": sum(diff_by.values()),
+        "diff_by_status": diff_by,
+        "changed_columns": changed_cols,
+    }
+
+
 HOT_TOKENS_DIRNAME = "_hot_tokens_baseline"
 
 
@@ -249,6 +384,7 @@ def run(
     drift_baseline: str = "global",
     token_drift: bool = False,
     hot_tokens: bool = False,
+    drift_fdr_alpha: float | None = None,
     history_anomalies: bool = False,
     schema_contract: bool = True,
     on_schema_mismatch: str = "fail",
@@ -515,6 +651,14 @@ def run(
         token_report = {
             **token_report,
             **hot_tokens_pass(spark, sequences, output_path, run_id),
+        }
+    if drift_fdr_alpha is not None:
+        token_report = {
+            **token_report,
+            **drift_fdr_pass(
+                spark, sequences, output_path, run_id, drift_fdr_alpha,
+                baseline_hist=prev_baseline,
+            ),
         }
     n_rows = sequences.count()
     wall = time.perf_counter() - t0
@@ -795,6 +939,31 @@ def main(argv: list[str] | None = None) -> int:
         "rows at <out>/hot_tokens/<run_id>",
     )
     ap.add_argument(
+        "--drift-fdr",
+        type=float,
+        default=None,
+        metavar="ALPHA",
+        help="opt-in FDR-controlled drift verdicts: per-source KS "
+        "p-values + Benjamini-Hochberg across sources at this alpha; "
+        "rows at <out>/drift_fdr/<run_id>",
+    )
+    ap.add_argument(
+        "--reconcile-against",
+        default=None,
+        metavar="PATH",
+        help="standalone parity check of --input vs this reference "
+        "snapshot: per-partition checksum verdicts at "
+        "<out>/reconcile/<run_id>, keyed row diff (added/removed/"
+        "changed) of mismatched partitions only at "
+        "<out>/reconcile_diff/<run_id>",
+    )
+    ap.add_argument(
+        "--reconcile-keys",
+        default="doc_id",
+        help="comma list of key columns for --reconcile-against "
+        "(default: doc_id)",
+    )
+    ap.add_argument(
         "--history-anomalies",
         action="store_true",
         help="after validating, compare this run's per-partition "
@@ -1034,6 +1203,21 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0
+    if args.reconcile_against:
+        if args.input is None:
+            ap.error("--reconcile-against requires --input")
+        keys = tuple(k.strip() for k in args.reconcile_keys.split(",") if k.strip())
+        if not keys:
+            ap.error("--reconcile-keys needs at least one column name")
+        print(
+            json.dumps(
+                reconcile_pass(
+                    spark, args.input, args.reconcile_against, args.output,
+                    args.run_id, keys=keys,
+                )
+            )
+        )
+        return 0
     if args.compact_indexes:
         from . import pipeline
 
@@ -1157,6 +1341,7 @@ def main(argv: list[str] | None = None) -> int:
             drift_baseline=args.drift_baseline,
             token_drift=args.token_drift,
             hot_tokens=args.hot_tokens,
+            drift_fdr_alpha=args.drift_fdr,
             history_anomalies=args.history_anomalies,
             schema_contract=not args.no_schema_contract,
             on_schema_mismatch=args.schema_mismatch,

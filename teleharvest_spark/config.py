@@ -37,6 +37,17 @@ class CheckSuite:
     # max_token_run. None disables the check entirely.
     min_distinct_frac: float | None = None
     max_token_run: int | None = None
+    # Sequence-framing checks (no reference analogue — pre-tokenized
+    # training sequences carry special-token framing contracts): with
+    # bos_id set every sequence must BEGIN with that id; with eos_id
+    # set it must END with it; max_interior_eos bounds how many EOS
+    # tokens may appear BEFORE the final position (packed sequences
+    # use interior EOS as document separators — 0 forbids packing
+    # artifacts outright, None leaves interior EOS unchecked).
+    # max_interior_eos requires eos_id. All default off.
+    bos_id: int | None = None
+    eos_id: int | None = None
+    max_interior_eos: int | None = None
 
     # Per-partition stats thresholds (north_rule single-pass aggregate).
     max_null_rate: float = 0.01

@@ -131,6 +131,57 @@ def sequence_checks(suite: CheckSuite, per_source_bounds: bool = False) -> list[
                 ),
             )
         )
+    # Sequence-framing checks (suite-gated, default off): special-token
+    # contracts on the pre-tokenized payload. They sit with the schema
+    # checks: a sequence that doesn't start with BOS / end with EOS is
+    # malformed regardless of its length. F.get is the null-safe
+    # element access (ANSI element_at throws on out-of-bounds; an
+    # empty payload already failed empty_payload above, and the NULL
+    # it yields here is treated as a framing failure explicitly).
+    if suite.max_interior_eos is not None and suite.eos_id is None:
+        raise ValueError("max_interior_eos requires eos_id")
+    if suite.bos_id is not None:
+        first = F.get(tokens, 0)
+        checks.append(
+            Check(
+                "missing_bos",
+                first.isNull() | (first != F.lit(int(suite.bos_id))),
+                F.concat(
+                    F.lit("first token "),
+                    F.coalesce(first.cast("string"), F.lit("NULL")),
+                    F.lit(f" != bos {int(suite.bos_id)}"),
+                ),
+            )
+        )
+    if suite.eos_id is not None:
+        last = F.get(tokens, F.size(tokens) - 1)
+        checks.append(
+            Check(
+                "missing_eos",
+                last.isNull() | (last != F.lit(int(suite.eos_id))),
+                F.concat(
+                    F.lit("last token "),
+                    F.coalesce(last.cast("string"), F.lit("NULL")),
+                    F.lit(f" != eos {int(suite.eos_id)}"),
+                ),
+            )
+        )
+        if suite.max_interior_eos is not None:
+            interior = F.slice(tokens, 1, F.greatest(F.size(tokens) - 1, F.lit(0)))
+            n_int = F.size(
+                F.filter(interior, lambda t: t == F.lit(int(suite.eos_id)))
+            )
+            checks.append(
+                Check(
+                    "excess_interior_eos",
+                    n_int > F.lit(int(suite.max_interior_eos)),
+                    F.concat(
+                        F.lit("interior eos count "),
+                        n_int.cast("string"),
+                        F.lit(f" > {int(suite.max_interior_eos)}"),
+                    ),
+                )
+            )
     checks += [
         Check(
             "too_short",

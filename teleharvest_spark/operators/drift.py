@@ -157,6 +157,282 @@ def drift_verdicts(metrics: DataFrame, suite: CheckSuite) -> DataFrame:
     )
 
 
+def _kolmogorov_sf(lam: np.ndarray) -> np.ndarray:
+    """Survival function of the Kolmogorov distribution,
+    Q(λ) = 2 Σ_{k≥1} (−1)^{k−1} exp(−2k²λ²) — the asymptotic two-sided
+    KS p-value (public formula; e.g. Numerical Recipes §14.3.3 /
+    Marsaglia-Tsang-Wang 2003). This series converges fast only for
+    λ ≳ 0.2 (the k-th term is exp(−2k²λ²)); BELOW that the truncated
+    alternating sum is garbage — but there the dual Jacobi-theta form
+    1 − (√(2π)/λ)·Σ exp(−(2k−1)²π²/(8λ²)) puts Q within 1e-12 of 1
+    (at λ=0.2 the first exponent is already −30.8), so λ < 0.2 returns
+    exactly 1. Above 0.2 the series is converged by k ≈ 10; 100 terms
+    is headroom.
+    """
+    lam = np.asarray(lam, dtype=np.float64)
+    k = np.arange(1, 101, dtype=np.float64)[:, None]
+    q = (2.0 * (-1.0) ** (k - 1) * np.exp(-2.0 * (k * lam[None, :]) ** 2)).sum(axis=0)
+    out = np.clip(q, 0.0, 1.0)
+    return np.where(lam < 0.2, 1.0, out)
+
+
+def ks_pvalue_arrays(
+    ks: np.ndarray, n: np.ndarray, m: np.ndarray
+) -> np.ndarray:
+    """Vectorized asymptotic two-sample KS p-value with the Stephens
+    small-sample correction: λ = (√nₑ + 0.12 + 0.11/√nₑ)·D with
+    nₑ = n·m/(n+m) (Stephens 1970 — the form scipy's 'asymp' mode and
+    R's ks.test use). Empty sides (n or m = 0) are maximal drift by
+    the engine's convention (drift_metrics emits ks=1 there): p = 0.
+    """
+    ks = np.asarray(ks, dtype=np.float64)
+    n = np.asarray(n, dtype=np.float64)
+    m = np.asarray(m, dtype=np.float64)
+    tot = n + m
+    ne = np.divide(n * m, np.where(tot == 0, 1.0, tot))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rt = np.sqrt(ne)
+        lam = (rt + 0.12 + np.where(rt == 0, 0.0, 0.11 / np.where(rt == 0, 1.0, rt))) * ks
+    return np.where(ne == 0, 0.0, _kolmogorov_sf(lam))
+
+
+def drift_pvalues(
+    hist: DataFrame, baseline_hist: DataFrame, include_w1: bool = False
+) -> DataFrame:
+    """:func:`drift_metrics` plus per-source sample sizes and the KS
+    p-value — the statistical form FDR control needs.
+
+    Output: (source, ks, psi[, w1], n, base_n, p_value). Sizes come
+    from the histograms themselves (one |sources|×|buckets| aggregate
+    each — sketch-sized); the p-value runs in one Arrow-batched pandas
+    UDF over the |sources|-row metrics frame. With a GLOBAL baseline
+    every source shares the pooled base_n.
+    """
+    metrics = drift_metrics(hist, baseline_hist, include_w1=include_w1)
+    sizes = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
+    if "source" in baseline_hist.columns:
+        base_sizes = baseline_hist.groupBy("source").agg(F.sum("cnt").alias("base_n"))
+        sized = metrics.join(F.broadcast(sizes), "source", "left").join(
+            F.broadcast(base_sizes), "source", "left"
+        )
+    else:
+        base_tot = baseline_hist.agg(F.sum("cnt").alias("base_n"))
+        sized = metrics.join(F.broadcast(sizes), "source", "left").crossJoin(
+            F.broadcast(base_tot)
+        )
+    sized = sized.fillna({"n": 0, "base_n": 0})
+
+    @F.pandas_udf("double")
+    def _p(ks: pd.Series, n: pd.Series, m: pd.Series) -> pd.Series:
+        return pd.Series(
+            ks_pvalue_arrays(
+                ks.to_numpy(np.float64),
+                n.to_numpy(np.float64),
+                m.to_numpy(np.float64),
+            )
+        )
+
+    return sized.withColumn(
+        "p_value", _p(F.col("ks"), F.col("n"), F.col("base_n"))
+    )
+
+
+def bh_reject(
+    df: DataFrame, p_col: str = "p_value", alpha: float = 0.05
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control across the frame's rows.
+
+    Adds (p_rank, n_tests, reject): sort p ascending, find the largest
+    rank k with p_(k) ≤ (k/m)·α, reject ranks 1..k — the step-up shape
+    where a row may be rejected even though its OWN threshold fails,
+    because a later rank passes (pinned in tests). Ties and
+    nondeterminism: rank is row_number over (p, source) so equal
+    p-values order deterministically, and since rejection is "rank ≤
+    k" with k defined by the largest passing rank, every member of a
+    tie group shares one fate regardless of intra-tie order.
+
+    The windows are GLOBAL (single-partition exchange) — correct here
+    because the input is the |sources|-row metrics frame, metadata-
+    sized by construction; this is not a row-level operator. At 10^5
+    sources that is one task over 10^5 tiny rows.
+    """
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col(p_col).asc_nulls_last(), F.col("source"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.withColumn("p_rank", F.row_number().over(w_rank)).withColumn(
+        "n_tests", F.count(F.col(p_col)).over(w_all)
+    )
+    ok = F.col(p_col) <= F.col("p_rank") / F.col("n_tests") * F.lit(alpha)
+    ranked = ranked.withColumn(
+        "_k", F.max(F.when(ok, F.col("p_rank"))).over(w_all)
+    )
+    return ranked.withColumn(
+        "reject", F.col("p_rank") <= F.coalesce(F.col("_k"), F.lit(0))
+    ).drop("_k")
+
+
+def _gammainc_q(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Regularized upper incomplete gamma Q(a, x) — the χ² survival
+    function is Q(k/2, x/2). Standard public algorithm (Numerical
+    Recipes §6.2): lower series for x < a+1, Lentz continued fraction
+    otherwise, both run a fixed vectorized iteration count (256 —
+    far past convergence for the dof range a validation run sees;
+    the |sources|-row input makes the flat loop cost irrelevant).
+    """
+    import math
+
+    a = np.asarray(a, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    lg = np.frompyfunc(math.lgamma, 1, 1)(np.where(a > 0, a, 1.0)).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        log_pref = a * np.log(np.where(x > 0, x, 1.0)) - x - lg
+    use_series = x < a + 1.0
+
+    # lower series: P(a,x) = e^{-x} x^a / Γ(a) · Σ x^n / (a(a+1)…(a+n))
+    ap = a.copy()
+    summ = np.where(a > 0, 1.0 / np.where(a > 0, a, 1.0), 0.0)
+    delta = summ.copy()
+    for _ in range(256):
+        ap = ap + 1.0
+        delta = delta * x / ap
+        summ = summ + delta
+    p_series = np.exp(log_pref) * summ
+
+    # continued fraction: Q(a,x) = e^{-x} x^a / Γ(a) · CF
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = np.full_like(x, 1.0 / tiny)
+    d = 1.0 / np.where(b == 0, tiny, b)
+    h = d.copy()
+    for i in range(1, 257):
+        an = -i * (i - a)
+        b = b + 2.0
+        d = an * d + b
+        d = np.where(np.abs(d) < tiny, tiny, d)
+        c = b + an / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        d = 1.0 / d
+        h = h * d * c
+    q_cf = np.exp(log_pref) * h
+
+    q = np.where(use_series, 1.0 - p_series, q_cf)
+    q = np.clip(q, 0.0, 1.0)
+    # edges: x ≤ 0 → Q = 1; a ≤ 0 with x > 0 → Q = 0 (dof guard)
+    q = np.where(x <= 0, 1.0, q)
+    return np.where((a <= 0) & (x > 0), 0.0, q)
+
+
+def chi2_sf_arrays(chi2: np.ndarray, dof: np.ndarray) -> np.ndarray:
+    """χ² survival function P(X ≥ chi2 | dof) = Q(dof/2, chi2/2)."""
+    chi2 = np.asarray(chi2, dtype=np.float64)
+    dof = np.asarray(dof, dtype=np.float64)
+    return _gammainc_q(dof / 2.0, chi2 / 2.0)
+
+
+def source_mix_shift(
+    df: DataFrame,
+    baseline: DataFrame,
+    key: str = "source",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Categorical mix-shift test: did the MIXTURE of partition keys
+    change vs the baseline? One-sample Pearson χ² of the observed
+    per-key counts against expected = baseline proportions × n.
+
+    The categorical complement of the per-source KS/PSI gates: those
+    ask "did source X's n_tok distribution move"; this asks "did the
+    corpus's source composition move" (an upstream feed dying or
+    doubling shifts the mix long before any single source's payload
+    drifts). ``baseline`` is raw rows or pre-aggregated (key, cnt).
+    A key ABSENT from the baseline makes the test degenerate
+    (expected = 0): p_value = 0, novel sources are mix shift by
+    definition — the referential check names them.
+
+    Output: one row (chi2, dof, p_value, n, base_n, mix_verdict).
+    Counts aggregate JVM-side (map-side partials); the χ² math runs
+    over the |keys|-row frame in one grouped pandas pass. NULL keys
+    count as a category of their own.
+    """
+    obs = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt")) if "cnt" not in df.columns else df
+    base = (
+        baseline
+        if "cnt" in baseline.columns
+        else baseline.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    joined = (
+        obs.withColumnRenamed("cnt", "obs_cnt")
+        .join(
+            base.withColumnRenamed("cnt", "base_cnt").withColumnRenamed(key, "_bk"),
+            F.col(key).eqNullSafe(F.col("_bk")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("obs_cnt"), F.lit(0)).alias("obs_cnt"),
+            F.coalesce(F.col("base_cnt"), F.lit(0)).alias("base_cnt"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+
+    def _chi2(pdf: pd.DataFrame) -> pd.DataFrame:
+        o = pdf["obs_cnt"].to_numpy(np.float64)
+        b = pdf["base_cnt"].to_numpy(np.float64)
+        n, bn = o.sum(), b.sum()
+        dof = max(len(o) - 1, 1)
+        if n == 0 or bn == 0:
+            chi2, p = float("inf"), 0.0
+        elif np.any((b == 0) & (o > 0)):
+            chi2, p = float("inf"), 0.0
+        else:
+            keep = b > 0
+            exp = b[keep] / bn * n
+            chi2 = float(np.sum((o[keep] - exp) ** 2 / exp))
+            p = float(chi2_sf_arrays(np.array([chi2]), np.array([dof]))[0])
+        return pd.DataFrame(
+            {
+                "chi2": [chi2],
+                "dof": [dof],
+                "p_value": [p],
+                "n": [int(n)],
+                "base_n": [int(bn)],
+                "mix_verdict": ["fail" if p <= alpha else "pass"],
+            }
+        )
+
+    return joined.groupBy("_g").applyInPandas(
+        _chi2,
+        schema="chi2 double, dof int, p_value double, n bigint, base_n bigint, "
+        "mix_verdict string",
+    )
+
+
+def drift_fdr(
+    hist: DataFrame,
+    baseline_hist: DataFrame,
+    alpha: float = 0.05,
+    include_w1: bool = False,
+) -> DataFrame:
+    """FDR-controlled multi-source drift verdicts.
+
+    At 10^5 sources, per-source α=0.05 KS tests produce ~5,000 false
+    alarms on a perfectly stable corpus — the fixed-threshold
+    ``drift_verdicts`` is a magnitude gate, not a significance gate.
+    This surface converts each source's KS statistic to an asymptotic
+    p-value (sample sizes from the histograms) and applies
+    Benjamini–Hochberg across sources, so the expected fraction of
+    false drift flags among the flagged is ≤ α regardless of how many
+    sources the corpus has. drift_verdict: 'fail' iff rejected.
+    """
+    out = bh_reject(
+        drift_pvalues(hist, baseline_hist, include_w1=include_w1), alpha=alpha
+    )
+    return out.withColumn(
+        "drift_verdict", F.when(F.col("reject"), F.lit("fail")).otherwise(F.lit("pass"))
+    )
+
+
 def word_psi(
     df: DataFrame,
     text_col: str = "text",

@@ -34,25 +34,37 @@ KEY_INDEX_DIRNAME = "_key_index"
 
 
 def duplicate_keys(
-    df: DataFrame, key: str = "doc_id", stored_counts: DataFrame | None = None
+    df: DataFrame,
+    key: str | list[str] | tuple[str, ...] = "doc_id",
+    stored_counts: DataFrame | None = None,
 ) -> DataFrame:
-    """Keys appearing more than once → (key, dup_count).
+    """Keys appearing more than once → (key..., dup_count).
 
-    One column-pruned scan (just ``key``), one shuffle of ≤ one partial
-    row per (task, distinct key) — hot keys collapse map-side
-    (HashAggregate partial_count), so no salting is needed for count.
+    ``key`` may be a single column or a COMPOSITE key (list/tuple) —
+    the reference's primary key is composite (id, channel),
+    models/message.py:34-36; the engine's default fact key is the
+    single doc_id. Composite grouping keys compare null-safely in
+    Spark aggregation (two (NULL, 'a') rows are one group), matching
+    the single-column behavior.
 
-    ``stored_counts`` — (key, n_stored) occurrence counts from OUTSIDE
-    ``df`` (the key index of already-validated partitions under
-    ``--resume``, :func:`cross_partition_counts`) — folds into the
-    totals, so a key seen once here and once in a validated partition
-    reports dup_count=2 exactly as a full run would. The table is
-    pre-restricted to overlapping keys (tiny), hence broadcast.
+    One column-pruned scan (just the key columns), one shuffle of ≤
+    one partial row per (task, distinct key) — hot keys collapse
+    map-side (HashAggregate partial_count), so no salting is needed
+    for count.
+
+    ``stored_counts`` — (key..., n_stored) occurrence counts from
+    OUTSIDE ``df`` (the key index of already-validated partitions
+    under ``--resume``, :func:`cross_partition_counts`) — folds into
+    the totals, so a key seen once here and once in a validated
+    partition reports dup_count=2 exactly as a full run would. The
+    table is pre-restricted to overlapping keys (tiny), hence
+    broadcast.
     """
-    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("dup_count"))
+    keys = [key] if isinstance(key, str) else list(key)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("dup_count"))
     if stored_counts is not None:
         counts = (
-            counts.join(F.broadcast(stored_counts), key, "left")
+            counts.join(F.broadcast(stored_counts), keys, "left")
             .withColumn(
                 "dup_count",
                 F.col("dup_count") + F.coalesce(F.col("n_stored"), F.lit(0)),

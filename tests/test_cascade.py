@@ -297,3 +297,74 @@ def test_token_degeneracy_signals(spark):
     # NULL counts as one distinct value: {NULL, 5} = 2/3; NULL run = 2
     assert abs(got["d"][0] - 2 / 3) < 1e-9 and got["d"][1] == 2
     assert got["e"] == (1.0, 1)
+
+
+def test_sequence_framing_checks(spark):
+    """Suite-gated BOS/EOS framing contracts: first token must be BOS,
+    last must be EOS, interior EOS bounded (packed-document
+    separators). Default-off; enabling changes suite_hash."""
+    import pytest
+
+    suite = CheckSuite(
+        min_n_tok=1, max_n_tok=100, bos_id=1, eos_id=2, max_interior_eos=1
+    )
+    base = CheckSuite(min_n_tok=1, max_n_tok=100)
+    assert suite.suite_hash() != base.suite_hash()
+    names = [c.name for c in cascade.sequence_checks(base)]
+    assert "missing_bos" not in names and "missing_eos" not in names
+
+    df = spark.createDataFrame(
+        [
+            ("ok", [1, 7, 2], 3, "a"),
+            ("ok_one_sep", [1, 7, 2, 8, 2], 5, "a"),  # 1 interior eos ≤ 1
+            ("no_bos", [7, 8, 2], 3, "a"),
+            ("no_eos", [1, 7, 8], 3, "a"),
+            ("two_sep", [1, 2, 7, 2, 8, 2], 6, "a"),  # 2 interior eos > 1
+            ("single", [1], 1, "a"),  # first==bos, last==1 != eos
+            ("null_payload", None, None, "a"),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    got = {
+        r["doc_id"]: (r[cascade.FIRST_FAIL_COL], r[cascade.REASON_COL])
+        for r in cascade.apply_cascade(df, cascade.sequence_checks(suite)).collect()
+    }
+    assert got["ok"][0] is None
+    assert got["ok_one_sep"][0] is None
+    assert got["no_bos"] == ("missing_bos", "first token 7 != bos 1")
+    assert got["no_eos"] == ("missing_eos", "last token 8 != eos 2")
+    assert got["two_sep"] == ("excess_interior_eos", "interior eos count 2 > 1")
+    assert got["single"][0] == "missing_eos"
+    assert got["null_payload"][0] == "null_payload"
+
+    # eos-only suite: bos checks absent
+    eos_only = CheckSuite(min_n_tok=1, eos_id=2)
+    names = [c.name for c in cascade.sequence_checks(eos_only)]
+    assert "missing_eos" in names and "missing_bos" not in names
+    # misconfiguration: interior bound without eos_id
+    with pytest.raises(ValueError, match="max_interior_eos"):
+        cascade.sequence_checks(CheckSuite(max_interior_eos=0))
+
+
+def test_duplicate_keys_composite(spark):
+    """Composite-key uniqueness (reference: composite PK (id, channel),
+    models/message.py:34-36): the same doc_id under two sources is NOT
+    a duplicate of the composite key; two rows of the same (doc_id,
+    source) are."""
+    from teleharvest_spark.operators import uniqueness
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "a"), ("d1", "b"),          # same id, different source
+            ("d2", "a"), ("d2", "a"),          # true composite dup
+            (None, "a"), (None, "a"),          # NULL keys group together
+        ],
+        "doc_id string, source string",
+    )
+    single = {r.doc_id for r in uniqueness.duplicate_keys(df, "doc_id").collect()}
+    assert single == {"d1", "d2", None}
+    comp = {
+        (r.doc_id, r.source): r.dup_count
+        for r in uniqueness.duplicate_keys(df, ("doc_id", "source")).collect()
+    }
+    assert comp == {("d2", "a"): 2, (None, "a"): 2}

@@ -493,3 +493,124 @@ def test_cli_run_with_hot_tokens_flag(spark, suite, tmp_path):
     r2 = cli.run(spark, inp, out, suite, run_id="t2", hot_tokens=True)
     assert r2["hot_tokens_baseline"] is True
     assert r2["hot_tokens_overlap"] == 1.0
+
+
+def test_cli_drift_fdr_pass(spark, suite, tmp_path):
+    """--drift-fdr writes per-source p-values + BH verdicts; a stable
+    corpus whose sources share one distribution rejects nothing, a
+    planted collapsed source is the only rejection."""
+    from pyspark.sql import Row
+
+    inp = str(tmp_path / "seq")
+    out = str(tmp_path / "out")
+    # a SMALL planted source: its 20 rows contaminate the pooled
+    # baseline by only 0.5%, so the uniform sources' KS vs the pool
+    # stays insignificant while the planted source's own KS ≈ 1
+    rows = [
+        Row(doc_id=f"d{s}_{i}", tokens=[1, 2], n_tok=(i % 10) * 128, source=f"s{s}")
+        for s in range(8)
+        for i in range(500)
+    ]
+    rows += [Row(doc_id=f"p{i}", tokens=[1], n_tok=9999, source="planted") for i in range(20)]
+    spark.createDataFrame(rows).write.parquet(inp)
+
+    rep = cli.run(
+        spark, inp, out, suite, run_id="f1", drift_fdr_alpha=0.05
+    )
+    assert rep["drift_fdr_alpha"] == 0.05
+    stored = spark.read.parquet(f"{out}/drift_fdr/f1")
+    got = {r.source: r for r in stored.collect()}
+    assert rep["drift_fdr_sources"] == 9
+    # the uniform sources each hold 1/9 of the pool; the planted source
+    # is the only one whose histogram diverges from the pooled baseline
+    assert got["planted"].drift_verdict == "fail"
+    rejected = {s for s, r in got.items() if r.reject}
+    assert rejected == {"planted"}
+    assert all(r.n_tests == 9 for r in got.values())
+
+
+def test_cli_reconcile_pass(spark, tmp_path):
+    """--reconcile-against: checksum verdicts name the touched
+    partitions; the row diff covers exactly the touched slice."""
+    from pyspark.sql import Row
+
+    old_p = str(tmp_path / "old")
+    new_p = str(tmp_path / "new")
+    out = str(tmp_path / "out")
+    rows = [
+        Row(doc_id=f"d{i}", tokens=[i], n_tok=1, source=["a", "b", "c"][i % 3])
+        for i in range(90)
+    ]
+    old = spark.createDataFrame(rows)
+    old.write.parquet(old_p)
+    # change one row in 'b', drop one row from 'c', leave 'a' alone
+    old.withColumn(
+        "tokens",
+        F.when(F.col("doc_id") == "d1", F.array(F.lit(777))).otherwise(F.col("tokens")),
+    ).where(F.col("doc_id") != "d2").write.parquet(new_p)
+
+    rep = cli.reconcile_pass(spark, new_p, old_p, out, "rc1")
+    assert rep["reconcile_by_status"] == {
+        "match": 1, "content_mismatch": 1, "count_mismatch": 1
+    }
+    # drill-down names the changed column in the content-mismatch partition
+    assert rep["changed_columns"] == ["tokens"]
+    cols = {
+        (r.source, r.column): r.status
+        for r in spark.read.parquet(f"{out}/reconcile_columns/rc1").collect()
+    }
+    assert cols == {("b", "tokens"): "content_mismatch"}
+    diff = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(f"{out}/reconcile_diff/rc1").collect()
+    }
+    assert diff == {"d1": "changed", "d2": "removed"}
+
+    # main() wiring, standalone mode
+    rc = cli.main(
+        [
+            "--input", new_p, "--output", out, "--run-id", "rc2",
+            "--reconcile-against", old_p,
+        ]
+    )
+    assert rc == 0
+
+
+def test_cli_drift_fdr_temporal_baseline_mix_shift(spark, suite, tmp_path):
+    """--drift-fdr with --drift-baseline previous: run 2 scores vs run
+    1's stored per-source baseline — identical data → zero FDR
+    rejections AND a passing categorical mix-shift line; a doubled
+    source in run 3 fails the mix test."""
+    from pyspark.sql import Row
+
+    inp = str(tmp_path / "seq")
+    inp3 = str(tmp_path / "seq3")
+    out = str(tmp_path / "out")
+    rows = [
+        Row(doc_id=f"d{s}_{i}", tokens=[1, 2], n_tok=(i % 10) * 128, source=f"s{s}")
+        for s in range(4)
+        for i in range(300)
+    ]
+    spark.createDataFrame(rows).write.parquet(inp)
+    # run 3 input: source s0 quadrupled (mix shift, same per-source shape)
+    extra = [
+        Row(doc_id=f"x{i}", tokens=[1, 2], n_tok=(i % 10) * 128, source="s0")
+        for i in range(900)
+    ]
+    spark.createDataFrame(rows + extra).write.parquet(inp3)
+
+    r1 = cli.run(spark, inp, out, suite, run_id="t1", drift_baseline="previous")
+    assert "mix_verdict" not in r1  # no FDR pass requested
+    r2 = cli.run(
+        spark, inp, out, suite, run_id="t2",
+        drift_baseline="previous", drift_fdr_alpha=0.05,
+    )
+    assert r2["drift_fdr_rejected"] == 0
+    assert r2["mix_verdict"] == "pass" and r2["mix_chi2"] == 0.0
+    r3 = cli.run(
+        spark, inp3, out, suite, run_id="t3",
+        drift_baseline="previous", drift_fdr_alpha=0.05,
+    )
+    assert r3["mix_verdict"] == "fail"
+    # the per-source SHAPES are unchanged → FDR should not reject s0
+    assert r3["drift_fdr_rejected"] == 0

@@ -1,0 +1,182 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from teleharvest_spark.operators import drift
+
+HIST_SCHEMA = "source string, bucket int, cnt bigint"
+
+
+# ------------------------------------------------------------- p-values
+
+
+def test_kolmogorov_published_critical_values():
+    # two-sided KS critical λ at α = .10 / .05 / .01 (published tables)
+    q = drift._kolmogorov_sf(np.array([1.224, 1.358, 1.628]))
+    assert abs(q[0] - 0.10) < 0.005
+    assert abs(q[1] - 0.05) < 0.003
+    assert abs(q[2] - 0.01) < 0.002
+    # boundaries + monotonicity
+    assert drift._kolmogorov_sf(np.array([0.0]))[0] == 1.0
+    assert drift._kolmogorov_sf(np.array([5.0]))[0] < 1e-9
+    lams = np.linspace(0.01, 3.0, 50)
+    vals = drift._kolmogorov_sf(lams)
+    assert np.all(np.diff(vals) <= 1e-12)
+
+
+def test_ks_pvalue_edges():
+    # identical samples → p = 1; maximal D with real mass → p ≈ 0
+    p = drift.ks_pvalue_arrays(
+        np.array([0.0, 1.0, 0.5]), np.array([500.0, 500.0, 0.0]), np.array([500.0, 500.0, 100.0])
+    )
+    assert p[0] == 1.0
+    assert p[1] < 1e-12
+    # empty side = maximal drift by engine convention
+    assert p[2] == 0.0
+
+
+def test_ks_pvalue_sample_size_sharpens():
+    # same D, more data → smaller p (the whole point of the correction)
+    d = np.full(3, 0.08)
+    n = np.array([100.0, 1000.0, 10000.0])
+    p = drift.ks_pvalue_arrays(d, n, n)
+    assert p[0] > p[1] > p[2]
+
+
+# ------------------------------------------------------------------ BH
+
+
+def _pframe(spark, ps):
+    return spark.createDataFrame(
+        [(f"s{i}", float(p)) for i, p in enumerate(ps)], "source string, p_value double"
+    )
+
+
+def test_bh_stepup_rejects_through_failed_intermediate_ranks(spark):
+    # rank 2/3 fail their own thresholds but rank 4 passes → ALL rejected
+    out = drift.bh_reject(_pframe(spark, [0.01, 0.04, 0.03, 0.05]), alpha=0.05)
+    rows = out.collect()
+    assert all(r.reject for r in rows)
+    assert {r.n_tests for r in rows} == {4}
+
+
+def test_bh_only_strongest_survives(spark):
+    out = {r.source: r.reject for r in drift.bh_reject(
+        _pframe(spark, [0.01, 0.2, 0.3, 0.4]), alpha=0.05
+    ).collect()}
+    assert out == {"s0": True, "s1": False, "s2": False, "s3": False}
+
+
+def test_bh_none_rejected(spark):
+    out = drift.bh_reject(_pframe(spark, [0.3, 0.5, 0.9]), alpha=0.05)
+    assert out.where(F.col("reject")).count() == 0
+
+
+def test_bh_tie_group_shares_fate(spark):
+    # p = [.02, .02] at α=.03: rank 1 fails its own threshold (.015),
+    # rank 2 passes (.03) → step-up rejects both
+    out = drift.bh_reject(_pframe(spark, [0.02, 0.02]), alpha=0.03)
+    assert all(r.reject for r in out.collect())
+
+
+# ------------------------------------------------------- drift_fdr e2e
+
+
+def _stable_hist(spark, sources, n_per_bucket=100, buckets=10):
+    rows = [(s, b, n_per_bucket) for s in sources for b in range(buckets)]
+    return spark.createDataFrame(rows, HIST_SCHEMA)
+
+
+def test_drift_fdr_flags_only_planted_shift(spark):
+    sources = [f"src_{i:02d}" for i in range(40)]
+    hist = _stable_hist(spark, sources[:-1])
+    # the planted source: all mass collapsed into bucket 0
+    shifted = spark.createDataFrame([(sources[-1], 0, 1000)], HIST_SCHEMA)
+    hist = hist.unionByName(shifted)
+    base = spark.createDataFrame([(None, b, 4000) for b in range(10)], HIST_SCHEMA).select(
+        F.col("bucket"), F.col("cnt")
+    )
+    out = drift.drift_fdr(hist, base, alpha=0.05)
+    rows = {r.source: r for r in out.collect()}
+    assert rows[sources[-1]].drift_verdict == "fail"
+    assert rows[sources[-1]].p_value < 1e-6
+    stable = [r for s, r in rows.items() if s != sources[-1]]
+    assert all(r.drift_verdict == "pass" for r in stable)
+    # identical proportions → ks = 0 → p = 1 on every stable source
+    assert all(r.p_value == 1.0 for r in stable)
+    assert {r.n_tests for r in rows.values()} == {40}
+    assert rows[sources[-1]].base_n == 40000 and rows[sources[-1]].n == 1000
+
+
+def test_drift_fdr_stable_corpus_zero_rejects(spark):
+    hist = _stable_hist(spark, [f"s{i}" for i in range(20)])
+    base = spark.createDataFrame(
+        [(b, 2000) for b in range(10)], "bucket int, cnt bigint"
+    )
+    out = drift.drift_fdr(hist, base, alpha=0.05)
+    assert out.where(F.col("drift_verdict") == "fail").count() == 0
+
+
+def test_drift_pvalues_per_source_baseline_sizes(spark):
+    hist = _stable_hist(spark, ["a", "b"], n_per_bucket=50)
+    base = _stable_hist(spark, ["a", "b"], n_per_bucket=200)
+    out = {r.source: r for r in drift.drift_pvalues(hist, base).collect()}
+    assert out["a"].n == 500 and out["a"].base_n == 2000
+    assert out["a"].p_value == 1.0  # identical proportions
+
+
+# ----------------------------------------------------- chi² mix shift
+
+
+def test_chi2_sf_published_critical_values():
+    # χ² upper critical values at α=.05: dof 1→3.841, 2→5.991,
+    # 5→11.070, 10→18.307 (published tables)
+    p = drift.chi2_sf_arrays(
+        np.array([3.841, 5.991, 11.070, 18.307]), np.array([1.0, 2.0, 5.0, 10.0])
+    )
+    assert np.all(np.abs(p - 0.05) < 0.001)
+    # α=.01 spot check: dof 1 → 6.635
+    assert abs(drift.chi2_sf_arrays(np.array([6.635]), np.array([1.0]))[0] - 0.01) < 0.001
+    # edges
+    assert drift.chi2_sf_arrays(np.array([0.0]), np.array([3.0]))[0] == 1.0
+    assert drift.chi2_sf_arrays(np.array([1000.0]), np.array([1.0]))[0] < 1e-12
+
+
+def test_mix_shift_hand_computed(spark):
+    # obs [60, 40] vs baseline proportions [.5, .5]: χ² = 4, dof = 1,
+    # p = Q(1/2, 2) ≈ 0.0455
+    obs = spark.createDataFrame([("a", 60), ("b", 40)], "source string, cnt bigint")
+    base = spark.createDataFrame([("a", 500), ("b", 500)], "source string, cnt bigint")
+    row = drift.source_mix_shift(obs, base).collect()[0]
+    assert abs(row.chi2 - 4.0) < 1e-9
+    assert row.dof == 1
+    assert abs(row.p_value - 0.0455) < 0.001
+    assert row.mix_verdict == "fail"
+    assert row.n == 100 and row.base_n == 1000
+
+
+def test_mix_shift_stable_and_novel(spark):
+    stable = spark.createDataFrame(
+        [(f"s{i}", "x") for i in range(300) for _ in (0,)], "source string, v string"
+    )
+    # raw-row inputs, identical mixes → χ² = 0, p = 1
+    row = drift.source_mix_shift(stable, stable).collect()[0]
+    assert row.chi2 == 0.0 and row.p_value == 1.0 and row.mix_verdict == "pass"
+    # novel category in obs → degenerate, p = 0
+    novel = stable.unionByName(
+        spark.createDataFrame([("brand_new", "x")], "source string, v string")
+    )
+    row = drift.source_mix_shift(novel, stable).collect()[0]
+    assert row.p_value == 0.0 and row.mix_verdict == "fail"
+
+
+def test_mix_shift_null_key_is_a_category(spark):
+    obs = spark.createDataFrame(
+        [(None, 50), ("a", 50)], "source string, cnt bigint"
+    )
+    base = spark.createDataFrame(
+        [(None, 500), ("a", 500)], "source string, cnt bigint"
+    )
+    row = drift.source_mix_shift(obs, base).collect()[0]
+    assert row.chi2 == 0.0 and row.mix_verdict == "pass"
