@@ -176,6 +176,7 @@ def drift_fdr_pass(
     run_id: str,
     alpha: float,
     baseline_hist=None,
+    hist=None,
 ) -> dict:
     """Opt-in FDR-controlled drift verdicts (``--drift-fdr ALPHA``).
 
@@ -197,14 +198,23 @@ def drift_fdr_pass(
     """
     from .operators import drift as drift_ops
 
-    hist = drift_ops.ntok_histogram(sequences).persist()
+    # reuse the suite's persisted histogram when drift ran (res.hist):
+    # rebuilding it here would re-scan the fact table — the single most
+    # expensive unit at the design scale — for rows the suite already
+    # aggregated this run
+    own_hist = hist is None
+    if own_hist:
+        hist = drift_ops.ntok_histogram(sequences).persist()
     has_stored_baseline = baseline_hist is not None and "source" in baseline_hist.columns
     if baseline_hist is None:
         baseline_hist = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
     observed = hist.select("source").distinct()
-    out = (
-        drift_ops.drift_fdr(hist, baseline_hist, alpha=alpha)
-        .join(observed, "source", "semi")
+    # the restriction happens INSIDE drift_fdr, before Benjamini-
+    # Hochberg: baseline-only sources (vanished or resume-skipped)
+    # carry p=0 and would otherwise inflate n_tests and loosen every
+    # real source's step-up threshold
+    out = drift_ops.drift_fdr(
+        hist, baseline_hist, alpha=alpha, restrict_to=observed
     )
     out_path = f"{output_path}/drift_fdr/{run_id}"
     out.write.mode("overwrite").parquet(out_path)
@@ -234,7 +244,8 @@ def drift_fdr_pass(
                 "mix_verdict": mix.mix_verdict,
             }
         )
-    hist.unpersist()
+    if own_hist:
+        hist.unpersist()
     return report
 
 
@@ -266,18 +277,19 @@ def reconcile_pass(
     verdicts, diff = rc.targeted_diff(old, new, "source", keys, method=method)
     verdicts.write.mode("overwrite").parquet(f"{output_path}/reconcile/{run_id}")
     diff.write.mode("overwrite").parquet(f"{output_path}/reconcile_diff/{run_id}")
+    # one read per written artifact — the stored copies serve both the
+    # drill-down filter and the report counts
+    v = spark.read.parquet(f"{output_path}/reconcile/{run_id}")
+    d = spark.read.parquet(f"{output_path}/reconcile_diff/{run_id}")
     # column drill-down for the touched partitions only — which COLUMN
     # changed; same |partitions|-sized cost class as the checksums
-    stored_v = spark.read.parquet(f"{output_path}/reconcile/{run_id}")
-    bad = stored_v.where(F.col("status") == "content_mismatch").select("source")
+    bad = v.where(F.col("status") == "content_mismatch").select("source")
     cols = rc.reconcile_columns(
         old.join(F.broadcast(bad), old["source"].eqNullSafe(bad["source"]), "left_semi"),
         new.join(F.broadcast(bad), new["source"].eqNullSafe(bad["source"]), "left_semi"),
         "source",
     ).where(F.col("status") != "match")
     cols.write.mode("overwrite").parquet(f"{output_path}/reconcile_columns/{run_id}")
-    v = spark.read.parquet(f"{output_path}/reconcile/{run_id}")
-    d = spark.read.parquet(f"{output_path}/reconcile_diff/{run_id}")
     by_status = {
         r["status"]: r["n"]
         for r in v.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -658,6 +670,7 @@ def run(
             **drift_fdr_pass(
                 spark, sequences, output_path, run_id, drift_fdr_alpha,
                 baseline_hist=prev_baseline,
+                hist=res.hist,  # suite's persisted histogram (None if drift off)
             ),
         }
     n_rows = sequences.count()

@@ -278,9 +278,11 @@ def _gammainc_q(a: np.ndarray, x: np.ndarray) -> np.ndarray:
     """Regularized upper incomplete gamma Q(a, x) — the χ² survival
     function is Q(k/2, x/2). Standard public algorithm (Numerical
     Recipes §6.2): lower series for x < a+1, Lentz continued fraction
-    otherwise, both run a fixed vectorized iteration count (256 —
-    far past convergence for the dof range a validation run sees;
-    the |sources|-row input makes the flat loop cost irrelevant).
+    otherwise. Near x ≈ a both need ~O(√a) iterations (series terms
+    decay like exp(−n²/2a)), so a FIXED small count silently diverges
+    at large dof — the iteration budget scales with max(a) and both
+    loops break early on convergence; the |sources|-row input keeps
+    even the 10^5-dof budget (~3k vectorized steps) trivial.
     """
     import math
 
@@ -290,15 +292,19 @@ def _gammainc_q(a: np.ndarray, x: np.ndarray) -> np.ndarray:
     with np.errstate(divide="ignore", invalid="ignore"):
         log_pref = a * np.log(np.where(x > 0, x, 1.0)) - x - lg
     use_series = x < a + 1.0
+    amax = float(np.max(a)) if a.size else 1.0
+    budget = 300 + int(12.0 * math.sqrt(max(amax, 1.0)))
 
     # lower series: P(a,x) = e^{-x} x^a / Γ(a) · Σ x^n / (a(a+1)…(a+n))
     ap = a.copy()
     summ = np.where(a > 0, 1.0 / np.where(a > 0, a, 1.0), 0.0)
     delta = summ.copy()
-    for _ in range(256):
+    for _ in range(budget):
         ap = ap + 1.0
         delta = delta * x / ap
         summ = summ + delta
+        if np.all(np.abs(delta) <= np.abs(summ) * 1e-16):
+            break
     p_series = np.exp(log_pref) * summ
 
     # continued fraction: Q(a,x) = e^{-x} x^a / Γ(a) · CF
@@ -307,7 +313,7 @@ def _gammainc_q(a: np.ndarray, x: np.ndarray) -> np.ndarray:
     c = np.full_like(x, 1.0 / tiny)
     d = 1.0 / np.where(b == 0, tiny, b)
     h = d.copy()
-    for i in range(1, 257):
+    for i in range(1, budget + 1):
         an = -i * (i - a)
         b = b + 2.0
         d = an * d + b
@@ -315,7 +321,10 @@ def _gammainc_q(a: np.ndarray, x: np.ndarray) -> np.ndarray:
         c = b + an / c
         c = np.where(np.abs(c) < tiny, tiny, c)
         d = 1.0 / d
-        h = h * d * c
+        fac = d * c
+        h = h * fac
+        if np.all(np.abs(fac - 1.0) < 1e-16):
+            break
     q_cf = np.exp(log_pref) * h
 
     q = np.where(use_series, 1.0 - p_series, q_cf)
@@ -413,6 +422,7 @@ def drift_fdr(
     baseline_hist: DataFrame,
     alpha: float = 0.05,
     include_w1: bool = False,
+    restrict_to: DataFrame | None = None,
 ) -> DataFrame:
     """FDR-controlled multi-source drift verdicts.
 
@@ -424,10 +434,19 @@ def drift_fdr(
     Benjamini–Hochberg across sources, so the expected fraction of
     false drift flags among the flagged is ≤ α regardless of how many
     sources the corpus has. drift_verdict: 'fail' iff rejected.
+
+    ``restrict_to`` — a (source) frame limiting the TEST FAMILY. With
+    a per-source baseline, the full-outer alignment emits
+    baseline-only sources (vanished or resume-skipped) at ks=1 → p=0;
+    those must be excluded BEFORE Benjamini–Hochberg, not after — p=0
+    rows occupy the lowest ranks, inflate n_tests, and loosen every
+    real source's step-up threshold (breaking the FDR guarantee for
+    the family the caller actually means to test).
     """
-    out = bh_reject(
-        drift_pvalues(hist, baseline_hist, include_w1=include_w1), alpha=alpha
-    )
+    pvals = drift_pvalues(hist, baseline_hist, include_w1=include_w1)
+    if restrict_to is not None:
+        pvals = pvals.join(restrict_to.select("source"), "source", "semi")
+    out = bh_reject(pvals, alpha=alpha)
     return out.withColumn(
         "drift_verdict", F.when(F.col("reject"), F.lit("fail")).otherwise(F.lit("pass"))
     )

@@ -100,14 +100,24 @@ def column_checksums(
     value_cols = list(cols) if cols is not None else [
         c for c in df.columns if c != partition_col
     ]
+    # checksum columns are aliased by INDEX (never by interpolating the
+    # source column name into an identifier) and the name literal is
+    # escaped — arbitrary column names (spaces, quotes) are in scope
+    # for a generic parity surface
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.sum(F.xxhash64(F.lit(c), F.col(c)).cast("decimal(38,0)")).alias(f"_cs_{c}")
-        for c in value_cols
+        F.sum(F.xxhash64(F.lit(c), df[c]).cast("decimal(38,0)")).alias(f"_cs_{i}")
+        for i, c in enumerate(value_cols)
     ]
-    wide = df.groupBy(F.col(partition_col).alias(partition_col)).agg(*aggs)
+    wide = df.groupBy(df[partition_col].alias(partition_col)).agg(*aggs)
+
+    def lit_sql(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_expr = "stack({n}, {args}) as (column, content_sum)".format(
         n=len(value_cols),
-        args=", ".join(f"'{c}', _cs_{c}" for c in value_cols),
+        args=", ".join(
+            f"{lit_sql(c)}, _cs_{i}" for i, c in enumerate(value_cols)
+        ),
     )
     return wide.select(partition_col, "n_rows", F.expr(stack_expr))
 
@@ -308,7 +318,11 @@ def targeted_diff(
         for c in old.columns
         if c not in keys and c != partition_col and c in set(new.columns)
     ]
-    verdicts = reconcile_tables(old, new, partition_col, cmp_cols)
+    # The checksum must cover the KEY columns too: a partition where
+    # only keys changed (one row re-keyed) has identical non-key
+    # content and row count — excluding keys would certify it 'match'
+    # and silently drop its added/removed rows from the diff.
+    verdicts = reconcile_tables(old, new, partition_col, list(keys) + cmp_cols)
     bad = verdicts.where(F.col("status") != "match").select(partition_col)
 
     def restrict(df: DataFrame) -> DataFrame:

@@ -63,13 +63,23 @@ def duplicate_keys(
     keys = [key] if isinstance(key, str) else list(key)
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("dup_count"))
     if stored_counts is not None:
+        # null-safe fold: grouping already treats NULL as a key value,
+        # so the stored-count join must too — a plain equality join
+        # would drop a NULL key's stored count and a resumed run would
+        # miss its cross-partition duplicate
+        stored = stored_counts
+        cond = None
+        for k in keys:
+            stored = stored.withColumnRenamed(k, f"_sk_{k}")
+            c = F.col(k).eqNullSafe(F.col(f"_sk_{k}"))
+            cond = c if cond is None else (cond & c)
         counts = (
-            counts.join(F.broadcast(stored_counts), keys, "left")
+            counts.join(F.broadcast(stored), cond, "left")
             .withColumn(
                 "dup_count",
                 F.col("dup_count") + F.coalesce(F.col("n_stored"), F.lit(0)),
             )
-            .drop("n_stored")
+            .drop("n_stored", *[f"_sk_{k}" for k in keys])
         )
     return counts.where(F.col("dup_count") > 1)
 

@@ -180,3 +180,50 @@ def test_mix_shift_null_key_is_a_category(spark):
     )
     row = drift.source_mix_shift(obs, base).collect()[0]
     assert row.chi2 == 0.0 and row.mix_verdict == "pass"
+
+
+# ------------------------------------------------- review-fix regressions
+
+
+def test_gammainc_converges_at_large_dof():
+    """Review fix: the fixed-256-iteration series diverged for
+    dof ≳ 2·10^4 — the budget now scales with √a. Pins: sf at the
+    mean for huge dof ≈ just under 0.5 (Wilson–Hilferty cross-check),
+    monotonicity in x."""
+    p = drift.chi2_sf_arrays(
+        np.array([20000.0, 100000.0]), np.array([20000.0, 99999.0])
+    )
+    assert abs(p[0] - 0.4987) < 1e-3
+    assert abs(p[1] - 0.4985) < 1e-3
+    xs = np.linspace(19000.0, 21000.0, 41)
+    vals = drift.chi2_sf_arrays(xs, np.full_like(xs, 20000.0))
+    assert np.all(np.diff(vals) < 0)
+
+
+def test_drift_fdr_restrict_to_prevents_family_contamination(spark):
+    """Review fix: baseline-only sources (p=0) must leave the BH family
+    BEFORE the step-up — their ranks would otherwise loosen every real
+    source's threshold. Fixture: one borderline source (p ≈ 0.036, not
+    rejectable in a 2-test family at α=.05) plus 30 vanished baseline
+    sources whose p=0 rows would push it over the line."""
+    # source A: identical to its baseline; source B: CDF sup-gap 0.063
+    a_hist = [("A", b, 100) for b in range(10)]
+    b_hist = [("B", 0, 163), ("B", 1, 37)] + [("B", b, 100) for b in range(2, 10)]
+    hist = spark.createDataFrame(a_hist + b_hist, HIST_SCHEMA)
+    base = spark.createDataFrame(
+        [(s, b, 100) for s in ["A", "B"] + [f"gone{i}" for i in range(30)]
+         for b in range(10)],
+        HIST_SCHEMA,
+    )
+    observed = hist.select("source").distinct()
+    ok = drift.drift_fdr(hist, base, alpha=0.05, restrict_to=observed)
+    rows = {r.source: r for r in ok.collect()}
+    assert set(rows) == {"A", "B"}
+    assert 0.026 < rows["B"].p_value < 0.048  # genuinely borderline
+    assert rows["B"].n_tests == 2
+    assert not rows["B"].reject
+    # without the restriction the vanished sources contaminate the
+    # family: n_tests=32 and the borderline source flips to rejected
+    bad = {r.source: r for r in drift.drift_fdr(hist, base, alpha=0.05).collect()}
+    assert bad["B"].n_tests == 32
+    assert bad["B"].reject

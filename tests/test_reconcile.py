@@ -214,3 +214,41 @@ def test_column_checksums_identical_values_distinct_columns(spark):
         for r in reconcile.column_checksums(df, "source").collect()
     }
     assert cs["x"] != cs["y"]
+
+
+# ------------------------------------------------- review-fix regressions
+
+
+def test_targeted_diff_catches_key_only_change(spark):
+    """Review fix: the partition checksum must cover KEY columns — a
+    re-keyed row (same content, new doc_id) must not certify 'match'
+    nor vanish from the targeted diff."""
+    old = _base(spark)
+    new = old.withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") == "d1", F.lit("d_rekeyed")).otherwise(F.col("doc_id")),
+    )  # d1 ∈ books; tokens/n_tok unchanged
+    verdicts, diff = reconcile.targeted_diff(old, new, "source", ("doc_id",))
+    v = {r.source: r.status for r in verdicts.collect()}
+    assert v["books"] == "content_mismatch"
+    got = {r.doc_id: r.status for r in diff.collect()}
+    assert got == {"d1": "removed", "d_rekeyed": "added"}
+    full = {
+        r.doc_id: r.status
+        for r in reconcile.snapshot_diff(
+            old, new, ("doc_id",), compare_cols=["tokens", "n_tok"]
+        ).collect()
+    }
+    assert got == full
+
+
+def test_column_checksums_weird_column_names(spark):
+    """Review fix: stack() args are escaped/index-aliased — column
+    names with spaces and quotes must not break the drill-down."""
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y")], ["source", "my col", "it's"]
+    )
+    out = {r.column for r in reconcile.column_checksums(df, "source").collect()}
+    assert out == {"my col", "it's"}
+    got = reconcile.reconcile_columns(df, df, "source").collect()
+    assert all(r.status == "match" for r in got)

@@ -194,3 +194,24 @@ def test_resume_key_index_full_run_parity(spark, tmp_path):
     cli.run(spark, inp1, out_nk, suite, run_id="r1", drift=False)
     r2nk = cli.run(spark, inp2, out_nk, suite, run_id="r2", drift=False, resume=True)
     assert r2nk["violations"] == 0
+
+
+def test_duplicate_keys_stored_counts_null_safe_fold(spark):
+    """Review fix: the stored-count fold joins null-safely — a NULL key
+    seen once this run and once in the resume key index is a
+    cross-partition duplicate, exactly as a full run would report."""
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark.operators import uniqueness
+
+    df = spark.createDataFrame(
+        [(None, "a"), ("d1", "a")], "doc_id string, source string"
+    )
+    stored = spark.createDataFrame(
+        [(None, 1), ("d1", 1)], "doc_id string, n_stored int"
+    )
+    got = {
+        r.doc_id: r.dup_count
+        for r in uniqueness.duplicate_keys(df, "doc_id", stored_counts=stored).collect()
+    }
+    assert got == {None: 2, "d1": 2}
