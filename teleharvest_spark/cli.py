@@ -404,8 +404,29 @@ def run(
     corpus_states: bool = False,
     violation_sample: int | None = None,
     emit_valid: str | None = None,
+    sample_frac: float | None = None,
 ) -> dict:
-    """``drift_baseline``:
+    """``sample_frac`` — PRE-FLIGHT mode: validate a deterministic
+    content-hash sample (xxhash64(doc_id) carve, so the same rows
+    sample at any partitioning/parallelism; NULL doc_ids sample
+    atomically — xxhash64 of NULL is a constant). A systematic
+    problem surfaces at ~frac of the full-scan cost before the 100 TB
+    run is committed. A sampled run must leave NO durable state a
+    full run would trust: the manifest is NOT appended (sampled
+    partitions are not validated partitions), violations land under
+    ``violations_preflight/<run_id>`` (run-keyed overwrite, never the
+    real violations table), and stateful options (resume, emit_valid,
+    key_index, corpus_states, token_drift, hot_tokens,
+    drift_baseline='previous') are refused — each would advance or
+    consume cross-run state from a partial view. The report carries
+    ``estimated_violations`` = observed/frac. Uniqueness caveat
+    (documented, inherent): duplicates are detected only WITHIN the
+    sample — a key's duplicates land in the same sample by
+    construction (the carve is keyed on doc_id), so exact-key dup
+    detection survives sampling; cross-key anomalies like count
+    drift scale by frac.
+
+    ``drift_baseline``:
 
     * ``"global"`` — each source vs the pooled current corpus (cross-
       source drift, the round-1 behavior).
@@ -426,6 +447,21 @@ def run(
     trade-off: the index costs one column-pruned (source, doc_id)
     aggregate per run).
     """
+    if sample_frac is not None:
+        if not 0.0 < sample_frac <= 1.0:
+            raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+        refused = {
+            "resume": resume, "emit_valid": emit_valid, "key_index": key_index,
+            "corpus_states": corpus_states, "token_drift": token_drift,
+            "hot_tokens": hot_tokens,
+            "drift_baseline='previous'": drift_baseline == "previous",
+        }
+        bad = [k for k, v in refused.items() if v]
+        if bad:
+            raise ValueError(
+                f"pre-flight sample_frac is incompatible with {', '.join(bad)}: "
+                "a sampled run must not advance or consume cross-run state"
+            )
     sequences = spark.read.parquet(input_path)
     schema_report: dict = {}
     if schema_contract:
@@ -443,6 +479,17 @@ def run(
             on_mismatch=on_schema_mismatch,
         )
     source_dim = spark.read.parquet(source_dim_path) if source_dim_path else None
+
+    if sample_frac is not None:
+        # content-hash carve BEFORE any aggregation: partition-keyed on
+        # doc_id so every row of a key samples together (exact-key dup
+        # detection survives; see docstring). The filter rides the scan
+        # as a pushed/codegen predicate — no extra pass.
+        scale = 1_000_000
+        sequences = sequences.where(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(scale))
+            < F.lit(int(sample_frac * scale))
+        )
 
     snapshots = mf.snapshot_of_partitions(sequences)
     baseline_hist = None
@@ -546,13 +593,20 @@ def run(
     # `source` column stays in the data files untouched.
     from .sources.writer import source_dir_col
 
+    viol_root = (
+        f"{output_path}/violations_preflight/{run_id}"
+        if sample_frac is not None
+        else f"{output_path}/violations"
+    )
     write_partitioned(
         res.violations.withColumn("source_dir", source_dir_col()),
-        f"{output_path}/violations",
+        viol_root,
         partition_by=("source_dir",),
         files_per_partition=4,
         sort_within="doc_id",
-        mode="append",
+        # run-keyed preflight dirs overwrite (replay-idempotent); the
+        # real violations table keeps its append contract
+        mode="overwrite" if sample_frac is not None else "append",
     )
     certified_report = {}
     if emit_valid:
@@ -619,7 +673,12 @@ def run(
                 )
         certified_report = {"certified_rows": n_cert}
     res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
-    mf.append_manifest_rows(spark, output_path, res.verdicts, snapshots, suite, run_id)
+    if sample_frac is None:
+        # a sampled run must NOT mark partitions validated — the
+        # manifest is the resume contract for FULL validations only
+        mf.append_manifest_rows(
+            spark, output_path, res.verdicts, snapshots, suite, run_id
+        )
     if key_index:
         # AFTER the result writes: the dup set that read the old index
         # rows is already persisted+materialized, so the dynamic
@@ -688,10 +747,18 @@ def run(
         )
     else:
         n_viol_exact = res.violations.count()
+    preflight_report = {}
+    if sample_frac is not None:
+        preflight_report = {
+            "sample_frac": sample_frac,
+            "estimated_rows": int(round(n_rows / sample_frac)),
+            "estimated_violations": int(round(n_viol_exact / sample_frac)),
+        }
     report = {
         "run_id": run_id,
         "validated_rows": n_rows,
         "violations": n_viol_exact,
+        **preflight_report,
         **sample_report,
         **certified_report,
         "partitions": res.verdicts.count(),
@@ -959,6 +1026,18 @@ def main(argv: list[str] | None = None) -> int:
         help="opt-in FDR-controlled drift verdicts: per-source KS "
         "p-values + Benjamini-Hochberg across sources at this alpha; "
         "rows at <out>/drift_fdr/<run_id>",
+    )
+    ap.add_argument(
+        "--sample-frac",
+        type=float,
+        default=None,
+        metavar="F",
+        help="PRE-FLIGHT mode: validate a deterministic content-hash "
+        "sample of the input (fraction F of doc_ids). No durable "
+        "state: manifest untouched, violations under "
+        "violations_preflight/<run_id>; incompatible with resume / "
+        "emit-valid / key-index / corpus-states / token-drift / "
+        "hot-tokens / --drift-baseline previous",
     )
     ap.add_argument(
         "--reconcile-against",
@@ -1362,6 +1441,7 @@ def main(argv: list[str] | None = None) -> int:
             corpus_states=args.corpus_states,
             violation_sample=args.violation_sample,
             emit_valid=args.emit_valid,
+            sample_frac=args.sample_frac,
         )
     if quality_report is not None:
         report["quality"] = quality_report

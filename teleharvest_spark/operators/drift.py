@@ -196,17 +196,40 @@ def ks_pvalue_arrays(
     return np.where(ne == 0, 0.0, _kolmogorov_sf(lam))
 
 
+def kolmogorov_critical(alpha: float) -> float:
+    """λ_α with Q(λ_α) = α — inverse Kolmogorov survival via bisection
+    (Q is strictly decreasing past its clamp region). λ(0.05) ≈ 1.358.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    lo, hi = 0.2, 10.0
+    for _ in range(80):
+        mid = (lo + hi) / 2.0
+        if float(_kolmogorov_sf(np.array([mid]))[0]) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
 def drift_pvalues(
     hist: DataFrame, baseline_hist: DataFrame, include_w1: bool = False
 ) -> DataFrame:
     """:func:`drift_metrics` plus per-source sample sizes and the KS
     p-value — the statistical form FDR control needs.
 
-    Output: (source, ks, psi[, w1], n, base_n, p_value). Sizes come
-    from the histograms themselves (one |sources|×|buckets| aggregate
-    each — sketch-sized); the p-value runs in one Arrow-batched pandas
-    UDF over the |sources|-row metrics frame. With a GLOBAL baseline
-    every source shares the pooled base_n.
+    Output: (source, ks, psi[, w1], n, base_n, p_value,
+    min_detectable_ks). Sizes come from the histograms themselves (one
+    |sources|×|buckets| aggregate each — sketch-sized); the p-value
+    runs in one Arrow-batched pandas UDF over the |sources|-row
+    metrics frame. With a GLOBAL baseline every source shares the
+    pooled base_n.
+
+    ``min_detectable_ks`` is the POWER disclosure: the smallest KS
+    statistic this source's sample sizes could flag at α=0.05
+    (λ_.05 / the Stephens factor). A "pass" from a 50-row source with
+    min_detectable_ks ≈ 0.19 is an underpowered test, not evidence of
+    stability — the column makes that readable off the verdict row.
     """
     metrics = drift_metrics(hist, baseline_hist, include_w1=include_w1)
     sizes = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
@@ -232,8 +255,17 @@ def drift_pvalues(
             )
         )
 
+    crit = kolmogorov_critical(0.05)
+    ne = F.col("n").cast("double") * F.col("base_n") / (F.col("n") + F.col("base_n"))
+    stephens = F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)
     return sized.withColumn(
         "p_value", _p(F.col("ks"), F.col("n"), F.col("base_n"))
+    ).withColumn(
+        "min_detectable_ks",
+        F.when(
+            (F.col("n") > 0) & (F.col("base_n") > 0),
+            F.least(F.lit(crit) / stephens, F.lit(1.0)),
+        ),
     )
 
 

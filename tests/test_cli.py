@@ -614,3 +614,44 @@ def test_cli_drift_fdr_temporal_baseline_mix_shift(spark, suite, tmp_path):
     assert r3["mix_verdict"] == "fail"
     # the per-source SHAPES are unchanged → FDR should not reject s0
     assert r3["drift_fdr_rejected"] == 0
+
+
+def test_cli_preflight_sample(spark, suite, tmp_path):
+    """--sample-frac: deterministic content-hash pre-flight — sampled
+    rows validate, estimates scale by 1/frac, and NO durable state a
+    full run would trust is written (no manifest, no real-violations
+    append, preflight dir run-keyed)."""
+    import os
+
+    import pytest
+
+    inp = str(tmp_path / "seqs")
+    out = str(tmp_path / "out")
+    datagen.generate_sequences(spark, 5_000, suite).write.parquet(inp)
+
+    r1 = cli.run(spark, inp, out, suite, run_id="p1", sample_frac=0.2)
+    assert 0 < r1["validated_rows"] < 5_000
+    assert r1["sample_frac"] == 0.2
+    assert r1["estimated_rows"] == round(r1["validated_rows"] / 0.2)
+    assert r1["estimated_violations"] == round(r1["violations"] / 0.2)
+    # determinism: the same carve twice
+    r2 = cli.run(spark, inp, out, suite, run_id="p2", sample_frac=0.2)
+    assert r2["validated_rows"] == r1["validated_rows"]
+    # durable-state contract
+    assert os.path.exists(f"{out}/violations_preflight/p1")
+    assert not os.path.exists(f"{out}/violations")
+    assert not os.path.exists(f"{out}/_manifest")
+    # a later FULL run starts from a clean manifest: resume revalidates
+    r3 = cli.run(spark, inp, out, suite, run_id="full", resume=True)
+    assert not r3["skipped"] and r3["validated_rows"] == 5_000
+
+    # stateful options refused
+    with pytest.raises(ValueError, match="pre-flight"):
+        cli.run(spark, inp, out, suite, run_id="x", sample_frac=0.2, resume=True)
+    with pytest.raises(ValueError, match="pre-flight"):
+        cli.run(
+            spark, inp, out, suite, run_id="x", sample_frac=0.2,
+            drift_baseline="previous",
+        )
+    with pytest.raises(ValueError, match="sample_frac"):
+        cli.run(spark, inp, out, suite, run_id="x", sample_frac=1.5)

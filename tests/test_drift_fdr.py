@@ -227,3 +227,26 @@ def test_drift_fdr_restrict_to_prevents_family_contamination(spark):
     bad = {r.source: r for r in drift.drift_fdr(hist, base, alpha=0.05).collect()}
     assert bad["B"].n_tests == 32
     assert bad["B"].reject
+
+
+def test_kolmogorov_critical_inverse():
+    # published critical λ at common α
+    assert abs(drift.kolmogorov_critical(0.05) - 1.358) < 0.002
+    assert abs(drift.kolmogorov_critical(0.01) - 1.628) < 0.002
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        drift.kolmogorov_critical(0.0)
+
+
+def test_min_detectable_ks_power_disclosure(spark):
+    big = _stable_hist(spark, ["big"], n_per_bucket=10_000)   # n = 100k
+    tiny = spark.createDataFrame([("tiny", 0, 50)], HIST_SCHEMA)  # n = 50
+    hist = big.unionByName(tiny)
+    base = spark.createDataFrame(
+        [(b, 100_000) for b in range(10)], "bucket int, cnt bigint"
+    )
+    out = {r.source: r for r in drift.drift_pvalues(hist, base).collect()}
+    # D_min ≈ λ/√n when base_n ≫ n: 1.358/√50 ≈ 0.192; 1.358/√1e5 ≈ 0.0043
+    assert 0.15 < out["tiny"].min_detectable_ks < 0.25
+    assert out["big"].min_detectable_ks < 0.006
