@@ -1170,6 +1170,48 @@ def reconcile_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def slice_bench(spark) -> dict:
+    """Violation hotspot slicing (operators/slices.py) over the 2M-row
+    bench fact table: wall for the full pass (cascade flags + the
+    two-level slice lattice on (source, 256-token n_tok band)) plus the
+    combination-frame size — the proxy for what the cube expansion
+    actually multiplies (|combos|, never |rows|). The planted datagen
+    violations concentrate in the null/empty/rogue sources, so the
+    report must flag at least one slice."""
+    from teleharvest_spark.operators import cascade as cascade_ops
+    from teleharvest_spark.operators import slices as slice_ops
+
+    check = CheckSuite(
+        banned_tokens=datagen.BANNED_IDS, allowed_sources=tuple(datagen.SOURCES)
+    )
+    stored = spark.read.parquet("/tmp/bench_sequences.parquet")
+    flagged = cascade_ops.apply_cascade(
+        stored.withColumn("n_tok_band", slice_ops.bucketized("n_tok", 256)),
+        cascade_ops.sequence_checks(check),
+    )
+    dims = ["source", "n_tok_band"]
+    combos = flagged.groupBy(*dims).count().count()
+    state: dict = {}
+
+    def run():
+        state["pdf"] = slice_ops.violation_slices(flagged, dims, min_support=50)
+
+    run()  # warm
+    samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        samples.append(time.perf_counter() - t0)
+    pdf = state["pdf"]
+    return {
+        "slice_report_sec": round(min(samples), 3),
+        "dim_combos": combos,
+        "slices_scored": int(len(pdf)),
+        "slices_flagged": int(pdf["flagged"].sum()),
+        "top_slice": str(pdf.iloc[0]["slice"]) if len(pdf) else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -1256,6 +1298,7 @@ def main() -> None:
     certify = certify_bench(spark, sf_dir)
     sketch = sketch_bench(spark, sf_dir)
     reconcile = reconcile_bench(spark, sf_dir)
+    slices = slice_bench(spark)
 
     sf1 = None
     if SF1_ENABLED and "0.1" in sf_dir:
@@ -1286,6 +1329,7 @@ def main() -> None:
         "certify": certify,
         "sketch": sketch,
         "reconcile": reconcile,
+        "slices": slices,
         "memory": memory_telemetry(spark),
         "spill": spill_telemetry(),
     }

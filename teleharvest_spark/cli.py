@@ -942,6 +942,79 @@ def skew_pass(
     }
 
 
+def slice_pass(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    run_id: str,
+    spec: tuple[str, ...],
+    suite: CheckSuite,
+    source_dim_path: str | None = None,
+    min_support: int = 30,
+    top_k: int = 50,
+) -> dict:
+    """Violation hotspot report (operators/slices.py): run the suite's
+    cascade once, then rank every 1- and 2-column slice over the
+    requested dims by how anomalously it fails vs the global rate.
+    Continuous dims take the ``col:width`` band syntax (``n_tok:64``
+    slices by 64-token bands). Per-source threshold overrides apply
+    when ``--source-dim`` is given, mirroring run_suite. Rows land at
+    ``<out>/slices/run_id=<id>`` (overwrite — replay-idempotent)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import cascade as cascade_ops, slices as slice_ops
+
+    seqs = spark.read.parquet(input_path)
+    dims: list[str] = []
+    for item in spec:
+        if ":" in item:
+            col, _, w = item.partition(":")
+            band = f"{col}_band"
+            seqs = seqs.withColumn(band, slice_ops.bucketized(col, int(w)))
+            dims.append(band)
+        else:
+            dims.append(item)
+    if source_dim_path:
+        seqs = cascade_ops.with_source_bounds(
+            seqs, spark.read.parquet(source_dim_path)
+        )
+        checks = cascade_ops.sequence_checks(suite, per_source_bounds=True)
+    else:
+        checks = cascade_ops.sequence_checks(suite)
+    flagged = cascade_ops.apply_cascade(seqs, checks)
+    pdf = slice_ops.violation_slices(
+        flagged, dims, min_support=min_support, top_k=top_k
+    )
+    out_dir = f"{output_path}/slices/run_id={run_id}"
+    schema = (
+        "slice string, arity int, n long, violations long, rate double, "
+        "global_rate double, lift double, z double, p_value double, "
+        "flagged boolean, dominated boolean"
+    )
+    spark.createDataFrame(
+        pdf.astype({"arity": "int64"}), schema=schema
+    ).coalesce(1).write.mode("overwrite").parquet(out_dir)
+    return {
+        "run_id": run_id,
+        "dims": dims,
+        "slices_scored": int(len(pdf)),
+        "slices_flagged": int(pdf["flagged"].sum()) if len(pdf) else 0,
+        "top_slices": [
+            {
+                "slice": r["slice"],
+                "n": int(r["n"]),
+                "violations": int(r["violations"]),
+                "rate": round(float(r["rate"]), 4),
+                "lift": None if pd.isna(r["lift"]) else round(float(r["lift"]), 2),
+                "z": round(float(r["z"]), 2) if np.isfinite(r["z"]) else float("inf"),
+                "dominated": bool(r["dominated"]),
+            }
+            for _, r in pdf[pdf["flagged"]].head(10).iterrows()
+        ],
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="teleharvest-validate")
     ap.add_argument("--input", default=None, help="sequences table path (parquet)")
@@ -1241,6 +1314,22 @@ def main(argv: list[str] | None = None) -> int:
         "row share is at least this fraction",
     )
     ap.add_argument(
+        "--slice-report",
+        default=None,
+        metavar="DIMS",
+        help="comma list of dims to hotspot-slice (violation slice "
+        "finder: rank every 1- and 2-column slice by how anomalously "
+        "it fails the suite's cascade vs the global rate; continuous "
+        "columns take col:width band syntax, e.g. n_tok:64; rows land "
+        "in <output>/slices/run_id=<id>); prints the report and exits",
+    )
+    ap.add_argument(
+        "--slice-min-support",
+        type=int,
+        default=30,
+        help="--slice-report: ignore slices with fewer rows than this",
+    )
+    ap.add_argument(
         "--quality-families",
         default="repetition",
         help="comma list of quality check families for --quality-docs "
@@ -1291,6 +1380,24 @@ def main(argv: list[str] | None = None) -> int:
                 skew_pass(
                     spark, args.input, args.output, args.run_id,
                     cols=cols, min_share=args.skew_min_share,
+                )
+            )
+        )
+        return 0
+    if args.slice_report:
+        if args.input is None:
+            ap.error("--slice-report requires --input")
+        spec = tuple(c.strip() for c in args.slice_report.split(",") if c.strip())
+        if not spec:
+            ap.error("--slice-report needs at least one dimension")
+        print(
+            json.dumps(
+                slice_pass(
+                    spark, args.input, args.output, args.run_id,
+                    spec=spec,
+                    suite=build_suite(args.suite_json),
+                    source_dim_path=args.source_dim,
+                    min_support=args.slice_min_support,
                 )
             )
         )

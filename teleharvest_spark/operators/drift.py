@@ -328,16 +328,21 @@ def _gammainc_q(a: np.ndarray, x: np.ndarray) -> np.ndarray:
     budget = 300 + int(12.0 * math.sqrt(max(amax, 1.0)))
 
     # lower series: P(a,x) = e^{-x} x^a / Γ(a) · Σ x^n / (a(a+1)…(a+n))
+    # lanes destined for the continued fraction (x ≥ a+1) still flow
+    # through this vectorized loop and can overflow summ to inf there
+    # (0·inf = nan in the final multiply) — harmless, masked out by
+    # ``use_series`` below, so silence the masked-lane warnings only.
     ap = a.copy()
     summ = np.where(a > 0, 1.0 / np.where(a > 0, a, 1.0), 0.0)
     delta = summ.copy()
-    for _ in range(budget):
-        ap = ap + 1.0
-        delta = delta * x / ap
-        summ = summ + delta
-        if np.all(np.abs(delta) <= np.abs(summ) * 1e-16):
-            break
-    p_series = np.exp(log_pref) * summ
+    with np.errstate(over="ignore", invalid="ignore"):
+        for _ in range(budget):
+            ap = ap + 1.0
+            delta = delta * x / ap
+            summ = summ + delta
+            if np.all(np.abs(delta) <= np.abs(summ) * 1e-16):
+                break
+        p_series = np.exp(log_pref) * summ
 
     # continued fraction: Q(a,x) = e^{-x} x^a / Γ(a) · CF
     tiny = 1e-300

@@ -1,0 +1,258 @@
+"""Violation hotspot slicing — which dimension slices FAIL anomalously?
+
+A partition verdict says "src_07 failed"; the triage question after
+that is *where inside the corpus the failures concentrate*: one
+source? one length band? a (source, shard) pair? This is the
+published "slice finder" problem (Chung, Kraska, Polyzotis et al.,
+"Slice Finder: Automated Data Slicing for Model Validation", ICDE
+2019 — find conjunctive predicates over categorical features whose
+metric deviates significantly from the global), applied to the check
+cascade's pass/fail bit instead of a model loss.
+
+Reference analogue: the reference logs each failing row with its
+reason (processor.py:97-145) and leaves aggregation to the operator
+reading logs; this operator is the corpus-scale rollup of that triage
+— rank every 1- and 2-column slice by how anomalously it fails.
+
+Scale shape (the whole design at 10^12 rows):
+
+* level 1 — ONE hash aggregate over the full table keyed by the
+  complete dim tuple (``groupBy(dims)``: map-side partials, a single
+  shuffle whose width is the number of DISTINCT dim combinations,
+  not the row count). The fail bit is summed into the same pass.
+* level 2 — ``cube`` over that *combination frame only*: the
+  2^d grouping-set expansion multiplies a frame of |combos| rows,
+  never the corpus. Arity is then capped (default ≤ 2) with
+  ``bit_count(grouping_id())`` — conjunctive slices beyond pairs are
+  exponentially many and rarely actionable (the SliceFinder paper
+  searches lattice level ≤ 2 by default for the same reason).
+* the significance stats run in numpy over the metadata-sized slice
+  frame (reusing ``drift.chi2_sf_arrays``' scipy-free survival
+  function) — Python never touches a corpus-sized row.
+
+NULL semantics: a NULL dim value is a real slice value (rendered
+``∅``) and is distinct from "column not in this grouping set" — the
+distinction comes from ``grouping(col)``, not from the value, so the
+NULL-source violations the cascade separates stay sliceable.
+
+Continuous dims (n_tok, timestamps) must be pre-bucketed or the
+level-1 combination frame degenerates toward |rows|; ``bucketized``
+builds the standard fixed-width band column (the CLI's
+``--slice-report n_tok:64`` syntax feeds it).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .cascade import VERDICT_COL
+from .drift import chi2_sf_arrays
+
+SLICE_COL = "slice"          # human-readable "a=x & b=y"
+PIECES_COL = "_pieces"       # array of per-dim "a=x" atoms (join key for parents)
+
+
+def bucketized(col: str, width: int) -> Column:
+    """Fixed-width band of a numeric column, labeled by its inclusive
+    lower edge (``floor(x / width) * width``); NULL stays NULL (its
+    own slice value). Negative values band consistently because
+    ``floor`` rounds toward −∞."""
+    if width <= 0:
+        raise ValueError(f"bucket width must be positive, got {width}")
+    return (F.floor(F.col(col) / F.lit(width)) * F.lit(width)).cast("long")
+
+
+def _fail_col(df: DataFrame, fail: Column | str | None) -> Column:
+    if fail is None:
+        if VERDICT_COL not in df.columns:
+            raise ValueError(
+                f"no fail column given and '{VERDICT_COL}' absent — "
+                "run apply_cascade first or pass fail="
+            )
+        return ~F.col(VERDICT_COL)
+    return F.col(fail) if isinstance(fail, str) else fail
+
+
+def slice_profile(
+    df: DataFrame,
+    dims: Sequence[str],
+    fail: Column | str | None = None,
+    max_arity: int = 2,
+    min_support: int = 30,
+) -> DataFrame:
+    """All 1..``max_arity``-column slices with their violation counts
+    and the global baseline attached — the exact, distributed part of
+    the slice search. Output columns: ``slice`` (string), ``_pieces``
+    (array of atoms), ``arity``, ``n``, ``violations``, ``rate``,
+    ``global_rate``, ``lift``.
+
+    ``fail`` is a boolean column/expression (row is a violation when
+    true); default reads the cascade's ``check_verdict``. NULL fail
+    bits count as non-violations (a row the cascade could not judge
+    is not evidence of a hot slice).
+
+    ``min_support`` drops micro-slices below a row floor BEFORE
+    significance scoring — a 3-row slice at 100% violation rate is
+    noise, and pruning it here keeps the scored frame honest (the
+    SliceFinder paper's min-support knob).
+    """
+    dims = list(dims)
+    if not dims:
+        raise ValueError("need at least one slice dimension")
+    if len(dims) != len(set(dims)):
+        raise ValueError(f"duplicate slice dimensions: {dims}")
+    d = len(dims)
+    fail_bit = _fail_col(df, fail).cast("boolean")
+
+    # level 1: the ONLY full-table pass — narrow projection, one
+    # hash aggregate keyed by the complete dim tuple.
+    base = (
+        df.select(
+            *[F.col(c) for c in dims],
+            F.coalesce(fail_bit, F.lit(False)).cast("long").alias("_f"),
+        )
+        .groupBy(*dims)
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_f").alias("_v"))
+    )
+
+    # level 2: grouping-set expansion over the combination frame.
+    cube = base.cube(*dims).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_v").alias("violations"),
+        F.grouping_id().alias("_gid"),
+        *[F.grouping(c).alias(f"_g_{i}") for i, c in enumerate(dims)],
+    )
+    arity = F.lit(d) - F.bit_count(F.col("_gid"))
+    pieces = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"_g_{i}") == 0,
+                    F.concat(
+                        F.lit(f"{c}="),
+                        F.coalesce(F.col(c).cast("string"), F.lit("∅")),
+                    ),
+                )
+                for i, c in enumerate(dims)
+            ]
+        )
+    )
+    cube = cube.select(
+        F.array_join(pieces, " & ").alias(SLICE_COL),
+        pieces.alias(PIECES_COL),
+        arity.alias("arity"),
+        "n",
+        "violations",
+        (F.col("violations") / F.col("n")).alias("rate"),
+    )
+
+    # global baseline = the arity-0 row, pulled across every slice via
+    # a whole-frame window INSTEAD of a second cube branch: a separate
+    # filter-the-total-row frame would re-execute the full-table scan
+    # subtree (Spark reuses no plan across branches without an explicit
+    # persist), turning one pass into two at 10^12 rows. The window
+    # collapses the frame to one partition, which is fine — it runs
+    # over the |slices|-sized aggregate, never the corpus.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))
+    return (
+        cube.withColumn(
+            "global_rate",
+            F.max(F.when(F.col("arity") == 0, F.col("rate"))).over(w),
+        )
+        .where((F.col("arity") >= 1) & (F.col("arity") <= max_arity))
+        .where(F.col("n") >= min_support)
+        .withColumn(
+            "lift",
+            F.when(F.col("global_rate") > 0, F.col("rate") / F.col("global_rate")),
+        )
+    )
+
+
+def _score_pdf(pdf: pd.DataFrame, alpha: float) -> pd.DataFrame:
+    """One-sided binomial z vs the global rate + its χ²(1)/2 p-value,
+    over the metadata-sized slice frame. One-sided because triage only
+    cares about slices failing MORE than baseline; under-failing
+    slices get z<0 / p→1 and never flag."""
+    p0 = pdf["global_rate"].to_numpy(dtype=np.float64)
+    n = pdf["n"].to_numpy(dtype=np.float64)
+    p = pdf["rate"].to_numpy(dtype=np.float64)
+    denom = np.sqrt(np.maximum(p0 * (1.0 - p0), 1e-300) / np.maximum(n, 1.0))
+    with np.errstate(invalid="ignore"):
+        z = (p - p0) / denom
+    # degenerate baselines: global rate 0 → any violation is infinite
+    # evidence (z=+inf, p=0) iff the slice has one; global rate 1 →
+    # nothing can exceed it.
+    z = np.where((p0 <= 0.0) & (p > 0.0), np.inf, z)
+    z = np.where((p0 <= 0.0) & (p <= 0.0), 0.0, z)
+    z = np.where(p0 >= 1.0, 0.0, z)
+    z2 = np.square(np.where(np.isfinite(z), z, 0.0))
+    two_sided = chi2_sf_arrays(z2, np.ones_like(z2))
+    p_val = np.where(z > 0.0, two_sided / 2.0, 1.0 - two_sided / 2.0)
+    p_val = np.where(np.isposinf(z), 0.0, p_val)
+    out = pdf.copy()
+    out["z"] = z
+    out["p_value"] = p_val
+    out["flagged"] = (out["p_value"] < alpha) & (out["z"] > 0.0)
+    return out
+
+
+def violation_slices(
+    df: DataFrame,
+    dims: Sequence[str],
+    fail: Column | str | None = None,
+    max_arity: int = 2,
+    min_support: int = 30,
+    alpha: float = 1e-3,
+    top_k: int = 50,
+) -> pd.DataFrame:
+    """Ranked slice report: the ``top_k`` most anomalously-failing
+    slices with significance and parent-dominance marks, as a pandas
+    frame (the slice lattice for bounded-cardinality dims is
+    metadata-sized by construction — the bounded-collect convention).
+
+    ``dominated`` marks an arity-2 slice whose evidence does not
+    exceed its strongest arity-1 parent (z ≤ max parent z): the pair
+    adds no triage information beyond "this source is bad" — the
+    SliceFinder lattice-pruning rule, kept as a mark rather than a
+    drop so the report stays lossless.
+
+    ``alpha`` defaults tight (1e-3): with |slices| implicit
+    comparisons a loose per-slice 0.05 would flag noise; callers
+    wanting calibrated family-wise control can feed ``p_value``
+    through ``drift.bh_reject`` (the FDR machinery is shared).
+    """
+    prof = slice_profile(
+        df, dims, fail=fail, max_arity=max_arity, min_support=min_support
+    )
+    pdf = prof.toPandas()
+    if not len(pdf):
+        pdf = pdf.assign(z=[], p_value=[], flagged=[], dominated=[])
+        return pdf.drop(columns=[PIECES_COL])
+    pdf = _score_pdf(pdf, alpha)
+
+    # parent dominance over the collected frame: an arity-k slice's
+    # parents are its individual atoms' (k-1)-ary slices; with
+    # max_arity=2 that is exactly the singles, keyed by their atom.
+    single_z = (
+        pdf[pdf["arity"] == 1].set_index(SLICE_COL)["z"].to_dict()
+    )
+    def _dominated(row) -> bool:
+        if row["arity"] < 2:
+            return False
+        parents = [single_z.get(a) for a in row[PIECES_COL]]
+        parents = [z for z in parents if z is not None and np.isfinite(z)]
+        if not parents or not np.isfinite(row["z"]):
+            return False
+        return bool(row["z"] <= max(parents))
+
+    pdf["dominated"] = pdf.apply(_dominated, axis=1)
+    pdf = pdf.sort_values(
+        ["z", "n", SLICE_COL], ascending=[False, False, True], ignore_index=True
+    ).head(top_k)
+    return pdf.drop(columns=[PIECES_COL])
