@@ -1015,6 +1015,49 @@ def slice_pass(
     }
 
 
+def zorder_pass(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    run_id: str,
+    cols: tuple[str, ...],
+    bits: int = 8,
+    n_files: int = 64,
+) -> dict:
+    """Z-order table rewrite (sources/layout.py): lay the table out in
+    Morton order over ``cols`` so selective predicates on ANY of them
+    skip most files via parquet footer stats — the multi-column
+    generalization of ``write_partitioned``'s single-key sort, and the
+    table-maintenance sibling of ``--compact-indexes``. Output at
+    ``<out>/zorder/run_id=<id>`` (overwrite, replay-idempotent) with
+    the quantile boundaries in the report (freeze them to layout later
+    batches into the same space). The report's ``extent_scores`` are
+    the measured payoff: mean normalized per-file extent per column
+    (1.0 = unprunable, ~n_files^(-1/m) = ideal m-column z-order)."""
+    from .sources import layout as layout_ops
+
+    df = spark.read.parquet(input_path)
+    out_dir = f"{output_path}/zorder/run_id={run_id}"
+    rep = layout_ops.write_zordered(
+        df, out_dir, list(cols), bits=bits, n_files=n_files
+    )
+    scores = layout_ops.extent_scores(out_dir, list(cols))
+    # boundaries are 2^bits-1 floats per column — persisted next to the
+    # data (meta.json-written-last convention), not dumped to stdout
+    meta_path = f"{out_dir}/_zorder_meta.json"
+    with open(meta_path.replace("file:", ""), "w", encoding="utf-8") as fh:
+        json.dump({"bits": bits, "cols": list(cols),
+                   "boundaries": rep["boundaries"]}, fh)
+    return {
+        "run_id": run_id,
+        "rows": rep["rows"],
+        "n_files": rep["n_files_target"],
+        "bits": bits,
+        "extent_scores": {c: round(v, 4) for c, v in scores.items()},
+        "meta": meta_path,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="teleharvest-validate")
     ap.add_argument("--input", default=None, help="sequences table path (parquet)")
@@ -1330,6 +1373,23 @@ def main(argv: list[str] | None = None) -> int:
         help="--slice-report: ignore slices with fewer rows than this",
     )
     ap.add_argument(
+        "--zorder",
+        default=None,
+        metavar="COLS",
+        help="comma list of numeric columns to Z-order the input table "
+        "by (Morton-interleaved quantile ranks; selective predicates "
+        "on ANY listed column then skip most files via footer stats); "
+        "writes <output>/zorder/run_id=<id>, prints the report (incl. "
+        "measured per-column extent scores) and exits",
+    )
+    ap.add_argument(
+        "--zorder-files",
+        type=int,
+        default=64,
+        help="--zorder: target output file count (rounded to a power "
+        "of two; the file-size dial)",
+    )
+    ap.add_argument(
         "--quality-families",
         default="repetition",
         help="comma list of quality check families for --quality-docs "
@@ -1398,6 +1458,21 @@ def main(argv: list[str] | None = None) -> int:
                     suite=build_suite(args.suite_json),
                     source_dim_path=args.source_dim,
                     min_support=args.slice_min_support,
+                )
+            )
+        )
+        return 0
+    if args.zorder:
+        if args.input is None:
+            ap.error("--zorder requires --input")
+        cols = tuple(c.strip() for c in args.zorder.split(",") if c.strip())
+        if not cols:
+            ap.error("--zorder needs at least one column name")
+        print(
+            json.dumps(
+                zorder_pass(
+                    spark, args.input, args.output, args.run_id,
+                    cols=cols, n_files=args.zorder_files,
                 )
             )
         )
