@@ -951,29 +951,44 @@ def slice_pass(
     suite: CheckSuite,
     source_dim_path: str | None = None,
     min_support: int = 30,
-    top_k: int = 50,
+    top_k: int | None = None,
 ) -> dict:
     """Violation hotspot report (operators/slices.py): run the suite's
     cascade once, then rank every 1- and 2-column slice over the
     requested dims by how anomalously it fails vs the global rate.
     Continuous dims take the ``col:width`` band syntax (``n_tok:64``
     slices by 64-token bands). Per-source threshold overrides apply
-    when ``--source-dim`` is given, mirroring run_suite. Rows land at
-    ``<out>/slices/run_id=<id>`` (overwrite — replay-idempotent)."""
+    when ``--source-dim`` is given, mirroring run_suite. The FULL
+    scored lattice lands at ``<out>/slices/run_id=<id>`` (overwrite —
+    replay-idempotent; it is metadata-sized for bounded-cardinality
+    dims); ``top_k`` caps the stored rows only when explicitly set."""
     import numpy as np
     import pandas as pd
 
     from .operators import cascade as cascade_ops, slices as slice_ops
 
     seqs = spark.read.parquet(input_path)
+    # fail loudly BEFORE any job: a typo'd column would surface as an
+    # AnalysisException plan dump from inside the cascade, a bad width
+    # as a raw traceback (the layout._validate convention)
     dims: list[str] = []
     for item in spec:
         if ":" in item:
             col, _, w = item.partition(":")
+            if col not in seqs.columns:
+                raise ValueError(f"--slice-report column {col!r} not in table")
+            try:
+                width = int(w)
+            except ValueError:
+                raise ValueError(
+                    f"--slice-report band width {w!r} for {col!r} is not an int"
+                ) from None
             band = f"{col}_band"
-            seqs = seqs.withColumn(band, slice_ops.bucketized(col, int(w)))
+            seqs = seqs.withColumn(band, slice_ops.bucketized(col, width))
             dims.append(band)
         else:
+            if item not in seqs.columns:
+                raise ValueError(f"--slice-report column {item!r} not in table")
             dims.append(item)
     if source_dim_path:
         seqs = cascade_ops.with_source_bounds(
@@ -998,6 +1013,7 @@ def slice_pass(
     return {
         "run_id": run_id,
         "dims": dims,
+        "top_k": top_k,
         "slices_scored": int(len(pdf)),
         "slices_flagged": int(pdf["flagged"].sum()) if len(pdf) else 0,
         "top_slices": [
@@ -1041,6 +1057,8 @@ def zorder_pass(
     rep = layout_ops.write_zordered(
         df, out_dir, list(cols), bits=bits, n_files=n_files
     )
+    # extent scoring reads footers via the driver's LOCAL filesystem;
+    # on a non-local output it returns {} — report null, not a crash
     scores = layout_ops.extent_scores(out_dir, list(cols))
     # boundaries are 2^bits-1 floats per column — persisted next to the
     # data (meta.json-written-last convention), not dumped to stdout
@@ -1053,7 +1071,9 @@ def zorder_pass(
         "rows": rep["rows"],
         "n_files": rep["n_files_target"],
         "bits": bits,
-        "extent_scores": {c: round(v, 4) for c, v in scores.items()},
+        "extent_scores": (
+            {c: round(v, 4) for c, v in scores.items()} if scores else None
+        ),
         "meta": meta_path,
     }
 
@@ -1373,6 +1393,14 @@ def main(argv: list[str] | None = None) -> int:
         help="--slice-report: ignore slices with fewer rows than this",
     )
     ap.add_argument(
+        "--slice-top-k",
+        type=int,
+        default=None,
+        help="--slice-report: cap the STORED slice rows (default: keep "
+        "the full scored lattice — it is metadata-sized; the printed "
+        "report always shows only the top flagged slices)",
+    )
+    ap.add_argument(
         "--zorder",
         default=None,
         metavar="COLS",
@@ -1447,6 +1475,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.slice_report:
         if args.input is None:
             ap.error("--slice-report requires --input")
+        if args.sample_frac is not None:
+            # the pre-flight refusal matrix lives in run(); these
+            # standalone passes never reach it, and a silently-ignored
+            # sample flag would bill a "1% pre-flight" at full scale
+            ap.error("--sample-frac applies to validation runs, not "
+                     "--slice-report")
         spec = tuple(c.strip() for c in args.slice_report.split(",") if c.strip())
         if not spec:
             ap.error("--slice-report needs at least one dimension")
@@ -1458,6 +1492,7 @@ def main(argv: list[str] | None = None) -> int:
                     suite=build_suite(args.suite_json),
                     source_dim_path=args.source_dim,
                     min_support=args.slice_min_support,
+                    top_k=args.slice_top_k,
                 )
             )
         )
@@ -1465,6 +1500,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.zorder:
         if args.input is None:
             ap.error("--zorder requires --input")
+        if args.sample_frac is not None:
+            ap.error("--sample-frac applies to validation runs, not --zorder")
         cols = tuple(c.strip() for c in args.zorder.split(",") if c.strip())
         if not cols:
             ap.error("--zorder needs at least one column name")

@@ -209,12 +209,15 @@ def violation_slices(
     max_arity: int = 2,
     min_support: int = 30,
     alpha: float = 1e-3,
-    top_k: int = 50,
+    top_k: int | None = 50,
 ) -> pd.DataFrame:
-    """Ranked slice report: the ``top_k`` most anomalously-failing
-    slices with significance and parent-dominance marks, as a pandas
-    frame (the slice lattice for bounded-cardinality dims is
-    metadata-sized by construction — the bounded-collect convention).
+    """Ranked slice report: the most anomalously-failing slices with
+    significance and parent-dominance marks, as a pandas frame (the
+    slice lattice for bounded-cardinality dims is metadata-sized by
+    construction — the bounded-collect convention). ``top_k`` caps the
+    returned rows; ``None`` returns the full scored lattice (callers
+    that persist or diff reports should keep everything — a truncated
+    report silently hides known-bad slices below the cut).
 
     ``dominated`` marks an arity-2 slice whose evidence does not
     exceed its strongest arity-1 parent (z ≤ max parent z): the pair
@@ -254,5 +257,7 @@ def violation_slices(
     pdf["dominated"] = pdf.apply(_dominated, axis=1)
     pdf = pdf.sort_values(
         ["z", "n", SLICE_COL], ascending=[False, False, True], ignore_index=True
-    ).head(top_k)
+    )
+    if top_k is not None:
+        pdf = pdf.head(top_k)
     return pdf.drop(columns=[PIECES_COL])

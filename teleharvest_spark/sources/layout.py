@@ -131,6 +131,17 @@ def zorder_frame(
     work = df
     for idx, c in enumerate(cols):
         pc, oc = f"_zb_in_{idx}", f"_zb_rank_{idx}"
+        if len(boundaries[c]) > n_b:
+            # caller-provided boundaries from a WIDER bits setting:
+            # Bucketizer would emit ranks above 2^bits-1 and the
+            # interleave would silently alias distant values (rank 16
+            # ≡ rank 0 at bits=4) — the frozen-boundary "same space"
+            # guarantee broken with no symptom but a scrambled layout
+            raise ValueError(
+                f"{len(boundaries[c])} boundaries for {c!r} exceed "
+                f"bits={bits} (max {n_b}) — pass the bits the "
+                "boundaries were built with"
+            )
         uniq: list[float] = []
         for b in boundaries[c]:
             if not uniq or b > uniq[-1]:
@@ -171,8 +182,18 @@ def write_zordered(
     compact hyper-rectangle (``n_files`` rounds to a power of two of
     Morton tiles — see module docstring). The z-value column is
     dropped from the stored schema (derivable; the layout IS the
-    artifact). Returns the boundaries used and the written row count
-    (the row-conservation receipt)."""
+    artifact). Returns the boundaries used and ``rows`` = THIS batch's
+    written row count (the row-conservation receipt — under
+    ``mode='append'`` it is the post-minus-pre footer count, so prior
+    batches never inflate it; ``rows_total`` is the whole directory)."""
+    spark = df.sparkSession
+    prior = 0
+    if mode == "append":
+        try:
+            # parquet count() is footer metadata, not a data scan
+            prior = spark.read.parquet(path).count()
+        except Exception:
+            prior = 0
     assigned, bnds = zorder_frame(df, cols, bits=bits, boundaries=boundaries)
     k = min(max(round(math.log2(max(n_files, 1))), 0), bits * len(cols))
     tile = F.shiftright(F.col(ZVAL_COL), bits * len(cols) - k)
@@ -184,9 +205,10 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
-    n = df.sparkSession.read.parquet(path).count()
+    total = spark.read.parquet(path).count()
     return {
-        "rows": n,
+        "rows": total - prior,
+        "rows_total": total,
         "n_files_target": 1 << k,
         "bits": bits,
         "boundaries": bnds,
@@ -226,16 +248,25 @@ def extent_scores(path: str, cols: list[str]) -> dict[str, float]:
     whole column range (no pruning possible); 1/n_files = perfect
     single-column sort. A good z-order over m columns sits near
     ``n_files^(-1/m)`` on EVERY column simultaneously, which a
-    single-column sort can only achieve on one. NaN-stat files are
-    scored 1.0 (unskippable)."""
+    single-column sort can only achieve on one. NaN-stat files score
+    1.0 (unskippable), as does a CONSTANT column (every file overlaps
+    any matching predicate — zero span is the unprunable end, not the
+    ideal one). Returns ``{}`` when no parquet files are locally
+    globbable (non-local filesystem) — scoring is driver-local footer
+    reading and callers must treat absence as \"not measured\"."""
     ext = file_extents(path, cols)
+    if not len(ext):
+        return {}
     out: dict[str, float] = {}
     for c in cols:
         mn, mx = ext[f"{c}_min"], ext[f"{c}_max"]
         glo, ghi = mn.min(), mx.max()
-        span = (ghi - glo) or 1
+        span = ghi - glo
+        if not span or span != span:  # constant column or no stats
+            out[c] = 1.0
+            continue
         frac = ((mx - mn) / span).fillna(1.0)
-        out[c] = float(frac.mean()) if len(frac) else 1.0
+        out[c] = float(frac.mean())
     return out
 
 

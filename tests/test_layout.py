@@ -126,3 +126,33 @@ def test_cli_zorder_pass(spark, suite, tmp_path):
 
     meta = j.load(open(rep["meta"]))
     assert meta["cols"] == ["n_tok"] and len(meta["boundaries"]["n_tok"]) == 255
+
+
+def test_boundaries_wider_than_bits_raise(spark, xy):
+    _, bnds = ly.zorder_frame(xy, ["x", "y"], bits=6)
+    with pytest.raises(ValueError, match="exceed bits"):
+        ly.zorder_frame(xy, ["x", "y"], bits=4, boundaries=bnds)
+
+
+def test_append_rows_receipt_counts_batch_only(spark, xy, tmp_path):
+    p = str(tmp_path / "ap")
+    r1 = ly.write_zordered(xy.limit(6000), p, ["x", "y"], bits=5, n_files=4)
+    bnds = r1["boundaries"]
+    r2 = ly.write_zordered(
+        xy.limit(9000), p, ["x", "y"], bits=5, n_files=4,
+        boundaries=bnds, mode="append",
+    )
+    assert r1["rows"] == 6000 and r2["rows"] == 9000
+    assert r2["rows_total"] == 15000
+
+
+def test_constant_column_extent_score_is_unprunable(spark, tmp_path):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("x"), F.lit(5).alias("c")
+    )
+    p = str(tmp_path / "const")
+    ly.write_zordered(df, p, ["x", "c"], bits=4, n_files=4)
+    scores = ly.extent_scores(p, ["x", "c"])
+    assert scores["c"] == 1.0 and scores["x"] < 0.5
+    # and an empty/non-local dir is "not measured", not a crash
+    assert ly.extent_scores(str(tmp_path / "nowhere"), ["x"]) == {}

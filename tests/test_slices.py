@@ -176,3 +176,40 @@ def test_cli_slice_pass(spark, suite, tmp_path):
     # the datagen fixture plants violations in specific sources — at
     # least one slice must flag, and the report surfaces it
     assert rep["slices_flagged"] >= 1 and len(rep["top_slices"]) >= 1
+
+
+def test_slice_pass_validation_fails_before_any_job(spark, suite, tmp_path):
+    from teleharvest_spark import datagen
+    from teleharvest_spark.cli import slice_pass
+
+    inp = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 500, suite).write.parquet(inp)
+    out = str(tmp_path / "out")
+    with pytest.raises(ValueError, match="not in table"):
+        slice_pass(spark, inp, out, "r1", spec=("soruce",), suite=suite)
+    with pytest.raises(ValueError, match="not in table"):
+        slice_pass(spark, inp, out, "r1", spec=("nope:64",), suite=suite)
+    with pytest.raises(ValueError, match="not an int"):
+        slice_pass(spark, inp, out, "r1", spec=("n_tok:64x",), suite=suite)
+    with pytest.raises(ValueError, match="width must be positive"):
+        slice_pass(spark, inp, out, "r1", spec=("n_tok:0",), suite=suite)
+
+
+def test_cli_sample_frac_refused_for_slice_and_zorder(spark, suite, tmp_path):
+    from teleharvest_spark import cli, datagen
+
+    inp = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 500, suite).write.parquet(inp)
+    base = ["--input", inp, "--output", str(tmp_path / "o"), "--run-id", "r1"]
+    with pytest.raises(SystemExit):
+        cli.main(base + ["--slice-report", "source", "--sample-frac", "0.01"])
+    with pytest.raises(SystemExit):
+        cli.main(base + ["--zorder", "n_tok", "--sample-frac", "0.01"])
+
+
+def test_violation_slices_top_k_none_keeps_full_lattice(planted):
+    full = sl.violation_slices(planted, ["source", "band"], fail="fail", top_k=None)
+    capped = sl.violation_slices(planted, ["source", "band"], fail="fail", top_k=5)
+    assert len(full) == 29  # 4 sources + 5 bands + 20 pairs
+    assert len(capped) == 5
+    assert list(capped["slice"]) == list(full.head(5)["slice"])
