@@ -219,11 +219,23 @@ def drift_fdr_pass(
     out_path = f"{output_path}/drift_fdr/{run_id}"
     out.write.mode("overwrite").parquet(out_path)
     rows = spark.read.parquet(out_path)
+    rejected = rows.where(F.col("reject"))
+    n_rejected = rejected.count()
     report = {
         "drift_fdr_alpha": alpha,
         "drift_fdr_sources": rows.count(),
-        "drift_fdr_rejected": rows.where(F.col("reject")).count(),
+        "drift_fdr_rejected": n_rejected,
     }
+    if n_rejected:
+        # WHERE the drift lives, for the flagged sources only: top-5
+        # buckets of the exact per-bucket PSI decomposition
+        # (drift_ops.drift_contributions — histogram-sized, no rescan)
+        buckets = drift_ops.drift_contributions(
+            hist, baseline_hist, top_k=5, restrict_to=rejected.select("source")
+        )
+        buckets_path = f"{output_path}/drift_buckets/{run_id}"
+        buckets.write.mode("overwrite").parquet(buckets_path)
+        report["drift_buckets_rows"] = spark.read.parquet(buckets_path).count()
     if has_stored_baseline:
         # categorical complement: did the source MIX move vs the stored
         # baseline? Both sides restricted to sources observed THIS run

@@ -114,17 +114,10 @@ def _drift_metrics_pdf(pdf: pd.DataFrame, include_w1: bool = False) -> pd.DataFr
     return pd.DataFrame(out)
 
 
-def drift_metrics(
-    hist: DataFrame, baseline_hist: DataFrame, include_w1: bool = False
-) -> DataFrame:
-    """Per-source (ks, psi[, w1]) of ``hist`` vs ``baseline_hist``.
-
-    Both inputs are (source|*, bucket, cnt) histograms; the baseline is
-    global (no source column) or per-source. Dense bucket alignment via
-    a full outer join on bucket per source keeps absent buckets at 0.
-    ``include_w1=False`` by default so the driver-graded drift queries'
-    schema is unchanged; pass True for the earth-mover column.
-    """
+def _align_hist(hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
+    """(source, bucket, cnt, base_cnt) — per-source dense alignment of
+    a histogram against a global (no source column) or per-source
+    baseline; absent buckets on either side read 0."""
     base_cols = baseline_hist.columns
     if "source" in base_cols:
         joined = hist.join(
@@ -138,7 +131,21 @@ def drift_metrics(
             F.broadcast(baseline_hist.withColumnRenamed("cnt", "base_cnt"))
         )
         joined = hist.join(dense, ["source", "bucket"], "full_outer")
-    joined = joined.fillna({"cnt": 0, "base_cnt": 0})
+    return joined.fillna({"cnt": 0, "base_cnt": 0})
+
+
+def drift_metrics(
+    hist: DataFrame, baseline_hist: DataFrame, include_w1: bool = False
+) -> DataFrame:
+    """Per-source (ks, psi[, w1]) of ``hist`` vs ``baseline_hist``.
+
+    Both inputs are (source|*, bucket, cnt) histograms; the baseline is
+    global (no source column) or per-source. Dense bucket alignment via
+    a full outer join on bucket per source keeps absent buckets at 0.
+    ``include_w1=False`` by default so the driver-graded drift queries'
+    schema is unchanged; pass True for the earth-mover column.
+    """
+    joined = _align_hist(hist, baseline_hist)
     schema = "source string, ks double, psi double"
     if include_w1:
         schema += ", w1 double"
@@ -486,6 +493,66 @@ def drift_fdr(
     out = bh_reject(pvals, alpha=alpha)
     return out.withColumn(
         "drift_verdict", F.when(F.col("reject"), F.lit("fail")).otherwise(F.lit("pass"))
+    )
+
+
+def _contrib_pdf(pdf: pd.DataFrame, top_k: int | None) -> pd.DataFrame:
+    src = pdf["source"].iloc[0]
+    pdf = pdf.sort_values("bucket")
+    p = pdf["cnt"].to_numpy(dtype=np.float64)
+    q = pdf["base_cnt"].to_numpy(dtype=np.float64)
+    pn, qn = p.sum(), q.sum()
+    p = p / pn if pn > 0 else p
+    q = q / qn if qn > 0 else q
+    pc, qc = np.clip(p, _PSI_EPS, None), np.clip(q, _PSI_EPS, None)
+    term = (pc - qc) * np.log(pc / qc)  # ≥ 0 bucket-wise by construction
+    out = pd.DataFrame(
+        {
+            "source": src,
+            "bucket": pdf["bucket"].to_numpy(),
+            "share_now": p,
+            "share_base": q,
+            "psi_term": term,
+            "direction": np.where(p >= q, "gained", "lost"),
+        }
+    )
+    out = out.sort_values(["psi_term", "bucket"], ascending=[False, True])
+    if top_k is not None:
+        out = out.head(top_k)
+    return out
+
+
+def drift_contributions(
+    hist: DataFrame,
+    baseline_hist: DataFrame,
+    top_k: int | None = 5,
+    restrict_to: DataFrame | None = None,
+) -> DataFrame:
+    """WHERE a source's drift lives: per-bucket PSI decomposition.
+
+    A KS/PSI verdict says "src_07 moved"; the triage question is
+    which part of the distribution carried the movement. PSI
+    decomposes exactly — Σ_b (p_b − q_b)·ln(p_b/q_b) with every term
+    ≥ 0 — so ranking buckets by their term names the responsible
+    region losslessly (``top_k=None`` returns the full decomposition,
+    whose sum equals ``drift_metrics``'s psi under the same epsilon
+    clamps; pinned in tests). ``direction`` says whether the bucket
+    GAINED or LOST share vs the baseline.
+
+    Same histogram-sized inputs and ``applyInPandas`` shape as
+    ``drift_metrics`` — Python touches |sources|×|buckets| rows, never
+    the corpus. ``restrict_to`` limits to a (source) frame (e.g. the
+    FDR pass's rejected sources).
+    """
+    joined = _align_hist(hist, baseline_hist)
+    if restrict_to is not None:
+        joined = joined.join(restrict_to.select("source"), "source", "semi")
+    return joined.groupBy("source").applyInPandas(
+        lambda pdf: _contrib_pdf(pdf, top_k),
+        schema=(
+            "source string, bucket int, share_now double, "
+            "share_base double, psi_term double, direction string"
+        ),
     )
 
 

@@ -250,3 +250,84 @@ def test_min_detectable_ks_power_disclosure(spark):
     # D_min ≈ λ/√n when base_n ≫ n: 1.358/√50 ≈ 0.192; 1.358/√1e5 ≈ 0.0043
     assert 0.15 < out["tiny"].min_detectable_ks < 0.25
     assert out["big"].min_detectable_ks < 0.006
+
+
+# -------------------------------------------------- PSI decomposition
+
+
+def test_drift_contributions_localize_planted_shift(spark):
+    # baseline uniform over 4 buckets; the source moved bucket 0's
+    # mass into bucket 3 — the decomposition must name exactly those
+    # two buckets, with directions
+    hist = spark.createDataFrame(
+        [("s0", 1, 100), ("s0", 2, 100), ("s0", 3, 200)], HIST_SCHEMA
+    )
+    base = spark.createDataFrame(
+        [(b, 100) for b in range(4)], "bucket int, cnt bigint"
+    )
+    out = drift.drift_contributions(hist, base, top_k=2).collect()
+    got = {(r.bucket, r.direction) for r in out}
+    assert got == {(0, "lost"), (3, "gained")}
+    assert all(r.psi_term > 0 for r in out)
+    top = max(out, key=lambda r: r.psi_term)
+    assert abs(top.share_now - (0.5 if top.bucket == 3 else 0.0)) < 1e-12
+
+
+def test_drift_contributions_sum_to_psi(spark):
+    # full decomposition (top_k=None) sums to drift_metrics' psi under
+    # the same epsilon clamps — the losslessness pin
+    sources = [f"s{i}" for i in range(3)]
+    hist = _stable_hist(spark, sources[:2])
+    hist = hist.unionByName(
+        spark.createDataFrame(
+            [("s2", b, (b + 1) * 37) for b in range(10)], HIST_SCHEMA
+        )
+    )
+    base = spark.createDataFrame(
+        [(b, 500 + 13 * b) for b in range(10)], "bucket int, cnt bigint"
+    )
+    psi = {r.source: r.psi for r in drift.drift_metrics(hist, base).collect()}
+    contrib = drift.drift_contributions(hist, base, top_k=None).collect()
+    import collections
+
+    sums: dict = collections.defaultdict(float)
+    for r in contrib:
+        sums[r.source] += r.psi_term
+    for s in sources:
+        assert abs(sums[s] - psi[s]) < 1e-9
+
+
+def test_drift_contributions_restrict_and_topk(spark):
+    hist = _stable_hist(spark, ["a", "b"])
+    base = spark.createDataFrame(
+        [(b, 100) for b in range(10)], "bucket int, cnt bigint"
+    )
+    only_a = spark.createDataFrame([("a",)], "source string")
+    out = drift.drift_contributions(hist, base, top_k=3, restrict_to=only_a)
+    rows = out.collect()
+    assert {r.source for r in rows} == {"a"} and len(rows) == 3
+
+
+def test_drift_fdr_pass_writes_bucket_decomposition(spark, tmp_path):
+    from teleharvest_spark.cli import drift_fdr_pass
+
+    sources = [f"src_{i:02d}" for i in range(10)]
+    hist = _stable_hist(spark, sources[:-1])
+    hist = hist.unionByName(
+        spark.createDataFrame([(sources[-1], 0, 1000)], HIST_SCHEMA)
+    )
+    # per-source stored baseline (uniform for every source): a pooled
+    # global baseline would be contaminated by the planted shift and
+    # legitimately reject every source
+    base = _stable_hist(spark, sources)
+    rep = drift_fdr_pass(
+        spark, None, str(tmp_path), "r1", alpha=0.05,
+        baseline_hist=base, hist=hist,
+    )
+    assert rep["drift_fdr_rejected"] == 1
+    assert rep["drift_buckets_rows"] == 5
+    stored = spark.read.parquet(str(tmp_path / "drift_buckets" / "r1"))
+    assert {r.source for r in stored.collect()} == {sources[-1]}
+    # bucket 0 gained everything — it must head the decomposition
+    top = stored.orderBy(F.col("psi_term").desc()).first()
+    assert top.bucket == 0 and top.direction == "gained"
