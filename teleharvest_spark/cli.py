@@ -964,10 +964,17 @@ def slice_pass(
     source_dim_path: str | None = None,
     min_support: int = 30,
     top_k: int | None = None,
+    check: str | None = None,
 ) -> dict:
     """Violation hotspot report (operators/slices.py): run the suite's
     cascade once, then rank every 1- and 2-column slice over the
     requested dims by how anomalously it fails vs the global rate.
+    ``check`` narrows the fail bit to ONE named cascade check (its
+    membership in ``failed_checks`` — not first-fail, so a row failing
+    several checks counts for each), answering "where do the BANNED
+    TOKENS concentrate" rather than "where does anything fail"; an
+    unknown name raises with the known-checks list (the
+    check_tolerances misconfiguration convention).
     Continuous dims take the ``col:width`` band syntax (``n_tok:64``
     slices by 64-token bands). Per-source threshold overrides apply
     when ``--source-dim`` is given, mirroring run_suite. The FULL
@@ -1009,9 +1016,24 @@ def slice_pass(
         checks = cascade_ops.sequence_checks(suite, per_source_bounds=True)
     else:
         checks = cascade_ops.sequence_checks(suite)
+    fail = None
+    if check is not None:
+        known = sorted(c.name for c in checks)
+        if check not in known:
+            raise ValueError(
+                f"--slice-check {check!r} matches no check in this "
+                f"suite (known: {known})"
+            )
+        fail = F.array_contains(
+            F.coalesce(
+                F.col(cascade_ops.FAILED_ALL_COL),
+                F.array().cast("array<string>"),
+            ),
+            check,
+        )
     flagged = cascade_ops.apply_cascade(seqs, checks)
     pdf = slice_ops.violation_slices(
-        flagged, dims, min_support=min_support, top_k=top_k
+        flagged, dims, fail=fail, min_support=min_support, top_k=top_k
     )
     out_dir = f"{output_path}/slices/run_id={run_id}"
     schema = (
@@ -1025,6 +1047,7 @@ def slice_pass(
     return {
         "run_id": run_id,
         "dims": dims,
+        "check": check,
         "top_k": top_k,
         "slices_scored": int(len(pdf)),
         "slices_flagged": int(pdf["flagged"].sum()) if len(pdf) else 0,
@@ -1413,6 +1436,13 @@ def main(argv: list[str] | None = None) -> int:
         "report always shows only the top flagged slices)",
     )
     ap.add_argument(
+        "--slice-check",
+        default=None,
+        metavar="NAME",
+        help="--slice-report: narrow the fail bit to ONE named cascade "
+        "check (membership in failed_checks) instead of any-failure",
+    )
+    ap.add_argument(
         "--zorder",
         default=None,
         metavar="COLS",
@@ -1505,6 +1535,7 @@ def main(argv: list[str] | None = None) -> int:
                     source_dim_path=args.source_dim,
                     min_support=args.slice_min_support,
                     top_k=args.slice_top_k,
+                    check=args.slice_check,
                 )
             )
         )

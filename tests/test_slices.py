@@ -213,3 +213,44 @@ def test_violation_slices_top_k_none_keeps_full_lattice(planted):
     assert len(full) == 29  # 4 sources + 5 bands + 20 pairs
     assert len(capped) == 5
     assert list(capped["slice"]) == list(full.head(5)["slice"])
+
+
+def test_slice_pass_per_check_fail_bit(spark, suite, tmp_path):
+    from teleharvest_spark import datagen
+    from teleharvest_spark.cli import slice_pass
+
+    inp = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 20_000, suite).write.parquet(inp)
+    out = str(tmp_path / "out")
+    # banned tokens are planted uniformly (slot on row id), so the
+    # per-check report must NOT flag the sources the any-failure
+    # report flags for unknown_source
+    rep_any = slice_pass(spark, inp, out, "ra", spec=("source",), suite=suite,
+                         min_support=5)
+    rep_banned = slice_pass(spark, inp, out, "rb", spec=("source",), suite=suite,
+                            min_support=5, check="banned_token")
+    assert rep_any["check"] is None and rep_banned["check"] == "banned_token"
+    any_slices = {t["slice"] for t in rep_any["top_slices"]}
+    banned_slices = {t["slice"] for t in rep_banned["top_slices"]}
+    assert "source=src_rogue" in any_slices      # 100% unknown_source
+    assert "source=src_rogue" not in banned_slices
+    # per-check totals match an exact count
+    from pyspark.sql import functions as F
+    from teleharvest_spark.operators import cascade
+
+    flagged = cascade.apply_cascade(
+        spark.read.parquet(inp), cascade.sequence_checks(suite)
+    )
+    n_banned = flagged.where(
+        F.array_contains(F.col(cascade.FAILED_ALL_COL), "banned_token")
+    ).count()
+    stored = spark.read.parquet(f"{out}/slices/run_id=rb")
+    got = (
+        stored.where(F.col("arity") == 1)
+        .agg(F.sum("violations").alias("v"))
+        .first()["v"]
+    )
+    assert got == n_banned
+    with pytest.raises(ValueError, match="matches no check"):
+        slice_pass(spark, inp, out, "rc", spec=("source",), suite=suite,
+                   check="nope")
