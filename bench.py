@@ -1212,6 +1212,67 @@ def slice_bench(spark) -> dict:
     }
 
 
+def zorder_bench(spark, sf_dir: str) -> dict:
+    """Z-order layout rewrite (sources/layout.py) over the events
+    table's two numeric dims: rewrite wall (one range exchange) vs the
+    single-column-sort baseline, and the measured pruning payoff —
+    per-column extent scores (1.0 = unprunable; n_files^(-1/m) ideal)
+    plus the file-skip fraction for a 1/8 band predicate on EACH dim.
+    The story: the x-sorted baseline prunes y at 0.0 — z-order buys
+    pruning on BOTH dims for the same single shuffle at write time."""
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark.sources import layout as ly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").persist()
+    n = ev.count()
+    zdir, sdir = "/tmp/bench_zorder", "/tmp/bench_xsort"
+
+    t0 = time.perf_counter()
+    ly.write_zordered(ev, zdir, ["user_id", "value"], bits=8, n_files=32)
+    z_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    (
+        ev.repartitionByRange(32, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+    s_sec = time.perf_counter() - t0
+    ev.unpersist()
+
+    stats = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    bands = {
+        "user_id": (stats[0] + (stats[1] - stats[0]) * 0.4,
+                    stats[0] + (stats[1] - stats[0]) * 0.525),
+        "value": (stats[2] + (stats[3] - stats[2]) * 0.4,
+                  stats[2] + (stats[3] - stats[2]) * 0.525),
+    }
+    return {
+        "rows": n,
+        "zorder_write_sec": round(z_sec, 3),
+        "single_sort_write_sec": round(s_sec, 3),
+        "extent_scores_zorder": {
+            c: round(v, 4)
+            for c, v in ly.extent_scores(zdir, ["user_id", "value"]).items()
+        },
+        "extent_scores_single_sort": {
+            c: round(v, 4)
+            for c, v in ly.extent_scores(sdir, ["user_id", "value"]).items()
+        },
+        "prune_frac_zorder": {
+            c: round(ly.prunable_fraction(zdir, c, *b), 4)
+            for c, b in bands.items()
+        },
+        "prune_frac_single_sort": {
+            c: round(ly.prunable_fraction(sdir, c, *b), 4)
+            for c, b in bands.items()
+        },
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -1299,6 +1360,7 @@ def main() -> None:
     sketch = sketch_bench(spark, sf_dir)
     reconcile = reconcile_bench(spark, sf_dir)
     slices = slice_bench(spark)
+    zorder = zorder_bench(spark, sf_dir)
 
     sf1 = None
     if SF1_ENABLED and "0.1" in sf_dir:
@@ -1330,6 +1392,7 @@ def main() -> None:
         "sketch": sketch,
         "reconcile": reconcile,
         "slices": slices,
+        "zorder": zorder,
         "memory": memory_telemetry(spark),
         "spill": spill_telemetry(),
     }
