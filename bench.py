@@ -1194,7 +1194,12 @@ def slice_bench(spark) -> dict:
     state: dict = {}
 
     def run():
-        state["pdf"] = slice_ops.violation_slices(flagged, dims, min_support=50)
+        # full lattice (top_k=None): the flagged/scored ratio is the
+        # report's discrimination — a capped top-50 is all-hot by
+        # construction and reads as 50/50 however selective the floor
+        state["pdf"] = slice_ops.violation_slices(
+            flagged, dims, min_support=50, top_k=None
+        )
 
     run()  # warm
     samples = []

@@ -965,6 +965,7 @@ def slice_pass(
     min_support: int = 30,
     top_k: int | None = None,
     check: str | None = None,
+    min_lift: float = 1.5,
 ) -> dict:
     """Violation hotspot report (operators/slices.py): run the suite's
     cascade once, then rank every 1- and 2-column slice over the
@@ -1033,7 +1034,8 @@ def slice_pass(
         )
     flagged = cascade_ops.apply_cascade(seqs, checks)
     pdf = slice_ops.violation_slices(
-        flagged, dims, fail=fail, min_support=min_support, top_k=top_k
+        flagged, dims, fail=fail, min_support=min_support, top_k=top_k,
+        min_lift=min_lift,
     )
     out_dir = f"{output_path}/slices/run_id={run_id}"
     schema = (
@@ -1443,6 +1445,15 @@ def main(argv: list[str] | None = None) -> int:
         "check (membership in failed_checks) instead of any-failure",
     )
     ap.add_argument(
+        "--slice-min-lift",
+        type=float,
+        default=1.5,
+        help="--slice-report: practical-significance floor — flag only "
+        "slices whose violation rate is at least this multiple of the "
+        "global rate (large corpora make every slice statistically "
+        "significant)",
+    )
+    ap.add_argument(
         "--zorder",
         default=None,
         metavar="COLS",
@@ -1536,6 +1547,7 @@ def main(argv: list[str] | None = None) -> int:
                     min_support=args.slice_min_support,
                     top_k=args.slice_top_k,
                     check=args.slice_check,
+                    min_lift=args.slice_min_lift,
                 )
             )
         )

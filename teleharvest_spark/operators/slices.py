@@ -174,11 +174,20 @@ def slice_profile(
     )
 
 
-def _score_pdf(pdf: pd.DataFrame, alpha: float) -> pd.DataFrame:
+def _score_pdf(
+    pdf: pd.DataFrame, alpha: float, min_lift: float = 1.5
+) -> pd.DataFrame:
     """One-sided binomial z vs the global rate + its χ²(1)/2 p-value,
     over the metadata-sized slice frame. One-sided because triage only
     cares about slices failing MORE than baseline; under-failing
-    slices get z<0 / p→1 and never flag."""
+    slices get z<0 / p→1 and never flag.
+
+    ``flagged`` requires BOTH significance (p < alpha, z > 0) AND
+    effect size (lift ≥ min_lift): at 10^6-row slices a 1.05× rate
+    difference is statistically certain and operationally meaningless
+    — without the floor every slice of a large corpus flags (measured:
+    50/50 at 2M rows) and the report stops discriminating. A zero
+    global rate counts as infinite lift."""
     p0 = pdf["global_rate"].to_numpy(dtype=np.float64)
     n = pdf["n"].to_numpy(dtype=np.float64)
     p = pdf["rate"].to_numpy(dtype=np.float64)
@@ -198,7 +207,11 @@ def _score_pdf(pdf: pd.DataFrame, alpha: float) -> pd.DataFrame:
     out = pdf.copy()
     out["z"] = z
     out["p_value"] = p_val
-    out["flagged"] = (out["p_value"] < alpha) & (out["z"] > 0.0)
+    lift = pdf["lift"].to_numpy(dtype=np.float64)
+    lift_eff = np.where(np.isnan(lift), np.inf, lift)
+    out["flagged"] = (
+        (out["p_value"] < alpha) & (out["z"] > 0.0) & (lift_eff >= min_lift)
+    )
     return out
 
 
@@ -209,6 +222,7 @@ def violation_slices(
     max_arity: int = 2,
     min_support: int = 30,
     alpha: float = 1e-3,
+    min_lift: float = 1.5,
     top_k: int | None = 50,
 ) -> pd.DataFrame:
     """Ranked slice report: the most anomalously-failing slices with
@@ -229,6 +243,9 @@ def violation_slices(
     comparisons a loose per-slice 0.05 would flag noise; callers
     wanting calibrated family-wise control can feed ``p_value``
     through ``drift.bh_reject`` (the FDR machinery is shared).
+    ``min_lift`` is the practical-significance floor (see
+    :func:`_score_pdf`) — large corpora make every slice
+    statistically distinguishable.
     """
     prof = slice_profile(
         df, dims, fail=fail, max_arity=max_arity, min_support=min_support
@@ -237,7 +254,7 @@ def violation_slices(
     if not len(pdf):
         pdf = pdf.assign(z=[], p_value=[], flagged=[], dominated=[])
         return pdf.drop(columns=[PIECES_COL])
-    pdf = _score_pdf(pdf, alpha)
+    pdf = _score_pdf(pdf, alpha, min_lift=min_lift)
 
     # parent dominance over the collected frame: an arity-k slice's
     # parents are its individual atoms' (k-1)-ary slices; with

@@ -254,3 +254,22 @@ def test_slice_pass_per_check_fail_bit(spark, suite, tmp_path):
     with pytest.raises(ValueError, match="matches no check"):
         slice_pass(spark, inp, out, "rc", spec=("source",), suite=suite,
                    check="nope")
+
+
+def test_min_lift_floor_separates_practical_from_statistical(spark):
+    # 100k rows/slice: a ~1.14x lift is statistically certain but below
+    # the practical floor; the planted 3x slice flags either way
+    rows = []
+    for s, k in (("mild", 2000), ("hot", 3000), ("base1", 1000), ("base2", 1000)):
+        rows += [(s, 0, i < k) for i in range(100_000)]
+    df = _frame(spark, rows)
+    strict = sl.violation_slices(df, ["source"], fail="fail", top_k=None)
+    loose = sl.violation_slices(
+        df, ["source"], fail="fail", top_k=None, min_lift=1.0
+    )
+    s_flag = set(strict[strict["flagged"]]["slice"])
+    l_flag = set(loose[loose["flagged"]]["slice"])
+    assert "source=hot" in s_flag and "source=mild" not in s_flag
+    assert {"source=hot", "source=mild"} <= l_flag
+    # z/p are untouched by the floor — only the flag moves
+    assert strict.set_index("slice")["z"].equals(loose.set_index("slice")["z"])
