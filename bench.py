@@ -1244,11 +1244,10 @@ def zorder_bench(spark, sf_dir: str) -> dict:
         .parquet(sdir)
     )
     s_sec = time.perf_counter() - t0
-    ev.unpersist()
-
     stats = ev.agg(
         F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
     ).first()
+    ev.unpersist()
     bands = {
         "user_id": (stats[0] + (stats[1] - stats[0]) * 0.4,
                     stats[0] + (stats[1] - stats[0]) * 0.525),

@@ -226,16 +226,19 @@ def drift_fdr_pass(
         "drift_fdr_sources": rows.count(),
         "drift_fdr_rejected": n_rejected,
     }
-    if n_rejected:
-        # WHERE the drift lives, for the flagged sources only: top-5
-        # buckets of the exact per-bucket PSI decomposition
-        # (drift_ops.drift_contributions — histogram-sized, no rescan)
-        buckets = drift_ops.drift_contributions(
-            hist, baseline_hist, top_k=5, restrict_to=rejected.select("source")
-        )
-        buckets_path = f"{output_path}/drift_buckets/{run_id}"
-        buckets.write.mode("overwrite").parquet(buckets_path)
-        report["drift_buckets_rows"] = spark.read.parquet(buckets_path).count()
+    # WHERE the drift lives, for the flagged sources only: top-5
+    # buckets of the exact per-bucket PSI decomposition
+    # (drift_ops.drift_contributions — histogram-sized, no rescan).
+    # Written UNCONDITIONALLY: a zero-rejection replay of the same
+    # run_id must overwrite (with an empty table) rather than leave
+    # the previous replay's decomposition readable as current — the
+    # run_id-keyed replay-idempotence contract every artifact follows.
+    buckets = drift_ops.drift_contributions(
+        hist, baseline_hist, top_k=5, restrict_to=rejected.select("source")
+    )
+    buckets_path = f"{output_path}/drift_buckets/{run_id}"
+    buckets.write.mode("overwrite").parquet(buckets_path)
+    report["drift_buckets_rows"] = spark.read.parquet(buckets_path).count()
     if has_stored_baseline:
         # categorical complement: did the source MIX move vs the stored
         # baseline? Both sides restricted to sources observed THIS run
@@ -991,12 +994,19 @@ def slice_pass(
     # fail loudly BEFORE any job: a typo'd column would surface as an
     # AnalysisException plan dump from inside the cascade, a bad width
     # as a raw traceback (the layout._validate convention)
+    numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+    col_types = {f.name: f.dataType.typeName().split("(")[0] for f in seqs.schema.fields}
     dims: list[str] = []
     for item in spec:
         if ":" in item:
             col, _, w = item.partition(":")
             if col not in seqs.columns:
                 raise ValueError(f"--slice-report column {col!r} not in table")
+            if col_types[col] not in numeric:
+                raise ValueError(
+                    f"--slice-report band column {col!r} must be numeric, "
+                    f"got {col_types[col]}"
+                )
             try:
                 width = int(w)
             except ValueError:
@@ -1098,11 +1108,20 @@ def zorder_pass(
     # on a non-local output it returns {} — report null, not a crash
     scores = layout_ops.extent_scores(out_dir, list(cols))
     # boundaries are 2^bits-1 floats per column — persisted next to the
-    # data (meta.json-written-last convention), not dumped to stdout
+    # data (the local-FS meta.json-written-last convention the IVF
+    # index follows). On a non-local output the open() cannot work;
+    # degrade by returning the boundaries IN the report instead of
+    # dying after a successful table write (they are what later
+    # batches need to layout into the same space).
     meta_path = f"{out_dir}/_zorder_meta.json"
-    with open(meta_path.replace("file:", ""), "w", encoding="utf-8") as fh:
-        json.dump({"bits": bits, "cols": list(cols),
-                   "boundaries": rep["boundaries"]}, fh)
+    inline_boundaries = None
+    try:
+        with open(meta_path.replace("file:", ""), "w", encoding="utf-8") as fh:
+            json.dump({"bits": bits, "cols": list(cols),
+                       "boundaries": rep["boundaries"]}, fh)
+    except OSError:
+        meta_path = None
+        inline_boundaries = rep["boundaries"]
     return {
         "run_id": run_id,
         "rows": rep["rows"],
@@ -1112,6 +1131,7 @@ def zorder_pass(
             {c: round(v, 4) for c, v in scores.items()} if scores else None
         ),
         "meta": meta_path,
+        **({"boundaries": inline_boundaries} if inline_boundaries else {}),
     }
 
 
@@ -1496,6 +1516,31 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.run_all and args.input is None:
         ap.error("--run-all requires --input")
+    if args.sample_frac is not None:
+        # the pre-flight refusal matrix lives in run(); the standalone
+        # passes never reach it, and a silently-ignored sample flag
+        # would bill a "1% pre-flight" at full scale. ONE shared guard
+        # (not per-branch special cases) so a future pass cannot
+        # re-open the hole by forgetting its own check.
+        standalone = {
+            "--suggest-suite": args.suggest_suite,
+            "--skew-report": args.skew_report,
+            "--slice-report": args.slice_report,
+            "--zorder": args.zorder,
+            "--reconcile-against": args.reconcile_against,
+            "--quality-docs": args.quality_docs,
+            "--validate-embeddings": args.validate_embeddings,
+            "--corpus-report": args.corpus_report,
+            "--corpus-stats": args.corpus_stats,
+            "--compact-indexes": args.compact_indexes,
+            "--run-all": args.run_all,
+        }
+        active = sorted(k for k, v in standalone.items() if v)
+        if active:
+            ap.error(
+                f"--sample-frac applies to validation runs, not "
+                f"{', '.join(active)}"
+            )
 
     spark = get_spark(app_name=f"validate-{args.run_id}", master=args.master)
     if args.suggest_suite:
@@ -1528,12 +1573,6 @@ def main(argv: list[str] | None = None) -> int:
     if args.slice_report:
         if args.input is None:
             ap.error("--slice-report requires --input")
-        if args.sample_frac is not None:
-            # the pre-flight refusal matrix lives in run(); these
-            # standalone passes never reach it, and a silently-ignored
-            # sample flag would bill a "1% pre-flight" at full scale
-            ap.error("--sample-frac applies to validation runs, not "
-                     "--slice-report")
         spec = tuple(c.strip() for c in args.slice_report.split(",") if c.strip())
         if not spec:
             ap.error("--slice-report needs at least one dimension")
@@ -1555,8 +1594,6 @@ def main(argv: list[str] | None = None) -> int:
     if args.zorder:
         if args.input is None:
             ap.error("--zorder requires --input")
-        if args.sample_frac is not None:
-            ap.error("--sample-frac applies to validation runs, not --zorder")
         cols = tuple(c.strip() for c in args.zorder.split(",") if c.strip())
         if not cols:
             ap.error("--zorder needs at least one column name")

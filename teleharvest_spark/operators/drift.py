@@ -504,8 +504,19 @@ def _contrib_pdf(pdf: pd.DataFrame, top_k: int | None) -> pd.DataFrame:
     pn, qn = p.sum(), q.sum()
     p = p / pn if pn > 0 else p
     q = q / qn if qn > 0 else q
-    pc, qc = np.clip(p, _PSI_EPS, None), np.clip(q, _PSI_EPS, None)
-    term = (pc - qc) * np.log(pc / qc)  # ≥ 0 bucket-wise by construction
+    if pn == 0 or qn == 0:
+        # one side has NO mass (new source absent from a per-source
+        # baseline, or a vanished source): _drift_metrics_pdf reports
+        # psi = inf, and the decomposition must mirror it — every
+        # bucket present on the non-empty side carries infinite
+        # evidence, so the sum ≡ psi invariant holds at inf too
+        # (finite eps-clamped terms here would silently break it
+        # exactly where the FDR pass most often reports buckets)
+        present = p > 0 if qn == 0 else q > 0
+        term = np.where(present, np.inf, 0.0)
+    else:
+        pc, qc = np.clip(p, _PSI_EPS, None), np.clip(q, _PSI_EPS, None)
+        term = (pc - qc) * np.log(pc / qc)  # ≥ 0 bucket-wise by construction
     out = pd.DataFrame(
         {
             "source": src,
@@ -516,7 +527,12 @@ def _contrib_pdf(pdf: pd.DataFrame, top_k: int | None) -> pd.DataFrame:
             "direction": np.where(p >= q, "gained", "lost"),
         }
     )
-    out = out.sort_values(["psi_term", "bucket"], ascending=[False, True])
+    # secondary key: largest moved share first — inf terms (one-sided
+    # mass) tie on psi_term and should surface the heaviest buckets
+    out["_share"] = np.maximum(p, q)
+    out = out.sort_values(
+        ["psi_term", "_share", "bucket"], ascending=[False, False, True]
+    ).drop(columns=["_share"])
     if top_k is not None:
         out = out.head(top_k)
     return out

@@ -189,10 +189,18 @@ def write_zordered(
     spark = df.sparkSession
     prior = 0
     if mode == "append":
+        from pyspark.errors import AnalysisException
+
         try:
             # parquet count() is footer metadata, not a data scan
             prior = spark.read.parquet(path).count()
-        except Exception:
+        except AnalysisException as e:
+            # ONLY first-append (no directory yet) reads as prior=0; a
+            # transient read failure must not silently inflate the
+            # row-conservation receipt — that is the opposite of a
+            # receipt
+            if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+                raise
             prior = 0
     assigned, bnds = zorder_frame(df, cols, bits=bits, boundaries=boundaries)
     k = min(max(round(math.log2(max(n_files, 1))), 0), bits * len(cols))

@@ -331,3 +331,50 @@ def test_drift_fdr_pass_writes_bucket_decomposition(spark, tmp_path):
     # bucket 0 gained everything — it must head the decomposition
     top = stored.orderBy(F.col("psi_term").desc()).first()
     assert top.bucket == 0 and top.direction == "gained"
+
+
+def test_drift_contributions_new_source_mirrors_infinite_psi(spark):
+    # a source absent from the per-source baseline: psi = inf in
+    # drift_metrics — the decomposition must carry inf terms (sum ≡
+    # psi at inf), not finite eps-clamped ones
+    hist = spark.createDataFrame(
+        [("new", 2, 300), ("new", 7, 100), ("old", 0, 100)], HIST_SCHEMA
+    )
+    base = spark.createDataFrame(
+        [("old", 0, 100)], HIST_SCHEMA
+    )
+    psi = {r.source: r.psi for r in drift.drift_metrics(hist, base).collect()}
+    assert psi["new"] == float("inf")
+    rows = [
+        r for r in drift.drift_contributions(hist, base, top_k=None).collect()
+        if r.source == "new"
+    ]
+    inf_rows = [r for r in rows if r.psi_term == float("inf")]
+    assert {r.bucket for r in inf_rows} == {2, 7}
+    assert all(r.direction == "gained" for r in inf_rows)
+    # heaviest bucket first among the inf ties
+    top = drift.drift_contributions(hist, base, top_k=1).where(
+        F.col("source") == "new"
+    ).first()
+    assert top.bucket == 2
+
+
+def test_drift_fdr_pass_zero_reject_replay_overwrites_buckets(spark, tmp_path):
+    from teleharvest_spark.cli import drift_fdr_pass
+
+    sources = [f"s{i}" for i in range(6)]
+    base = _stable_hist(spark, sources)
+    shifted = _stable_hist(spark, sources[:-1]).unionByName(
+        spark.createDataFrame([(sources[-1], 0, 1000)], HIST_SCHEMA)
+    )
+    rep1 = drift_fdr_pass(spark, None, str(tmp_path), "r1", alpha=0.05,
+                          baseline_hist=base, hist=shifted)
+    assert rep1["drift_buckets_rows"] == 5
+    # replay the SAME run_id on fixed (stable) data: the stale
+    # decomposition must be overwritten with an empty table
+    rep2 = drift_fdr_pass(spark, None, str(tmp_path), "r1", alpha=0.05,
+                          baseline_hist=base, hist=base)
+    assert rep2["drift_fdr_rejected"] == 0
+    assert rep2["drift_buckets_rows"] == 0
+    stored = spark.read.parquet(str(tmp_path / "drift_buckets" / "r1"))
+    assert stored.count() == 0

@@ -273,3 +273,29 @@ def test_min_lift_floor_separates_practical_from_statistical(spark):
     assert {"source=hot", "source=mild"} <= l_flag
     # z/p are untouched by the floor — only the flag moves
     assert strict.set_index("slice")["z"].equals(loose.set_index("slice")["z"])
+
+
+def test_slice_pass_rejects_non_numeric_band_column(spark, suite, tmp_path):
+    from teleharvest_spark import datagen
+    from teleharvest_spark.cli import slice_pass
+
+    inp = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 500, suite).write.parquet(inp)
+    with pytest.raises(ValueError, match="must be numeric"):
+        slice_pass(spark, inp, str(tmp_path / "o"), "r1",
+                   spec=("source:64",), suite=suite)
+
+
+def test_cli_sample_frac_refused_for_all_standalone_passes(spark, suite, tmp_path):
+    from teleharvest_spark import cli, datagen
+
+    inp = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 500, suite).write.parquet(inp)
+    base = ["--input", inp, "--output", str(tmp_path / "o"), "--run-id", "r1",
+            "--sample-frac", "0.01"]
+    for extra in (["--skew-report", "source"],
+                  ["--reconcile-against", inp],
+                  ["--suggest-suite"],
+                  ["--run-all"]):
+        with pytest.raises(SystemExit):
+            cli.main(base + extra)
