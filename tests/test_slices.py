@@ -299,3 +299,14 @@ def test_cli_sample_frac_refused_for_all_standalone_passes(spark, suite, tmp_pat
                   ["--run-all"]):
         with pytest.raises(SystemExit):
             cli.main(base + extra)
+
+
+def test_slice_profile_plan_scans_input_once(spark, planted):
+    # the global baseline rides a whole-frame window over the cube —
+    # a second cube branch would re-execute the full-table scan
+    # subtree (caught in .explain during development; pinned here)
+    prof = sl.slice_profile(planted, ["source", "band"], fail="fail")
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan ExistingRDD") + plan.count("Scan parquet")
+    assert n_scans <= 1, plan[:2000]
+    assert plan.count("Expand") == 1
