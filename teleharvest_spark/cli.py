@@ -969,6 +969,7 @@ def slice_pass(
     top_k: int | None = None,
     check: str | None = None,
     min_lift: float = 1.5,
+    compare_to: str | None = None,
 ) -> dict:
     """Violation hotspot report (operators/slices.py): run the suite's
     cascade once, then rank every 1- and 2-column slice over the
@@ -1056,6 +1057,50 @@ def slice_pass(
     spark.createDataFrame(
         pdf.astype({"arity": "int64"}), schema=schema
     ).coalesce(1).write.mode("overwrite").parquet(out_dir)
+    churn_report = {}
+    if compare_to is not None:
+        # cross-run churn vs a previous run's STORED lattice — names
+        # which slices regressed/recovered since then; written
+        # run_id-keyed (overwrite = replay-idempotent)
+        prev_dir = f"{output_path}/slices/run_id={compare_to}"
+        try:
+            prev = spark.read.parquet(prev_dir).toPandas()
+        except Exception:
+            raise ValueError(
+                f"--slice-compare: no stored slice lattice for run "
+                f"{compare_to!r} at {prev_dir}"
+            ) from None
+        trans = slice_ops.slice_transitions(pdf, prev)
+        diff_dir = f"{output_path}/slice_diff/run_id={run_id}"
+        diff_schema = (
+            "slice string, transition string, n double, rate double, "
+            "z double, flagged boolean, n_prev double, rate_prev double, "
+            "z_prev double, flagged_prev boolean, rate_delta double, "
+            "z_delta double, prev_run string"
+        )
+        spark.createDataFrame(
+            trans.assign(prev_run=compare_to), schema=diff_schema
+        ).coalesce(1).write.mode("overwrite").parquet(diff_dir)
+        counts = trans["transition"].value_counts().to_dict()
+        regressions = trans[
+            trans["transition"].isin(["quiet->hot", "absent->hot"])
+        ]
+        churn_report = {
+            "compare_to": compare_to,
+            "transitions": {k: int(v) for k, v in sorted(counts.items())},
+            "new_hot": [
+                {
+                    "slice": r["slice"],
+                    "transition": r["transition"],
+                    "rate": round(float(r["rate"]), 4),
+                    "rate_prev": (
+                        None if pd.isna(r["rate_prev"])
+                        else round(float(r["rate_prev"]), 4)
+                    ),
+                }
+                for _, r in regressions.head(10).iterrows()
+            ],
+        }
     return {
         "run_id": run_id,
         "dims": dims,
@@ -1063,6 +1108,7 @@ def slice_pass(
         "top_k": top_k,
         "slices_scored": int(len(pdf)),
         "slices_flagged": int(pdf["flagged"].sum()) if len(pdf) else 0,
+        **churn_report,
         "top_slices": [
             {
                 "slice": r["slice"],
@@ -1465,6 +1511,15 @@ def main(argv: list[str] | None = None) -> int:
         "check (membership in failed_checks) instead of any-failure",
     )
     ap.add_argument(
+        "--slice-compare",
+        default=None,
+        metavar="RUN_ID",
+        help="--slice-report: diff this run's slice lattice against the "
+        "named previous run's stored lattice — names which slices "
+        "regressed (quiet->hot) or recovered; rows land in "
+        "<output>/slice_diff/run_id=<id>",
+    )
+    ap.add_argument(
         "--slice-min-lift",
         type=float,
         default=1.5,
@@ -1587,6 +1642,7 @@ def main(argv: list[str] | None = None) -> int:
                     top_k=args.slice_top_k,
                     check=args.slice_check,
                     min_lift=args.slice_min_lift,
+                    compare_to=args.slice_compare,
                 )
             )
         )

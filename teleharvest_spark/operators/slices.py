@@ -278,3 +278,76 @@ def violation_slices(
     if top_k is not None:
         pdf = pdf.head(top_k)
     return pdf.drop(columns=[PIECES_COL])
+
+
+def slice_transitions(cur: pd.DataFrame, prev: pd.DataFrame) -> pd.DataFrame:
+    """Cross-run slice churn: what changed between two scored lattices
+    (the hot-token-churn idiom applied to slices — a PSI-style single
+    number can say "worse", only a keyed diff names WHICH slice).
+
+    Outer-merges on the slice string and classifies each slice's
+    ``transition`` as ``<prev>-><cur>`` over the states ``hot``
+    (flagged), ``quiet`` (present, not flagged), ``absent`` (not in
+    that run's lattice — dims changed, support moved, or the slice
+    value vanished). Carries ``rate_delta``/``z_delta`` (NaN when
+    either side is absent). The triage reads: ``quiet->hot`` and
+    ``absent->hot`` are regressions; ``hot->quiet``/``hot->absent``
+    are recoveries; ``hot->hot`` is standing damage.
+
+    Both inputs are stored-lattice frames (:func:`violation_slices`
+    output, full — compare runs written with ``top_k=None``; a
+    truncated side misreports missing slices as ``absent``).
+    """
+    need = {SLICE_COL, "rate", "z", "flagged"}
+    for name, frame in (("cur", cur), ("prev", prev)):
+        missing = need - set(frame.columns)
+        if missing:
+            raise ValueError(f"{name} lattice is missing columns {sorted(missing)}")
+    m = cur.merge(
+        prev[[SLICE_COL, "rate", "z", "flagged", "n"]],
+        on=SLICE_COL,
+        how="outer",
+        suffixes=("", "_prev"),
+        indicator=True,
+    )
+
+    def _state(flagged, present) -> str:
+        if not present:
+            return "absent"
+        return "hot" if bool(flagged) else "quiet"
+
+    cur_present = m["_merge"].isin(["both", "left_only"])
+    prev_present = m["_merge"].isin(["both", "right_only"])
+    m["transition"] = [
+        f"{_state(fp, pp)}->{_state(fc, cp)}"
+        for fc, cp, fp, pp in zip(
+            m["flagged"].fillna(False), cur_present,
+            m["flagged_prev"].fillna(False), prev_present,
+        )
+    ]
+    m["rate_delta"] = m["rate"] - m["rate_prev"]
+    m["z_delta"] = m["z"] - m["z_prev"]
+    keep = [
+        SLICE_COL, "transition", "n", "rate", "z", "flagged",
+        "n_prev", "rate_prev", "z_prev", "flagged_prev",
+        "rate_delta", "z_delta",
+    ]
+    keep = [c for c in keep if c in m.columns]
+    out = m[keep].copy()
+    order = {"quiet->hot": 0, "absent->hot": 1, "hot->hot": 2,
+             "hot->quiet": 3, "hot->absent": 4}
+    out["_o"] = out["transition"].map(lambda t: order.get(t, 9))
+    out = out.sort_values(
+        ["_o", "z_delta", SLICE_COL], ascending=[True, False, True],
+        ignore_index=True,
+    ).drop(columns=["_o"])
+    # normalize the outer-merge's NaN-mixed dtypes so the frame
+    # converts to Spark/parquet cleanly: nullable booleans for flags,
+    # doubles for counts (an absent side has no count)
+    for c in ("flagged", "flagged_prev"):
+        if c in out.columns:
+            out[c] = out[c].astype("boolean")
+    for c in ("n", "n_prev"):
+        if c in out.columns:
+            out[c] = out[c].astype("float64")
+    return out

@@ -310,3 +310,63 @@ def test_slice_profile_plan_scans_input_once(spark, planted):
     n_scans = plan.count("Scan ExistingRDD") + plan.count("Scan parquet")
     assert n_scans <= 1, plan[:2000]
     assert plan.count("Expand") == 1
+
+
+def test_slice_transitions_classes_and_deltas(spark):
+    # run A: hot cell (s3,2); run B: that cell recovered, a NEW cell
+    # (s1,4) went hot, and band=9 exists only in B
+    def corpus(hot):
+        rows = []
+        for s in ["s0", "s1", "s2", "s3"]:
+            for b in range(5):
+                k = 120 if (s, b) == hot else 4
+                rows += [(s, b, i < k) for i in range(200)]
+        return _frame(spark, rows)
+
+    a = sl.violation_slices(corpus(("s3", 2)), ["source", "band"],
+                            fail="fail", top_k=None)
+    b_df = corpus(("s1", 4)).unionByName(
+        _frame(spark, [("s0", 9, False) for _ in range(100)])
+    )
+    b = sl.violation_slices(b_df, ["source", "band"], fail="fail", top_k=None)
+    t = sl.slice_transitions(b, a).set_index("slice")
+    assert t.loc["source=s1 & band=4", "transition"] == "quiet->hot"
+    assert t.loc["source=s3 & band=2", "transition"] == "hot->quiet"
+    assert t.loc["band=9", "transition"] == "absent->quiet"
+    assert t.loc["source=s1 & band=4", "rate_delta"] > 0.5
+    # regressions sort first
+    assert sl.slice_transitions(b, a).iloc[0]["transition"] in (
+        "quiet->hot", "absent->hot"
+    )
+
+
+def test_slice_transitions_missing_columns_raise(spark):
+    import pandas as pd
+
+    good = pd.DataFrame({"slice": ["a=1"], "rate": [0.1], "z": [1.0],
+                         "flagged": [True], "n": [10]})
+    with pytest.raises(ValueError, match="missing columns"):
+        sl.slice_transitions(good, good.drop(columns=["z"]))
+
+
+def test_cli_slice_compare_e2e(spark, suite, tmp_path):
+    from teleharvest_spark import datagen
+    from teleharvest_spark.cli import slice_pass
+
+    inp = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 5000, suite).write.parquet(inp)
+    out = str(tmp_path / "out")
+    slice_pass(spark, inp, out, "r1", spec=("source",), suite=suite, min_support=5)
+    rep = slice_pass(spark, inp, out, "r2", spec=("source",), suite=suite,
+                     min_support=5, compare_to="r1")
+    # identical corpus → every slice keeps its state, no regressions
+    assert rep["compare_to"] == "r1"
+    assert all(
+        k in ("hot->hot", "quiet->quiet") for k in rep["transitions"]
+    ), rep["transitions"]
+    assert rep["new_hot"] == []
+    stored = spark.read.parquet(f"{out}/slice_diff/run_id=r2")
+    assert stored.where("rate_delta != 0").count() == 0
+    with pytest.raises(ValueError, match="no stored slice lattice"):
+        slice_pass(spark, inp, out, "r3", spec=("source",), suite=suite,
+                   min_support=5, compare_to="nope")
