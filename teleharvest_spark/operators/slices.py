@@ -105,7 +105,6 @@ def slice_profile(
         raise ValueError("need at least one slice dimension")
     if len(dims) != len(set(dims)):
         raise ValueError(f"duplicate slice dimensions: {dims}")
-    d = len(dims)
     fail_bit = _fail_col(df, fail).cast("boolean")
 
     # level 1: the ONLY full-table pass — narrow projection, one
@@ -118,15 +117,43 @@ def slice_profile(
         .groupBy(*dims)
         .agg(F.count(F.lit(1)).alias("_n"), F.sum("_f").alias("_v"))
     )
+    return lattice_from_base(base, dims, max_arity=max_arity, min_support=min_support)
 
-    # level 2: grouping-set expansion over the combination frame.
-    cube = base.cube(*dims).agg(
+
+def lattice_from_base(
+    base: DataFrame,
+    dims: Sequence[str],
+    max_arity: int = 2,
+    min_support: int = 30,
+    group_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Level 2 of the slice search: grouping-set expansion + baseline
+    over a pre-aggregated combination frame ``(group_keys..., dims...,
+    _n, _v)`` — shared by the batch path (:func:`slice_profile`
+    aggregates the corpus into it) and the streaming path (the
+    watermarked windowed aggregation IS the combination frame, with
+    ``group_keys=('window_start',)``). Each group-key value gets its
+    own lattice and its own arity-0 global baseline."""
+    dims = list(dims)
+    keys = list(group_keys)
+    d = len(dims)
+
+    # cube over (keys + dims), then KEEP only rows where every group
+    # key is actually grouped (grouping() == 0) — the key columns are
+    # fixed coordinates, not sliced dimensions, so they contribute
+    # neither arity nor pieces.
+    cube = base.cube(*keys, *dims).agg(
         F.sum("_n").alias("n"),
         F.sum("_v").alias("violations"),
+        *[F.grouping(k).alias(f"_gk_{i}") for i, k in enumerate(keys)],
         F.grouping_id().alias("_gid"),
         *[F.grouping(c).alias(f"_g_{i}") for i, c in enumerate(dims)],
     )
-    arity = F.lit(d) - F.bit_count(F.col("_gid"))
+    for i in range(len(keys)):
+        cube = cube.where(F.col(f"_gk_{i}") == 0)
+    arity = sum(
+        (F.lit(1) - F.col(f"_g_{i}") for i in range(d)), F.lit(0)
+    )
     pieces = F.array_compact(
         F.array(
             *[
@@ -142,6 +169,7 @@ def slice_profile(
         )
     )
     cube = cube.select(
+        *keys,
         F.array_join(pieces, " & ").alias(SLICE_COL),
         pieces.alias(PIECES_COL),
         arity.alias("arity"),
@@ -150,16 +178,16 @@ def slice_profile(
         (F.col("violations") / F.col("n")).alias("rate"),
     )
 
-    # global baseline = the arity-0 row, pulled across every slice via
-    # a whole-frame window INSTEAD of a second cube branch: a separate
+    # global baseline = the arity-0 row (per group), pulled across via
+    # a window INSTEAD of a second cube branch: a separate
     # filter-the-total-row frame would re-execute the full-table scan
     # subtree (Spark reuses no plan across branches without an explicit
     # persist), turning one pass into two at 10^12 rows. The window
-    # collapses the frame to one partition, which is fine — it runs
+    # collapses each group to one partition, which is fine — it runs
     # over the |slices|-sized aggregate, never the corpus.
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.lit(1))
+    w = Window.partitionBy(*(keys or [F.lit(1)]))
     return (
         cube.withColumn(
             "global_rate",
@@ -250,10 +278,25 @@ def violation_slices(
     prof = slice_profile(
         df, dims, fail=fail, max_arity=max_arity, min_support=min_support
     )
-    pdf = prof.toPandas()
+    return score_lattice(
+        prof.toPandas(), alpha=alpha, min_lift=min_lift, top_k=top_k
+    )
+
+
+def score_lattice(
+    pdf: pd.DataFrame,
+    alpha: float = 1e-3,
+    min_lift: float = 1.5,
+    top_k: int | None = None,
+) -> pd.DataFrame:
+    """Score + dominance-mark + rank one collected lattice frame
+    (:func:`slice_profile` / :func:`lattice_from_base` output,
+    including the ``_pieces`` column, which is consumed here) — shared
+    by the batch path and the streaming sink, which calls it once per
+    finalized window."""
     if not len(pdf):
         pdf = pdf.assign(z=[], p_value=[], flagged=[], dominated=[])
-        return pdf.drop(columns=[PIECES_COL])
+        return pdf.drop(columns=[PIECES_COL], errors="ignore")
     pdf = _score_pdf(pdf, alpha, min_lift=min_lift)
 
     # parent dominance over the collected frame: an arity-k slice's

@@ -1,0 +1,150 @@
+"""Streaming violation hotspot slicing — the slice report in
+continuous mode.
+
+Batch slicing (operators/slices.py) answers "where do failures
+concentrate" per validation run. In continuous deployment sequences
+ARRIVE as a stream; this module keeps a watermarked event-time-
+windowed COMBINATION frame (per-(window, dims) row/violation counts —
+the level-1 aggregate of the batch path, so streaming state is
+|open windows| × |dim combos|, independent of row volume) and scores
+each CLOSED window's slice lattice in ``foreachBatch``:
+
+    stream → row-wise cascade flags (pure codegen, stream-safe)
+           → withWatermark → window(ts) × dims counts + fail-sums
+           → (append mode: a window's counts emit exactly once,
+              after the watermark finalizes it)
+           → foreachBatch: cube the batch's combination rows per
+              window (operators/slices.lattice_from_base with
+              group_keys=('window_start',)), score the metadata-sized
+              lattice in pandas (score_lattice), append to the sink.
+
+Same structural contract as streaming/drift.py: append-mode emit-once
+means the sink needs no dedup; per-batch Python touches only the
+aggregated lattice rows. NULL dim values are real slice values here
+(∅) — unlike drift, slicing does NOT drop NULL keys, because the
+cascade's null-key violations are exactly what a hotspot report must
+localize.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import CheckSuite
+from ..operators import cascade as cascade_ops
+from ..operators import slices as slice_ops
+
+SINK_SCHEMA = (
+    "window_start timestamp, slice string, arity int, n long, "
+    "violations long, rate double, global_rate double, lift double, "
+    "z double, p_value double, flagged boolean, dominated boolean"
+)
+
+
+def streaming_slice_counts(
+    stream: DataFrame,
+    suite: CheckSuite,
+    dims: Sequence[str],
+    ts_col: str = "event_ts",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked per-(window, dims) row and violation counts — the
+    streaming form of the batch level-1 aggregate. The cascade's flags
+    are computed row-wise BEFORE the aggregation (sequence_checks is
+    pure codegen — no joins, stream-safe); the suite's per-source
+    bound overrides are not available here (they need a dimension
+    join; use the batch pass for that)."""
+    if ts_col not in stream.columns:
+        stream = stream.withColumn(ts_col, F.current_timestamp())
+    flagged = cascade_ops.apply_cascade(
+        stream, cascade_ops.sequence_checks(suite)
+    )
+    fail = (~F.coalesce(F.col(cascade_ops.VERDICT_COL), F.lit(True))).cast("long")
+    return (
+        flagged.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *[F.col(c) for c in dims])
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(fail).alias("_v"))
+        .select(
+            F.col("window.start").alias("window_start"), *dims, "_n", "_v"
+        )
+    )
+
+
+def windowed_slice_sink(
+    spark: SparkSession,
+    sink_path: str,
+    dims: Sequence[str],
+    max_arity: int = 2,
+    min_support: int = 30,
+    alpha: float = 1e-3,
+    min_lift: float = 1.5,
+):
+    """foreachBatch body: each batch carries FINALIZED (window, dims,
+    _n, _v) combination rows (append mode); cube them into each
+    window's lattice, score per window in pandas, append the scored
+    rows. The lattice is metadata-sized (|combos| bounded by dim
+    cardinality), so the per-batch pandas pass is trivial."""
+    dims = list(dims)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        lattice = slice_ops.lattice_from_base(
+            batch,
+            dims,
+            max_arity=max_arity,
+            min_support=min_support,
+            group_keys=("window_start",),
+        )
+        pdf = lattice.toPandas()
+        if not len(pdf):
+            return
+        scored = (
+            pdf.groupby("window_start", group_keys=False, sort=False)
+            .apply(
+                lambda g: slice_ops.score_lattice(
+                    g, alpha=alpha, min_lift=min_lift, top_k=None
+                ).assign(window_start=g["window_start"].iloc[0])
+            )
+            .reset_index(drop=True)
+        )
+        cols = [c.split()[0] for c in SINK_SCHEMA.split(", ")]
+        spark.createDataFrame(
+            scored[cols].astype({"arity": "int64"}), schema=SINK_SCHEMA
+        ).write.mode("append").parquet(sink_path)
+
+    return sink
+
+
+def start_windowed_slices(
+    spark: SparkSession,
+    stream: DataFrame,
+    suite: CheckSuite,
+    sink_path: str,
+    checkpoint: str,
+    dims: Sequence[str] = ("source",),
+    ts_col: str = "event_ts",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    min_support: int = 30,
+    min_lift: float = 1.5,
+):
+    """Wire a sequence stream into the windowed slice-lattice sink."""
+    counts = streaming_slice_counts(
+        stream, suite, dims, ts_col=ts_col, window=window, watermark=watermark
+    )
+    return (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(
+            windowed_slice_sink(
+                spark, sink_path, dims,
+                min_support=min_support, min_lift=min_lift,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
