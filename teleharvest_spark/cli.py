@@ -1062,14 +1062,31 @@ def slice_pass(
         # cross-run churn vs a previous run's STORED lattice — names
         # which slices regressed/recovered since then; written
         # run_id-keyed (overwrite = replay-idempotent)
+        if top_k is not None:
+            # slice_transitions' contract: both lattices FULL — a
+            # truncated side misreports below-cut slices as absent
+            # (phantom absent->hot regressions). Refuse loudly.
+            raise ValueError(
+                "--slice-compare requires the full lattice; drop "
+                "--slice-top-k (and compare against a run stored "
+                "without it)"
+            )
+        from pyspark.errors import AnalysisException
+
         prev_dir = f"{output_path}/slices/run_id={compare_to}"
         try:
-            prev = spark.read.parquet(prev_dir).toPandas()
-        except Exception:
+            prev_df = spark.read.parquet(prev_dir)
+        except AnalysisException as e:
+            # ONLY path-missing reads as "no such run"; any other read
+            # failure propagates (the narrow-catch convention
+            # layout.write_zordered pins for the same reason)
+            if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+                raise
             raise ValueError(
                 f"--slice-compare: no stored slice lattice for run "
                 f"{compare_to!r} at {prev_dir}"
             ) from None
+        prev = prev_df.toPandas()
         trans = slice_ops.slice_transitions(pdf, prev)
         diff_dir = f"{output_path}/slice_diff/run_id={run_id}"
         diff_schema = (

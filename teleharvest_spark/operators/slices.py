@@ -136,6 +136,14 @@ def lattice_from_base(
     own lattice and its own arity-0 global baseline."""
     dims = list(dims)
     keys = list(group_keys)
+    if not dims:
+        raise ValueError("need at least one slice dimension")
+    if len(dims) != len(set(dims)):
+        raise ValueError(f"duplicate slice dimensions: {dims}")
+    if set(dims) & set(keys):
+        raise ValueError(
+            f"group keys overlap slice dimensions: {sorted(set(dims) & set(keys))}"
+        )
     d = len(dims)
 
     # cube over (keys + dims), then KEEP only rows where every group
@@ -146,7 +154,6 @@ def lattice_from_base(
         F.sum("_n").alias("n"),
         F.sum("_v").alias("violations"),
         *[F.grouping(k).alias(f"_gk_{i}") for i, k in enumerate(keys)],
-        F.grouping_id().alias("_gid"),
         *[F.grouping(c).alias(f"_g_{i}") for i, c in enumerate(dims)],
     )
     for i in range(len(keys)):
@@ -341,7 +348,7 @@ def slice_transitions(cur: pd.DataFrame, prev: pd.DataFrame) -> pd.DataFrame:
     output, full — compare runs written with ``top_k=None``; a
     truncated side misreports missing slices as ``absent``).
     """
-    need = {SLICE_COL, "rate", "z", "flagged"}
+    need = {SLICE_COL, "rate", "z", "flagged", "n"}
     for name, frame in (("cur", cur), ("prev", prev)):
         missing = need - set(frame.columns)
         if missing:

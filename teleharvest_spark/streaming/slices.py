@@ -16,14 +16,22 @@ each CLOSED window's slice lattice in ``foreachBatch``:
            → foreachBatch: cube the batch's combination rows per
               window (operators/slices.lattice_from_base with
               group_keys=('window_start',)), score the metadata-sized
-              lattice in pandas (score_lattice), append to the sink.
+              lattice in pandas (score_lattice), write under a
+              batch_id-keyed directory (overwrite) so the
+              at-least-once foreachBatch replay after a crash between
+              write and checkpoint commit rewrites the same dir
+              instead of appending duplicates — the streaming
+              violations writer's idempotence scheme.
 
-Same structural contract as streaming/drift.py: append-mode emit-once
-means the sink needs no dedup; per-batch Python touches only the
-aggregated lattice rows. NULL dim values are real slice values here
-(∅) — unlike drift, slicing does NOT drop NULL keys, because the
-cascade's null-key violations are exactly what a hotspot report must
-localize.
+Per-batch Python touches only the aggregated lattice rows. NULL dim
+values are real slice values here (∅) — unlike drift, slicing does
+NOT drop NULL keys, because the cascade's null-key violations are
+exactly what a hotspot report must localize. The one NULL the
+pipeline DOES drop is a NULL event timestamp: time-windowed
+aggregation cannot place such a row in any window (Spark filters
+``ts IS NOT NULL`` before windowing), so the drop is made explicit
+below — a feed that can produce NULL timestamps must coalesce them
+to an ingest time upstream or its violations bypass this report.
 """
 
 from __future__ import annotations
@@ -57,8 +65,21 @@ def streaming_slice_counts(
     pure codegen — no joins, stream-safe); the suite's per-source
     bound overrides are not available here (they need a dimension
     join; use the batch pass for that)."""
+    dims = list(dims)
+    # fail at WIRING time, not per-batch inside a running query —
+    # lattice_from_base would raise identically, but only after the
+    # first finalized window, leaving a silently-empty sink till then
+    if not dims:
+        raise ValueError("need at least one slice dimension")
+    if len(dims) != len(set(dims)):
+        raise ValueError(f"duplicate slice dimensions: {dims}")
+    if "window_start" in dims:
+        raise ValueError("'window_start' is the window coordinate, not a dim")
     if ts_col not in stream.columns:
         stream = stream.withColumn(ts_col, F.current_timestamp())
+    # explicit: NULL-timestamp rows cannot be windowed (Spark's
+    # TimeWindowing would filter them silently); see module docstring
+    stream = stream.where(F.col(ts_col).isNotNull())
     flagged = cascade_ops.apply_cascade(
         stream, cascade_ops.sequence_checks(suite)
     )
@@ -102,19 +123,28 @@ def windowed_slice_sink(
         pdf = lattice.toPandas()
         if not len(pdf):
             return
-        scored = (
-            pdf.groupby("window_start", group_keys=False, sort=False)
-            .apply(
-                lambda g: slice_ops.score_lattice(
+        # plain loop, not groupby().apply reading the group column —
+        # pandas 3 removes include_groups=True and the lambda would
+        # KeyError on 'window_start'
+        import pandas as pd
+
+        parts = []
+        for ws, g in pdf.groupby("window_start", sort=False):
+            parts.append(
+                slice_ops.score_lattice(
                     g, alpha=alpha, min_lift=min_lift, top_k=None
-                ).assign(window_start=g["window_start"].iloc[0])
+                ).assign(window_start=ws)
             )
-            .reset_index(drop=True)
-        )
+        scored = pd.concat(parts, ignore_index=True)
         cols = [c.split()[0] for c in SINK_SCHEMA.split(", ")]
+        # batch_id-keyed dir + overwrite: foreachBatch is at-least-once
+        # (a crash between write and checkpoint commit replays the
+        # batch) — the replay rewrites this directory instead of
+        # appending a duplicate lattice (the violations writer's
+        # idempotence scheme)
         spark.createDataFrame(
             scored[cols].astype({"arity": "int64"}), schema=SINK_SCHEMA
-        ).write.mode("append").parquet(sink_path)
+        ).write.mode("overwrite").parquet(f"{sink_path}/batch_id={batch_id}")
 
     return sink
 

@@ -370,3 +370,16 @@ def test_cli_slice_compare_e2e(spark, suite, tmp_path):
     with pytest.raises(ValueError, match="no stored slice lattice"):
         slice_pass(spark, inp, out, "r3", spec=("source",), suite=suite,
                    min_support=5, compare_to="nope")
+
+
+def test_slice_compare_refuses_truncated_lattice(spark, suite, tmp_path):
+    from teleharvest_spark import datagen
+    from teleharvest_spark.cli import slice_pass
+
+    inp = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 1000, suite).write.parquet(inp)
+    out = str(tmp_path / "out")
+    slice_pass(spark, inp, out, "r1", spec=("source",), suite=suite, min_support=5)
+    with pytest.raises(ValueError, match="full lattice"):
+        slice_pass(spark, inp, out, "r2", spec=("source",), suite=suite,
+                   min_support=5, top_k=3, compare_to="r1")

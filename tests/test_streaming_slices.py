@@ -90,3 +90,44 @@ def test_streaming_slices_emit_once_and_match_batch(spark, suite, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(sink).count() == n_before
+
+
+def test_sink_batch_replay_is_idempotent(spark, suite, tmp_path):
+    # foreachBatch is at-least-once: invoking the sink TWICE with the
+    # same batch_id (crash between write and checkpoint commit) must
+    # not duplicate the window's lattice
+    base = spark.createDataFrame(
+        [(T0, "a", 80, 40), (T0, "b", 80, 2)],
+        "window_start timestamp, source string, _n long, _v long",
+    )
+    sink_path = str(tmp_path / "sink")
+    sink = ssl.windowed_slice_sink(spark, sink_path, ["source"], min_support=5)
+    sink(base, 7)
+    once = spark.read.parquet(sink_path).count()
+    sink(base, 7)
+    assert spark.read.parquet(sink_path).count() == once
+    # a different batch_id appends alongside
+    sink(base, 8)
+    assert spark.read.parquet(sink_path).count() == 2 * once
+
+
+def test_null_event_ts_rows_are_dropped_explicitly(spark, suite):
+    rows = [("d1", None, None, "src_bad", None),
+            ("d2", [1] * suite.min_n_tok, suite.min_n_tok, "src_00", T0)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    counts = ssl.streaming_slice_counts(df, suite, ["source"])
+    # batch execution of the same plan: the NULL-ts row joins no window
+    got = counts.collect()
+    assert {r["source"] for r in got} == {"src_00"}
+
+
+def test_streaming_dims_validated_at_wiring_time(spark, suite):
+    import pytest as pt
+
+    df = spark.createDataFrame([], SCHEMA)
+    with pt.raises(ValueError, match="at least one"):
+        ssl.streaming_slice_counts(df, suite, [])
+    with pt.raises(ValueError, match="duplicate"):
+        ssl.streaming_slice_counts(df, suite, ["source", "source"])
+    with pt.raises(ValueError, match="window coordinate"):
+        ssl.streaming_slice_counts(df, suite, ["window_start"])
