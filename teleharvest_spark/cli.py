@@ -1003,6 +1003,18 @@ def slice_pass(
             col, _, w = item.partition(":")
             if col not in seqs.columns:
                 raise ValueError(f"--slice-report column {col!r} not in table")
+            if w.startswith("top"):
+                # high-cardinality dim: col:topK keeps the MG top-K
+                # values, folds the tail to __other__ (any type)
+                try:
+                    k = int(w[3:])
+                except ValueError:
+                    raise ValueError(
+                        f"--slice-report cap {w!r} for {col!r} is not topK"
+                    ) from None
+                seqs, capped = slice_ops.capped_dim(seqs, col, k)
+                dims.append(capped)
+                continue
             if col_types[col] not in numeric:
                 raise ValueError(
                     f"--slice-report band column {col!r} must be numeric, "
@@ -1503,8 +1515,11 @@ def main(argv: list[str] | None = None) -> int:
         help="comma list of dims to hotspot-slice (violation slice "
         "finder: rank every 1- and 2-column slice by how anomalously "
         "it fails the suite's cascade vs the global rate; continuous "
-        "columns take col:width band syntax, e.g. n_tok:64; rows land "
-        "in <output>/slices/run_id=<id>); prints the report and exits",
+        "columns take col:width band syntax, e.g. n_tok:64; "
+        "high-cardinality columns take col:topK, keeping the "
+        "Misra-Gries top-K values and folding the tail to __other__; "
+        "rows land in <output>/slices/run_id=<id>); prints the report "
+        "and exits",
     )
     ap.add_argument(
         "--slice-min-support",

@@ -66,6 +66,38 @@ def bucketized(col: str, width: int) -> Column:
     return (F.floor(F.col(col) / F.lit(width)) * F.lit(width)).cast("long")
 
 
+def capped_dim(
+    df: DataFrame, col: str, k: int, capacity: int = 4096
+) -> tuple[DataFrame, str]:
+    """High-cardinality dim → sliceable dim: keep the Misra-Gries
+    top-``k`` values, collapse the tail to ``__other__``.
+
+    The level-1 combination frame is |distinct dim tuples| wide — a
+    10^9-cardinality dim (user id, url host) would make it
+    corpus-sized and the slice search meaningless row-noise anyway.
+    Capping costs ONE extra narrow scan (sketch.heavy_hitters: MG
+    summaries + a ≤ k-row driver materialization, deterministic error
+    bounds) and restores the bounded-lattice guarantee for any dim.
+    NULL stays NULL (its own ∅ slice, never folded into the tail);
+    the capped column is string-typed ``<col>_top``.
+    """
+    if k < 1:
+        raise ValueError(f"cap k must be >= 1, got {k}")
+    from .sketch import heavy_hitters
+
+    top = [
+        str(r[col]) for r in heavy_hitters(df, col, k=k, capacity=capacity).collect()
+    ]  # bounded: ≤ k rows, already materialized driver-side
+    c = F.col(col).cast("string")
+    out_col = f"{col}_top"
+    capped = (
+        F.when(F.col(col).isNull(), F.lit(None).cast("string"))
+        .when(c.isin(top) if top else F.lit(False), c)
+        .otherwise(F.lit("__other__"))
+    )
+    return df.withColumn(out_col, capped), out_col
+
+
 def _fail_col(df: DataFrame, fail: Column | str | None) -> Column:
     if fail is None:
         if VERDICT_COL not in df.columns:

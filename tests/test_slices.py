@@ -383,3 +383,43 @@ def test_slice_compare_refuses_truncated_lattice(spark, suite, tmp_path):
     with pytest.raises(ValueError, match="full lattice"):
         slice_pass(spark, inp, out, "r2", spec=("source",), suite=suite,
                    min_support=5, top_k=3, compare_to="r1")
+
+
+def test_capped_dim_bounds_cardinality(spark):
+    # one hot value, a long tail, NULLs: cap keeps the hot value, the
+    # tail folds to __other__, NULL stays its own slice value
+    rows = [("hot", 0, True)] * 50 + [
+        (f"tail{i}", 0, False) for i in range(200)
+    ] + [(None, 0, True)] * 5
+    df = _frame(spark, rows)
+    capped, col = sl.capped_dim(df, "source", k=1)
+    assert col == "source_top"
+    got = {r[col]: r["n"] for r in capped.groupBy(col).count()
+           .withColumnRenamed("count", "n").collect()}
+    assert got["hot"] == 50 and got["__other__"] == 200 and got[None] == 5
+    # and the slice report over the capped dim localizes the hot value
+    pdf = sl.violation_slices(capped, [col], fail="fail", min_support=5, top_k=None)
+    idx = pdf.set_index("slice")
+    assert idx.loc["source_top=hot", "flagged"]
+    assert idx.loc["source_top=∅", "flagged"]
+    assert not idx.loc["source_top=__other__", "flagged"]
+    with pytest.raises(ValueError, match=">= 1"):
+        sl.capped_dim(df, "source", k=0)
+
+
+def test_cli_topk_cap_syntax(spark, suite, tmp_path):
+    from teleharvest_spark import datagen
+    from teleharvest_spark.cli import slice_pass
+
+    inp = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 3000, suite).write.parquet(inp)
+    rep = slice_pass(spark, inp, str(tmp_path / "o"), "r1",
+                     spec=("source:top3",), suite=suite, min_support=5)
+    assert rep["dims"] == ["source_top"]
+    stored = spark.read.parquet(str(tmp_path / "o" / "slices" / "run_id=r1"))
+    vals = {r["slice"] for r in stored.collect()}
+    assert any(s.startswith("source_top=") for s in vals)
+    assert len(vals) <= 6  # ≤ 3 kept + __other__ + ∅ + empty-string
+    with pytest.raises(ValueError, match="not topK"):
+        slice_pass(spark, inp, str(tmp_path / "o"), "r2",
+                   spec=("source:topX",), suite=suite)
