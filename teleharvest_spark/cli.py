@@ -992,12 +992,15 @@ def slice_pass(
     from .operators import cascade as cascade_ops, slices as slice_ops
 
     seqs = spark.read.parquet(input_path)
-    # fail loudly BEFORE any job: a typo'd column would surface as an
-    # AnalysisException plan dump from inside the cascade, a bad width
-    # as a raw traceback (the layout._validate convention)
+    # PHASE 1 — validate EVERYTHING (specs, check name, compare
+    # preconditions) before any Spark job: a typo'd column would
+    # otherwise surface as an AnalysisException plan dump from inside
+    # the cascade, a bad width as a raw traceback, and a topK cap
+    # would pay its full Misra-Gries corpus scan only to die on a
+    # later item's validation (the layout._validate convention).
     numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
     col_types = {f.name: f.dataType.typeName().split("(")[0] for f in seqs.schema.fields}
-    dims: list[str] = []
+    plan: list[tuple[str, str, int | None]] = []  # (kind, col, param)
     for item in spec:
         if ":" in item:
             col, _, w = item.partition(":")
@@ -1005,15 +1008,20 @@ def slice_pass(
                 raise ValueError(f"--slice-report column {col!r} not in table")
             if w.startswith("top"):
                 # high-cardinality dim: col:topK keeps the MG top-K
-                # values, folds the tail to __other__ (any type)
+                # values (any column type — the cap sketches the
+                # string cast), folds the tail to __other__
                 try:
                     k = int(w[3:])
                 except ValueError:
                     raise ValueError(
                         f"--slice-report cap {w!r} for {col!r} is not topK"
                     ) from None
-                seqs, capped = slice_ops.capped_dim(seqs, col, k)
-                dims.append(capped)
+                if f"{col}_top" in seqs.columns:
+                    raise ValueError(
+                        f"--slice-report cap would overwrite existing "
+                        f"column {col}_top"
+                    )
+                plan.append(("top", col, k))
                 continue
             if col_types[col] not in numeric:
                 raise ValueError(
@@ -1026,13 +1034,16 @@ def slice_pass(
                 raise ValueError(
                     f"--slice-report band width {w!r} for {col!r} is not an int"
                 ) from None
-            band = f"{col}_band"
-            seqs = seqs.withColumn(band, slice_ops.bucketized(col, width))
-            dims.append(band)
+            if f"{col}_band" in seqs.columns:
+                raise ValueError(
+                    f"--slice-report band would overwrite existing "
+                    f"column {col}_band"
+                )
+            plan.append(("band", col, width))
         else:
             if item not in seqs.columns:
                 raise ValueError(f"--slice-report column {item!r} not in table")
-            dims.append(item)
+            plan.append(("plain", item, None))
     if source_dim_path:
         seqs = cascade_ops.with_source_bounds(
             seqs, spark.read.parquet(source_dim_path)
@@ -1040,7 +1051,6 @@ def slice_pass(
         checks = cascade_ops.sequence_checks(suite, per_source_bounds=True)
     else:
         checks = cascade_ops.sequence_checks(suite)
-    fail = None
     if check is not None:
         known = sorted(c.name for c in checks)
         if check not in known:
@@ -1048,6 +1058,23 @@ def slice_pass(
                 f"--slice-check {check!r} matches no check in this "
                 f"suite (known: {known})"
             )
+
+    # PHASE 2 — apply the validated transforms (topK caps run their
+    # one bounded sketch scan each)
+    dims: list[str] = []
+    for kind, col, param in plan:
+        if kind == "top":
+            seqs, capped = slice_ops.capped_dim(seqs, col, param)
+            dims.append(capped)
+        elif kind == "band":
+            seqs = seqs.withColumn(
+                f"{col}_band", slice_ops.bucketized(col, param)
+            )
+            dims.append(f"{col}_band")
+        else:
+            dims.append(col)
+    fail = None
+    if check is not None:
         fail = F.array_contains(
             F.coalesce(
                 F.col(cascade_ops.FAILED_ALL_COL),
@@ -1064,10 +1091,14 @@ def slice_pass(
     schema = (
         "slice string, arity int, n long, violations long, rate double, "
         "global_rate double, lift double, z double, p_value double, "
-        "flagged boolean, dominated boolean"
+        "flagged boolean, dominated boolean, spec string"
     )
+    # the spec (dims + caps + check) rides the stored lattice so a
+    # later --slice-compare can refuse a cross-spec diff instead of
+    # reporting phantom absent->hot regressions when the dims differ
+    spec_str = ",".join(spec) + (f"|check={check}" if check else "")
     spark.createDataFrame(
-        pdf.astype({"arity": "int64"}), schema=schema
+        pdf.astype({"arity": "int64"}).assign(spec=spec_str), schema=schema
     ).coalesce(1).write.mode("overwrite").parquet(out_dir)
     churn_report = {}
     if compare_to is not None:
@@ -1099,6 +1130,20 @@ def slice_pass(
                 f"{compare_to!r} at {prev_dir}"
             ) from None
         prev = prev_df.toPandas()
+        # cross-spec diffs report phantom regressions (different dims
+        # or caps rename/repartition every slice) — refuse when the
+        # stored spec disagrees; lattices from before spec-stamping
+        # carry no column and are accepted as-is (documented residual)
+        if "spec" in prev.columns and len(prev):
+            prev_spec = prev["spec"].iloc[0]
+            if prev_spec != spec_str:
+                raise ValueError(
+                    f"--slice-compare: run {compare_to!r} was sliced "
+                    f"with spec {prev_spec!r}, this run uses "
+                    f"{spec_str!r} — diff refused (slice names/"
+                    "membership would differ by construction)"
+                )
+            prev = prev.drop(columns=["spec"])
         trans = slice_ops.slice_transitions(pdf, prev)
         diff_dir = f"{output_path}/slice_diff/run_id={run_id}"
         diff_schema = (

@@ -79,17 +79,35 @@ def capped_dim(
     summaries + a ≤ k-row driver materialization, deterministic error
     bounds) and restores the bounded-lattice guarantee for any dim.
     NULL stays NULL (its own ∅ slice, never folded into the tail);
-    the capped column is string-typed ``<col>_top``.
+    the capped column is string-typed ``<col>_top``. A genuine
+    ``'__other__'`` value in the TOP-K is refused loudly (it would
+    merge indistinguishably with the folded tail); one resident in the
+    tail folds with the tail, which is what tail means.
     """
     if k < 1:
         raise ValueError(f"cap k must be >= 1, got {k}")
+    out_col = f"{col}_top"
+    if out_col in df.columns:
+        raise ValueError(
+            f"capped dim would overwrite existing column {out_col!r}"
+        )
     from .sketch import heavy_hitters
 
-    top = [
-        str(r[col]) for r in heavy_hitters(df, col, k=k, capacity=capacity).collect()
-    ]  # bounded: ≤ k rows, already materialized driver-side
+    # sketch the STRING-CAST column, not the native one: the top list
+    # must compare against the same cast the capped expression uses
+    # (Python str(bytearray) != Spark's UTF-8 cast for binary — every
+    # value silently folded to __other__, caught by review repro), and
+    # the cast also makes ANY column type cappable (the sketch itself
+    # accepts only string/binary/integral keys).
     c = F.col(col).cast("string")
-    out_col = f"{col}_top"
+    hh = heavy_hitters(df.select(c.alias(col)), col, k=k, capacity=capacity)
+    top = [r[col] for r in hh.collect()]  # bounded: ≤ k rows, materialized
+    if "__other__" in top:
+        raise ValueError(
+            f"column {col!r} carries the literal '__other__' as a frequent "
+            "value — it would merge indistinguishably with the folded tail; "
+            "rename it upstream or slice the column uncapped"
+        )
     capped = (
         F.when(F.col(col).isNull(), F.lit(None).cast("string"))
         .when(c.isin(top) if top else F.lit(False), c)

@@ -64,7 +64,13 @@ def streaming_slice_counts(
     are computed row-wise BEFORE the aggregation (sequence_checks is
     pure codegen — no joins, stream-safe); the suite's per-source
     bound overrides are not available here (they need a dimension
-    join; use the batch pass for that)."""
+    join; use the batch pass for that).
+
+    Dims must be bounded-cardinality: streaming state is
+    |open windows| × |dim combos|, and the batch path's Misra-Gries
+    capping (``operators.slices.capped_dim``) needs a corpus pre-pass
+    a stream cannot run — cap high-cardinality dims upstream (or band
+    them with ``bucketized``) before wiring the stream in."""
     dims = list(dims)
     # fail at WIRING time, not per-batch inside a running query —
     # lattice_from_base would raise identically, but only after the

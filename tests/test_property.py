@@ -494,9 +494,8 @@ def test_slice_lattice_counts_match_bruteforce(spark, rows):
 @given(rows=SLICE_ROWS)
 def test_slice_transitions_partition_the_lattice(spark, rows):
     """Self-comparison: every slice is a *->same transition, zero
-    deltas; against an empty run: everything absent on one side."""
-    import pandas as pd
-
+    deltas. Against an empty previous run: every slice classifies
+    absent->{hot,quiet} and the prev-side fields are null."""
     from teleharvest_spark.operators import slices as sl
 
     df = spark.createDataFrame(rows, "source string, band int, fail boolean")
@@ -509,6 +508,11 @@ def test_slice_transitions_partition_the_lattice(spark, rows):
         tr in ("hot->hot", "quiet->quiet") for tr in t["transition"]
     )
     assert (t["rate_delta"].abs() < 1e-12).all()
+    empty = cur.iloc[0:0]
+    t0 = sl.slice_transitions(cur, empty)
+    assert len(t0) == len(cur)
+    assert all(tr in ("absent->hot", "absent->quiet") for tr in t0["transition"])
+    assert t0["rate_prev"].isna().all() and t0["rate_delta"].isna().all()
 
 
 # --------------------------------------------------- z-order props
@@ -525,20 +529,38 @@ ZVALS = st.lists(
 
 @PROP
 @given(rows=ZVALS)
-def test_zorder_frame_total_and_monotone(spark, rows):
-    """Every row gets a z-value in range; the code is monotone in each
-    column's bucket rank (fixing the other column), and NULLs never
-    throw — for arbitrary NULL/negative/duplicate shapes."""
+def test_zorder_frame_matches_interleave_model(spark, rows):
+    """Every row's z-value equals an independent numpy model of the
+    whole pipeline — dedup'd quantile splits → searchsorted bucket
+    rank (NULL → 0) → bit interleave — for arbitrary NULL/negative/
+    duplicate shapes. Totality, range, content-purity, and per-column
+    rank monotonicity all follow from model equality."""
+    import numpy as np
+
     from teleharvest_spark.sources import layout as ly
 
     df = spark.createDataFrame(rows, "x int, y int")
-    zf, bnds = ly.zorder_frame(df, ["x", "y"], bits=4)
+    bits = 4
+    zf, bnds = ly.zorder_frame(df, ["x", "y"], bits=bits)
     got = zf.select("x", "y", ly.ZVAL_COL).collect()
     assert len(got) == len(rows)
+
+    def rank(col, v):
+        uniq = []
+        for b in bnds[col]:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        if v is None or not uniq:
+            return 0
+        return int(np.searchsorted(np.array(uniq), v, side="right"))
+
+    def model_z(x, y):
+        rx, ry = rank("x", x), rank("y", y)
+        z = 0
+        for i in range(bits):
+            z |= ((rx >> i) & 1) << (2 * i)
+            z |= ((ry >> i) & 1) << (2 * i + 1)
+        return z
+
     for r in got:
-        assert 0 <= r[ly.ZVAL_COL] < (1 << 8)
-    # same (x, y) → same z (content-pure)
-    seen = {}
-    for r in got:
-        k = (r["x"], r["y"])
-        assert seen.setdefault(k, r[ly.ZVAL_COL]) == r[ly.ZVAL_COL]
+        assert r[ly.ZVAL_COL] == model_z(r["x"], r["y"]), (r, bnds)

@@ -423,3 +423,48 @@ def test_cli_topk_cap_syntax(spark, suite, tmp_path):
     with pytest.raises(ValueError, match="not topK"):
         slice_pass(spark, inp, str(tmp_path / "o"), "r2",
                    spec=("source:topX",), suite=suite)
+
+
+def test_capped_dim_binary_and_collision_guards(spark):
+    # binary dims: the sketch runs on the string CAST, so the hot
+    # value survives (review repro: str(bytearray) never matched the
+    # cast and everything folded to __other__)
+    rows = [(b"hot",)] * 50 + [(bytes([i]),) for i in range(30)]
+    df = spark.createDataFrame(rows, "v binary")
+    capped, col = sl.capped_dim(df, "v", k=1)
+    got = {r[col]: r["count"] for r in capped.groupBy(col).count().collect()}
+    assert got.get("hot") == 50 and got.get("__other__") == 30
+    # double dims cap too (any type via the cast)
+    dd = spark.createDataFrame([(1.5,)] * 10 + [(float(i),) for i in range(20)],
+                               "v double")
+    capped2, col2 = sl.capped_dim(dd, "v", k=1)
+    got2 = {r[col2]: r["count"] for r in capped2.groupBy(col2).count().collect()}
+    assert got2.get("1.5") == 10
+    # a literal '__other__' in the top-K refuses loudly
+    oth = spark.createDataFrame([("__other__",)] * 20 + [("x",)] * 5, "v string")
+    with pytest.raises(ValueError, match="__other__"):
+        sl.capped_dim(oth, "v", k=2)
+    # output-column collision refuses
+    from pyspark.sql import functions as SF
+
+    coll = df.withColumn("v_top", SF.lit("boom"))
+    with pytest.raises(ValueError, match="overwrite existing"):
+        sl.capped_dim(coll, "v", k=1)
+
+
+def test_slice_compare_refuses_cross_spec(spark, suite, tmp_path):
+    from teleharvest_spark import datagen
+    from teleharvest_spark.cli import slice_pass
+
+    inp = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 1000, suite).write.parquet(inp)
+    out = str(tmp_path / "out")
+    slice_pass(spark, inp, out, "r1", spec=("source", "n_tok:64"),
+               suite=suite, min_support=5)
+    with pytest.raises(ValueError, match="diff refused"):
+        slice_pass(spark, inp, out, "r2", spec=("source",), suite=suite,
+                   min_support=5, compare_to="r1")
+    # same spec still compares fine
+    rep = slice_pass(spark, inp, out, "r3", spec=("source", "n_tok:64"),
+                     suite=suite, min_support=5, compare_to="r1")
+    assert rep["compare_to"] == "r1"
