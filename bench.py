@@ -1402,7 +1402,47 @@ def main() -> None:
     }
     if sf1 is not None:
         payload["sf1"] = sf1
-    print(json.dumps(payload))
+
+    # Full payload → file; the driver's stdout capture keeps only a
+    # short tail, so the FINAL printed line must stay compact (<2 KB)
+    # or the round record loses its own headline (round-4 lesson:
+    # BENCH_r04 recorded "parsed": null because the one-line payload
+    # overflowed the capture window).
+    report_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_report.json")
+    with open(report_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"# full payload written to {report_path}", file=sys.stderr)
+
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "seq_per_sec": seq_per_sec,
+        "seq_per_sec_best": seq_per_sec_best,
+        "check_suite_ext_cores": ext_cores,
+        "suite_rows": SUITE_ROWS,
+        "cores": int(cpus),
+        "recall": {
+            k: {kk: v[kk] for kk in ("recall", "scan_fraction") if kk in v}
+            if isinstance(v, dict) else v
+            for k, v in recall.items()
+        },
+        "report": "BENCH_report.json",
+    }
+    if sf1 is not None:
+        compact["sf1_seq_per_sec"] = sf1.get("seq_per_sec")
+        compact["sf1_rows"] = sf1.get("suite_rows")
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 2000:  # keep the driver-captured tail parseable
+        for drop in ("recall", "check_suite_ext_cores", "queries"):
+            compact.pop(drop, None)
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= 2000:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

@@ -39,12 +39,61 @@ def _fake_decode(payload: bytes | None, modality: str) -> tuple[int, int, int, l
     return w, h, frames, feat
 
 
-def decode_assets(assets: DataFrame) -> DataFrame:
+def pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(payload: bytes | None, modality: str) -> tuple[int, int, int, list[float]]:
+    """Real image decode (optional dependency): PIL opens the payload,
+    reports true dimensions/frame count, and the feature vector is the
+    mean intensity of a 2×4 grid of the grayscale thumbnail — cheap,
+    deterministic, and the exact slot a learned embedding replaces.
+    Non-image modalities and undecodable payloads degrade to zeros (a
+    corrupt asset must not kill a partition-sized task)."""
+    import io
+
+    from PIL import Image
+
+    if payload is None or modality != "image":
+        return 0, 0, 0, [0.0] * 8
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            w, h = im.size
+            frames = int(getattr(im, "n_frames", 1))
+            g = np.asarray(
+                im.convert("L").resize((4, 2), Image.BILINEAR),
+                dtype=np.float32,
+            )
+        return w, h, frames, (g.reshape(-1) / 255.0).tolist()
+    except Exception:
+        return 0, 0, 0, [0.0] * 8
+
+
+def decode_assets(assets: DataFrame, codec: str = "fake") -> DataFrame:
     """mapInPandas decode/feature-extract over Arrow batches.
 
     One python worker per partition, whole-batch numpy work — the
     pattern a real image decode (PIL → resize → embed) plugs into.
-    """
+
+    ``codec='fake'`` (default) is the deterministic stand-in;
+    ``codec='pil'`` is the real image path behind the optional PIL
+    dependency (import checked DRIVER-side so a missing library fails
+    at plan time, not as 1000 executor task retries). Both produce the
+    same schema and batch shape — swapping codecs changes zero
+    plumbing."""
+    if codec not in ("fake", "pil"):
+        raise ValueError(f"unknown codec {codec!r} (fake|pil)")
+    if codec == "pil" and not pil_available():
+        raise NotImplementedError(
+            "codec='pil' requires pillow (optional dependency, not in "
+            "this container): pip install pillow"
+        )
+    decode = _fake_decode if codec == "fake" else _pil_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -53,7 +102,7 @@ def decode_assets(assets: DataFrame) -> DataFrame:
                 "modality": pdf["modality"],
             }
             decoded = [
-                _fake_decode(p, m)
+                decode(p, m)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             out["width"] = pd.Series([d[0] for d in decoded], dtype="int32")
@@ -78,9 +127,50 @@ def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = "asset_id string, payload binary, width int, height int"
+
+
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Real resize needs PIL — not in this container."""
-    raise NotImplementedError(
-        "image resize requires PIL/opencv (not installed); "
-        "plumbing path: decode_assets() mapInPandas with cv2.resize per batch"
-    )
+    """Batch image resize → PNG-re-encoded payloads, behind the
+    optional PIL dependency (NotImplementedError here, where pillow is
+    not installed). Same mapInPandas shape as decode_assets: Arrow
+    carries the binary column both ways, no per-row Python UDF, one
+    client-library import per worker process. Undecodable payloads
+    yield NULL output payloads rather than failing the task."""
+    if not pil_available():
+        raise NotImplementedError(
+            "image resize requires pillow (optional dependency, not in "
+            "this container): pip install pillow; "
+            "plumbing path: mapInPandas with Image.resize per batch"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in it:
+            payloads = []
+            for p, m in zip(pdf["payload"], pdf["modality"]):
+                if p is None or m != "image":
+                    payloads.append(None)
+                    continue
+                try:
+                    with Image.open(io.BytesIO(p)) as im:
+                        buf = io.BytesIO()
+                        im.resize((width, height), Image.BILINEAR).save(
+                            buf, format="PNG"
+                        )
+                    payloads.append(buf.getvalue())
+                except Exception:
+                    payloads.append(None)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=RESIZE_SCHEMA)

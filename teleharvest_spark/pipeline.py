@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -157,16 +158,26 @@ def run_all(
     resume: bool = True,
     drift: bool = True,
     source_dim_path: str | None = None,
-    stages: tuple[str, ...] = ("validate", "similarity", "metrics"),
+    stages: tuple[str, ...] = ("validate", "score", "similarity", "metrics"),
     metrics_key: str = "source",
     metrics_seq: str = "doc_seq",
     drift_baseline: str = "global",
+    scorer_factory=None,
+    score_input_path: str | None = None,
+    score_text_col: str = "text",
 ) -> dict:
     """Run the composed pipeline; returns a per-stage report dict.
 
     ``stages`` limits which stages run (the kill-between-stages test
     uses it to simulate a death after stage N; a production kill works
     the same way because state files gate per-stage).
+
+    ``scorer_factory`` + ``score_input_path`` enable the external-LLM
+    enrichment stage (U3/U4): a text table is scored through the
+    batched :mod:`operators.scoring` ``mapInPandas`` stage and the
+    F7/F8 threshold checks run over the result — with the reference's
+    F9 degraded mode (probe fails → rows pass unscored,
+    processor.py:121-122) decided by ONE driver-side probe per run.
     """
     from . import cli  # late import: cli imports plans which are heavy
 
@@ -196,6 +207,74 @@ def run_all(
                 {"digest": digest, "run_id": run_id, "report": r},
             )
             report["stages"]["validate"] = r
+
+    if "score" in stages and scorer_factory is not None and score_input_path:
+        from .operators import cascade as cascade_ops
+        from .operators import scoring
+
+        docs = spark.read.parquet(score_input_path)
+        available = scoring.probe_scorer(scorer_factory)
+        # availability is part of the digest: a degraded run must NOT
+        # satisfy the resume check once the scorer comes back
+        digest = (
+            content_digest(docs)
+            + ":" + suite.suite_hash()
+            + ":" + ("up" if available else "degraded")
+        )
+        prev = read_stage_state(output_path, "score") if resume else None
+        if prev and prev.get("digest") == digest:
+            report["stages"]["score"] = {"skipped": True}
+        else:
+            scored_path = os.path.join(output_path, "scored")
+            if available:
+                scored = scoring.score_stage(
+                    docs,
+                    scorer_factory,
+                    text_col=score_text_col,
+                    min_score=suite.min_score,
+                )
+            else:
+                # F9: unavailable scorer → rows pass UNSCORED (the
+                # reference returns True before any API call) — NULL
+                # columns keep the output schema stable for readers
+                scored = (
+                    docs.withColumn("score", F.lit(None).cast("double"))
+                    .withColumn("alt_text", F.lit(None).cast("string"))
+                    .withColumn("score_alt", F.lit(None).cast("double"))
+                )
+            scored.write.mode("overwrite").parquet(scored_path)
+            scored_back = spark.read.parquet(scored_path)
+            eff_suite = (
+                suite if available
+                else replace(suite, scorer_available=False)
+            )
+            checks = cascade_ops.scored_checks(eff_suite)
+            if checks:
+                ann = cascade_ops.apply_cascade(scored_back, checks)
+                viols = ann.where(
+                    F.col(cascade_ops.FIRST_FAIL_COL).isNotNull()
+                ).select(
+                    "doc_id",
+                    F.col(cascade_ops.FIRST_FAIL_COL).alias("check_name"),
+                    F.col(cascade_ops.REASON_COL).alias("reason"),
+                )
+                viols.write.mode("overwrite").parquet(
+                    os.path.join(output_path, "score_violations")
+                )
+                n_viol = spark.read.parquet(
+                    os.path.join(output_path, "score_violations")
+                ).count()
+            else:
+                n_viol = 0
+            n = scored_back.count()
+            st = {
+                "digest": digest, "run_id": run_id, "rows": n,
+                "violations": n_viol, "degraded": not available,
+            }
+            write_stage_state(output_path, "score", st)
+            report["stages"]["score"] = {
+                "rows": n, "violations": n_viol, "degraded": not available,
+            }
 
     if "similarity" in stages and embeddings_path:
         emb = spark.read.parquet(embeddings_path)

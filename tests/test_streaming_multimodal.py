@@ -61,8 +61,63 @@ def test_frame_sample(spark):
 
 
 def test_resize_is_stubbed(spark):
+    if multimodal.pil_available():
+        pytest.skip("pillow installed — stub gate not active")
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(_assets(spark), 224, 224)
+
+
+def test_pil_codec_gated_cleanly(spark):
+    """codec='pil' must fail at PLAN time (driver-side import check)
+    without pillow — not as executor task retries."""
+    if multimodal.pil_available():
+        pytest.skip("pillow installed — gate not active")
+    with pytest.raises(NotImplementedError, match="pillow"):
+        multimodal.decode_assets(_assets(spark), codec="pil")
+    with pytest.raises(ValueError):
+        multimodal.decode_assets(_assets(spark), codec="ffmpeg")
+
+
+@pytest.mark.skipif(
+    not multimodal.pil_available(), reason="pillow not installed (optional)"
+)
+def test_pil_codec_real_decode_and_resize(spark):
+    """Optional-dependency path: real PNG payloads decode to true
+    dimensions and resize round-trips through the same mapInPandas
+    plumbing (runs wherever pillow is present; auto-skips here)."""
+    import io
+
+    from PIL import Image
+
+    def png(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        ("p1", "image", png(20, 10, (255, 0, 0)), {}),
+        ("p2", "image", b"not a png", {}),
+        ("p3", "image", None, {}),
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id string, modality string, payload binary, meta map<string,string>",
+    )
+    out = {
+        r["asset_id"]: r
+        for r in multimodal.decode_assets(assets, codec="pil").collect()
+    }
+    assert (out["p1"]["width"], out["p1"]["height"]) == (20, 10)
+    assert len(out["p1"]["feature"]) == 8
+    assert out["p2"]["width"] == 0  # corrupt payload degrades, no crash
+    assert out["p3"]["width"] == 0
+    rs = {
+        r["asset_id"]: r
+        for r in multimodal.resize_images(assets, 8, 8).collect()
+    }
+    with Image.open(io.BytesIO(rs["p1"]["payload"])) as im:
+        assert im.size == (8, 8)
+    assert rs["p2"]["payload"] is None and rs["p3"]["payload"] is None
 
 
 def test_streaming_dedup_across_microbatches(spark, tmp_path):
