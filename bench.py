@@ -442,6 +442,9 @@ def prep_pipeline_bench(spark, sf_dir: str) -> dict:
         "full_sec": round(full_sec, 3),
         "docs_per_sec": round(n_docs / full_sec, 1),
         "full_ext_cores": el.cores,
+        "stage_walls": {
+            k: v.get("wall_sec") for k, v in rep["stages"].items()
+        },
         "kept": rep["stages"]["dedup"]["kept"],
         "quality_failed": rep["stages"]["quality"]["failed"],
         "batch_docs": n_batch,
@@ -451,6 +454,59 @@ def prep_pipeline_bench(spark, sf_dir: str) -> dict:
         "batch_dropped_dups": brep["dropped_dups"],
     }
     print(f"# prep_pipeline: {out_d}", file=sys.stderr)
+    return out_d
+
+
+def prep_sf1_bench(spark, base_dir: str) -> dict:
+    """The composed prep pipeline at the 10x documents fixture
+    (VERDICT r4 item 6): per-stage walls + the batch-vs-rebuild line
+    at the larger scale, so prep linearity is measured, not assumed
+    (the sf0.1 point is prep_pipeline's section). Note the documents
+    tables are small relative to the sequences fact (5k docs at
+    sf0.1 → 50k here) — the scaling EVIDENCE is the walls ratio
+    between the two sections at 10x the rows."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark import pipeline
+
+    build_sf1(spark, base_dir)
+    docs = f"{SF1_DIR}/documents.parquet"
+    out = "/tmp/bench_prep_sf1_wh"
+    shutil.rmtree(out, ignore_errors=True)
+    n_docs = spark.read.parquet(docs).count()
+    with _ExtLoad() as el:
+        t0 = time.perf_counter()
+        rep = pipeline.prep_corpus(spark, docs, out, run_id="bench_sf1")
+        full_sec = time.perf_counter() - t0
+
+    batch_dir = "/tmp/bench_prep_sf1_batch.parquet"
+    spark.read.parquet(docs).where("doc_id % 10 = 0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(200_000_000)
+    ).write.mode("overwrite").parquet(batch_dir)
+    n_batch = spark.read.parquet(batch_dir).count()
+    with _ExtLoad() as el2:
+        t1 = time.perf_counter()
+        brep = pipeline.prep_batch(spark, batch_dir, out, run_id="bench_sf1_b")
+        batch_sec = time.perf_counter() - t1
+    out_d = {
+        "docs": n_docs,
+        "full_sec": round(full_sec, 3),
+        "docs_per_sec": round(n_docs / full_sec, 1),
+        "full_ext_cores": el.cores,
+        "stage_walls": {
+            k: v.get("wall_sec") for k, v in rep["stages"].items()
+        },
+        "kept": rep["stages"]["dedup"]["kept"],
+        "quality_failed": rep["stages"]["quality"]["failed"],
+        "batch_docs": n_batch,
+        "batch_sec": round(batch_sec, 3),
+        "batch_ext_cores": el2.cores,
+        "batch_kept": brep["kept"],
+        "batch_dropped_dups": brep["dropped_dups"],
+    }
+    print(f"# prep_sf1: {out_d}", file=sys.stderr)
     return out_d
 
 
@@ -1208,13 +1264,54 @@ def slice_bench(spark) -> dict:
         run()
         samples.append(time.perf_counter() - t0)
     pdf = state["pdf"]
-    return {
+    out = {
         "slice_report_sec": round(min(samples), 3),
         "dim_combos": combos,
         "slices_scored": int(len(pdf)),
         "slices_flagged": int(pdf["flagged"].sum()),
         "top_slice": str(pdf.iloc[0]["slice"]) if len(pdf) else None,
     }
+
+    # shared-scan composition (VERDICT r4 item 4): one cli.run doing
+    # suite + slices off a single token decode, vs the two-pass shape
+    # (validate, then standalone slice_pass re-running the cascade).
+    import shutil
+
+    from teleharvest_spark import cli as cli_mod
+
+    wh = "/tmp/bench_slice_wh"
+    spec = ("source", "n_tok:256")
+
+    def combined():
+        shutil.rmtree(wh, ignore_errors=True)
+        cli_mod.run(
+            spark, "/tmp/bench_sequences.parquet", wh, check,
+            run_id="rb", slice_spec=spec,
+        )
+
+    def twopass():
+        shutil.rmtree(wh, ignore_errors=True)
+        cli_mod.run(spark, "/tmp/bench_sequences.parquet", wh, check, run_id="rb")
+        cli_mod.slice_pass(
+            spark, "/tmp/bench_sequences.parquet", wh, "rb",
+            spec=spec, suite=check,
+        )
+
+    for name, fn in (("combined_suite_slices_sec", combined),
+                     ("twopass_suite_slices_sec", twopass)):
+        fn()  # warm
+        ss = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            ss.append(time.perf_counter() - t0)
+        out[name] = round(min(ss), 3)
+    print(
+        f"# slices: combined {out['combined_suite_slices_sec']}s vs "
+        f"two-pass {out['twopass_suite_slices_sec']}s",
+        file=sys.stderr,
+    )
+    return out
 
 
 def zorder_bench(spark, sf_dir: str) -> dict:
@@ -1275,6 +1372,31 @@ def zorder_bench(spark, sf_dir: str) -> dict:
             for c, b in bands.items()
         },
     }
+
+
+def ann_curve_bench(spark, sf_dir: str) -> dict:
+    """Measured recall-vs-scan curve for both ANN methods (≥3 points
+    each, the VERDICT r4 item-5 evidence) plus the operating point
+    plan_ann selects for the headline target (recall ≥0.9 within a 50%
+    scan budget). Calibration = the planner's real API on the bench
+    fixture — what a deployment runs on a corpus sample before
+    provisioning the full job."""
+    from pyspark.sql import functions as F
+
+    from teleharvest_spark.operators import similarity as sim_ops
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 20)
+    t0 = time.perf_counter()
+    points = sim_ops.calibrate_ann(probes, emb, dim=64, k=5)
+    out = {
+        "calibrate_sec": round(time.perf_counter() - t0, 2),
+        "points": points,
+        "plan_target": {"recall": 0.9, "scan_budget": 0.5},
+        "chosen": sim_ops.plan_ann(points, 0.9, scan_budget=0.5),
+    }
+    print(f"# ann_curve: {len(points)} points, chosen={out['chosen']}", file=sys.stderr)
+    return out
 
 
 def main() -> None:
@@ -1356,6 +1478,7 @@ def main() -> None:
     pack_shard = pack_shard_bench(spark)
     inc_dedup = incremental_dedup_bench(spark, sf_dir)
     inc_spans = incremental_spans_bench(spark, sf_dir)
+    ann_curve = ann_curve_bench(spark, sf_dir)
     prep = prep_pipeline_bench(spark, sf_dir)
     corpus_clean = corpus_clean_bench(spark, sf_dir)
     curation = curation_bench(spark, sf_dir)
@@ -1367,8 +1490,10 @@ def main() -> None:
     zorder = zorder_bench(spark, sf_dir)
 
     sf1 = None
+    prep_sf1 = None
     if SF1_ENABLED and "0.1" in sf_dir:
         sf1 = sf1_section(spark, sf_dir, qs)
+        prep_sf1 = prep_sf1_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
@@ -1388,6 +1513,7 @@ def main() -> None:
         "pack_shard": pack_shard,
         "incremental_dedup": inc_dedup,
         "incremental_spans": inc_spans,
+        "ann_curve": ann_curve,
         "prep_pipeline": prep,
         "corpus_clean": corpus_clean,
         "curation": curation,
@@ -1402,6 +1528,8 @@ def main() -> None:
     }
     if sf1 is not None:
         payload["sf1"] = sf1
+    if prep_sf1 is not None:
+        payload["prep_sf1"] = prep_sf1
 
     # Full payload → file; the driver's stdout capture keeps only a
     # short tail, so the FINAL printed line must stay compact (<2 KB)

@@ -424,6 +424,10 @@ def run(
     violation_sample: int | None = None,
     emit_valid: str | None = None,
     sample_frac: float | None = None,
+    slice_spec: tuple[str, ...] | None = None,
+    slice_min_support: int = 30,
+    slice_top_k: int | None = None,
+    slice_min_lift: float = 1.5,
 ) -> dict:
     """``sample_frac`` — PRE-FLIGHT mode: validate a deterministic
     content-hash sample (xxhash64(doc_id) carve, so the same rows
@@ -474,6 +478,10 @@ def run(
             "corpus_states": corpus_states, "token_drift": token_drift,
             "hot_tokens": hot_tokens,
             "drift_baseline='previous'": drift_baseline == "previous",
+            # a sampled slice lattice would under-count every bucket
+            # by ~frac with per-bucket noise — not a diagnostic to
+            # store under the real slices layout
+            "slice_spec": slice_spec,
         }
         bad = [k for k, v in refused.items() if v]
         if bad:
@@ -592,6 +600,17 @@ def run(
             pending_sources,
         )
 
+    slice_plan = None
+    if slice_spec:
+        # Shared-scan slices (VERDICT r4 item 4): validate the spec
+        # NOW (fail fast) and hand run_suite the RAW columns it must
+        # carry on the failing rows — the slice numerator then rides
+        # the suite's one token decode; only a token-free column-
+        # pruned aggregate runs extra (see the slices block below).
+        slice_plan = _slice_plan_validate(sequences, tuple(slice_spec))
+    slice_raw_cols = tuple(
+        dict.fromkeys(col for _, col, _ in (slice_plan or []))
+    )
     t0 = time.perf_counter()
     res = suite_plan.run_suite(
         sequences,
@@ -601,6 +620,7 @@ def run(
         source_dim=source_dim,
         stored_key_counts=stored_key_counts,
         violation_sample=violation_sample,
+        slice_dims=slice_raw_cols,
     )
     # violations land hive-partitioned by a DERIVED dir column with
     # bounded file counts — the common failure-triage read ("show me
@@ -711,6 +731,81 @@ def run(
             "certified_rows": n_cert,
             "certified_layout": "inline" if inline else "clustered",
         }
+    slices_report = {}
+    if slice_plan is not None:
+        # Shared-scan slice report: the numerator (per-dim-bucket
+        # cascade-failing counts) is a projection of the suite's
+        # ALREADY-PERSISTED failing rows — exact per-row fail bits,
+        # zero extra token decodes. The denominator is a token-free
+        # column-pruned aggregate (ReadSchema excludes the tokens
+        # array, so the scan reads ~none of the table's bytes). The
+        # union-then-sum merge keeps NULL dim values grouped correctly
+        # (a left join on dims would drop NULL-bucket numerators).
+        # Per-check narrowing (--slice-check) needs FAILED_ALL
+        # multi-counting and stays on the standalone slice_pass.
+        from .operators import slices as slice_ops
+
+        tops = {
+            col: slice_ops.top_values(sequences, col, param)
+            for kind, col, param in slice_plan
+            if kind == "top"
+        }
+        num_src, dims = _slice_plan_apply(
+            res.failing_dim_rows, slice_plan, tops
+        )
+        den_src, _ = _slice_plan_apply(
+            sequences.select(*slice_raw_cols), slice_plan, tops
+        )
+        base = (
+            den_src.groupBy(*dims)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(*dims, "_n", F.lit(0).cast("long").alias("_v"))
+            .unionByName(
+                num_src.groupBy(*dims)
+                .agg(F.count(F.lit(1)).alias("_v"))
+                .select(*dims, F.lit(0).cast("long").alias("_n"), "_v")
+            )
+            .groupBy(*dims)
+            .agg(F.sum("_n").alias("_n"), F.sum("_v").alias("_v"))
+        )
+        import numpy as np
+        import pandas as pd
+
+        pdf = slice_ops.score_lattice(
+            slice_ops.lattice_from_base(
+                base, dims, min_support=slice_min_support
+            ).toPandas(),
+            min_lift=slice_min_lift,
+            top_k=slice_top_k,
+        )
+        out_dir = f"{output_path}/slices/run_id={run_id}"
+        slice_schema = (
+            "slice string, arity int, n long, violations long, rate double, "
+            "global_rate double, lift double, z double, p_value double, "
+            "flagged boolean, dominated boolean, spec string"
+        )
+        spec_str = ",".join(slice_spec)
+        spark.createDataFrame(
+            pdf.astype({"arity": "int64"}).assign(spec=spec_str),
+            schema=slice_schema,
+        ).coalesce(1).write.mode("overwrite").parquet(out_dir)
+        slices_report = {
+            "slice_dims": dims,
+            "slices_scored": int(len(pdf)),
+            "slices_flagged": int(pdf["flagged"].sum()) if len(pdf) else 0,
+            "top_slices": [
+                {
+                    "slice": r["slice"],
+                    "n": int(r["n"]),
+                    "violations": int(r["violations"]),
+                    "rate": round(float(r["rate"]), 4),
+                    "lift": None if pd.isna(r["lift"]) else round(float(r["lift"]), 2),
+                    "z": round(float(r["z"]), 2) if np.isfinite(r["z"]) else float("inf"),
+                    "dominated": bool(r["dominated"]),
+                }
+                for _, r in pdf[pdf["flagged"]].head(10).iterrows()
+            ],
+        }
     res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
     if sample_frac is None:
         # a sampled run must NOT mark partitions validated — the
@@ -800,6 +895,7 @@ def run(
         **preflight_report,
         **sample_report,
         **certified_report,
+        **({"slices": slices_report} if slices_report else {}),
         "partitions": res.verdicts.count(),
         "wall_sec": round(wall, 3),
         "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
@@ -981,6 +1077,83 @@ def skew_pass(
     }
 
 
+def _slice_plan_validate(seqs: DataFrame, spec: tuple[str, ...]) -> list:
+    """PHASE 1 of a slice spec: validate every item against the table
+    schema BEFORE any Spark job (a typo'd column must fail fast, not
+    as an AnalysisException plan dump mid-run). Returns the parsed
+    plan [(kind, col, param)] with kind ∈ plain|band|top."""
+    numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+    col_types = {
+        f.name: f.dataType.typeName().split("(")[0] for f in seqs.schema.fields
+    }
+    plan: list[tuple[str, str, int | None]] = []
+    for item in spec:
+        if ":" in item:
+            col, _, w = item.partition(":")
+            if col not in seqs.columns:
+                raise ValueError(f"--slice-report column {col!r} not in table")
+            if w.startswith("top"):
+                try:
+                    k = int(w[3:])
+                except ValueError:
+                    raise ValueError(
+                        f"--slice-report cap {w!r} for {col!r} is not topK"
+                    ) from None
+                if f"{col}_top" in seqs.columns:
+                    raise ValueError(
+                        f"--slice-report cap would overwrite existing "
+                        f"column {col}_top"
+                    )
+                plan.append(("top", col, k))
+                continue
+            if col_types[col] not in numeric:
+                raise ValueError(
+                    f"--slice-report band column {col!r} must be numeric, "
+                    f"got {col_types[col]}"
+                )
+            try:
+                width = int(w)
+            except ValueError:
+                raise ValueError(
+                    f"--slice-report band width {w!r} for {col!r} is not an int"
+                ) from None
+            if f"{col}_band" in seqs.columns:
+                raise ValueError(
+                    f"--slice-report band would overwrite existing "
+                    f"column {col}_band"
+                )
+            plan.append(("band", col, width))
+        else:
+            if item not in seqs.columns:
+                raise ValueError(f"--slice-report column {item!r} not in table")
+            plan.append(("plain", item, None))
+    return plan
+
+
+def _slice_plan_apply(
+    df: DataFrame, plan: list, tops: dict[str, list]
+) -> tuple[DataFrame, list[str]]:
+    """PHASE 2: apply the validated transforms to ANY frame carrying
+    the raw columns. ``tops`` holds the per-column Misra-Gries value
+    sets (precomputed once) so the numerator and denominator of the
+    shared-scan path fold their tails against the SAME set."""
+    from .operators import slices as slice_ops
+
+    dims: list[str] = []
+    for kind, col, param in plan:
+        if kind == "top":
+            df = df.withColumn(
+                f"{col}_top", slice_ops.capped_expr(col, tops[col])
+            )
+            dims.append(f"{col}_top")
+        elif kind == "band":
+            df = df.withColumn(f"{col}_band", slice_ops.bucketized(col, param))
+            dims.append(f"{col}_band")
+        else:
+            dims.append(col)
+    return df, dims
+
+
 def slice_pass(
     spark: SparkSession,
     input_path: str,
@@ -1022,52 +1195,7 @@ def slice_pass(
     # the cascade, a bad width as a raw traceback, and a topK cap
     # would pay its full Misra-Gries corpus scan only to die on a
     # later item's validation (the layout._validate convention).
-    numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
-    col_types = {f.name: f.dataType.typeName().split("(")[0] for f in seqs.schema.fields}
-    plan: list[tuple[str, str, int | None]] = []  # (kind, col, param)
-    for item in spec:
-        if ":" in item:
-            col, _, w = item.partition(":")
-            if col not in seqs.columns:
-                raise ValueError(f"--slice-report column {col!r} not in table")
-            if w.startswith("top"):
-                # high-cardinality dim: col:topK keeps the MG top-K
-                # values (any column type — the cap sketches the
-                # string cast), folds the tail to __other__
-                try:
-                    k = int(w[3:])
-                except ValueError:
-                    raise ValueError(
-                        f"--slice-report cap {w!r} for {col!r} is not topK"
-                    ) from None
-                if f"{col}_top" in seqs.columns:
-                    raise ValueError(
-                        f"--slice-report cap would overwrite existing "
-                        f"column {col}_top"
-                    )
-                plan.append(("top", col, k))
-                continue
-            if col_types[col] not in numeric:
-                raise ValueError(
-                    f"--slice-report band column {col!r} must be numeric, "
-                    f"got {col_types[col]}"
-                )
-            try:
-                width = int(w)
-            except ValueError:
-                raise ValueError(
-                    f"--slice-report band width {w!r} for {col!r} is not an int"
-                ) from None
-            if f"{col}_band" in seqs.columns:
-                raise ValueError(
-                    f"--slice-report band would overwrite existing "
-                    f"column {col}_band"
-                )
-            plan.append(("band", col, width))
-        else:
-            if item not in seqs.columns:
-                raise ValueError(f"--slice-report column {item!r} not in table")
-            plan.append(("plain", item, None))
+    plan = _slice_plan_validate(seqs, spec)
     if source_dim_path:
         seqs = cascade_ops.with_source_bounds(
             seqs, spark.read.parquet(source_dim_path)
@@ -1085,18 +1213,12 @@ def slice_pass(
 
     # PHASE 2 — apply the validated transforms (topK caps run their
     # one bounded sketch scan each)
-    dims: list[str] = []
-    for kind, col, param in plan:
-        if kind == "top":
-            seqs, capped = slice_ops.capped_dim(seqs, col, param)
-            dims.append(capped)
-        elif kind == "band":
-            seqs = seqs.withColumn(
-                f"{col}_band", slice_ops.bucketized(col, param)
-            )
-            dims.append(f"{col}_band")
-        else:
-            dims.append(col)
+    tops = {
+        col: slice_ops.top_values(seqs, col, param)
+        for kind, col, param in plan
+        if kind == "top"
+    }
+    seqs, dims = _slice_plan_apply(seqs, plan, tops)
     fail = None
     if check is not None:
         fail = F.array_contains(
@@ -1591,6 +1713,15 @@ def main(argv: list[str] | None = None) -> int:
         "and exits",
     )
     ap.add_argument(
+        "--slices",
+        default=None,
+        metavar="DIMS",
+        help="run the slice report INSIDE the validate run, riding its "
+        "single token decode (same dims syntax as --slice-report minus "
+        "--slice-check narrowing; same output layout); one fact decode "
+        "for suite+slices instead of two",
+    )
+    ap.add_argument(
         "--slice-min-support",
         type=int,
         default=30,
@@ -1910,6 +2041,16 @@ def main(argv: list[str] | None = None) -> int:
             violation_sample=args.violation_sample,
             emit_valid=args.emit_valid,
             sample_frac=args.sample_frac,
+            slice_spec=(
+                tuple(
+                    c.strip() for c in args.slices.split(",") if c.strip()
+                )
+                if args.slices
+                else None
+            ),
+            slice_min_support=args.slice_min_support,
+            slice_top_k=args.slice_top_k,
+            slice_min_lift=args.slice_min_lift,
         )
     if quality_report is not None:
         report["quality"] = quality_report

@@ -763,3 +763,174 @@ def query_ivf_index(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Operating-point planner (VERDICT r4 item 5): plan_lsh's empirical
+# twin for the ANN side. The LSH-banding planner is closed-form; IVF /
+# hyperplane-LSH recall over a REAL embedding distribution is not, so
+# the planner here is measure-then-choose: calibrate a small config
+# grid against the exact verifier on a bounded probe sample, then pick
+# the cheapest configuration meeting the (recall, scan-budget) target.
+# At 10^12 rows the calibration runs on a corpus/probe SAMPLE and the
+# chosen config is applied to the full corpus — the sample pays
+# seconds to save a mis-provisioned full scan.
+# ---------------------------------------------------------------------------
+
+DEFAULT_IVF_GRID: tuple[tuple[int, int, float], ...] = (
+    (64, 8, 0.0),
+    (64, 16, 0.0),
+    (64, 32, 0.0),
+    (128, 56, 0.06),
+)
+DEFAULT_LSH_GRID: tuple[tuple[int, int, int], ...] = (
+    (12, 4, 0),
+    (8, 16, 0),
+    (8, 16, 1),
+)
+
+
+def _mean_recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
+    """sum(|exact ∩ approx|) / sum(|exact|) over probes — the same
+    estimator bench.py's recall lines use, computed Spark-side."""
+    ex = exact.groupBy("probe_id").agg(
+        F.collect_set("neighbor_id").alias("_ex")
+    )
+    ap = approx.groupBy("probe_id").agg(
+        F.collect_set("neighbor_id").alias("_ap")
+    )
+    row = (
+        ex.join(ap, "probe_id", "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.col("_ex"),
+                    # type-generic empty array: slice(_ex, 1, 0) keeps
+                    # the id element type whatever id_col is
+                    F.coalesce(F.col("_ap"), F.slice(F.col("_ex"), 1, 0)),
+                )
+            ).alias("hit"),
+            F.size("_ex").alias("tot"),
+        )
+        .agg(F.sum("hit").alias("hit"), F.sum("tot").alias("tot"))
+        .first()
+    )
+    return float(row["hit"] / row["tot"]) if row["tot"] else 1.0
+
+
+def calibrate_ann(
+    probes: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    ivf_grid: tuple = DEFAULT_IVF_GRID,
+    lsh_grid: tuple = DEFAULT_LSH_GRID,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[dict]:
+    """Measure (recall@k, corpus scan fraction) for every grid config
+    against the exact brute force on THIS probe set — the empirical
+    curve :func:`plan_ann` selects from.
+
+    ``probes`` must already be a bounded sample (tens of rows): each
+    grid point is a full ANN query job over the corpus, and the exact
+    verifier is a probes × corpus scan. Returns one dict per config:
+    ``{method, params, recall, scan_fraction}``, grid order preserved.
+    """
+    exact = brute_force_topk(
+        probes, corpus, k=k, id_col=id_col, vec_col=vec_col
+    ).persist()
+    exact.count()
+    points: list[dict] = []
+    try:
+        for n_cells, n_probe, eps in ivf_grid:
+            ap = ivf_topk(
+                probes, corpus, dim, k=k, n_cells=n_cells, n_probe=n_probe,
+                spill_eps=eps, id_col=id_col, vec_col=vec_col,
+            )
+            points.append(
+                {
+                    "method": "ivf",
+                    "params": {
+                        "n_cells": n_cells, "n_probe": n_probe,
+                        "spill_eps": eps,
+                    },
+                    "recall": round(_mean_recall_at_k(exact, ap), 4),
+                    "scan_fraction": round(
+                        ivf_scan_fraction(
+                            probes, corpus, dim, n_cells=n_cells,
+                            n_probe=n_probe, spill_eps=eps,
+                            id_col=id_col, vec_col=vec_col,
+                        ),
+                        4,
+                    ),
+                }
+            )
+        for n_planes, n_tables, multiprobe in lsh_grid:
+            ap = lsh_topk(
+                probes, corpus, dim, k=k, n_planes=n_planes,
+                n_tables=n_tables, multiprobe=multiprobe,
+                id_col=id_col, vec_col=vec_col,
+            )
+            points.append(
+                {
+                    "method": "lsh",
+                    "params": {
+                        "n_planes": n_planes, "n_tables": n_tables,
+                        "multiprobe": multiprobe,
+                    },
+                    "recall": round(_mean_recall_at_k(exact, ap), 4),
+                    "scan_fraction": round(
+                        lsh_scan_fraction(
+                            probes, corpus, dim, n_planes=n_planes,
+                            n_tables=n_tables, multiprobe=multiprobe,
+                            id_col=id_col, vec_col=vec_col,
+                        ),
+                        4,
+                    ),
+                }
+            )
+    finally:
+        exact.unpersist()
+    return points
+
+
+def plan_ann(
+    points: list[dict],
+    target_recall: float,
+    scan_budget: float | None = None,
+) -> dict:
+    """Pick an operating point from measured ``calibrate_ann`` output.
+
+    Selection, deterministic:
+
+    1. among configs with ``recall >= target_recall`` (and
+       ``scan_fraction <= scan_budget`` when a budget is given), the
+       CHEAPEST scan wins (tie → higher recall, then method/params
+       string order) — ``feasible: True``;
+    2. no config qualifies → the best-recall config inside the budget
+       (or overall, budget-less) — ``feasible: False``, so the caller
+       sees the target was NOT met rather than silently under-recalling
+       (the asymmetry mirrors plan_lsh: missed neighbors are
+       unrecoverable, extra scan is bounded cost).
+
+    Returns the chosen point plus ``{"feasible": bool}``.
+    """
+    if not points:
+        raise ValueError("no calibration points")
+
+    def in_budget(p: dict) -> bool:
+        return scan_budget is None or p["scan_fraction"] <= scan_budget
+
+    def order(p: dict):
+        return (
+            p["scan_fraction"], -p["recall"], p["method"], str(sorted(p["params"].items())),
+        )
+
+    feasible = [p for p in points if p["recall"] >= target_recall and in_budget(p)]
+    if feasible:
+        chosen = min(feasible, key=order)
+        return {**chosen, "feasible": True}
+    pool = [p for p in points if in_budget(p)] or list(points)
+    chosen = max(pool, key=lambda p: (p["recall"], -p["scan_fraction"]))
+    return {**chosen, "feasible": False}

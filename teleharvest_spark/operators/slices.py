@@ -84,13 +84,24 @@ def capped_dim(
     merge indistinguishably with the folded tail); one resident in the
     tail folds with the tail, which is what tail means.
     """
-    if k < 1:
-        raise ValueError(f"cap k must be >= 1, got {k}")
     out_col = f"{col}_top"
     if out_col in df.columns:
         raise ValueError(
             f"capped dim would overwrite existing column {out_col!r}"
         )
+    top = top_values(df, col, k, capacity=capacity)
+    return df.withColumn(out_col, capped_expr(col, top)), out_col
+
+
+def top_values(
+    df: DataFrame, col: str, k: int, capacity: int = 4096
+) -> list:
+    """The Misra-Gries top-``k`` STRING-CAST values of ``col`` —
+    :func:`capped_dim`'s sketch step, exposed so callers capping TWO
+    frames (the shared-scan suite+slices path caps the numerator and
+    denominator against the SAME value set) sketch once."""
+    if k < 1:
+        raise ValueError(f"cap k must be >= 1, got {k}")
     from .sketch import heavy_hitters
 
     # sketch the STRING-CAST column, not the native one: the top list
@@ -108,12 +119,18 @@ def capped_dim(
             "value — it would merge indistinguishably with the folded tail; "
             "rename it upstream or slice the column uncapped"
         )
-    capped = (
+    return top
+
+
+def capped_expr(col: str, top: list) -> Column:
+    """The fold-to-``__other__`` expression over a known top set —
+    :func:`capped_dim`'s apply step. NULL stays NULL."""
+    c = F.col(col).cast("string")
+    return (
         F.when(F.col(col).isNull(), F.lit(None).cast("string"))
         .when(c.isin(top) if top else F.lit(False), c)
         .otherwise(F.lit("__other__"))
     )
-    return df.withColumn(out_col, capped), out_col
 
 
 def _fail_col(df: DataFrame, fail: Column | str | None) -> Column:

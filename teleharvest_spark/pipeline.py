@@ -52,6 +52,31 @@ from .streaming import refresh as vsink
 STATE_DIRNAME = "_pipeline_state"
 
 
+class _StageTimer(dict):
+    """``report["stages"]`` wrapper that stamps each stage's wall-clock
+    as it completes: stages run sequentially and each writes its report
+    entry exactly once at its end, so the delta since the previous
+    entry (or construction) IS the stage's wall. Zero per-stage
+    instrumentation; skipped stages show their (tiny) digest-check
+    cost, which is itself worth seeing in a resume run."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        import time as _time
+
+        self._clock = _time.perf_counter
+        self._last = self._clock()
+
+    def __setitem__(self, key, value):  # noqa: ANN001
+        now = self._clock()
+        # skipped entries stay exactly {"skipped": True} — the skip
+        # shape is a pinned contract (tests compare it literally)
+        if isinstance(value, dict) and not value.get("skipped"):
+            value = {**value, "wall_sec": round(now - self._last, 3)}
+        self._last = now
+        super().__setitem__(key, value)
+
+
 def _state_path(output_path: str, stage: str) -> str:
     return os.path.join(output_path, STATE_DIRNAME, f"{stage}.json")
 
@@ -507,7 +532,7 @@ def prep_corpus(
     from .functions.text import hash_tokens
     from .sources.writer import source_dir_col, write_partitioned
 
-    report: dict = {"run_id": run_id, "stages": {}}
+    report: dict = {"run_id": run_id, "stages": _StageTimer()}
     qdir = os.path.join(output_path, "quality_violations")
     cdir = os.path.join(output_path, "clean_docs")
     compdir = os.path.join(output_path, "dup_components")

@@ -31,6 +31,10 @@ class ValidationResult:
     # unsampled)
     failing_ids: DataFrame | None = None
     hist: DataFrame | None = None  # per-(source, bucket) n_tok histogram of THIS run
+    # narrow (slice_dims...) frame, ONE ROW PER CASCADE-FAILING ROW —
+    # the exact numerator for a slice report riding this run's decode
+    # scan (None unless run_suite was called with slice_dims)
+    failing_dim_rows: DataFrame | None = None
     _cached: tuple = ()    # internal: persisted DataFrames to release
     _overlap: tuple = ()   # internal: persisted branches independent of violations
 
@@ -123,8 +127,20 @@ def run_suite(
     source_dim: DataFrame | None = None,
     stored_key_counts: DataFrame | None = None,
     violation_sample: int | None = None,
+    slice_dims: tuple[str, ...] = (),
 ) -> ValidationResult:
     """Run every check family over the sequences table.
+
+    ``slice_dims`` — input column names a slice report will slice by:
+    the run additionally exposes ``failing_dim_rows`` (one narrow row
+    per CASCADE-failing row, carrying exactly those columns) derived
+    from the SAME annotated plan, so a combined suite+slices run pays
+    one token decode instead of two (the slice numerator needs the
+    per-row fail bit, which only the cascade's decode can produce; the
+    denominator is a token-free column-pruned aggregate the caller
+    runs separately). Exact per-row semantics — a duplicated doc_id
+    whose two rows land in different dim buckets counts in the right
+    bucket, which a failing-ids join could not guarantee.
 
     The cascade already covers unknown_source/banned rows row-wise;
     uniqueness contributes rows the cascade can't see (cross-row).
@@ -137,6 +153,12 @@ def run_suite(
     partitions' occurrences into the dup totals so a resume-scoped run
     still flags cross-partition duplicates with full-run counts.
     """
+    missing_dims = sorted(set(slice_dims) - set(sequences.columns))
+    if missing_dims:
+        raise ValueError(
+            f"slice_dims {missing_dims} not in the input table "
+            f"(columns: {sequences.columns})"
+        )
     # Optional per-source threshold overrides (FIXTURES.md T2): the
     # dimension broadcast-joins onto the fact for the cascade only —
     # the pruned uniqueness/stats/drift scans stay joins-free.
@@ -218,7 +240,52 @@ def run_suite(
     )
     per_check = None
     viol_keys = None
-    if violation_sample is None:
+    failing_rows = None
+    failing_dim_rows = None
+    tokens_sel = (
+        F.col("tokens")
+        if "tokens" in sequences.columns
+        else F.lit(None).cast("array<int>").alias("tokens")
+    )
+    if violation_sample is None and slice_dims:
+        # Shared-scan mode: persist the PRE-explode failing rows (≤ the
+        # violation count — a row failing cascade AND duplicate_key is
+        # stored once) as the single parent the one decode scan
+        # materializes; violations AND the slice numerator are cheap
+        # projections of this cache, so the slice report adds zero
+        # token decodes to the run.
+        fail_any = (
+            F.col(cascade.FIRST_FAIL_COL).isNotNull()
+            | F.col("dup_count").isNotNull()
+        )
+        extra_dims = [c for c in slice_dims if c not in ("doc_id", "source")]
+        failing_rows = (
+            annotated.where(fail_any)
+            .select(
+                "doc_id",
+                "source",
+                tokens_sel,
+                cascade.FIRST_FAIL_COL,
+                cascade.REASON_COL,
+                "dup_count",
+                *extra_dims,
+            )
+            .persist()
+        )
+        violations = (
+            failing_rows.select(
+                "doc_id", "source", "tokens", vstruct.alias("_v")
+            )
+            .select(
+                "doc_id", "source", F.col("_v.check_name"),
+                F.col("_v.reason"), "tokens",
+            )
+            .persist()
+        )
+        failing_dim_rows = failing_rows.where(
+            F.col(cascade.FIRST_FAIL_COL).isNotNull()
+        ).select(*slice_dims)
+    elif violation_sample is None:
         violations = violations_plan.persist()
     else:
         # Capped mode trades ONE extra decode pass (counts, then the
@@ -231,9 +298,20 @@ def run_suite(
         # and the failing-id set — without it, certification
         # (emit_valid) would re-run the full cascade decode a third
         # time just to rebuild the failing ids.
-        viol_keys = violations_plan.select(
-            "doc_id", "source", "check_name"
-        ).persist()
+        extra_dims = [c for c in slice_dims if c not in ("doc_id", "source")]
+        viol_keys = (
+            annotated.select(
+                "doc_id", "source", vstruct.alias("_v"), *extra_dims
+            )
+            .select(
+                "doc_id", "source", F.col("_v.check_name"), *extra_dims
+            )
+            .persist()
+        )
+        if slice_dims:
+            failing_dim_rows = viol_keys.where(
+                F.col("check_name") != "duplicate_key"
+            ).select(*slice_dims)
         per_check = (
             viol_keys.groupBy("source", "check_name")
             .agg(F.count(F.lit(1)).alias("check_cnt"))
@@ -367,7 +445,9 @@ def run_suite(
         stats=part_stats,
         failing_ids=failing_ids,
         hist=hist,
+        failing_dim_rows=failing_dim_rows,
         _cached=(violations, dups)
+        + ((failing_rows,) if failing_rows is not None else ())
         + ((per_check, viol_keys) if violation_sample is not None else ())
         + overlap
         + ((hist,) if hist is not None else ()),

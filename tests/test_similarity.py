@@ -285,3 +285,59 @@ def test_ivf_index_rebuild_crash_window_reads_as_no_index(spark, tmp_path):
     meta = similarity.build_ivf_index(df, idx, dim=4, n_cells=4)
     assert meta["n_cells"] == 4
     assert similarity.query_ivf_index(df, idx, k=1, n_probe=4).count() == 20
+
+
+def test_plan_ann_selection_rules():
+    pts = [
+        {"method": "ivf", "params": {"n_probe": 8}, "recall": 0.5, "scan_fraction": 0.13},
+        {"method": "ivf", "params": {"n_probe": 32}, "recall": 0.92, "scan_fraction": 0.50},
+        {"method": "ivf", "params": {"n_probe": 56}, "recall": 0.97, "scan_fraction": 0.495},
+        {"method": "lsh", "params": {"n_tables": 16}, "recall": 0.92, "scan_fraction": 0.46},
+    ]
+    # cheapest feasible scan wins
+    got = similarity.plan_ann(pts, target_recall=0.9)
+    assert got["feasible"] and got["method"] == "lsh" and got["scan_fraction"] == 0.46
+    # tighter recall target excludes lsh → ivf spill point
+    got = similarity.plan_ann(pts, target_recall=0.95)
+    assert got["feasible"] and got["params"] == {"n_probe": 56}
+    # infeasible target → best recall in budget, flagged
+    got = similarity.plan_ann(pts, target_recall=0.99, scan_budget=0.5)
+    assert not got["feasible"] and got["recall"] == 0.97
+    # budget excludes everything ≥0.9 → cheap point, flagged
+    got = similarity.plan_ann(pts, target_recall=0.9, scan_budget=0.2)
+    assert not got["feasible"] and got["scan_fraction"] == 0.13
+    # ties broken deterministically (same scan/recall → method order)
+    tie = [
+        {"method": "lsh", "params": {"a": 1}, "recall": 0.95, "scan_fraction": 0.4},
+        {"method": "ivf", "params": {"b": 2}, "recall": 0.95, "scan_fraction": 0.4},
+    ]
+    assert similarity.plan_ann(tie, 0.9)["method"] == "ivf"
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.plan_ann([], 0.9)
+
+
+def test_calibrate_ann_measures_real_curve(spark):
+    """Calibration on a clustered fixture: the full-probe IVF config
+    (n_probe == n_cells ≡ brute force) must report recall 1.0 and
+    ~full scan; a 1-probe config must scan less; plan_ann over the
+    measured points picks a feasible config for an easy target."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(60, 8).astype(np.float32)
+    corpus = _emb(spark, [(i, (base[i] / np.linalg.norm(base[i])).tolist(), 0) for i in range(60)])
+    probes = _emb(spark, [(100 + i, (base[i] / np.linalg.norm(base[i])).tolist(), 1) for i in range(4)])
+    pts = similarity.calibrate_ann(
+        probes, corpus, dim=8, k=3,
+        ivf_grid=((4, 4, 0.0), (4, 1, 0.0)),
+        lsh_grid=((4, 8, 1),),
+    )
+    assert len(pts) == 3
+    by = {(p["method"], tuple(sorted(p["params"].items()))): p for p in pts}
+    full = by[("ivf", (("n_cells", 4), ("n_probe", 4), ("spill_eps", 0.0)))]
+    one = by[("ivf", (("n_cells", 4), ("n_probe", 1), ("spill_eps", 0.0)))]
+    assert full["recall"] == 1.0 and full["scan_fraction"] > 0.9
+    assert one["scan_fraction"] < full["scan_fraction"]
+    assert one["recall"] <= full["recall"]
+    chosen = similarity.plan_ann(pts, target_recall=0.99)
+    assert chosen["feasible"] and chosen["recall"] >= 0.99
