@@ -133,10 +133,6 @@ def test_run_suite_slice_dims_capped_mode_exact_counts(spark, tmp_path):
     seqs = spark.read.parquet(inp)
     suite = _suite()
     r_full = suite_plan.run_suite(seqs, suite, slice_dims=("source",))
-    full = {
-        tuple(r): 1
-        for r in []
-    }
     full_counts = {
         r["source"]: r["c"]
         for r in r_full.failing_dim_rows.groupBy("source")
