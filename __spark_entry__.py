@@ -766,6 +766,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Headline ANN operating points — these are the configurations
+# similarity.plan_ann selects for (target recall 0.9, scan budget 0.5)
+# on this fixture; bench.py's ann_curve section re-measures the curve
+# and the chosen point every round, so drift between these constants
+# and the planner's choice is visible in BENCH_report.json.
 ANN_LSH_PARAMS = dict(n_planes=8, n_tables=16, multiprobe=1)
 ANN_IVF_PARAMS = dict(n_cells=128, n_probe=56, spill_eps=0.06)
 

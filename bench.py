@@ -404,38 +404,40 @@ def memory_telemetry(spark) -> dict:
     }
 
 
-def prep_pipeline_bench(spark, sf_dir: str) -> dict:
-    """End-to-end corpus-prep wall time (pipeline.prep_corpus: quality
-    gate → MinHash dedup + components → tokenize → leakage-safe split →
-    pack) over the sf documents table, plus one prep_batch ingest of a
-    10%-sized re-ingest batch (every doc a near-dup of the corpus under
-    fresh ids) against the warehouse the base run just built — the
-    incremental-vs-rebuild story at the PIPELINE level: the batch path
-    should cost a small fraction of the base build because it touches
-    the corpus only through the pre-bucketed index join."""
+def _prep_bench(
+    spark, docs: str, out: str, run_prefix: str, batch_offset: int,
+    label: str,
+) -> dict:
+    """Shared body for the prep-pipeline sections: full prep_corpus
+    build with per-stage walls, then one prep_batch ingest of a
+    10%-sized re-ingest batch (every doc a near-dup of the corpus
+    under fresh ids) against the warehouse the base run just built —
+    the incremental-vs-rebuild story at the PIPELINE level: the batch
+    path should cost a small fraction of the base build because it
+    touches the corpus only through the pre-bucketed index join."""
     import shutil
 
     from pyspark.sql import functions as F
 
     from teleharvest_spark import pipeline
 
-    docs = os.path.join(sf_dir, "documents.parquet")
-    out = "/tmp/bench_prep_wh"
     shutil.rmtree(out, ignore_errors=True)
     n_docs = spark.read.parquet(docs).count()
     with _ExtLoad() as el:
         t0 = time.perf_counter()
-        rep = pipeline.prep_corpus(spark, docs, out, run_id="bench")
+        rep = pipeline.prep_corpus(spark, docs, out, run_id=run_prefix)
         full_sec = time.perf_counter() - t0
 
-    batch_dir = "/tmp/bench_prep_batch.parquet"
+    batch_dir = f"{out}_batch.parquet"
     spark.read.parquet(docs).where("doc_id % 10 = 0").withColumn(
-        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        "doc_id", F.col("doc_id") + F.lit(batch_offset)
     ).write.mode("overwrite").parquet(batch_dir)
     n_batch = spark.read.parquet(batch_dir).count()
     with _ExtLoad() as el2:
         t1 = time.perf_counter()
-        brep = pipeline.prep_batch(spark, batch_dir, out, run_id="bench_b")
+        brep = pipeline.prep_batch(
+            spark, batch_dir, out, run_id=f"{run_prefix}_b"
+        )
         batch_sec = time.perf_counter() - t1
     out_d = {
         "docs": n_docs,
@@ -453,61 +455,32 @@ def prep_pipeline_bench(spark, sf_dir: str) -> dict:
         "batch_kept": brep["kept"],
         "batch_dropped_dups": brep["dropped_dups"],
     }
-    print(f"# prep_pipeline: {out_d}", file=sys.stderr)
+    print(f"# {label}: {out_d}", file=sys.stderr)
     return out_d
+
+
+def prep_pipeline_bench(spark, sf_dir: str) -> dict:
+    """Corpus-prep composition (quality gate → MinHash dedup +
+    components → tokenize → leakage-safe split → pack) over the sf
+    documents table — see :func:`_prep_bench`."""
+    return _prep_bench(
+        spark, os.path.join(sf_dir, "documents.parquet"),
+        "/tmp/bench_prep_wh", "bench", 10_000_000, "prep_pipeline",
+    )
 
 
 def prep_sf1_bench(spark, base_dir: str) -> dict:
-    """The composed prep pipeline at the 10x documents fixture
-    (VERDICT r4 item 6): per-stage walls + the batch-vs-rebuild line
-    at the larger scale, so prep linearity is measured, not assumed
-    (the sf0.1 point is prep_pipeline's section). Note the documents
-    tables are small relative to the sequences fact (5k docs at
-    sf0.1 → 50k here) — the scaling EVIDENCE is the walls ratio
-    between the two sections at 10x the rows."""
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    from teleharvest_spark import pipeline
-
+    """The same composition at the 10x documents fixture (VERDICT r4
+    item 6): per-stage walls + batch-vs-rebuild at the larger scale,
+    so prep linearity is measured, not assumed. The documents tables
+    are small relative to the sequences fact (5k docs at sf0.1 → 50k
+    here) — the scaling EVIDENCE is the walls ratio between the two
+    sections at 10x the rows."""
     build_sf1(spark, base_dir)
-    docs = f"{SF1_DIR}/documents.parquet"
-    out = "/tmp/bench_prep_sf1_wh"
-    shutil.rmtree(out, ignore_errors=True)
-    n_docs = spark.read.parquet(docs).count()
-    with _ExtLoad() as el:
-        t0 = time.perf_counter()
-        rep = pipeline.prep_corpus(spark, docs, out, run_id="bench_sf1")
-        full_sec = time.perf_counter() - t0
-
-    batch_dir = "/tmp/bench_prep_sf1_batch.parquet"
-    spark.read.parquet(docs).where("doc_id % 10 = 0").withColumn(
-        "doc_id", F.col("doc_id") + F.lit(200_000_000)
-    ).write.mode("overwrite").parquet(batch_dir)
-    n_batch = spark.read.parquet(batch_dir).count()
-    with _ExtLoad() as el2:
-        t1 = time.perf_counter()
-        brep = pipeline.prep_batch(spark, batch_dir, out, run_id="bench_sf1_b")
-        batch_sec = time.perf_counter() - t1
-    out_d = {
-        "docs": n_docs,
-        "full_sec": round(full_sec, 3),
-        "docs_per_sec": round(n_docs / full_sec, 1),
-        "full_ext_cores": el.cores,
-        "stage_walls": {
-            k: v.get("wall_sec") for k, v in rep["stages"].items()
-        },
-        "kept": rep["stages"]["dedup"]["kept"],
-        "quality_failed": rep["stages"]["quality"]["failed"],
-        "batch_docs": n_batch,
-        "batch_sec": round(batch_sec, 3),
-        "batch_ext_cores": el2.cores,
-        "batch_kept": brep["kept"],
-        "batch_dropped_dups": brep["dropped_dups"],
-    }
-    print(f"# prep_sf1: {out_d}", file=sys.stderr)
-    return out_d
+    return _prep_bench(
+        spark, f"{SF1_DIR}/documents.parquet",
+        "/tmp/bench_prep_sf1_wh", "bench_sf1", 200_000_000, "prep_sf1",
+    )
 
 
 def spill_telemetry() -> dict:

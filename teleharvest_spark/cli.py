@@ -686,7 +686,17 @@ def run(
         # their dirs, within-task doc_id sort preserved. At 10^12 rows
         # (50k tasks × 100s of sources) the product blows past the cap
         # and the clustered path re-engages automatically.
-        n_tasks = sequences.rdd.getNumPartitions()
+        # bound by BOTH the scan's task count and the shuffle-partition
+        # setting: if AQE demotes the anti-join from broadcast to a
+        # shuffle join (pathological failing-id volume), the write's
+        # task count becomes the shuffle partitioning, not the scan's
+        try:
+            n_shuffle = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except ValueError:
+            n_shuffle = spark.sparkContext.defaultParallelism
+        n_tasks = max(sequences.rdd.getNumPartitions(), n_shuffle)
         n_dirs = max(res.stats.count(), 1)  # one row per source value
         inline = n_tasks * n_dirs <= CERTIFY_INLINE_FILE_CAP
         write_partitioned(
@@ -768,9 +778,6 @@ def run(
             .groupBy(*dims)
             .agg(F.sum("_n").alias("_n"), F.sum("_v").alias("_v"))
         )
-        import numpy as np
-        import pandas as pd
-
         pdf = slice_ops.score_lattice(
             slice_ops.lattice_from_base(
                 base, dims, min_support=slice_min_support
@@ -793,18 +800,7 @@ def run(
             "slice_dims": dims,
             "slices_scored": int(len(pdf)),
             "slices_flagged": int(pdf["flagged"].sum()) if len(pdf) else 0,
-            "top_slices": [
-                {
-                    "slice": r["slice"],
-                    "n": int(r["n"]),
-                    "violations": int(r["violations"]),
-                    "rate": round(float(r["rate"]), 4),
-                    "lift": None if pd.isna(r["lift"]) else round(float(r["lift"]), 2),
-                    "z": round(float(r["z"]), 2) if np.isfinite(r["z"]) else float("inf"),
-                    "dominated": bool(r["dominated"]),
-                }
-                for _, r in pdf[pdf["flagged"]].head(10).iterrows()
-            ],
+            "top_slices": _top_slices(pdf),
         }
     res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
     if sample_frac is None:
@@ -1099,6 +1095,10 @@ def _slice_plan_validate(seqs: DataFrame, spec: tuple[str, ...]) -> list:
                     raise ValueError(
                         f"--slice-report cap {w!r} for {col!r} is not topK"
                     ) from None
+                if k < 1:
+                    raise ValueError(
+                        f"--slice-report cap k must be >= 1, got {k} for {col!r}"
+                    )
                 if f"{col}_top" in seqs.columns:
                     raise ValueError(
                         f"--slice-report cap would overwrite existing "
@@ -1117,6 +1117,11 @@ def _slice_plan_validate(seqs: DataFrame, spec: tuple[str, ...]) -> list:
                 raise ValueError(
                     f"--slice-report band width {w!r} for {col!r} is not an int"
                 ) from None
+            if width <= 0:
+                raise ValueError(
+                    f"--slice-report band width must be positive, got "
+                    f"{width} for {col!r}"
+                )
             if f"{col}_band" in seqs.columns:
                 raise ValueError(
                     f"--slice-report band would overwrite existing "
@@ -1127,6 +1132,13 @@ def _slice_plan_validate(seqs: DataFrame, spec: tuple[str, ...]) -> list:
             if item not in seqs.columns:
                 raise ValueError(f"--slice-report column {item!r} not in table")
             plan.append(("plain", item, None))
+    final_dims = [
+        {"top": f"{c}_top", "band": f"{c}_band"}.get(kind, c)
+        for kind, c, _ in plan
+    ]
+    dup = sorted({d for d in final_dims if final_dims.count(d) > 1})
+    if dup:
+        raise ValueError(f"--slice-report duplicate dimensions: {dup}")
     return plan
 
 
@@ -1152,6 +1164,27 @@ def _slice_plan_apply(
         else:
             dims.append(col)
     return df, dims
+
+
+def _top_slices(pdf) -> list[dict]:
+    """The report's top-10 flagged-slice rows — one formatter shared by
+    the standalone slice_pass and the combined run() path so the two
+    reports can never drift on rounding/inf handling."""
+    import numpy as np
+    import pandas as pd
+
+    return [
+        {
+            "slice": r["slice"],
+            "n": int(r["n"]),
+            "violations": int(r["violations"]),
+            "rate": round(float(r["rate"]), 4),
+            "lift": None if pd.isna(r["lift"]) else round(float(r["lift"]), 2),
+            "z": round(float(r["z"]), 2) if np.isfinite(r["z"]) else float("inf"),
+            "dominated": bool(r["dominated"]),
+        }
+        for _, r in pdf[pdf["flagged"]].head(10).iterrows()
+    ]
 
 
 def slice_pass(
@@ -1329,18 +1362,7 @@ def slice_pass(
         "slices_scored": int(len(pdf)),
         "slices_flagged": int(pdf["flagged"].sum()) if len(pdf) else 0,
         **churn_report,
-        "top_slices": [
-            {
-                "slice": r["slice"],
-                "n": int(r["n"]),
-                "violations": int(r["violations"]),
-                "rate": round(float(r["rate"]), 4),
-                "lift": None if pd.isna(r["lift"]) else round(float(r["lift"]), 2),
-                "z": round(float(r["z"]), 2) if np.isfinite(r["z"]) else float("inf"),
-                "dominated": bool(r["dominated"]),
-            }
-            for _, r in pdf[pdf["flagged"]].head(10).iterrows()
-        ],
+        "top_slices": _top_slices(pdf),
     }
 
 

@@ -119,20 +119,23 @@ class StubScorer(Scorer):
         return self.available
 
 
-# one client per Python worker process (Spark reuses workers across
-# batches/tasks), keyed by the factory's identity so two stages with
-# different backends in one job don't share a client
-_CLIENTS: dict[int, Scorer] = {}
+# One client per (worker process, factory OBJECT): Spark reuses
+# workers across batches, and each stage's tasks hold one deserialized
+# factory object, so identity keying gives exactly per-stage-per-worker
+# reuse. The cache holds a strong reference to the factory itself —
+# keying by bare id() without it would let a freed factory's id be
+# recycled by a DIFFERENT factory, silently handing the new stage the
+# old stage's client (wrong backend/config, no error).
+_CLIENTS: dict[int, tuple[Callable, Scorer]] = {}
 
 
 def _client(factory: Callable[[], Scorer]) -> Scorer:
-    key = id(factory) if not hasattr(factory, "__qualname__") else hash(
-        (getattr(factory, "__module__", ""), factory.__qualname__)
-    )
-    c = _CLIENTS.get(key)
-    if c is None:
-        c = factory()
-        _CLIENTS[key] = c
+    key = id(factory)
+    hit = _CLIENTS.get(key)
+    if hit is not None and hit[0] is factory:
+        return hit[1]
+    c = factory()
+    _CLIENTS[key] = (factory, c)
     return c
 
 

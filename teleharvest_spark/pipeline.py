@@ -239,12 +239,25 @@ def run_all(
 
         docs = spark.read.parquet(score_input_path)
         available = scoring.probe_scorer(scorer_factory)
-        # availability is part of the digest: a degraded run must NOT
-        # satisfy the resume check once the scorer comes back
+        # The digest covers every axis that changes the stage's output:
+        # input content, thresholds, scorer availability (a degraded
+        # run must NOT satisfy resume once the scorer comes back), the
+        # scored column, and the scorer BACKEND identity — swapping the
+        # stub for a real LLM factory must re-score, not skip.
+        # Best-effort identity: module+qualname distinguishes named
+        # factories/classes; identically-named closures configured
+        # differently should carry a distinguishing __qualname__ or
+        # disable resume for the swap run.
+        backend = (
+            f"{getattr(scorer_factory, '__module__', '')}."
+            f"{getattr(scorer_factory, '__qualname__', repr(scorer_factory))}"
+        )
         digest = (
             content_digest(docs)
             + ":" + suite.suite_hash()
             + ":" + ("up" if available else "degraded")
+            + ":" + backend
+            + ":" + score_text_col
         )
         prev = read_stage_state(output_path, "score") if resume else None
         if prev and prev.get("digest") == digest:
@@ -283,14 +296,22 @@ def run_all(
                     F.col(cascade_ops.FIRST_FAIL_COL).alias("check_name"),
                     F.col(cascade_ops.REASON_COL).alias("reason"),
                 )
-                viols.write.mode("overwrite").parquet(
-                    os.path.join(output_path, "score_violations")
-                )
-                n_viol = spark.read.parquet(
-                    os.path.join(output_path, "score_violations")
-                ).count()
             else:
-                n_viol = 0
+                # degraded (F9): no score checks ran — overwrite the
+                # violations table with an EMPTY frame rather than
+                # leaving a previous healthy run's rows next to the
+                # new NULL-scored table (stale-join hazard)
+                viols = scored_back.select(
+                    "doc_id",
+                    F.lit(None).cast("string").alias("check_name"),
+                    F.lit(None).cast("string").alias("reason"),
+                ).where(F.lit(False))
+            viols.write.mode("overwrite").parquet(
+                os.path.join(output_path, "score_violations")
+            )
+            n_viol = spark.read.parquet(
+                os.path.join(output_path, "score_violations")
+            ).count()
             n = scored_back.count()
             st = {
                 "digest": digest, "run_id": run_id, "rows": n,

@@ -258,7 +258,15 @@ def run_suite(
             F.col(cascade.FIRST_FAIL_COL).isNotNull()
             | F.col("dup_count").isNotNull()
         )
-        extra_dims = [c for c in slice_dims if c not in ("doc_id", "source")]
+        # columns the fixed select below already carries must not be
+        # re-selected via extra_dims — a dim named 'tokens' would
+        # otherwise duplicate the column and break every later
+        # reference with AMBIGUOUS_REFERENCE
+        _carried = {
+            "doc_id", "source", "tokens", "dup_count",
+            cascade.FIRST_FAIL_COL, cascade.REASON_COL,
+        }
+        extra_dims = [c for c in slice_dims if c not in _carried]
         failing_rows = (
             annotated.where(fail_any)
             .select(
@@ -298,7 +306,12 @@ def run_suite(
         # and the failing-id set — without it, certification
         # (emit_valid) would re-run the full cascade decode a third
         # time just to rebuild the failing ids.
-        extra_dims = [c for c in slice_dims if c not in ("doc_id", "source")]
+        # 'check_name' excluded for the same ambiguity reason as the
+        # shared-scan branch's carried set (it is derived from _v here)
+        extra_dims = [
+            c for c in slice_dims
+            if c not in ("doc_id", "source", "check_name")
+        ]
         viol_keys = (
             annotated.select(
                 "doc_id", "source", vstruct.alias("_v"), *extra_dims

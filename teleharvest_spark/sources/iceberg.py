@@ -72,17 +72,20 @@ def runtime_jar_present() -> bool:
 
 
 def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
-    """Latest committed snapshot id (None for an empty table) — the
-    value the checkpoint manifest records as per-partition lineage."""
+    """Current snapshot id of the main branch (None for an empty
+    table) — the value the checkpoint manifest records as
+    per-partition lineage. Read from the ``refs`` metadata table, NOT
+    ``ORDER BY committed_at``: committed_at has millisecond grain, so
+    two back-to-back commits can tie and make a timestamp sort pick
+    the wrong 'latest', silently skewing every incremental window
+    derived from it; the branch ref IS the lineage head."""
     if not iceberg_available(spark):
         raise NotImplementedError(
             "Iceberg runtime jars not on the classpath; production query:\n"
-            f"SELECT snapshot_id FROM {table}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {table}.refs WHERE name = 'main'"
         )
     rows = spark.sql(
-        f"SELECT snapshot_id FROM {table}.snapshots "
-        "ORDER BY committed_at DESC LIMIT 1"
+        f"SELECT snapshot_id FROM {table}.refs WHERE name = 'main'"
     ).collect()
     return int(rows[0][0]) if rows else None
 

@@ -655,3 +655,37 @@ def test_cli_preflight_sample(spark, suite, tmp_path):
         )
     with pytest.raises(ValueError, match="sample_frac"):
         cli.run(spark, inp, out, suite, run_id="x", sample_frac=1.5)
+
+
+def test_cli_main_slices_with_suite(spark, tmp_path, capsys):
+    """--slices runs the slice report inside the validate run (shared
+    decode) and the report + stored lattice land like --slice-report."""
+    suite = CheckSuite(
+        banned_tokens=datagen.BANNED_IDS,
+        allowed_sources=tuple(datagen.SOURCES),
+    )
+    inp, out = str(tmp_path / "seqs"), str(tmp_path / "wh")
+    datagen.generate_sequences(spark, 4000, suite).write.parquet(inp)
+    sj = str(tmp_path / "suite.json")
+    with open(sj, "w") as f:
+        json.dump(
+            {
+                "banned_tokens": list(suite.banned_tokens),
+                "allowed_sources": list(suite.allowed_sources),
+            },
+            f,
+        )
+    rc = cli.main(
+        [
+            "--input", inp, "--output", out, "--run-id", "r1",
+            "--suite-json", sj, "--slices", "source,n_tok:64",
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["slices"]["slices_scored"] > 0
+    stored = spark.read.parquet(f"{out}/slices/run_id=r1")
+    assert stored.count() == rep["slices"]["slices_scored"]
+    assert {r["spec"] for r in stored.select("spec").distinct().collect()} == {
+        "source,n_tok:64"
+    }

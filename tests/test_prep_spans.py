@@ -98,7 +98,10 @@ def test_spans_stage_cuts_all_copies_and_persists_index(spark, tmp_path):
     _base_docs(spark).write.parquet(inp)
     rep = _build(spark, inp, out)
     st = rep["stages"]["dedup_spans"]
-    assert st == {"rows": 10, "removed_tokens": 36, "dropped": 0}
+    assert {k: st[k] for k in ("rows", "removed_tokens", "dropped")} == {
+        "rows": 10, "removed_tokens": 36, "dropped": 0
+    }
+    assert st["wall_sec"] > 0  # per-stage wall stamped by _StageTimer
 
     flat = _ntok(spark, f"{out}/corpus_flat")
     cut = _ntok(spark, f"{out}/corpus_flat_spans")
