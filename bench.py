@@ -142,11 +142,28 @@ def build_sf1(spark, base_dir: str) -> None:
     from the rewritten text."""
     from pyspark.sql import functions as F
 
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
     if os.path.isdir(f"{SF1_DIR}/documents.parquet") and os.path.isdir(
         f"{SF1_DIR}/events.parquet"  # full-headline fixture (r4) complete
     ):
-        return
-    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+        # Existence is not enough: a stale fixture built from a SMALLER
+        # base (e.g. an sf0.01 run) would silently masquerade as sf1
+        # and every "10x" timing would measure the wrong size (caught
+        # in round 5: a 5k-doc replica survived in /tmp). Accept only
+        # an exactly 10x-the-current-base fixture.
+        try:
+            stored = spark.read.parquet(f"{SF1_DIR}/documents.parquet").count()
+        except Exception:
+            stored = -1
+        if stored == 10 * docs.count():
+            return
+        import shutil as _sh
+
+        print(
+            f"# build_sf1: stale fixture ({stored} docs, want "
+            f"{10 * docs.count()}) — rebuilding", file=sys.stderr,
+        )
+        _sh.rmtree(SF1_DIR, ignore_errors=True)
     copies = []
     for i in range(10):
         # bijective per-token rename (every \S+ run gets a copy tag):
@@ -1464,12 +1481,15 @@ def main() -> None:
 
     sf1 = None
     prep_sf1 = None
-    if SF1_ENABLED and "0.1" in sf_dir:
+    # endswith, not substring: "0.1" in "sf0.01" is True, and an sf0.01
+    # run must never build/claim the 10x fixture
+    if SF1_ENABLED and sf_dir.rstrip("/").endswith("sf0.1"):
         sf1 = sf1_section(spark, sf_dir, qs)
         prep_sf1 = prep_sf1_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
+    base = sf_dir.rstrip("/")
+    sf = 0.1 if base.endswith("sf0.1") else (0.01 if base.endswith("sf0.01") else 0.001)
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
