@@ -1364,6 +1364,120 @@ def zorder_bench(spark, sf_dir: str) -> dict:
     }
 
 
+_FRESH_SUITE_CHILD = r'''
+import json, sys, time
+sys.path.insert(0, sys.argv[4])
+from teleharvest_spark.session import get_spark
+from teleharvest_spark.config import CheckSuite
+from teleharvest_spark import datagen
+from teleharvest_spark.plans import suite as suite_plan
+
+cores = int(sys.argv[1]); data = sys.argv[2]; warm = int(sys.argv[3])
+spark = get_spark(app_name=f"fresh_suite_{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=max(cores, 8))
+check = CheckSuite(banned_tokens=datagen.BANNED_IDS,
+                   allowed_sources=tuple(datagen.SOURCES))
+df = spark.read.parquet(data)
+
+def one_run():
+    t0 = time.perf_counter()
+    res = suite_plan.run_suite(df, check, drift_vs_global=True)
+    res.materialize()
+    wall = time.perf_counter() - t0
+    res.cleanup()
+    return wall
+
+for _ in range(warm):
+    one_run()
+print("READY", flush=True)
+for line in sys.stdin:
+    if line.strip() != "run":
+        break
+    print(json.dumps({"wall": round(one_run(), 3)}), flush=True)
+'''
+
+
+def fresh_suite_bench(data_path: str, cores: int, rows: int,
+                      warm: int = 2, timed: int = 3) -> dict | None:
+    """Suite throughput measured in a FRESH JVM subprocess.
+
+    The long-lived bench JVM has, by the time the suite section runs,
+    JIT-compiled and cached generated code for dozens of unrelated
+    queries; that C2 code-cache state depresses the suite's own
+    generated code by ~25% (rounds 4-5: in-bench 197k seq/s vs 250k
+    in a fresh JVM on the SAME table, same cores, measured-quiet both
+    times).  A cluster deployment runs validation in its own job JVMs,
+    so the fresh-JVM figure is the representative engine throughput —
+    this records it in the round's BENCH file instead of leaving it to
+    out-of-band re-measures.  Same warmed-child protocol as
+    scripts/scaling_paired.py: warm passes untimed (C2 tiers through
+    the first two), then `timed` runs driven one-by-one from here so
+    each gets its own _ExtLoad window (the child JVM is our
+    subprocess, so its CPU counts as "ours").  Returns None on any
+    subprocess failure; the caller then falls back to the in-bench
+    figure.
+    """
+    import queue
+    import subprocess
+    import threading
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    p = subprocess.Popen(
+        [sys.executable, "-c", _FRESH_SUITE_CHILD, str(cores), data_path,
+         str(warm), repo],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, cwd=repo,
+    )
+    lines: queue.Queue[str | None] = queue.Queue()
+
+    def _pump():
+        for ln in p.stdout:
+            lines.put(ln.strip())
+        lines.put(None)
+
+    threading.Thread(target=_pump, daemon=True).start()
+
+    def _next_line(deadline_sec: float) -> str:
+        ln = lines.get(timeout=deadline_sec)
+        if ln is None:
+            raise RuntimeError("fresh-suite child exited early")
+        return ln
+
+    try:
+        # warmup deadline: JVM start (~20 s) + first-pass JIT (measured
+        # 78 s → 27 s at 2M rows); scale generously with row count
+        while _next_line(120 + warm * max(60, rows // 10_000)) != "READY":
+            pass
+        samples, ext = [], []
+        for _ in range(timed):
+            with _ExtLoad() as el:
+                p.stdin.write("run\n")
+                p.stdin.flush()
+                samples.append(json.loads(
+                    _next_line(60 + max(60, rows // 20_000)))["wall"])
+            ext.append(el.cores)
+        p.stdin.close()
+        p.wait(timeout=60)
+        ordered = sorted(samples)
+        med = ordered[len(ordered) // 2]
+        return {
+            "protocol": (f"fresh JVM subprocess, {warm} warm + {timed} timed "
+                         "runs, median; per-run ext_cores telemetry"),
+            "rows": rows,
+            "cores": cores,
+            "samples_sec": [round(s, 2) for s in samples],
+            "ext_cores": ext,
+            "median_sec": round(med, 3),
+            "seq_per_sec": round(rows / med, 1),
+            "seq_per_sec_best": round(rows / ordered[0], 1),
+        }
+    except Exception as e:  # noqa: BLE001 — telemetry, never fatal to bench
+        print(f"# fresh_suite_bench failed ({e!r}); falling back to "
+              "in-bench suite figure", file=sys.stderr)
+        p.kill()
+        return None
+
+
 def ann_curve_bench(spark, sf_dir: str) -> dict:
     """Measured recall-vs-scan curve for both ANN methods (≥3 points
     each, the VERDICT r4 item-5 evidence) plus the operating point
@@ -1462,6 +1576,18 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # representative suite throughput: fresh JVM, same table, same cores
+    # (the in-bench figure above stays as check_suite_full / the
+    # *_inbench keys for round-over-round comparability)
+    fresh = None
+    if os.environ.get("SPARK_GRAFT_FRESH_SUITE", "1") != "0":
+        fresh = fresh_suite_bench("/tmp/bench_sequences.parquet",
+                                  int(cpus), SUITE_ROWS)
+        if fresh:
+            print(f"# suite_fresh: {fresh['samples_sec']}s ext={fresh['ext_cores']} "
+                  f"→ median {fresh['median_sec']}s = {fresh['seq_per_sec']} seq/s",
+                  file=sys.stderr)
+
     recall = approx_recall(spark, sf_dir, qs)
     print(f"# recall: {recall}", file=sys.stderr)
 
@@ -1490,6 +1616,15 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     base = sf_dir.rstrip("/")
     sf = 0.1 if base.endswith("sf0.1") else (0.01 if base.endswith("sf0.01") else 0.001)
+    # headline seq_per_sec = the fresh-JVM figure when available (the
+    # representative engine throughput); in-bench kept under *_inbench.
+    # Only at full suite scale: below ~1M rows the C2-state effect the
+    # fresh JVM exists to remove is smaller than run-to-run host noise
+    # (smoke runs stay comparable across rounds on the in-bench figure).
+    seq_inbench, seq_inbench_best = seq_per_sec, seq_per_sec_best
+    if fresh and SUITE_ROWS >= 1_000_000:
+        seq_per_sec = fresh["seq_per_sec"]
+        seq_per_sec_best = fresh["seq_per_sec_best"]
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -1498,10 +1633,13 @@ def main() -> None:
         "sf": sf,
         "seq_per_sec": seq_per_sec,
         "seq_per_sec_best": seq_per_sec_best,
+        "seq_per_sec_inbench": seq_inbench,
+        "seq_per_sec_inbench_best": seq_inbench_best,
         "check_suite_samples": raw_samples,
         "check_suite_ext_cores": ext_cores,
         "suite_rows": SUITE_ROWS,
         "cores": int(cpus),
+        "suite_fresh": fresh,
         "recall": recall,
         "pack_shard": pack_shard,
         "incremental_dedup": inc_dedup,
@@ -1543,7 +1681,9 @@ def main() -> None:
         "sf": sf,
         "seq_per_sec": seq_per_sec,
         "seq_per_sec_best": seq_per_sec_best,
+        "seq_per_sec_inbench": seq_inbench,
         "check_suite_ext_cores": ext_cores,
+        "suite_fresh_ext_cores": fresh["ext_cores"] if fresh else None,
         "suite_rows": SUITE_ROWS,
         "cores": int(cpus),
         "recall": {
