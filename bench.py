@@ -1372,7 +1372,7 @@ from teleharvest_spark.config import CheckSuite
 from teleharvest_spark import datagen
 from teleharvest_spark.plans import suite as suite_plan
 
-cores = int(sys.argv[1]); data = sys.argv[2]; warm = int(sys.argv[3])
+cores = int(sys.argv[1]); data = sys.argv[2]; warm_max = int(sys.argv[3])
 spark = get_spark(app_name=f"fresh_suite_{cores}", master=f"local[{cores}]",
                   shuffle_partitions=max(cores, 8))
 check = CheckSuite(banned_tokens=datagen.BANNED_IDS,
@@ -1387,8 +1387,17 @@ def one_run():
     res.cleanup()
     return wall
 
-for _ in range(warm):
-    one_run()
+# Adaptive warmup: C2 tiering variance means a FIXED pass count can
+# leave the first timed run still compiling (observed: 37 s first
+# timed sample after 2 warm passes, same table that later runs at
+# ~9 s).  Warm until two consecutive passes agree within 15%, bounded
+# at warm_max passes.
+prev = one_run()
+for _ in range(warm_max - 1):
+    cur = one_run()
+    if abs(cur - prev) / max(prev, 1e-9) < 0.15:
+        break
+    prev = cur
 print("READY", flush=True)
 for line in sys.stdin:
     if line.strip() != "run":
@@ -1398,7 +1407,7 @@ for line in sys.stdin:
 
 
 def fresh_suite_bench(data_path: str, cores: int, rows: int,
-                      warm: int = 2, timed: int = 3) -> dict | None:
+                      warm_max: int = 5, timed: int = 5) -> dict | None:
     """Suite throughput measured in a FRESH JVM subprocess.
 
     The long-lived bench JVM has, by the time the suite section runs,
@@ -1410,12 +1419,14 @@ def fresh_suite_bench(data_path: str, cores: int, rows: int,
     so the fresh-JVM figure is the representative engine throughput —
     this records it in the round's BENCH file instead of leaving it to
     out-of-band re-measures.  Same warmed-child protocol as
-    scripts/scaling_paired.py: warm passes untimed (C2 tiers through
-    the first two), then `timed` runs driven one-by-one from here so
-    each gets its own _ExtLoad window (the child JVM is our
-    subprocess, so its CPU counts as "ours").  Returns None on any
-    subprocess failure; the caller then falls back to the in-bench
-    figure.
+    scripts/scaling_paired.py, with ADAPTIVE warmup: untimed passes
+    until two consecutive walls agree within 15% (bounded at
+    `warm_max` — a fixed count left the first timed sample still
+    C2-compiling in one observed run), then `timed` runs driven
+    one-by-one from here so each gets its own _ExtLoad window (the
+    child JVM is our subprocess, so its CPU counts as "ours"); median
+    of `timed` samples.  Returns None on any subprocess failure; the
+    caller then falls back to the in-bench figure.
     """
     import queue
     import subprocess
@@ -1424,7 +1435,7 @@ def fresh_suite_bench(data_path: str, cores: int, rows: int,
     repo = os.path.dirname(os.path.abspath(__file__))
     p = subprocess.Popen(
         [sys.executable, "-c", _FRESH_SUITE_CHILD, str(cores), data_path,
-         str(warm), repo],
+         str(warm_max), repo],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True, cwd=repo,
     )
@@ -1446,7 +1457,7 @@ def fresh_suite_bench(data_path: str, cores: int, rows: int,
     try:
         # warmup deadline: JVM start (~20 s) + first-pass JIT (measured
         # 78 s → 27 s at 2M rows); scale generously with row count
-        while _next_line(120 + warm * max(60, rows // 10_000)) != "READY":
+        while _next_line(120 + warm_max * max(60, rows // 10_000)) != "READY":
             pass
         samples, ext = [], []
         for _ in range(timed):
@@ -1461,8 +1472,9 @@ def fresh_suite_bench(data_path: str, cores: int, rows: int,
         ordered = sorted(samples)
         med = ordered[len(ordered) // 2]
         return {
-            "protocol": (f"fresh JVM subprocess, {warm} warm + {timed} timed "
-                         "runs, median; per-run ext_cores telemetry"),
+            "protocol": (f"fresh JVM subprocess, adaptive warmup (consecutive "
+                         f"walls within 15%, max {warm_max} passes) + {timed} "
+                         "timed runs, median; per-run ext_cores telemetry"),
             "rows": rows,
             "cores": cores,
             "samples_sec": [round(s, 2) for s in samples],
