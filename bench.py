@@ -1468,7 +1468,10 @@ def fresh_suite_bench(data_path: str, cores: int, rows: int,
                     _next_line(60 + max(60, rows // 20_000)))["wall"])
             ext.append(el.cores)
         p.stdin.close()
-        p.wait(timeout=60)
+        try:
+            p.wait(timeout=60)
+        except Exception:  # lingering child shutdown must not discard samples
+            p.kill()
         ordered = sorted(samples)
         med = ordered[len(ordered) // 2]
         return {
