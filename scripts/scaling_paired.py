@@ -9,7 +9,12 @@ windows; the reported figure is the median of per-pair efficiencies
 e_i = wall_N_i / (4 × wall_4N_i), plus the best-case pair.
 
 Usage: python scripts/scaling_paired.py [rows] [pairs] [N_cores] [4N_cores]
-Writes BENCH_scaling.json.
+                                        [out_json] [job]
+job = "suite" (default, full drift-inclusive check suite) or "scan"
+(pure tokens decode+sum, F.aggregate over every element — the
+hardware-ceiling control, measured under the SAME paired adaptive
+protocol as the suite so the two efficiencies are comparable).
+Writes BENCH_scaling_last.json (or out_json).
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
 PAIRS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 N_CORES = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 N4_CORES = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+JOB = sys.argv[6] if len(sys.argv) > 6 else "suite"
 DATA = f"/tmp/scaling_sequences_{ROWS}.parquet"
 
 CHILD = r'''
@@ -34,6 +40,7 @@ from teleharvest_spark import datagen
 from teleharvest_spark.plans import suite as suite_plan
 
 cores = int(sys.argv[1]); data = sys.argv[2]; rows = int(sys.argv[3]); gen = sys.argv[4] == "gen"
+job = sys.argv[5] if len(sys.argv) > 5 else "suite"
 spark = get_spark(app_name=f"scaling_{cores}", master=f"local[{cores}]",
                   shuffle_partitions=max(cores, 8))
 check = CheckSuite(banned_tokens=datagen.BANNED_IDS,
@@ -42,14 +49,28 @@ if gen:
     datagen.generate_sequences(spark, rows, check).write.mode("overwrite").parquet(data)
 df = spark.read.parquet(data)
 
-def one_run():
-    t0 = time.perf_counter()
-    res = suite_plan.run_suite(df, check, drift_vs_global=True)
-    res.materialize()
-    wall = time.perf_counter() - t0
-    res.cleanup()
-    spark._jvm.System.gc()
-    return wall
+if job == "scan":
+    # hardware-ceiling control: decode every token value and sum it —
+    # no joins, windows, or Python; what the box's memory bus can scale
+    from pyspark.sql import functions as F
+
+    def one_run():
+        t0 = time.perf_counter()
+        df.select(F.sum(F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        )).alias("s")).collect()
+        wall = time.perf_counter() - t0
+        spark._jvm.System.gc()
+        return wall
+else:
+    def one_run():
+        t0 = time.perf_counter()
+        res = suite_plan.run_suite(df, check, drift_vs_global=True)
+        res.materialize()
+        wall = time.perf_counter() - t0
+        res.cleanup()
+        spark._jvm.System.gc()
+        return wall
 
 # Adaptive JIT warmup (untimed): a fixed pass count can leave the
 # first timed run still C2-compiling (bench.py observed a 37 s first
@@ -71,7 +92,8 @@ for line in sys.stdin:
 
 def start(cores: int, gen: bool) -> subprocess.Popen:
     p = subprocess.Popen(
-        [sys.executable, "-c", CHILD, str(cores), DATA, str(ROWS), "gen" if gen else "read"],
+        [sys.executable, "-c", CHILD, str(cores), DATA, str(ROWS),
+         "gen" if gen else "read", JOB],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
     )
     while True:
@@ -180,6 +202,7 @@ def main() -> None:
             "(/proc/stat minus our process subtrees)"
         ),
         "rows": ROWS,
+        "job": JOB,
         "pairs": pairs,
         "median_efficiency": round(statistics.median(effs), 3),
         "quiet_pairs": len(quiet),
