@@ -1454,6 +1454,14 @@ def fresh_suite_bench(data_path: str, cores: int, rows: int,
             raise RuntimeError("fresh-suite child exited early")
         return ln
 
+    def _next_sample(deadline_sec: float) -> float:
+        # skip any stray JVM stdout between samples (Ivy lines, stack
+        # traces) — same guard as scripts/scaling_paired.timed_run
+        while True:
+            ln = _next_line(deadline_sec)
+            if ln.startswith("{"):
+                return json.loads(ln)["wall"]
+
     try:
         # warmup deadline: JVM start (~20 s) + first-pass JIT (measured
         # 78 s → 27 s at 2M rows); scale generously with row count
@@ -1464,16 +1472,17 @@ def fresh_suite_bench(data_path: str, cores: int, rows: int,
             with _ExtLoad() as el:
                 p.stdin.write("run\n")
                 p.stdin.flush()
-                samples.append(json.loads(
-                    _next_line(60 + max(60, rows // 20_000)))["wall"])
+                samples.append(_next_sample(60 + max(60, rows // 20_000)))
             ext.append(el.cores)
         p.stdin.close()
         try:
             p.wait(timeout=60)
         except Exception:  # lingering child shutdown must not discard samples
             p.kill()
+            p.wait(timeout=5)
+        import statistics
         ordered = sorted(samples)
-        med = ordered[len(ordered) // 2]
+        med = statistics.median(samples)
         return {
             "protocol": (f"fresh JVM subprocess, adaptive warmup (consecutive "
                          f"walls within 15%, max {warm_max} passes) + {timed} "
@@ -1490,6 +1499,10 @@ def fresh_suite_bench(data_path: str, cores: int, rows: int,
         print(f"# fresh_suite_bench failed ({e!r}); falling back to "
               "in-bench suite figure", file=sys.stderr)
         p.kill()
+        try:
+            p.wait(timeout=5)  # reap — no zombie through the long sf1 sections
+        except Exception:
+            pass
         return None
 
 
@@ -1595,7 +1608,11 @@ def main() -> None:
     # (the in-bench figure above stays as check_suite_full / the
     # *_inbench keys for round-over-round comparability)
     fresh = None
-    if os.environ.get("SPARK_GRAFT_FRESH_SUITE", "1") != "0":
+    fresh_mode = os.environ.get("SPARK_GRAFT_FRESH_SUITE", "1")
+    # below 1M rows the fresh figure is never the headline (C2 effect
+    # < host noise there), so don't pay the child JVM on smoke runs
+    # unless explicitly forced
+    if fresh_mode == "force" or (fresh_mode != "0" and SUITE_ROWS >= 1_000_000):
         fresh = fresh_suite_bench("/tmp/bench_sequences.parquet",
                                   int(cpus), SUITE_ROWS)
         if fresh:

@@ -28,7 +28,14 @@ ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
 PAIRS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 N_CORES = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 N4_CORES = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+OUT = sys.argv[5] if len(sys.argv) > 5 else "/root/repo/BENCH_scaling_last.json"
 JOB = sys.argv[6] if len(sys.argv) > 6 else "suite"
+if JOB not in ("suite", "scan"):
+    raise SystemExit(f"job must be 'suite' or 'scan', got {JOB!r}")
+if OUT in ("suite", "scan"):
+    raise SystemExit(
+        f"out_json is argv[5] and job is argv[6]; {OUT!r} looks like a job — "
+        "pass the output path first")
 DATA = f"/tmp/scaling_sequences_{ROWS}.parquet"
 
 CHILD = r'''
@@ -188,18 +195,27 @@ def main() -> None:
         print(json.dumps(pairs[-1]), flush=True)
     for p in (n8, n32):
         p.stdin.close()
-        p.wait(timeout=60)
+        try:
+            p.wait(timeout=60)
+        except Exception:  # lingering shutdown must not discard the pairs
+            p.kill()
+            p.wait(timeout=5)
     effs = [p["efficiency"] for p in pairs]
     best_pair = max(pairs, key=lambda p: p["efficiency"])
     # quiet pairs: both runs saw < 1 external core busy on average
     quiet = [p for p in pairs if p["ext_cores_8"] < 1.0 and p["ext_cores_32"] < 1.0]
     report = {
         "protocol": (
-            "paired alternating runs, one warmed JVM per level, full "
-            "drift-inclusive check suite, same input; median pairwise "
-            "efficiency controls for external host load; ext_cores_* = "
-            "measured mean non-our CPUs busy during each run "
-            "(/proc/stat minus our process subtrees)"
+            "paired alternating runs, one warmed JVM per level "
+            "(adaptive warmup: consecutive walls within 15%, max 5 "
+            "passes), "
+            + ("full drift-inclusive check suite" if JOB == "suite"
+               else "pure tokens decode+sum scan (hardware-ceiling "
+                    "control)")
+            + ", same input; median pairwise efficiency controls for "
+            "external host load; ext_cores_* = measured mean non-our "
+            "CPUs busy during each run (/proc/stat minus our process "
+            "subtrees)"
         ),
         "rows": ROWS,
         "job": JOB,
@@ -216,8 +232,7 @@ def main() -> None:
         "median_seq_per_sec_4N": round(ROWS / statistics.median([p["wall_32"] for p in pairs]), 1),
     }
     print(json.dumps(report, indent=2))
-    out = sys.argv[5] if len(sys.argv) > 5 else "/root/repo/BENCH_scaling_last.json"
-    with open(out, "w") as f:
+    with open(OUT, "w") as f:
         json.dump(report, f, indent=2)
 
 

@@ -39,8 +39,10 @@ def test_fresh_suite_happy_path_shape(monkeypatch, spark, suite, tmp_path):
     assert len(out["samples_sec"]) == 2
     assert len(out["ext_cores"]) == 2
     assert out["rows"] == 1_000 and out["cores"] == 2
-    # samples_sec is rounded to 2 dp, median_sec to 3 dp of the raw wall
-    ordered = sorted(out["samples_sec"])
-    assert abs(out["median_sec"] - ordered[len(ordered) // 2]) < 0.01
-    assert out["seq_per_sec"] == round(1_000 / out["median_sec"], 1)
+    # samples_sec is rounded to 2 dp, median_sec to 3 dp, and
+    # seq_per_sec is computed from the UNROUNDED median — compare with
+    # tolerances, not equality, or 3-dp rounding flakes the assert
+    import statistics
+    assert abs(out["median_sec"] - statistics.median(out["samples_sec"])) < 0.01
+    assert abs(out["seq_per_sec"] - 1_000 / out["median_sec"]) < 1.0
     assert out["seq_per_sec_best"] >= out["seq_per_sec"]
