@@ -1364,48 +1364,6 @@ def zorder_bench(spark, sf_dir: str) -> dict:
     }
 
 
-_FRESH_SUITE_CHILD = r'''
-import json, sys, time
-sys.path.insert(0, sys.argv[4])
-from teleharvest_spark.session import get_spark
-from teleharvest_spark.config import CheckSuite
-from teleharvest_spark import datagen
-from teleharvest_spark.plans import suite as suite_plan
-
-cores = int(sys.argv[1]); data = sys.argv[2]; warm_max = int(sys.argv[3])
-spark = get_spark(app_name=f"fresh_suite_{cores}", master=f"local[{cores}]",
-                  shuffle_partitions=max(cores, 8))
-check = CheckSuite(banned_tokens=datagen.BANNED_IDS,
-                   allowed_sources=tuple(datagen.SOURCES))
-df = spark.read.parquet(data)
-
-def one_run():
-    t0 = time.perf_counter()
-    res = suite_plan.run_suite(df, check, drift_vs_global=True)
-    res.materialize()
-    wall = time.perf_counter() - t0
-    res.cleanup()
-    return wall
-
-# Adaptive warmup: C2 tiering variance means a FIXED pass count can
-# leave the first timed run still compiling (observed: 37 s first
-# timed sample after 2 warm passes, same table that later runs at
-# ~9 s).  Warm until two consecutive passes agree within 15%, bounded
-# at warm_max passes.
-prev = one_run()
-for _ in range(warm_max - 1):
-    cur = one_run()
-    if abs(cur - prev) / max(prev, 1e-9) < 0.15:
-        break
-    prev = cur
-print("READY", flush=True)
-for line in sys.stdin:
-    if line.strip() != "run":
-        break
-    print(json.dumps({"wall": round(one_run(), 3)}), flush=True)
-'''
-
-
 def fresh_suite_bench(data_path: str, cores: int, rows: int,
                       warm_max: int = 5, timed: int = 5) -> dict | None:
     """Suite throughput measured in a FRESH JVM subprocess.
@@ -1418,69 +1376,33 @@ def fresh_suite_bench(data_path: str, cores: int, rows: int,
     times).  A cluster deployment runs validation in its own job JVMs,
     so the fresh-JVM figure is the representative engine throughput —
     this records it in the round's BENCH file instead of leaving it to
-    out-of-band re-measures.  Same warmed-child protocol as
-    scripts/scaling_paired.py, with ADAPTIVE warmup: untimed passes
-    until two consecutive walls agree within 15% (bounded at
-    `warm_max` — a fixed count left the first timed sample still
-    C2-compiling in one observed run), then `timed` runs driven
+    out-of-band re-measures.  Protocol (adaptive warmup, READY/run
+    handshake, stray-stdout guard) is the shared
+    teleharvest_spark.benchproto.WarmedChild — the same code
+    scripts/scaling_paired.py drives, so the "same protocol"
+    comparability claim holds by construction; `timed` runs are driven
     one-by-one from here so each gets its own _ExtLoad window (the
     child JVM is our subprocess, so its CPU counts as "ours"); median
     of `timed` samples.  Returns None on any subprocess failure; the
     caller then falls back to the in-bench figure.
     """
-    import queue
-    import subprocess
-    import threading
+    import statistics
 
-    repo = os.path.dirname(os.path.abspath(__file__))
-    p = subprocess.Popen(
-        [sys.executable, "-c", _FRESH_SUITE_CHILD, str(cores), data_path,
-         str(warm_max), repo],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL, text=True, cwd=repo,
-    )
-    lines: queue.Queue[str | None] = queue.Queue()
+    from teleharvest_spark.benchproto import WarmedChild
 
-    def _pump():
-        for ln in p.stdout:
-            lines.put(ln.strip())
-        lines.put(None)
-
-    threading.Thread(target=_pump, daemon=True).start()
-
-    def _next_line(deadline_sec: float) -> str:
-        ln = lines.get(timeout=deadline_sec)
-        if ln is None:
-            raise RuntimeError("fresh-suite child exited early")
-        return ln
-
-    def _next_sample(deadline_sec: float) -> float:
-        # skip any stray JVM stdout between samples (Ivy lines, stack
-        # traces) — same guard as scripts/scaling_paired.timed_run
-        while True:
-            ln = _next_line(deadline_sec)
-            if ln.startswith("{"):
-                return json.loads(ln)["wall"]
-
+    child = None
     try:
         # warmup deadline: JVM start (~20 s) + first-pass JIT (measured
         # 78 s → 27 s at 2M rows); scale generously with row count
-        while _next_line(120 + warm_max * max(60, rows // 10_000)) != "READY":
-            pass
+        child = WarmedChild(
+            cores, data_path, rows, job="suite", warm_max=warm_max,
+            warm_deadline=120 + warm_max * max(60, rows // 10_000))
         samples, ext = [], []
         for _ in range(timed):
             with _ExtLoad() as el:
-                p.stdin.write("run\n")
-                p.stdin.flush()
-                samples.append(_next_sample(60 + max(60, rows // 20_000)))
+                samples.append(child.run(deadline=60 + max(60, rows // 20_000)))
             ext.append(el.cores)
-        p.stdin.close()
-        try:
-            p.wait(timeout=60)
-        except Exception:  # lingering child shutdown must not discard samples
-            p.kill()
-            p.wait(timeout=5)
-        import statistics
+        child.close()
         ordered = sorted(samples)
         med = statistics.median(samples)
         return {
@@ -1498,11 +1420,8 @@ def fresh_suite_bench(data_path: str, cores: int, rows: int,
     except Exception as e:  # noqa: BLE001 — telemetry, never fatal to bench
         print(f"# fresh_suite_bench failed ({e!r}); falling back to "
               "in-bench suite figure", file=sys.stderr)
-        p.kill()
-        try:
-            p.wait(timeout=5)  # reap — no zombie through the long sf1 sections
-        except Exception:
-            pass
+        if child is not None:
+            child.kill()  # reaps — no zombie through the long sf1 sections
         return None
 
 

@@ -20,9 +20,12 @@ Writes BENCH_scaling_last.json (or out_json).
 from __future__ import annotations
 
 import json
+import os
 import statistics
-import subprocess
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from teleharvest_spark.benchproto import WarmedChild  # noqa: E402
 
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
 PAIRS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
@@ -38,77 +41,11 @@ if OUT in ("suite", "scan"):
         "pass the output path first")
 DATA = f"/tmp/scaling_sequences_{ROWS}.parquet"
 
-CHILD = r'''
-import json, sys, time
-sys.path.insert(0, "/root/repo")
-from teleharvest_spark.session import get_spark
-from teleharvest_spark.config import CheckSuite
-from teleharvest_spark import datagen
-from teleharvest_spark.plans import suite as suite_plan
-
-cores = int(sys.argv[1]); data = sys.argv[2]; rows = int(sys.argv[3]); gen = sys.argv[4] == "gen"
-job = sys.argv[5] if len(sys.argv) > 5 else "suite"
-spark = get_spark(app_name=f"scaling_{cores}", master=f"local[{cores}]",
-                  shuffle_partitions=max(cores, 8))
-check = CheckSuite(banned_tokens=datagen.BANNED_IDS,
-                   allowed_sources=tuple(datagen.SOURCES))
-if gen:
-    datagen.generate_sequences(spark, rows, check).write.mode("overwrite").parquet(data)
-df = spark.read.parquet(data)
-
-if job == "scan":
-    # hardware-ceiling control: decode every token value and sum it —
-    # no joins, windows, or Python; what the box's memory bus can scale
-    from pyspark.sql import functions as F
-
-    def one_run():
-        t0 = time.perf_counter()
-        df.select(F.sum(F.aggregate(
-            "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
-        )).alias("s")).collect()
-        wall = time.perf_counter() - t0
-        spark._jvm.System.gc()
-        return wall
-else:
-    def one_run():
-        t0 = time.perf_counter()
-        res = suite_plan.run_suite(df, check, drift_vs_global=True)
-        res.materialize()
-        wall = time.perf_counter() - t0
-        res.cleanup()
-        spark._jvm.System.gc()
-        return wall
-
-# Adaptive JIT warmup (untimed): a fixed pass count can leave the
-# first timed run still C2-compiling (bench.py observed a 37 s first
-# sample on a table that runs at ~9 s warm); warm until two
-# consecutive walls agree within 15%, bounded at 5 passes.
-prev = one_run()
-for _ in range(4):
-    cur = one_run()
-    if abs(cur - prev) / max(prev, 1e-9) < 0.15:
-        break
-    prev = cur
-print("READY", flush=True)
-for line in sys.stdin:
-    if line.strip() != "run":
-        break
-    print(json.dumps({"wall": round(one_run(), 2)}), flush=True)
-'''
-
-
-def start(cores: int, gen: bool) -> subprocess.Popen:
-    p = subprocess.Popen(
-        [sys.executable, "-c", CHILD, str(cores), DATA, str(ROWS),
-         "gen" if gen else "read", JOB],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-    )
-    while True:
-        line = p.stdout.readline()
-        if not line:
-            raise RuntimeError(f"child {cores} died during warmup")
-        if line.strip() == "READY":
-            return p
+def start(cores: int, gen: bool) -> WarmedChild:
+    # child source + adaptive-warmup protocol live in
+    # teleharvest_spark/benchproto.py, shared with bench.py's
+    # fresh-JVM suite section so the two measurements stay comparable
+    return WarmedChild(cores, DATA, ROWS, job=JOB, gen=gen)
 
 
 def _total_busy_jiffies() -> int:
@@ -150,7 +87,7 @@ def _subtree_jiffies(root_pids: set[int]) -> int:
     return total
 
 
-def timed_run(p: subprocess.Popen, all_children: list[subprocess.Popen]) -> tuple[float, float]:
+def timed_run(child: WarmedChild, all_children: list[WarmedChild]) -> tuple[float, float]:
     """Returns (wall_sec, external_cores): external_cores is the mean
     number of host CPUs busy with work that is NOT ours during the run
     (total busy jiffies minus our children's subtrees) — the per-pair
@@ -160,16 +97,7 @@ def timed_run(p: subprocess.Popen, all_children: list[subprocess.Popen]) -> tupl
     roots = {c.pid for c in all_children}
     t0 = time.monotonic()
     busy0, ours0 = _total_busy_jiffies(), _subtree_jiffies(roots)
-    p.stdin.write("run\n")
-    p.stdin.flush()
-    while True:
-        line = p.stdout.readline()
-        if not line:
-            raise RuntimeError("child died mid-run")
-        line = line.strip()
-        if line.startswith("{"):
-            wall = json.loads(line)["wall"]
-            break
+    wall = child.run()
     elapsed = time.monotonic() - t0
     busy1, ours1 = _total_busy_jiffies(), _subtree_jiffies(roots)
     hz = 100  # USER_HZ on this kernel
@@ -194,12 +122,7 @@ def main() -> None:
         })
         print(json.dumps(pairs[-1]), flush=True)
     for p in (n8, n32):
-        p.stdin.close()
-        try:
-            p.wait(timeout=60)
-        except Exception:  # lingering shutdown must not discard the pairs
-            p.kill()
-            p.wait(timeout=5)
+        p.close()  # kills + reaps a lingering JVM instead of raising
     effs = [p["efficiency"] for p in pairs]
     best_pair = max(pairs, key=lambda p: p["efficiency"])
     # quiet pairs: both runs saw < 1 external core busy on average

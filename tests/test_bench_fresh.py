@@ -13,14 +13,18 @@ import bench
 
 def test_fresh_suite_falls_back_on_child_death(monkeypatch, tmp_path):
     # child dies before READY → None, quickly (no deadline wait)
-    monkeypatch.setattr(bench, "_FRESH_SUITE_CHILD", "import sys; sys.exit(3)")
+    from teleharvest_spark import benchproto
+
+    monkeypatch.setattr(benchproto, "CHILD_SOURCE", "import sys; sys.exit(3)")
     out = bench.fresh_suite_bench(str(tmp_path / "nope.parquet"), 2, 1000)
     assert out is None
 
 
 def test_fresh_suite_falls_back_on_garbage_output(monkeypatch, tmp_path):
     # child that never prints READY but exits cleanly → None
-    monkeypatch.setattr(bench, "_FRESH_SUITE_CHILD", "print('not-ready')")
+    from teleharvest_spark import benchproto
+
+    monkeypatch.setattr(benchproto, "CHILD_SOURCE", "print('not-ready')")
     out = bench.fresh_suite_bench(str(tmp_path / "nope.parquet"), 2, 1000)
     assert out is None
 
