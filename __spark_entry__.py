@@ -2239,7 +2239,11 @@ def oracle_sql() -> dict[str, str]:
                      unnest(string_split_regex(trim(lower(coalesce(text, ''))), '[ \t\n\x0B\f\r]+')) AS w
               FROM documents
             ), cnt AS (
-              SELECT source, w, count(*) AS c FROM words GROUP BY 1, 2
+              -- w <> '': splitting an empty/whitespace-only text
+              -- yields [''] — the phantom token is excluded on both
+              -- engines (drift.word_psi filters it identically)
+              SELECT source, w, count(*) AS c FROM words
+              WHERE w <> '' GROUP BY 1, 2
             ), tot AS (
               SELECT source, sum(c) AS t FROM cnt GROUP BY 1
             ), vocab AS (

@@ -521,6 +521,7 @@ def run(
     snapshots = mf.snapshot_of_partitions(sequences)
     baseline_hist = None
     prev_baseline = None
+    drift_exclude_self = None  # run_suite auto unless resume overrides
     if drift and drift_baseline == "previous":
         prev_baseline = _read_stored_baseline(spark, output_path)
         baseline_hist = prev_baseline
@@ -585,6 +586,11 @@ def run(
                     .groupBy("bucket")
                     .agg(F.sum("cnt").alias("cnt"))
                 )
+            # this pool is the CURRENT corpus, not a temporal
+            # baseline — leave-one-out applies exactly as it would
+            # in a full drift_vs_global run, keeping resume verdicts
+            # equal to the full run's
+            drift_exclude_self = True
         sequences = sequences.where(
             F.coalesce(F.col("source"), F.lit("__null__")).isin(pending_sources)
         )
@@ -621,6 +627,7 @@ def run(
         stored_key_counts=stored_key_counts,
         violation_sample=violation_sample,
         slice_dims=slice_raw_cols,
+        drift_exclude_self=drift_exclude_self,
     )
     # violations land hive-partitioned by a DERIVED dir column with
     # bounded file counts — the common failure-triage read ("show me

@@ -117,20 +117,46 @@ def _drift_metrics_pdf(pdf: pd.DataFrame, include_w1: bool = False) -> pd.DataFr
 def _align_hist(hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     """(source, bucket, cnt, base_cnt) — per-source dense alignment of
     a histogram against a global (no source column) or per-source
-    baseline; absent buckets on either side read 0."""
-    base_cols = baseline_hist.columns
-    if "source" in base_cols:
-        joined = hist.join(
-            F.broadcast(baseline_hist.withColumnRenamed("cnt", "base_cnt")),
-            ["source", "bucket"],
-            "full_outer",
+    baseline; absent buckets on either side read 0.
+
+    The source key compares null-safely: NULL is a real partition
+    value everywhere in this engine (a NULL-source histogram group
+    exists whenever the fact has NULL sources), and a plain equality
+    join would emit the NULL source's hist and baseline rows as two
+    DISJOINT row sets — the downstream groupBy would then interleave
+    duplicate buckets and corrupt that source's CDF."""
+    base = baseline_hist.select(
+        *(
+            [F.col("source").alias("_bs")]
+            if "source" in baseline_hist.columns
+            else []
+        ),
+        F.col("bucket").alias("_bb"),
+        F.col("cnt").alias("base_cnt"),
+    )
+    if "_bs" in base.columns:
+        cond = F.col("source").eqNullSafe(F.col("_bs")) & (
+            F.col("bucket") == F.col("_bb")
         )
+        src_out = F.coalesce(F.col("source"), F.col("_bs"))
     else:
         sources = hist.select("source").distinct()
-        dense = sources.crossJoin(
-            F.broadcast(baseline_hist.withColumnRenamed("cnt", "base_cnt"))
+        base = sources.select(F.col("source").alias("_bs")).crossJoin(
+            F.broadcast(base)
         )
-        joined = hist.join(dense, ["source", "bucket"], "full_outer")
+        cond = F.col("source").eqNullSafe(F.col("_bs")) & (
+            F.col("bucket") == F.col("_bb")
+        )
+        src_out = F.coalesce(F.col("source"), F.col("_bs"))
+    # no broadcast hint: Spark cannot broadcast a full-outer build side
+    # (the hint would be ignored with a per-query warning); both sides
+    # are ≤ |sources|×|buckets| rows, so the shuffle is metadata-sized
+    joined = hist.join(base, cond, "full_outer").select(
+        src_out.alias("source"),
+        F.coalesce(F.col("bucket"), F.col("_bb")).alias("bucket"),
+        "cnt",
+        "base_cnt",
+    )
     return joined.fillna({"cnt": 0, "base_cnt": 0})
 
 
@@ -151,6 +177,53 @@ def drift_metrics(
         schema += ", w1 double"
     return joined.groupBy("source").applyInPandas(
         lambda pdf: _drift_metrics_pdf(pdf, include_w1=include_w1), schema=schema
+    )
+
+
+def leave_one_out_baseline(
+    hist: DataFrame, pooled: DataFrame | None = None
+) -> DataFrame:
+    """Per-source leave-one-out baseline: the pooled corpus histogram
+    MINUS each source's own counts — "the rest of the corpus".
+
+    A self-inclusive pool lets a DOMINANT source mask its own drift: at
+    90% of rows its histogram IS ~90% of the pool, so KS/PSI vs the
+    pool stay near zero however far it moves. Histograms are additive,
+    so the leave-one-out form costs one metadata-sized subtraction —
+    no extra pass over the fact.
+
+    ``pooled`` — an externally reconstructed FULL-corpus pool (the
+    resume path pools stored states for skipped partitions plus the
+    current pending histograms); defaults to pooling ``hist`` itself.
+    Output: (source, bucket, cnt) per-source baseline, dense over the
+    pool's buckets. A single-source corpus yields an all-zero baseline
+    for that source — callers should exclude zero-rest sources from
+    drift scoring (there is nothing to diverge from) rather than let
+    the degenerate qn=0 guard flag them.
+    """
+    if pooled is None:
+        pooled = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    pool = pooled.select(F.col("bucket").alias("_pb"), F.col("cnt").alias("_pc"))
+    dense = hist.select("source").distinct().crossJoin(F.broadcast(pool))
+    own = hist.select(
+        F.col("source").alias("_os"),
+        F.col("bucket").alias("_ob"),
+        F.col("cnt").alias("_oc"),
+    )
+    return dense.join(
+        F.broadcast(own),
+        F.col("source").eqNullSafe(F.col("_os")) & (F.col("_pb") == F.col("_ob")),
+        "left",
+    ).select(
+        "source",
+        F.col("_pb").alias("bucket"),
+        # clamp: own ≤ pool holds whenever the pool covers the same
+        # population as hist; the clamp keeps a stale external pool
+        # from producing negative counts
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("_pc").cast("long") - F.coalesce(F.col("_oc"), F.lit(0)).cast("long"),
+        ).alias("cnt"),
     )
 
 
@@ -590,12 +663,20 @@ def word_psi(
     sketch-sized shuffle.
     """
     # trim before splitting: leading/trailing whitespace yields empty
-    # tokens with engine-specific placement (Java split vs others)
+    # tokens with engine-specific placement (Java split vs others).
+    # The residual case trim can't remove: splitting an EMPTY string
+    # (NULL/''/whitespace-only text) yields [''] in Java semantics, so
+    # every such row would count a phantom '' word — a source with
+    # many NULL texts would have its PSI driven by an artificial token
+    # instead of its vocabulary. Filter it out of the distribution.
     words = F.explode(
         F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), TXT_WS + "+")
     ).alias("w")
-    cnt = df.select(F.col(key), words).groupBy(key, "w").agg(
-        F.count(F.lit(1)).alias("cnt")
+    cnt = (
+        df.select(F.col(key), words)
+        .where(F.col("w") != "")
+        .groupBy(key, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     tot = cnt.groupBy(key).agg(F.sum("cnt").alias("t"))
     vocab = cnt.groupBy("w").agg(F.sum("cnt").alias("gc"))

@@ -83,10 +83,25 @@ def quantile_trim(
 _BUILTIN_STAT_CHECKS = ("null_rate", "min_n_tok", "max_n_tok", "dup_rate")
 
 
-def stats_verdicts(stats: DataFrame, suite: CheckSuite) -> DataFrame:
+def stats_verdicts(
+    stats: DataFrame,
+    suite: CheckSuite,
+    source_bounds: DataFrame | None = None,
+) -> DataFrame:
     """Declarative thresholds over the stats row → per-partition verdict.
 
     Reference analogue: settings.py:11-16 thresholds driving pass/fail.
+
+    ``source_bounds`` — the per-source length-bound dimension
+    (FIXTURES.md T2: `source, min_n_tok, max_n_tok`) when the run's
+    cascade uses per-source overrides (cascade.with_source_bounds).
+    The min/max mirrors then compare each partition's observed bounds
+    against ITS effective thresholds (override if present, else the
+    suite globals) — otherwise a row the cascade allows under a wider
+    per-source bound would still fail its partition through this
+    mirror, with zero violation rows to explain why. Sources absent
+    from the dimension (rogue/NULL) fall back to the globals, exactly
+    as the cascade does.
 
     ``suite.stat_checks`` appends user (name, sql_expr) assertions over
     the same stats row — TRUE fails, NULL passes (the custom_checks
@@ -106,16 +121,29 @@ def stats_verdicts(stats: DataFrame, suite: CheckSuite) -> DataFrame:
     """
     tol_names = {n for n, _ in suite.check_tolerances}
     tolerant = suite.max_violation_frac > 0.0
+    min_thr = F.lit(suite.min_n_tok)
+    max_thr = F.lit(suite.max_n_tok)
+    drop_cols: list[str] = []
+    if source_bounds is not None:
+        dim = source_bounds.select(
+            "source",
+            F.col("min_n_tok").alias("_bound_min"),
+            F.col("max_n_tok").alias("_bound_max"),
+        )
+        stats = stats.join(F.broadcast(dim), "source", "left")
+        min_thr = F.coalesce(F.col("_bound_min"), min_thr)
+        max_thr = F.coalesce(F.col("_bound_max"), max_thr)
+        drop_cols = ["_bound_min", "_bound_max"]
     entries = [
         F.when(F.col("null_rate") > suite.max_null_rate, F.lit("null_rate")),
     ]
     if not (tolerant or "too_short" in tol_names):
         entries.append(
-            F.when(F.col("min_n_tok") < suite.min_n_tok, F.lit("min_n_tok"))
+            F.when(F.col("min_n_tok") < min_thr, F.lit("min_n_tok"))
         )
     if not (tolerant or "too_long" in tol_names):
         entries.append(
-            F.when(F.col("max_n_tok") > suite.max_n_tok, F.lit("max_n_tok"))
+            F.when(F.col("max_n_tok") > max_thr, F.lit("max_n_tok"))
         )
     entries.append(
         # HLL++ rsd=0.01 → allow 4σ slack before flagging duplicates
@@ -138,7 +166,13 @@ def stats_verdicts(stats: DataFrame, suite: CheckSuite) -> DataFrame:
                 F.when(F.coalesce(F.expr(expr), F.lit(False)), F.lit(name))
             )
     failed = F.array_compact(F.array(*entries))
-    return stats.withColumn("failed_stat_checks", failed).withColumn(
-        "stats_verdict",
-        F.when(F.size("failed_stat_checks") == 0, F.lit("pass")).otherwise(F.lit("fail")),
+    return (
+        stats.withColumn("failed_stat_checks", failed)
+        .withColumn(
+            "stats_verdict",
+            F.when(F.size("failed_stat_checks") == 0, F.lit("pass")).otherwise(
+                F.lit("fail")
+            ),
+        )
+        .drop(*drop_cols)
     )

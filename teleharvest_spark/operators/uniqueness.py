@@ -184,9 +184,16 @@ def read_key_index(
             T.StructField("partition", T.StringType(), True),
         ]
     )
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(schema).parquet(key_index_path(output_path))
-    except Exception:
+    except AnalysisException:
+        # path-not-found only: the first indexed run has no index yet.
+        # Anything else (permissions, corrupt store) must PROPAGATE —
+        # silently treating an unreadable index as "empty" would make a
+        # --resume run miss every cross-partition duplicate and report
+        # clean verdicts with no hint the index was skipped.
         return spark.createDataFrame([], schema)
 
 
@@ -221,9 +228,14 @@ def cross_partition_counts(
 
     excl = [dir_key_value(p) for p in pending_partitions]
     keep = index.where(~F.col("partition").isin(excl))
-    probe = pending_df.select(key).distinct()
+    # null-safe semi join: NULL is a real key group everywhere else in
+    # this module (duplicate_keys' grouping + its eqNullSafe stored
+    # fold), so a pending NULL key must also find its stored NULL rows
+    # — a plain equality semi join would drop them and a resumed run
+    # would under-count exactly the null_key duplicates.
+    probe = pending_df.select(F.col(key).alias("_pk")).distinct()
     return (
-        keep.join(F.broadcast(probe), key, "semi")
+        keep.join(F.broadcast(probe), F.col(key).eqNullSafe(F.col("_pk")), "semi")
         .groupBy(key)
         .agg(F.sum("n").alias("n_stored"))
     )
@@ -234,9 +246,14 @@ def uniqueness_violations(df: DataFrame, key: str = "doc_id") -> DataFrame:
 
     The dup-key set is usually tiny relative to the table → broadcast
     semi-join back against the fact (no second full shuffle).
+
+    Null-safe join: duplicate_keys' grouping treats NULL as a real key
+    group, so two NULL-key rows yield (NULL, dup_count=2) — the join
+    back must match them (EqualNullSafe is an equi-join predicate, so
+    the plan stays a BroadcastHashJoin).
     """
-    dups = duplicate_keys(df, key=key)
-    hit = df.join(F.broadcast(dups), key, "inner")
+    dups = duplicate_keys(df, key=key).withColumnRenamed(key, "_dk")
+    hit = df.join(F.broadcast(dups), F.col(key).eqNullSafe(F.col("_dk")), "inner")
     return hit.select(
         F.col(key).alias("doc_id"),
         (F.col("source") if "source" in df.columns else F.lit(None).cast("string")).alias("source"),

@@ -1,5 +1,9 @@
-"""The full validation run: cascade + uniqueness + referential + stats
-+ drift → violations table + per-partition verdicts.
+"""The full validation run: cascade (including the referential
+unknown-source restriction, expressed as a row check) + uniqueness +
+stats + drift → violations table + per-partition verdicts. The
+standalone broadcast anti-join form of the referential check lives in
+operators/referential.py for set-level use; here it is the cascade's
+unknown_source rule so its violations materialize per row.
 
 This is the engine's `fetch_and_process` analogue (processor.py:55-63)
 minus the network boundaries: read → one narrow check-cascade stage →
@@ -17,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import CheckSuite
-from ..operators import cascade, drift, referential, stats, uniqueness
+from ..operators import cascade, drift, stats, uniqueness
 
 
 @dataclass
@@ -85,21 +89,32 @@ def sample_violations(
     The hash priority is content-derived (xxhash64 over the full row),
     so the sample is reproducible under any partitioning and any
     engine — not "first K encountered". Groups at or under
-    ``oversample × limit`` keep probability 1, so groups ≤ limit are
-    returned COMPLETE; larger groups yield the limit lowest-hash rows
-    among survivors (a deterministic sample, not the global minimum —
-    the distinction is immaterial for a diagnostic sample and buying
-    exactness would cost a corpus-wide sort).
+    the expected-candidate floor keep probability 1, so groups ≤ limit
+    are returned COMPLETE; larger groups yield the limit lowest-hash
+    rows among survivors (a deterministic sample, not the global
+    minimum — the distinction is immaterial for a diagnostic sample
+    and buying exactness would cost a corpus-wide sort).
+
+    The expected candidate count per group is floored at 32 regardless
+    of how small ``oversample × limit`` is: with a bare
+    ``oversample=4, limit=1`` the survivor count for a huge group is
+    Poisson(4), which is ZERO with probability e⁻⁴ ≈ 1.8% — a
+    systematically failing check could ship an empty diagnostic sample
+    beside a billion-row check_cnt. The floor drives that to e⁻³²
+    (~10⁻¹⁴ per group; Chernoff-bounded ≤ ~e⁻²⁸ for any limit) while
+    the retained fat rows stay ≤ ~max(32, oversample×limit) per group
+    — still map-side-bounded, still one pass.
     """
     from pyspark.sql import Window
 
     m = 1 << 32
+    expected = max(32.0, float(oversample * limit))
     thr = per_check_counts.select(
         F.col("source").alias("_s"),
         F.col("check_name").alias("_c"),
         F.least(
             F.lit(1.0),
-            F.lit(float(oversample * limit)) / F.col("check_cnt").cast("double"),
+            F.lit(expected) / F.col("check_cnt").cast("double"),
         ).alias("_p"),
     )
     h64 = F.xxhash64("doc_id", "check_name", "reason", "tokens")
@@ -128,8 +143,21 @@ def run_suite(
     stored_key_counts: DataFrame | None = None,
     violation_sample: int | None = None,
     slice_dims: tuple[str, ...] = (),
+    drift_exclude_self: bool | None = None,
 ) -> ValidationResult:
     """Run every check family over the sequences table.
+
+    ``drift_exclude_self`` — score each source against the pool MINUS
+    its own histogram (drift.leave_one_out_baseline: "the rest", so a
+    dominant source cannot mask its own drift). Default (None): True
+    when the pool is derived from the current corpus
+    (``drift_vs_global`` with no explicit baseline), False when
+    ``baseline_hist`` is an external/temporal baseline (self-exclusion
+    would be wrong against a different era). The resume path passes
+    True explicitly with its reconstructed full-corpus pool, keeping
+    resume verdicts equal to a full run's. Sources with an all-zero
+    rest (single-source corpus) are excluded from drift scoring —
+    absent drift rows read as pass downstream.
 
     ``slice_dims`` — input column names a slice report will slice by:
     the run additionally exposes ``failing_dim_rows`` (one narrow row
@@ -190,7 +218,8 @@ def run_suite(
     dups = uniqueness.duplicate_keys(
         sequences, key="doc_id", stored_counts=stored_key_counts
     ).persist()
-    dups_side = dups if dups.count() > 5_000_000 else F.broadcast(dups)
+    dups_r = dups.withColumnRenamed("doc_id", "_dup_key")
+    dups_side = dups_r if dups.count() > 5_000_000 else F.broadcast(dups_r)
 
     # ONE full decode of the tokens column produces BOTH violation
     # classes: the cascade flags are a narrow projection, the dup flag
@@ -198,8 +227,15 @@ def run_suite(
     # explodes into 0-2 violation rows (cascade + duplicate_key are
     # additive, matching the union semantics the tests pin). The tiny
     # output (~0.1% of rows) is persisted so verdict assembly and
-    # caller-side counts never re-scan the fact.
-    annotated = cascade.apply_cascade(cascade_input, checks).join(dups_side, "doc_id", "left")
+    # caller-side counts never re-scan the fact. Null-safe dup join:
+    # duplicate_keys' grouping treats NULL as a real key (two NULL
+    # doc_ids ARE a duplicate pair); EqualNullSafe is still an
+    # equi-join predicate, so broadcast-hash is preserved.
+    annotated = (
+        cascade.apply_cascade(cascade_input, checks)
+        .join(dups_side, F.col("doc_id").eqNullSafe(F.col("_dup_key")), "left")
+        .drop("_dup_key")
+    )
     vstruct = F.explode(
         F.array_compact(
             F.array(
@@ -224,15 +260,16 @@ def run_suite(
             )
         )
     )
+    tokens_sel = (
+        F.col("tokens")
+        if "tokens" in sequences.columns
+        else F.lit(None).cast("array<int>").alias("tokens")
+    )
     violations_plan = (
         annotated.select(
             "doc_id",
             "source",
-            (
-                F.col("tokens")
-                if "tokens" in sequences.columns
-                else F.lit(None).cast("array<int>").alias("tokens")
-            ),
+            tokens_sel,
             vstruct.alias("_v"),
         )
         .select("doc_id", "source", F.col("_v.check_name"), F.col("_v.reason"), "tokens")
@@ -242,11 +279,6 @@ def run_suite(
     viol_keys = None
     failing_rows = None
     failing_dim_rows = None
-    tokens_sel = (
-        F.col("tokens")
-        if "tokens" in sequences.columns
-        else F.lit(None).cast("array<int>").alias("tokens")
-    )
     if violation_sample is None and slice_dims:
         # Shared-scan mode: persist the PRE-explode failing rows (≤ the
         # violation count — a row failing cascade AND duplicate_key is
@@ -335,8 +367,12 @@ def run_suite(
         ).persist()
 
     # persisted: tiny (one row per source), independent of violations —
-    # materialize() overlaps this scan with the big tokens decode
-    part_stats = stats.stats_verdicts(stats.partition_stats(sequences), suite).persist()
+    # materialize() overlaps this scan with the big tokens decode.
+    # source_dim rides along so the min/max mirrors compare against the
+    # same per-source effective bounds the cascade used.
+    part_stats = stats.stats_verdicts(
+        stats.partition_stats(sequences), suite, source_bounds=source_dim
+    ).persist()
 
     # Drift baseline: an explicit trusted histogram (production: the
     # published/validated era), or — drift_vs_global — the current
@@ -351,11 +387,40 @@ def run_suite(
         # persist the (≤ |sources|×128-row) histogram: deriving the
         # pooled baseline from it would otherwise re-scan the fact
         hist = drift.ntok_histogram(sequences).persist()
-        if baseline_hist is None:
-            baseline_hist = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
-        drift_v = drift.drift_verdicts(
-            drift.drift_metrics(hist, baseline_hist), suite
-        ).persist()
+        if drift_exclude_self is None:
+            drift_exclude_self = baseline_hist is None
+        if drift_exclude_self:
+            # leave-one-out: pool (explicit full-corpus pool under
+            # resume, else pooled from hist) minus each source's own
+            # counts — all metadata-sized arithmetic on the persisted
+            # histogram, zero extra passes over the fact
+            loo = drift.leave_one_out_baseline(hist, baseline_hist)
+            scored = (
+                loo.groupBy("source")
+                .agg(F.sum("cnt").alias("_rest"))
+                .where(F.col("_rest") > 0)
+                .select(F.col("source").alias("_rs"))
+            )
+            # both sides restricted: the alignment join is full-outer,
+            # so an excluded source left in the BASELINE would re-enter
+            # with a degenerate all-zero pair and fail
+            drift_hist = hist.join(
+                F.broadcast(scored),
+                F.col("source").eqNullSafe(F.col("_rs")),
+                "semi",
+            )
+            loo_scored = loo.join(
+                F.broadcast(scored),
+                F.col("source").eqNullSafe(F.col("_rs")),
+                "semi",
+            )
+            drift_v = drift.drift_verdicts(
+                drift.drift_metrics(drift_hist, loo_scored), suite
+            ).persist()
+        else:
+            drift_v = drift.drift_verdicts(
+                drift.drift_metrics(hist, baseline_hist), suite
+            ).persist()
 
     # per-source violation counts (small agg over the violations set).
     # NULL is a legitimate partition value here (null_key violations) —

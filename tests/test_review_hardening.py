@@ -1,0 +1,233 @@
+"""Pins for the round-5 continuation review fixes.
+
+Each test pins one defect surfaced by the full-repo review pass:
+NULL-key equality joins dropping the NULL key group the engine
+elsewhere treats as a real key value, the stats mirror ignoring
+per-source bound overrides, the violation-sample zero-survivor tail,
+leave-one-out drift (dominant-source self-masking), the word_psi
+phantom empty token, and null-safe histogram alignment.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from teleharvest_spark.config import CheckSuite
+from teleharvest_spark.operators import drift, uniqueness
+from teleharvest_spark.plans import suite as suite_plan
+
+SEQ_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def _seq(spark, rows):
+    return spark.createDataFrame(rows, SEQ_DDL)
+
+
+def _row(doc_id, n, src):
+    return (doc_id, list(range(n)), n, src)
+
+
+# ---------------------------------------------------------------- NULL keys
+
+
+def test_suite_flags_null_doc_id_duplicates(spark):
+    """Two NULL-doc_id rows are a duplicate pair: duplicate_keys groups
+    NULL as a real key, and the suite's dup join must be null-safe so
+    both rows materialize duplicate_key violations (the cascade's
+    null_key check guards the source key, not doc_id — uniqueness is
+    the only check that can see a NULL doc_id)."""
+    suite = CheckSuite(allowed_sources=("a",))
+    df = _seq(
+        spark,
+        [_row(None, 20, "a"), _row(None, 21, "a"), _row("ok", 22, "a")],
+    )
+    res = suite_plan.run_suite(df, suite)
+    viol = res.violations.collect()
+    res.cleanup()
+    dup = [r for r in viol if r["check_name"] == "duplicate_key"]
+    assert len(dup) == 2
+    assert all(r["doc_id"] is None for r in dup)
+    assert all("seen 2 times" in r["reason"] for r in dup)
+    # no other violation class fires for these rows (doc_id is not the
+    # cascade's key column; tokens/n_tok/source are all valid)
+    assert len(viol) == 2
+
+
+def test_uniqueness_violations_null_key_rows(spark):
+    df = _seq(spark, [_row(None, 20, "a"), _row(None, 20, "a"), _row("x", 20, "a")])
+    rows = uniqueness.uniqueness_violations(df).collect()
+    assert len(rows) == 2
+    assert all(r["doc_id"] is None for r in rows)
+    assert all("seen 2 times" in r["reason"] for r in rows)
+
+
+def test_cross_partition_counts_null_key(spark, tmp_path):
+    """A stored NULL-key occurrence must fold into a pending NULL-key
+    row's dup count on resume — the semi join is null-safe like the
+    grouping and the stored-count fold it feeds."""
+    out = str(tmp_path / "wh")
+    v1 = _seq(spark, [_row(None, 20, "a"), _row("a1", 20, "a")])
+    uniqueness.write_key_index(v1, out)
+    idx = uniqueness.read_key_index(spark, out)
+    batch = _seq(spark, [_row(None, 20, "b"), _row("b1", 20, "b")])
+    stored = uniqueness.cross_partition_counts(batch, idx, ["b"])
+    got = [(r["doc_id"], r["n_stored"]) for r in stored.collect()]
+    assert got == [(None, 1)]
+    dups = uniqueness.duplicate_keys(batch, stored_counts=stored).collect()
+    assert {(r["doc_id"], r["dup_count"]) for r in dups} == {(None, 2)}
+
+
+# ------------------------------------------------- per-source stats mirror
+
+
+def test_stats_mirror_respects_source_bounds(spark):
+    """A row allowed by a WIDER per-source bound must not fail its
+    partition through the global-threshold stats mirror: the mirror
+    compares against the same effective bounds the cascade used."""
+    suite = CheckSuite(min_n_tok=16, allowed_sources=("a", "b"))
+    dim = spark.createDataFrame(
+        [("a", 8, 8192)], "source string, min_n_tok int, max_n_tok int"
+    )
+    df = _seq(
+        spark,
+        [
+            _row("a1", 10, "a"),  # ok under a's min=8, short under global 16
+            _row("a2", 20, "a"),
+            _row("b1", 10, "b"),  # b has no override → still too_short
+            _row("b2", 20, "b"),
+        ],
+    )
+    res = suite_plan.run_suite(df, suite, source_dim=dim)
+    verd = {r["source"]: r for r in res.verdicts.collect()}
+    viol = res.violations.collect()
+    res.cleanup()
+    assert [r["doc_id"] for r in viol if r["check_name"] == "too_short"] == ["b1"]
+    assert verd["a"]["stats_verdict"] == "pass"
+    assert verd["a"]["verdict"] == "pass"
+    assert verd["b"]["stats_verdict"] == "fail"
+    assert "min_n_tok" in verd["b"]["failed_stat_checks"]
+    assert verd["b"]["verdict"] == "fail"
+
+
+# ------------------------------------------------------- violation sample
+
+
+def test_sample_violations_small_limit_nonempty(spark):
+    """limit=1, oversample=4 over a 5000-row group: the bare expected
+    survivor count would be Poisson(4) (empty with p≈e⁻⁴≈1.8%); the
+    32-candidate floor drives that to e⁻³². The sample must be exactly
+    one row and deterministic across invocations."""
+    n = 5000
+    viol = spark.createDataFrame(
+        [("d%04d" % i, "a", "too_short", "r", [1, 2]) for i in range(n)],
+        "doc_id string, source string, check_name string, reason string, tokens array<int>",
+    )
+    counts = spark.createDataFrame(
+        [("a", "too_short", n)], "source string, check_name string, check_cnt long"
+    )
+    got1 = suite_plan.sample_violations(viol, counts, limit=1).collect()
+    got2 = suite_plan.sample_violations(viol, counts, limit=1).collect()
+    assert len(got1) == 1
+    assert [r["doc_id"] for r in got1] == [r["doc_id"] for r in got2]
+
+
+# ------------------------------------------------------------------ drift
+
+
+def test_leave_one_out_baseline_arithmetic(spark):
+    hist = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("b", 1, 5), ("b", 3, 7)],
+        "source string, bucket int, cnt long",
+    )
+    loo = {
+        (r["source"], r["bucket"]): r["cnt"]
+        for r in drift.leave_one_out_baseline(hist).collect()
+    }
+    assert loo == {
+        ("a", 1): 5, ("a", 2): 0, ("a", 3): 7,
+        ("b", 1): 10, ("b", 2): 30, ("b", 3): 0,
+    }
+
+
+def test_dominant_source_drift_not_self_masked(spark):
+    """A 90%-of-rows source whose n_tok distribution diverges from the
+    rest: vs the self-inclusive pool its metrics stay under threshold
+    (the pool IS mostly itself — the masking the fix removes); vs the
+    leave-one-out rest it must fail."""
+    suite = CheckSuite(allowed_sources=("big", "small"))
+    rows = (
+        [_row("big%03d" % i, 300, "big") for i in range(171)]
+        + [_row("bigs%02d" % i, 20, "big") for i in range(9)]
+        + [_row("small%02d" % i, 20, "small") for i in range(20)]
+    )
+    df = _seq(spark, rows).cache()
+    hist = drift.ntok_histogram(df)
+    pool = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    self_inclusive = {
+        r["source"]: r for r in drift.drift_metrics(hist, pool).collect()
+    }
+    # masking: vs the pool, big is under both thresholds
+    assert self_inclusive["big"]["ks"] <= suite.max_ks
+    assert self_inclusive["big"]["psi"] <= suite.max_psi
+    res = suite_plan.run_suite(df, suite, drift_vs_global=True)
+    verd = {r["source"]: r for r in res.verdicts.collect()}
+    res.cleanup()
+    df.unpersist()
+    assert verd["big"]["drift_verdict"] == "fail"
+    assert verd["big"]["verdict"] == "fail"
+
+
+def test_single_source_corpus_drift_passes(spark):
+    """One source and no explicit baseline: there is no 'rest' to
+    diverge from — the source is excluded from drift scoring and the
+    partition passes instead of failing on a degenerate zero
+    baseline."""
+    suite = CheckSuite(allowed_sources=("a",))
+    df = _seq(spark, [_row("d%d" % i, 20, "a") for i in range(10)])
+    res = suite_plan.run_suite(df, suite, drift_vs_global=True)
+    verd = res.verdicts.collect()
+    res.cleanup()
+    assert len(verd) == 1
+    assert verd[0]["drift_verdict"] is None
+    assert verd[0]["verdict"] == "pass"
+
+
+def test_word_psi_ignores_empty_texts(spark):
+    """NULL/whitespace-only texts must not inject a phantom '' word:
+    two sources with identical word distributions score psi≈0 even
+    when one of them carries extra NULL/blank rows."""
+    rows = [("x", "alpha beta gamma"), ("x", "alpha beta"), ("x", "gamma")]
+    rows += [("y", "alpha beta gamma"), ("y", "alpha beta"), ("y", "gamma")]
+    rows += [("y", None), ("y", ""), ("y", "   \t\n")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    psi = {r["source"]: r["psi"] for r in drift.word_psi(df).collect()}
+    assert abs(psi["x"]) < 1e-9
+    assert abs(psi["y"]) < 1e-9
+
+
+def test_align_hist_null_safe_per_source_baseline(spark):
+    """A NULL source key aligns null-safely against a per-source
+    baseline: identical distributions score ks=psi≈0 instead of the
+    corrupted-CDF result a plain equality join produces."""
+    hist = spark.createDataFrame(
+        [(None, 0, 10), (None, 1, 10), ("a", 0, 10), ("a", 1, 10)],
+        "source string, bucket int, cnt long",
+    )
+    base = spark.createDataFrame(
+        [(None, 0, 20), (None, 1, 20), ("a", 0, 20), ("a", 1, 20)],
+        "source string, bucket int, cnt long",
+    )
+    rows = drift.drift_metrics(hist, base).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["ks"] < 1e-9, r
+        assert abs(r["psi"]) < 1e-9, r
+
+
+# ------------------------------------------------------------ key index IO
+
+
+def test_read_key_index_missing_path_is_empty(spark, tmp_path):
+    idx = uniqueness.read_key_index(spark, str(tmp_path / "nope"))
+    assert idx.count() == 0
