@@ -1560,7 +1560,10 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY event_type
             )
             SELECT e.event_type, e.event_id
-            FROM events e LEFT JOIN wm ON e.event_type = wm.event_type
+            -- IS NOT DISTINCT FROM: a NULL-key watermark group must
+            -- match its rows (mirrors incremental_scan's eqNullSafe)
+            FROM events e LEFT JOIN wm
+              ON e.event_type IS NOT DISTINCT FROM wm.event_type
             WHERE e.event_id > coalesce(wm.last_seq, -4611686018427387904)
         """,
         "lookback_floor": """

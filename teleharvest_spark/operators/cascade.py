@@ -50,6 +50,26 @@ def with_source_bounds(sequences: DataFrame, source_dim: DataFrame) -> DataFrame
         F.col("min_n_tok").alias(BOUND_MIN_COL),
         F.col("max_n_tok").alias(BOUND_MAX_COL),
     )
+    # Fail fast on a duplicated dimension key: a left join against a
+    # dup-keyed dim MULTIPLIES matching fact rows — every downstream
+    # count inflates and unique doc_ids manufacture duplicate_key
+    # violations. The probe is one tiny job over the config-sized dim
+    # (referential.py guards the same shape with .distinct(); here
+    # distinct() would silently pick an arbitrary override instead of
+    # surfacing the conflicting config).
+    dup = (
+        dim.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "source_dim has duplicate rows for source(s) "
+            f"{sorted((r['source'] for r in dup), key=str)} — per-source bounds "
+            "must be unique"
+        )
     return sequences.join(F.broadcast(dim), "source", "left")
 
 

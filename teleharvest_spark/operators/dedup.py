@@ -187,7 +187,18 @@ def band_buckets(
     Shared by the batch self-join path (``minhash_lsh_pairs``) and the
     incremental index path (``build_dedup_index`` /
     ``incremental_dedup_pairs``) — determinism of this expression is
-    what makes a stored index comparable with a fresh batch."""
+    what makes a stored index comparable with a fresh batch.
+
+    ``bands`` must divide ``n_perm``: bands > n_perm would make every
+    band slice empty (one constant bucket — the self-join degenerates
+    to a full n² cross product), and a non-divisor would silently
+    ignore the trailing signature entries and shift the effective
+    S-curve threshold away from what ``plan_lsh`` promised."""
+    if bands <= 0 or n_perm % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be a positive divisor of n_perm={n_perm} "
+            "(use plan_lsh to pick a valid banding)"
+        )
     rows_per_band = n_perm // bands
     band_cols = F.explode(
         F.array(
@@ -371,12 +382,48 @@ def write_dedup_index(
     (band, bucket) (sources/bucketed.py) so the nightly batch join
     co-locates without reshuffling the stored side; plain parquet here.
     """
+    import json
     import os
     import shutil
+    from urllib.parse import urlparse
 
     from . import bloom as BL
 
+    # The coverage/commit validation below runs through os.path — on a
+    # non-local index path (hdfs://, s3a://) those probes are always
+    # False and every guard would silently pass, which is exactly the
+    # silent-false-negative mode they exist to prevent. Fail loudly
+    # instead: porting needs the Hadoop FileSystem API for the meta/
+    # marker IO (the parquet reads/writes themselves are scheme-
+    # agnostic already).
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"write_dedup_index validation requires a local filesystem "
+            f"path (got scheme {scheme!r}); port the bloom-meta/commit-"
+            "marker IO to the Hadoop FileSystem API before pointing the "
+            "index at an object store"
+        )
+
     spark = df.sparkSession
+    # Torn-write detection: sigs and buckets are two separate parquet
+    # writes with no transaction between them. The commit marker is
+    # written LAST and removed FIRST, so a crash mid-write leaves the
+    # index marker-less — the next append then refuses instead of
+    # silently joining against a bucket table that is missing the
+    # half-written batch (and instead of double-appending sigs on a
+    # blind retry).
+    commit_marker = os.path.join(path, "_index_commit")
+    if (
+        mode == "append"
+        and os.path.isdir(os.path.join(path, "sigs"))
+        and not os.path.exists(commit_marker)
+    ):
+        raise ValueError(
+            f"index at {path} has no commit marker — a previous write "
+            "crashed between the sigs and buckets writes; rebuild with "
+            "mode='overwrite'"
+        )
     # Bloom/bucket COVERAGE invariant, enforced BEFORE any write: a
     # stored bloom that covers only some appends silently drops true
     # candidates in the prefilter (false negatives — the one failure
@@ -412,6 +459,8 @@ def write_dedup_index(
     elif mode == "overwrite" and stored_meta is not None and bloom_bits is None:
         shutil.rmtree(bloom_dir, ignore_errors=True)
 
+    if os.path.exists(commit_marker):
+        os.remove(commit_marker)
     sigs = minhash_signatures(df, text_col, id_col, n_perm, k)
     sigs.write.mode(mode).parquet(f"{path}/sigs")
     stored = spark.read.parquet(f"{path}/sigs")
@@ -436,6 +485,8 @@ def write_dedup_index(
     buckets.write.mode(mode).parquet(f"{path}/buckets")
     if bloom_bits is not None:
         buckets.unpersist()
+    with open(commit_marker, "w", encoding="utf-8") as f:
+        json.dump({"mode": mode, "n_perm": n_perm, "bands": bands, "k": k}, f)
 
 
 def read_dedup_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -777,8 +828,13 @@ def simhash_near_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # filter BEFORE the dedup shuffle: hamming is computed inline
+        # and identical across a pair's duplicate rows, so the
+        # predicate commutes with dropDuplicates — applying it first
+        # keeps far-apart candidate pairs (the ~n²/2^w false-positive
+        # bulk in dense buckets) out of the shuffle entirely
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
 
@@ -899,6 +955,7 @@ def batch_duplicated_spans(
     id_col: str = "doc_id",
     k: int = 50,
     min_count: int = 2,
+    cache_handles: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental exact-substring dedup: duplication spans of a NEW
     batch against a corpus summarized by its stored repeated-gram
@@ -928,6 +985,17 @@ def batch_duplicated_spans(
         .where(F.col("occurrences") >= min_count)
         .select("gram")
     )
+    if cache_handles is not None:
+        # ``ex`` feeds both the batch-repeat aggregate and the hits
+        # join, and ``batch_rep`` feeds both the hot set and
+        # new_grams — without persisting, materializing BOTH outputs
+        # fingerprints the batch three times. ex is batch-sized
+        # (~n_tok rows × 16 B; MEMORY_AND_DISK spills past memory),
+        # so the persist is opt-in via the module's cache_handles
+        # lifetime policy; the caller unpersists.
+        ex = ex.persist()
+        batch_rep = batch_rep.persist()
+        cache_handles.extend([ex, batch_rep])
     hot = stored_grams.select("gram").unionByName(batch_rep).distinct()
     hits = ex.join(hot, "gram").select(id_col, "pos")
     spans = merge_positional_hits(hits, id_col, k)
@@ -1038,22 +1106,32 @@ def duplicated_token_stats(
     """Per-doc rollup of :func:`duplicated_ngram_spans`: ``n_dup_tok``
     and guarded ``dup_tok_frac`` for threshold rules ("drop docs > 80%
     duplicated text", "trim spans over 50% docs"). Docs with no spans
-    report 0 / 0.0 (left join)."""
+    report 0 / 0.0 (left join).
+
+    Span widths are clamped to the doc length: padded spans
+    (merge_positional_hits with pad > 0 — the decontamination path)
+    can extend past the token count, and the raw sum would report
+    dup_tok_frac > 1.0 for a doc with a hit at its tail. Merged spans
+    are non-overlapping and start within the doc, so only the final
+    span can overflow — clamping the SUM is exact."""
     per_doc = spans.groupBy(id_col).agg(
         F.sum(F.col("end") - F.col("start")).alias("n_dup_tok"),
         F.count(F.lit(1)).alias("n_spans"),
     )
     n_tok = F.size(F.coalesce(F.col(tokens_col), F.array().cast("array<int>")))
+    dup_tok = F.least(
+        F.coalesce("n_dup_tok", F.lit(0)).cast("long"), F.col("__n").cast("long")
+    )
     return (
         df.select(F.col(id_col), n_tok.alias("__n"))
         .join(per_doc, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_dup_tok", F.lit(0)).alias("n_dup_tok"),
+            dup_tok.alias("n_dup_tok"),
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.when(
                 F.col("__n") > 0,
-                F.coalesce("n_dup_tok", F.lit(0)).cast("double") / F.col("__n"),
+                dup_tok.cast("double") / F.col("__n"),
             ).otherwise(F.lit(0.0)).alias("dup_tok_frac"),
         )
     )
@@ -1147,10 +1225,26 @@ def dedup_lines_global(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("pos", "__line"),
     ).withColumn("lkey", F.unhex(F.sha2(F.col("__line"), 256)))
-    join_keys = ([scope_col] if scope_col else []) + ["lkey"]
-    marked = lines.join(
-        hot.select(*join_keys, "__hot"), join_keys, "left"
-    ).withColumn(
+    if scope_col:
+        # null-safe scope join: hot_lines' groupBy counts the NULL
+        # scope as a real group, so its hot lines must match back —
+        # a plain equality key would leave NULL-scope boilerplate
+        # counted-but-never-removed (EqualNullSafe keeps the
+        # broadcast-hash shape)
+        hot_dim = hot.select(
+            F.col(scope_col).alias("__hs"),
+            F.col("lkey").alias("__hk"),
+            "__hot",
+        )
+        marked = lines.join(
+            hot_dim,
+            (F.col("lkey") == F.col("__hk"))
+            & F.col(scope_col).eqNullSafe(F.col("__hs")),
+            "left",
+        ).drop("__hs", "__hk")
+    else:
+        marked = lines.join(hot.select("lkey", "__hot"), ["lkey"], "left")
+    marked = marked.withColumn(
         # sub-threshold lines were never counted, so they can't be hot;
         # the explicit guard keeps the exemption independent of the
         # counting config should callers pass a pre-built dimension

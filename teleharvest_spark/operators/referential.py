@@ -19,10 +19,17 @@ def allowed_rows(fact: DataFrame, dim: DataFrame, key: str = "source") -> DataFr
 def referential_violations(fact: DataFrame, dim: DataFrame, key: str = "source") -> DataFrame:
     """Rows whose key is NOT in the dimension (broadcast LEFT ANTI).
 
-    NULL keys never match a semi OR anti join predicate the way the
-    cascade's null_key check expects, so NULL/empty keys are included
-    here explicitly — they are definitionally not members of the
-    allowed set.
+    NULL-key policy: a NULL key never equals any dimension value, so
+    the anti join KEEPS NULL-key rows — they surface as
+    unknown_source violations by construction (deliberate reliance on
+    anti-join NULL semantics; no extra predicate needed).
+
+    Empty-string keys are ordinary values here: '' rows are violations
+    iff '' is absent from the dimension. Rejecting '' unconditionally
+    is the cascade's null_key check (which runs BEFORE unknown_source
+    in the suite ordering) — a '' row planted in the dimension cannot
+    sneak past the suite, only past this standalone set-membership
+    operator, which is the set semantics its callers ask for.
     """
     anti = fact.join(F.broadcast(dim.select(key).distinct()), key, "left_anti")
     return anti.select(

@@ -46,12 +46,17 @@ def incremental_scan(
     watermark table scan from the beginning (left join, coalesce -inf).
     At scale the seq predicate prunes parquet row groups via min/max
     stats — the Spark form of the reference's `min_id` API bound.
+
+    Null-safe key join: high_water_marks' groupBy emits a NULL-key
+    watermark as a real group, so the scan must match it — a plain
+    equality join would coalesce the NULL group to -inf and re-emit
+    all of its already-seen rows on every incremental run.
     """
-    wm = watermarks.select(F.col(key), F.col("last_seq"))
+    wm = watermarks.select(F.col(key).alias("_wmk"), F.col("last_seq"))
     return (
-        df.join(F.broadcast(wm), key, "left")
+        df.join(F.broadcast(wm), F.col(key).eqNullSafe(F.col("_wmk")), "left")
         .where(F.col(seq) > F.coalesce(F.col("last_seq"), F.lit(-(1 << 62))))
-        .drop("last_seq")
+        .drop("_wmk", "last_seq")
     )
 
 

@@ -231,3 +231,165 @@ def test_align_hist_null_safe_per_source_baseline(spark):
 def test_read_key_index_missing_path_is_empty(spark, tmp_path):
     idx = uniqueness.read_key_index(spark, str(tmp_path / "nope"))
     assert idx.count() == 0
+
+
+# ------------------------------------------------- watermark / scan NULLs
+
+
+def test_incremental_scan_null_key_watermark(spark):
+    """The NULL-key group's watermark must apply: without a null-safe
+    join its last_seq coalesces to -inf and every already-seen
+    NULL-key row is re-emitted on each incremental run."""
+    from teleharvest_spark.operators import watermark
+
+    old = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 1), (None, 5)], "source string, doc_seq long"
+    )
+    now = spark.createDataFrame(
+        [("a", 2), ("a", 3), (None, 4), (None, 6)], "source string, doc_seq long"
+    )
+    wm = watermark.high_water_marks(old)
+    got = {(r["source"], r["doc_seq"]) for r in watermark.incremental_scan(now, wm).collect()}
+    assert got == {("a", 3), (None, 6)}
+
+
+def test_dedup_lines_global_null_scope_removes_hot_lines(spark):
+    """Boilerplate shared by NULL-scope docs is counted by hot_lines'
+    NULL group and must also be REMOVED — the hot-line join back is
+    null-safe on the scope key."""
+    from teleharvest_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "BOILER\nunique one", None),
+            ("d2", "BOILER\nunique two", None),
+            ("d3", "BOILER\nkept here", "s1"),
+        ],
+        "doc_id string, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_lines_global(
+            df, scope_col="source", min_count=2
+        ).collect()
+    }
+    # NULL scope: BOILER occurs twice → removed from both docs
+    assert out["d1"]["n_removed_lines"] == 1
+    assert "BOILER" not in out["d1"]["clean_text"]
+    assert out["d2"]["n_removed_lines"] == 1
+    # s1 scope: BOILER occurs once there → kept (scoping respected)
+    assert out["d3"]["n_removed_lines"] == 0
+    assert "BOILER" in out["d3"]["clean_text"]
+
+
+# ------------------------------------------------------------- LSH banding
+
+
+def test_band_buckets_rejects_invalid_banding(spark):
+    from teleharvest_spark.operators import dedup
+
+    sigs = spark.createDataFrame(
+        [("d1", [1] * 64)], "doc_id string, sig array<long>"
+    )
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.band_buckets(sigs, bands=100)  # > n_perm: empty slices
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.band_buckets(sigs, bands=48)  # non-divisor: silent tail drop
+
+
+# --------------------------------------------------------- source_dim guard
+
+
+def test_with_source_bounds_duplicate_dim_raises(spark):
+    from teleharvest_spark.operators import cascade
+
+    seq = _seq(spark, [_row("d1", 20, "a")])
+    dim = spark.createDataFrame(
+        [("a", 8, 100), ("a", 16, 200)],
+        "source string, min_n_tok int, max_n_tok int",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        cascade.with_source_bounds(seq, dim)
+
+
+# ------------------------------------------------------------ span stats
+
+
+def test_duplicated_token_stats_clamps_padded_spans(spark):
+    """A padded span extending past the doc's end must not report
+    dup_tok_frac > 1.0."""
+    from teleharvest_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [("d1", list(range(10)))], "doc_id string, tokens array<int>"
+    )
+    spans = spark.createDataFrame(
+        [("d1", 0, 14)], "doc_id string, start int, end int"
+    )
+    row = dedup.duplicated_token_stats(df, spans).collect()[0]
+    assert row["n_dup_tok"] == 10
+    assert row["dup_tok_frac"] == 1.0
+
+
+# --------------------------------------------------------- index durability
+
+
+def test_write_dedup_index_commit_marker(spark, tmp_path):
+    import os
+
+    from teleharvest_spark.operators import dedup
+
+    path = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [("d%d" % i, "some text %d here for shingles" % i) for i in range(8)],
+        "doc_id string, text string",
+    )
+    dedup.write_dedup_index(df, path, mode="overwrite")
+    assert os.path.exists(os.path.join(path, "_index_commit"))
+    # torn write: marker gone → append refuses instead of silently
+    # joining against a bucket table missing the half-written batch
+    os.remove(os.path.join(path, "_index_commit"))
+    df2 = spark.createDataFrame(
+        [("e1", "fresh append text for the second batch")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(ValueError, match="commit marker"):
+        dedup.write_dedup_index(df2, path, mode="append")
+    # rebuild clears the torn state
+    dedup.write_dedup_index(df, path, mode="overwrite")
+    dedup.write_dedup_index(df2, path, mode="append")
+    sigs, _ = dedup.read_dedup_index(spark, path)
+    assert sigs.count() == 9
+
+
+def test_write_dedup_index_rejects_object_store_paths(spark):
+    from teleharvest_spark.operators import dedup
+
+    df = spark.createDataFrame([("d1", "text")], "doc_id string, text string")
+    with pytest.raises(NotImplementedError, match="local filesystem"):
+        dedup.write_dedup_index(df, "s3a://bucket/idx")
+
+
+# ------------------------------------------------------- span batch caching
+
+
+def test_batch_duplicated_spans_cache_handles(spark):
+    from teleharvest_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [("d%d" % i, list(range(10 * i, 10 * i + 30))) for i in range(6)]
+        + [("dupA", list(range(100))), ("dupB", list(range(100)))],
+        "doc_id string, tokens array<int>",
+    )
+    stored = dedup.repeated_grams(docs, k=8)
+    base_spans, base_new = dedup.batch_duplicated_spans(docs, stored, k=8)
+    handles: list = []
+    spans, new = dedup.batch_duplicated_spans(
+        docs, stored, k=8, cache_handles=handles
+    )
+    assert len(handles) == 2
+    key = lambda r: (r["doc_id"], r["start"], r["end"])
+    assert sorted(map(key, spans.collect())) == sorted(map(key, base_spans.collect()))
+    assert new.count() == base_new.count()
+    for h in handles:
+        h.unpersist()
