@@ -1839,11 +1839,15 @@ def oracle_sql() -> dict[str, str]:
                      ELSE [array_to_string(w, ' ')] END AS shingles
               FROM words
             ), ev AS (
-              SELECT doc_id AS eval_id, len(shingles) AS n_eval,
-                     unnest(shingles) AS shingle
+              -- '' excluded + least(2, n_eval) threshold: mirrors
+              -- contamination_scan (short-eval whole-text hits count;
+              -- the empty-text artifact shingle never does)
+              SELECT doc_id AS eval_id,
+                     len(list_filter(shingles, s -> s <> '')) AS n_eval,
+                     unnest(list_filter(shingles, s -> s <> '')) AS shingle
               FROM sh WHERE coalesce(doc_id % 97 = 0, FALSE)
             ), tr AS (
-              SELECT doc_id, unnest(shingles) AS shingle
+              SELECT doc_id, unnest(list_filter(shingles, s -> s <> '')) AS shingle
               FROM sh WHERE NOT coalesce(doc_id % 97 = 0, FALSE)
             ), inter AS (
               SELECT tr.doc_id, ev.eval_id, ev.n_eval,
@@ -1852,7 +1856,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2, 3
             )
             SELECT doc_id, eval_id, n_overlap, CAST(n_eval AS BIGINT) AS n_eval
-            FROM inter WHERE n_overlap >= 2
+            FROM inter WHERE n_overlap >= least(2, n_eval)
         """,
         # Token-native Jaccard: identical md5-mod-vocab tokenization on
         # both engines, then exact token-3-gram Jaccard (gram sets are

@@ -54,20 +54,31 @@ def contamination_scan(
     shingle arrays are distinct per doc, so the join row count per
     pair IS the intersection size); ``overlap_frac`` = n_overlap /
     n_eval, the fraction of the eval doc's shingles present in the
-    training doc. ``min_overlap`` ≥ 2 by default so the degenerate
-    single-shingle match (e.g. two empty texts both yielding the ''
-    shingle) doesn't flag.
+    training doc.
+
+    The degenerate empty shingle ('' — an empty/whitespace-only text's
+    whole-text fallback) is excluded from both sides, and the
+    effective threshold is ``least(min_overlap, n_eval)``: an eval doc
+    shorter than k words yields exactly ONE whole-text shingle, so a
+    fixed ``min_overlap ≥ 2`` would make short-answer benchmarks
+    structurally invisible to the scan even when a training doc
+    contains them verbatim. With '' excluded, the single-shingle match
+    is a real whole-text hit, not the empty-text artifact the fixed
+    floor existed to suppress.
 
     Exact-SQL-oracle-comparable; the driver-gated ``contamination``
     query hashes the integer columns (overlap_frac stays out of the
     gate — a/b ratios can land on .xxxxxx5 ties where Spark HALF_UP
     and DuckDB binary rounding diverge).
     """
+    nonempty = lambda col: F.filter(col, lambda s: s != "")
     tr_sh = _spread(train, id_col).select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+        F.col(id_col),
+        F.explode(nonempty(shingles(text_col, k))).alias("shingle"),
     )
     ev_posts = eval_df.select(
-        F.col(id_col).alias("eval_id"), shingles(text_col, k).alias("_sh")
+        F.col(id_col).alias("eval_id"),
+        nonempty(shingles(text_col, k)).alias("_sh"),
     ).select(
         "eval_id", F.size("_sh").alias("n_eval"), F.explode("_sh").alias("shingle")
     )
@@ -75,7 +86,7 @@ def contamination_scan(
     return (
         joined.groupBy(id_col, "eval_id", "n_eval")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
-        .where(F.col("n_overlap") >= min_overlap)
+        .where(F.col("n_overlap") >= F.least(F.lit(min_overlap), F.col("n_eval")))
         .select(
             id_col,
             "eval_id",
@@ -200,6 +211,18 @@ def semantic_contamination(
         raise ValueError("eval side has no non-NULL embeddings")
     if dim is None:
         dim = len(ev[0][vec_col])
+        n_bad = sum(1 for r in ev if len(r[vec_col]) != dim)
+        if n_bad:
+            # inferred from ONE row — if others disagree, the guess is
+            # ambiguous and silently filtering on it could empty the
+            # screen (an anomalous FIRST row would drop every healthy
+            # eval row and ship a contaminated corpus with a clean
+            # report). Mixed dims need the caller's explicit choice.
+            raise ValueError(
+                f"eval embeddings have mixed dimensions: inferred "
+                f"dim={dim} from the first row but {n_bad} of "
+                f"{len(ev)} rows disagree — pass dim explicitly"
+            )
     ev = [r for r in ev if len(r[vec_col]) == dim]
     eval_ids = [r[eval_id_col] for r in ev]
     E = np.asarray([r[vec_col] for r in ev], dtype=np.float64)

@@ -87,8 +87,12 @@ def repetition_signals(
     * ``n_lines`` — line count of ``split(text, '\\n')`` (empty text
       is one empty line — trailing empties kept, matching both
       engines' split semantics);
-    * ``n_dup_lines`` — line occurrences beyond each line's first
-      (``n_lines - distinct_lines``);
+    * ``n_dup_lines`` — NON-EMPTY line occurrences beyond each line's
+      first. Empty lines are excluded from the duplicate numerator:
+      blank paragraph separators repeat in perfectly ordinary prose
+      ("p1\\n\\np2\\n\\np3\\n\\np4\\n\\np5" would otherwise count 3
+      dups in 9 lines = 0.33 and fail the 0.30 Gopher gate), and
+      ``chars_dup`` already weights them at zero;
     * ``chars_lines`` / ``chars_dup`` — characters across all line
       occurrences / across occurrences of lines appearing >1 time
       (the Gopher "duplicate line character fraction" numerator);
@@ -107,7 +111,9 @@ def repetition_signals(
     per_line = lines.groupBy(id_col, "_line").agg(F.count("*").alias("_c"))
     line_sig = per_line.groupBy(id_col).agg(
         F.sum("_c").alias("n_lines"),
-        (F.sum("_c") - F.count("*")).alias("n_dup_lines"),
+        F.sum(
+            F.when(F.col("_line") != "", F.col("_c") - 1).otherwise(F.lit(0))
+        ).alias("n_dup_lines"),
         F.sum(F.length("_line") * F.col("_c")).alias("chars_lines"),
         F.sum(
             F.when(F.col("_c") > 1, F.length("_line") * F.col("_c")).otherwise(F.lit(0))

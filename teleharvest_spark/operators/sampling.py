@@ -131,6 +131,13 @@ def stratified_sample(
     distinct strings collides with probability ~0); ``key`` breaks
     ties between equal keys' duplicates deterministically.
 
+    NULL-``key`` rows are excluded: their md5 is NULL, which sorts
+    FIRST under the ascending rank and ties completely (NULL tiebreak
+    too), so which of them land in the sample would be partition-order
+    dependent — the one thing this sampler promises away. Route NULL
+    keys through the uniqueness/cascade checks; an unidentifiable row
+    has no place in a reproducible sample.
+
     Delegates to ``watermark.top_k_per_group``: ``salt=None`` is one
     window shuffle by ``group``; pass ``salt=S`` when a group is hot
     (one source holding a large table fraction) to run the lossless
@@ -141,7 +148,7 @@ def stratified_sample(
 
     hx = F.md5(F.encode(F.col(key).cast("string"), "UTF-8"))
     out = top_k_per_group(
-        df.withColumn("__h", hx),
+        df.where(F.col(key).isNotNull()).withColumn("__h", hx),
         key=group,
         order_col="__h",
         k=k,
@@ -175,7 +182,10 @@ def token_budget_sample(
     require splitting a document, which is the packer's job, not the
     sampler's). Groups missing from ``budgets`` keep everything unless
     ``default_budget`` is given. NULL ``group`` rows are dropped (the
-    engine-wide NULL-stratum exclusion); NULL sizes count 0.
+    engine-wide NULL-stratum exclusion), and so are NULL-``key`` rows
+    — their selection hash is NULL, which sorts first and ties
+    completely, making the kept set partition-order dependent (see
+    stratified_sample). NULL sizes count 0.
 
     Scale: one window (partition by group, order by hash) — the same
     shuffle shape as sessionize/top-k; running sum is O(1) state per
@@ -187,7 +197,7 @@ def token_budget_sample(
     """
     from pyspark.sql import Window
 
-    df = df.where(F.col(group).isNotNull())
+    df = df.where(F.col(group).isNotNull() & F.col(key).isNotNull())
     hx = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")))
     w = (
         Window.partitionBy(group)

@@ -171,16 +171,6 @@ def semdedup(
     def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
         cell_id = int(pdf["cell"].iloc[0])
         is_seed = pdf["__is_seed"].to_numpy()
-        if cell_id < 0:
-            n = len(pdf)
-            return pd.DataFrame({
-                id_col: pdf[id_col],
-                "cell": np.full(n, cell_id, dtype=np.int32),
-                # nullable Float64 so Arrow emits NULL (not NaN) —
-                # matching the empty-centroids early-return path
-                "centroid_sim": pd.array([None] * n, dtype="Float64"),
-                "kept": np.ones(n, dtype=bool),
-            })
         ids = pdf[id_col]
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -208,7 +198,24 @@ def semdedup(
         })
         return out[~is_seed]
 
-    return base.groupBy("cell", "__sub").applyInPandas(_prune, schema=out_schema)
+    # cell -1 (NULL/wrong-dim embeddings) never enters the pandas
+    # stage: those rows are kept verbatim by contract, and funneling
+    # them through applyInPandas would materialize EVERY embedding-less
+    # row in one Python task (max_cell exempts cell<0 from sub-salting,
+    # so nothing would ever split it) — a single-task OOM at scale for
+    # a group that needs no computation at all. Pure projection union.
+    passthrough = base.where(F.col("cell") < 0).select(
+        F.col(id_col),
+        F.col("cell").cast("int").alias("cell"),
+        F.lit(None).cast("double").alias("centroid_sim"),
+        F.lit(True).alias("kept"),
+    )
+    pruned = (
+        base.where(F.col("cell") >= 0)
+        .groupBy("cell", "__sub")
+        .applyInPandas(_prune, schema=out_schema)
+    )
+    return pruned.unionByName(passthrough)
 
 
 def semdedup_prune(

@@ -62,9 +62,17 @@ def brute_force_topk(
     """Exact cosine top-k per probe (the ANN baseline).
 
     Deterministic tie-break on neighbor id. Self-matches excluded.
+    NULL-embedding corpus rows are excluded: cosine()'s guarded
+    division yields 0.0 (not NULL) for a NULL side, so unfiltered they
+    would outrank genuinely negative-similarity true neighbors and
+    corrupt the recall ground truth the ANN variants are scored
+    against (the variants cannot return embedding-less rows at all).
     """
     p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    )
     sims = (
         p.crossJoin(F.broadcast(c))
         .where(F.col("probe_id") != F.col("neighbor_id"))
@@ -261,13 +269,19 @@ def train_centroids(
     candidate cells better even on weakly-structured embeddings).
     """
     rows = (
-        corpus.where(F.col(vec_col).isNotNull())
+        corpus.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
         .select(F.col(id_col), F.col(vec_col))
         .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(max(sample_size, n_cells))
         .collect()
     )
-    samp = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    # the size==dim pushdown keeps a single ragged/empty embedding in
+    # the hash-ordered sample from turning np.array inhomogeneous (a
+    # driver ValueError) — the distributed paths tolerate wrong-dim
+    # rows, so the trainer must too
+    samp = np.asarray(
+        [[float(x) for x in r[1]] for r in rows], dtype=np.float64
+    ).reshape(-1, dim)
     if samp.size == 0:
         return np.empty((0, dim), dtype=np.float64)
     samp = samp / np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-12)
@@ -318,10 +332,14 @@ def ivf_topk(
     n_iter: int = 10,
     sample_size: int = 4096,
     spill_eps: float = 0.0,
+    cents: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into Voronoi
     cells around Lloyd-trained centroids, search only the probe's
-    nearest ``n_probe`` cells.
+    nearest ``n_probe`` cells. ``cents`` — pre-trained unit-norm
+    centroids (train_centroids output) to reuse across calls; training
+    is deterministic, so passing them changes cost only (calibrate_ann
+    trains once per n_cells instead of twice per grid point).
 
     ``spill_eps`` > 0 enables boundary-spilled corpus assignment
     (``_cell_spill_udf``): corpus vectors within eps cosine of their
@@ -349,7 +367,7 @@ def ivf_topk(
     49.9% (no spill); with the boundary spill the headline default is
     **lloyd-128 n_probe 56 eps 0.06 → 0.97 @ 49.5%**.
     """
-    cents_unit = train_centroids(
+    cents_unit = cents if cents is not None else train_centroids(
         corpus, dim, n_cells, n_iter=n_iter, sample_size=sample_size,
         id_col=id_col, vec_col=vec_col,
     )
@@ -463,6 +481,7 @@ def ivf_scan_fraction(
     n_iter: int = 10,
     sample_size: int = 4096,
     spill_eps: float = 0.0,
+    cents: "np.ndarray | None" = None,
 ) -> float:
     """Measured mean fraction of the corpus scanned per probe by
     ``ivf_topk`` at these settings — bench instrumentation, so the
@@ -472,8 +491,9 @@ def ivf_scan_fraction(
 
     Corpus side reduces to n_cells count rows (broadcast); the probe
     side is one narrow projection — no candidate join is materialized.
+    ``cents``: pre-trained centroids to reuse (see ivf_topk).
     """
-    cents_unit = train_centroids(
+    cents_unit = cents if cents is not None else train_centroids(
         corpus, dim, n_cells, n_iter=n_iter, sample_size=sample_size,
         id_col=id_col, vec_col=vec_col,
     )
@@ -495,14 +515,20 @@ def ivf_scan_fraction(
         F.col(id_col).alias("probe_id"),
         F.explode(probe_assign(F.col(vec_col))).alias("cell"),
     )
+    # mean over ALL probing probes, zero-candidate probes included: an
+    # inner-join average silently drops probes whose probed cells are
+    # all empty, inflating the reported fraction exactly for the
+    # configs that scan least (sum-over-matched / n_probes counts the
+    # dropped probes as 0)
+    n_probes = probed.select("probe_id").distinct().count()
     row = (
         probed.join(F.broadcast(cell_counts), "cell")
         .groupBy("probe_id")
         .agg(F.sum("cnt").alias("scanned"))
-        .agg(F.avg("scanned").alias("avg_scanned"))
+        .agg(F.sum("scanned").alias("tot_scanned"))
         .collect()[0]
     )
-    return float(row["avg_scanned"] or 0.0) / max(n_corpus, 1)
+    return float(row["tot_scanned"] or 0.0) / (max(n_corpus, 1) * max(n_probes, 1))
 
 
 def lsh_scan_fraction(
@@ -530,14 +556,17 @@ def lsh_scan_fraction(
         F.explode(buckets(F.col(vec_col))).alias("bucket"),
     )
     n_corpus = corpus.count()
+    # zero-candidate probes count as 0, not dropped (see
+    # ivf_scan_fraction — same inner-join-average pitfall)
+    n_probes = p.select("probe_id").distinct().count()
     row = (
         p.join(c, "bucket")
         .groupBy("probe_id")
         .agg(F.count_distinct("neighbor_id").alias("scanned"))
-        .agg(F.avg("scanned").alias("avg_scanned"))
+        .agg(F.sum("scanned").alias("tot_scanned"))
         .collect()[0]
     )
-    return float(row["avg_scanned"] or 0.0) / max(n_corpus, 1)
+    return float(row["tot_scanned"] or 0.0) / (max(n_corpus, 1) * max(n_probes, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -842,11 +871,26 @@ def calibrate_ann(
     ).persist()
     exact.count()
     points: list[dict] = []
+    # training is deterministic for a given n_cells and independent of
+    # (n_probe, spill_eps) — train once per distinct n_cells and thread
+    # the centroids into BOTH the query and the cost measurement
+    # (otherwise each IVF grid point pays two identical bounded
+    # collects + Lloyd restarts)
+    cents_by_cells: dict[int, "np.ndarray"] = {}
+
+    def _cents(n_cells: int) -> "np.ndarray":
+        if n_cells not in cents_by_cells:
+            cents_by_cells[n_cells] = train_centroids(
+                corpus, dim, n_cells, id_col=id_col, vec_col=vec_col
+            )
+        return cents_by_cells[n_cells]
+
     try:
         for n_cells, n_probe, eps in ivf_grid:
+            cu = _cents(n_cells)
             ap = ivf_topk(
                 probes, corpus, dim, k=k, n_cells=n_cells, n_probe=n_probe,
-                spill_eps=eps, id_col=id_col, vec_col=vec_col,
+                spill_eps=eps, id_col=id_col, vec_col=vec_col, cents=cu,
             )
             points.append(
                 {
@@ -860,7 +904,7 @@ def calibrate_ann(
                         ivf_scan_fraction(
                             probes, corpus, dim, n_cells=n_cells,
                             n_probe=n_probe, spill_eps=eps,
-                            id_col=id_col, vec_col=vec_col,
+                            id_col=id_col, vec_col=vec_col, cents=cu,
                         ),
                         4,
                     ),

@@ -373,6 +373,145 @@ def test_write_dedup_index_rejects_object_store_paths(spark):
 # ------------------------------------------------------- span batch caching
 
 
+def test_brute_force_topk_excludes_null_embeddings(spark):
+    """NULL-embedding corpus rows score cosine 0.0 (guarded division),
+    which would outrank genuinely negative true neighbors and corrupt
+    the ANN ground truth — they must not appear in the exact top-k."""
+    from teleharvest_spark.operators import similarity
+
+    rows = [("p", [1.0, 0.0])] + [
+        ("n%d" % i, [-1.0, 0.01 * i]) for i in range(3)
+    ] + [("null%d" % i, None) for i in range(2)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = similarity.brute_force_topk(
+        df.where(F.col("vec_id") == "p"), df, k=5
+    ).collect()
+    ids = {r["neighbor_id"] for r in got}
+    assert ids == {"n0", "n1", "n2"}
+    assert all(r["sim"] < 0 for r in got)
+
+
+def test_train_centroids_tolerates_ragged_embeddings(spark):
+    """A wrong-dim or empty embedding landing in the driver sample must
+    not crash training with a numpy inhomogeneous-shape error."""
+    import numpy as np
+
+    from teleharvest_spark.operators import similarity
+
+    rows = [("v%d" % i, [float(i), 1.0]) for i in range(10)]
+    rows += [("bad1", []), ("bad2", [1.0, 2.0, 3.0]), ("bad3", None)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    cents = similarity.train_centroids(df, dim=2, n_cells=2)
+    assert cents.shape[1] == 2
+    assert np.isfinite(cents).all()
+
+
+def test_lsh_scan_fraction_counts_zero_candidate_probes(spark):
+    """A probe whose buckets match nothing scans 0 rows and must pull
+    the mean DOWN, not vanish from it."""
+    from teleharvest_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [("c%d" % i, [1.0, 0.0, 0.0, 0.0]) for i in range(4)],
+        "vec_id string, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [("hit", [1.0, 0.0, 0.0, 0.0]), ("miss", [-1.0, 0.0, 0.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    frac = similarity.lsh_scan_fraction(
+        probes, corpus, dim=4, n_planes=12, n_tables=2
+    )
+    # identical vector shares every bucket (scans 4/4); the negated
+    # vector flips every plane sign (scans 0) → mean 0.5, not 1.0
+    assert abs(frac - 0.5) < 1e-9
+
+
+def test_repetition_blank_separators_not_duplicate_lines(spark):
+    """Ordinary multi-paragraph prose must not fail the Gopher
+    dup-line gate through its blank separator lines."""
+    from pyspark.sql import Row
+
+    from teleharvest_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="p1\n\np2\n\np3\n\np4\n\np5")]
+    )
+    sig = quality.repetition_signals(df).collect()[0]
+    assert sig["n_lines"] == 9
+    assert sig["n_dup_lines"] == 0
+    frac = quality.repetition_fractions(df).collect()[0]
+    assert frac["dup_line_frac"] == 0.0
+
+
+def test_contamination_short_eval_whole_text_hit(spark):
+    """An eval answer shorter than k words yields ONE whole-text
+    shingle; a verbatim short training doc must flag (effective
+    threshold least(min_overlap, n_eval)) while empty texts never do
+    (degenerate '' shingle excluded)."""
+    from teleharvest_spark.operators import contamination
+
+    train = spark.createDataFrame(
+        [("t1", "foo bar"), ("t2", "completely different words here"), ("t3", "")],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [("e1", "foo bar"), ("e2", ""), ("e3", None)],
+        "doc_id string, text string",
+    )
+    got = contamination.contamination_scan(train, ev, k=3, min_overlap=2).collect()
+    assert [(r["doc_id"], r["eval_id"], r["n_overlap"], r["n_eval"]) for r in got] == [
+        ("t1", "e1", 1, 1)
+    ]
+
+
+def test_semantic_contamination_mixed_dim_eval_raises(spark):
+    from teleharvest_spark.operators import contamination
+
+    train = spark.createDataFrame(
+        [("t1", [1.0, 0.0])], "doc_id string, embedding array<double>"
+    )
+    ev = spark.createDataFrame(
+        [("e1", [1.0, 0.0, 0.0]), ("e2", [1.0, 0.0])],
+        "eval_id string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="mixed dimensions"):
+        contamination.semantic_contamination(train, ev)
+
+
+def test_semdedup_null_embeddings_kept_verbatim(spark):
+    from teleharvest_spark.operators import semdedup
+
+    rows = [("v%d" % i, [float(i % 3), 1.0]) for i in range(12)]
+    rows += [("null1", None), ("bad1", [1.0, 2.0, 3.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup.semdedup(df, dim=2, tau=0.99).collect()}
+    assert len(out) == 14
+    for vid in ("null1", "bad1"):
+        assert out[vid]["cell"] == -1
+        assert out[vid]["kept"] is True
+        assert out[vid]["centroid_sim"] is None
+
+
+def test_samplers_exclude_null_keys(spark):
+    """NULL-key rows hash to NULL (sorts first, ties completely) —
+    the deterministic samplers exclude them instead of letting the
+    kept set become partition-order dependent."""
+    from teleharvest_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("d%d" % i, "a", 10) for i in range(20)]
+        + [(None, "a", 10), (None, "a", 10)],
+        "doc_id string, source string, n_tok int",
+    )
+    strat = sampling.stratified_sample(df, k=5).collect()
+    assert len(strat) == 5
+    assert all(r["doc_id"] is not None for r in strat)
+    kept = sampling.token_budget_sample(df, {"a": 50}).collect()
+    assert len(kept) == 5
+    assert all(r["doc_id"] is not None for r in kept)
+
+
 def test_batch_duplicated_spans_cache_handles(spark):
     from teleharvest_spark.operators import dedup
 
