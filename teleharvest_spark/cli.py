@@ -489,6 +489,20 @@ def run(
                 f"pre-flight sample_frac is incompatible with {', '.join(bad)}: "
                 "a sampled run must not advance or consume cross-run state"
             )
+    if resume and hot_tokens:
+        # hot-token churn is a FULL-corpus statement: computed over the
+        # resume-filtered pending partitions it would report every
+        # skipped source's head tokens as 'exited' AND overwrite the
+        # stored baseline with the partial head, corrupting the next
+        # full run's churn. token_drift merges untouched sources from
+        # its per-source stored state; the global top-k sketch has no
+        # per-source state to merge, so the combination is refused.
+        raise ValueError(
+            "--hot-tokens is incompatible with --resume: the churn "
+            "sketch is a full-corpus statement and would replace the "
+            "stored baseline with a pending-only head — run it on "
+            "full runs"
+        )
     sequences = spark.read.parquet(input_path)
     schema_report: dict = {}
     if schema_contract:
@@ -555,17 +569,49 @@ def run(
                 from .sources.writer import dir_key_value
 
                 stored = st.read_states(spark, output_path)
-                stated = {
-                    r["partition"]
-                    for r in stored.select("partition").distinct().collect()
+                state_run = {
+                    r["partition"]: r["stated_at_run"]
+                    for r in stored.select(
+                        "partition", "stated_at_run"
+                    ).collect()
                 }
                 non_pending = {
                     dir_key_value(r["partition"])
                     for r in snapshots.select("partition").collect()
                 } - {dir_key_value(p) for p in pending_sources} - {"__null__"}
-                if non_pending <= stated:
+                # FRESHNESS, not just existence: a partition
+                # re-validated by a later run WITHOUT --corpus-states
+                # has a manifest row for its current snapshot whose
+                # validated_at_run the state's stated_at_run no longer
+                # matches — pooling that state would bake a pre-change
+                # histogram into the baseline. All metadata-sized.
+                cur_runs: dict[str, set] = {}
+                for r in (
+                    manifest.join(
+                        snapshots,
+                        ["partition", "snapshot_id", "file_list_hash"],
+                    )
+                    .select("partition", "validated_at_run")
+                    .collect()
+                ):
+                    cur_runs.setdefault(
+                        dir_key_value(r["partition"]), set()
+                    ).add(r["validated_at_run"])
+                fresh = {
+                    p
+                    for p in non_pending
+                    if p in state_run and state_run[p] in cur_runs.get(p, set())
+                }
+                if non_pending <= fresh:
+                    # restrict to CURRENT non-pending partitions: a
+                    # source whose data vanished from the input keeps
+                    # its stored state row, and pooling it would add a
+                    # ghost source's mass to the baseline
                     pooled_stored = st.pooled_hist_from_states(
-                        stored, exclude_partitions=pending_sources
+                        stored.where(
+                            F.col("partition").isin(sorted(non_pending))
+                        ),
+                        exclude_partitions=pending_sources,
                     )
             if pooled_stored is not None:
                 pending_seq = sequences.where(
@@ -809,7 +855,16 @@ def run(
             "slices_flagged": int(pdf["flagged"].sum()) if len(pdf) else 0,
             "top_slices": _top_slices(pdf),
         }
-    res.verdicts.write.mode("overwrite").parquet(f"{output_path}/verdicts/{run_id}")
+    # pre-flight verdicts carry ~frac-scaled counts with nothing in the
+    # rows marking them sampled — parked beside violations_preflight so
+    # a consumer listing <out>/verdicts/ never mistakes them for
+    # full-corpus numbers (the documented no-durable-state contract)
+    verdicts_root = (
+        f"{output_path}/verdicts_preflight/{run_id}"
+        if sample_frac is not None
+        else f"{output_path}/verdicts/{run_id}"
+    )
+    res.verdicts.write.mode("overwrite").parquet(verdicts_root)
     if sample_frac is None:
         # a sampled run must NOT mark partitions validated — the
         # manifest is the resume contract for FULL validations only
@@ -865,7 +920,15 @@ def run(
             **token_report,
             **drift_fdr_pass(
                 spark, sequences, output_path, run_id, drift_fdr_alpha,
-                baseline_hist=prev_baseline,
+                # the run's effective baseline, NOT prev_baseline: under
+                # --resume in global mode baseline_hist is the
+                # reconstructed FULL-corpus pool — re-pooling the
+                # pending-only res.hist inside drift_fdr_pass would
+                # compare each pending source against itself (KS≈0,
+                # p≈1) and the FDR gate would pass any drift silently.
+                # Temporal mode: baseline_hist IS prev_baseline; full
+                # non-resume global: None → self-pool of the full hist.
+                baseline_hist=baseline_hist,
                 hist=res.hist,  # suite's persisted histogram (None if drift off)
             ),
         }
@@ -1832,6 +1895,41 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.run_all and args.input is None:
         ap.error("--run-all requires --input")
+    if args.run_all:
+        # run_all's validate stage does not plumb the standalone run()
+        # extras — refuse them loudly rather than let the user believe
+        # (e.g.) a certified table was refreshed or a key index
+        # maintained when neither happened. drift_baseline IS
+        # forwarded; everything below is not.
+        dropped = {
+            "--token-drift": args.token_drift,
+            "--hot-tokens": args.hot_tokens,
+            "--drift-fdr": args.drift_fdr is not None,
+            "--history-anomalies": args.history_anomalies,
+            "--key-index": args.key_index,
+            "--corpus-states": args.corpus_states,
+            "--emit-valid": args.emit_valid,
+            "--violation-sample": args.violation_sample is not None,
+            "--slices": args.slices,
+            "--no-schema-contract": args.no_schema_contract,
+        }
+        active = sorted(k for k, v in dropped.items() if v)
+        if active:
+            ap.error(
+                f"--run-all does not support {', '.join(active)}: these "
+                "run through the standalone validation CLI (drop "
+                "--run-all, or run the composed pipeline first and the "
+                "standalone pass after)"
+            )
+    if args.corpus_stats and args.input is not None:
+        # report-only flag (merges STORED states, zero scans); with
+        # --input it would be silently inert — and it is one letter
+        # away from --corpus-states, the state-MAINTAINING flag
+        ap.error(
+            "--corpus-stats is a report-only mode over stored states "
+            "and ignores --input; drop --input, or use --corpus-states "
+            "to maintain states during a validation run"
+        )
     if args.sample_frac is not None:
         # the pre-flight refusal matrix lives in run(); the standalone
         # passes never reach it, and a silently-ignored sample flag
@@ -2047,6 +2145,7 @@ def main(argv: list[str] | None = None) -> int:
             resume=args.resume,
             drift=not args.no_drift,
             source_dim_path=args.source_dim,
+            drift_baseline=args.drift_baseline,
         )
     else:
         report = run(

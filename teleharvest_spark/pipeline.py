@@ -101,8 +101,15 @@ def write_stage_state(output_path: str, stage: str, state: dict) -> None:
 
 
 def content_digest(df: DataFrame, *cols: str) -> str:
-    """Order-independent content digest: row count + bit_xor of per-row
-    xxhash64 — one aggregate scan, map-side partial.
+    """Order-independent content digest: row count + DECIMAL(38) sum of
+    per-row xxhash64 — one aggregate scan, map-side partial.
+
+    Sum, not bit_xor: xor cancels under even multiplicity (a duplicated
+    row edited identically in both copies contributes h^h = 0 before
+    AND after, so the xor digest would skip the changed input), while
+    the sum moves from 2h to 2h'. The decimal(38) accumulator is
+    overflow-free under ANSI mode for any realistic row count
+    (10^12 × 2^63 ≈ 10^31 < 10^38) and stays order-independent.
 
     With no ``cols``, digests EVERY column. Stage-skip digests must
     cover the value columns a stage reads, not just its keys: a metrics
@@ -116,7 +123,9 @@ def content_digest(df: DataFrame, *cols: str) -> str:
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(
-            "bit_xor(xxhash64(" + ", ".join(f"cast(`{c}` as string)" for c in cols) + "))"
+            "sum(cast(xxhash64("
+            + ", ".join(f"cast(`{c}` as string)" for c in cols)
+            + ") as decimal(38,0)))"
         ).alias("h"),
     ).collect()[0]
     return f"{row['n']}:{row['h']}"
@@ -211,11 +220,21 @@ def run_all(
     if "validate" in stages:
         sequences = spark.read.parquet(input_path)
         # the digest covers everything that changes the stage's output:
-        # input content, thresholds, and the drift-comparator mode
+        # input content, thresholds, the drift toggle + comparator
+        # mode, and the per-source bound overrides' CONTENT (editing
+        # the source_dim parquet must re-validate — the path alone
+        # would not see a tightened bound)
+        dim_digest = (
+            content_digest(spark.read.parquet(source_dim_path))
+            if source_dim_path
+            else "nodim"
+        )
         digest = (
             content_digest(sequences)
             + ":" + suite.suite_hash()
+            + ":" + ("drift" if drift else "nodrift")
             + ":" + drift_baseline
+            + ":" + dim_digest
         )
         prev = read_stage_state(output_path, "validate") if resume else None
         if prev and prev.get("digest") == digest:
@@ -1141,6 +1160,13 @@ def prep_corpus(
             report["stages"]["pack"] = {"skipped": True}
         else:
             to_pack, carry = _maybe_chunk(corpus, capacity, chunk_to_capacity)
+            if "copy" in to_pack.columns:
+                # upsample_mixture's contract: pack on (key, copy) so
+                # repeated copies stay distinguishable — without it two
+                # copies of one doc produce byte-identical pack rows
+                # and (source_dir, split, doc_id, pack_id) stops being
+                # a key for mixed warehouses
+                carry = carry + ("copy",)
             packs = pack_ops.pack_sequences(
                 _with_pack_group(to_pack), key="doc_id", group="source_dir",
                 size_col="n_tok", capacity=capacity, shard_col="split",
@@ -1862,15 +1888,23 @@ def prep_batch(
         # handle so the unpersist hits the cached frame, not a derivative
         report["kept"] = toks.count()
         report["lm_dropped"] = n_before - report["kept"]
+    decon_cached = None
     if eval_df is not None:
         from .operators.contamination import decontaminate
 
+        # persisted: the drain-to-zero count below AND the split/write
+        # both consume this frame — unpersisted, each would re-execute
+        # the eval-overlap n-gram join, the costliest per-batch unit
+        # (the prep_corpus decontaminate stage persists for the same
+        # reason)
         toks = (
             decontaminate(toks, eval_df, k=decontam_k, pad=decontam_pad)
             .withColumn("n_tok", F.size("tokens"))
             .where(F.col("n_tok") >= decontam_min_tok)
             .drop("n_removed_tok")  # keep corpus_inc schema = corpus schema
+            .persist()
         )
+        decon_cached = toks
     if span_filter or lm_filter or eval_df is not None:
         # post-tokenize filters can drain the batch to zero — a 0-row
         # partitioned write leaves a file-less dir that later readers
@@ -1891,7 +1925,7 @@ def prep_batch(
                 kept, os.path.join(idxdir, f"b_{d}"),
                 n_perm=n_perm, bands=bands, k=k, mode="overwrite",
             )
-            for h in (lm_cached, span_cached, gated, clean, kept):
+            for h in (decon_cached, lm_cached, span_cached, gated, clean, kept):
                 if h is not None:
                     h.unpersist()
             write_stage_state(output_path, state_key, {
@@ -1901,7 +1935,7 @@ def prep_batch(
     split = sampling_ops.split_assign(toks, train=train, val=val)
     cdir = os.path.join(output_path, "corpus_inc", f"b_{d}")
     split.write.mode("overwrite").partitionBy("split").parquet(cdir)
-    for h in (lm_cached, span_cached):
+    for h in (decon_cached, lm_cached, span_cached):
         if h is not None:
             h.unpersist()
 

@@ -69,12 +69,24 @@ def snapshot_of_partitions(sequences: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("_cnt"),
-            # bit_xor: order-independent, overflow-free content digest
-            F.expr("bit_xor(xxhash64(doc_id, coalesce(n_tok, -1)))").alias("_idh"),
+            # decimal sum, not bit_xor: order-independent AND
+            # multiplicity-sensitive — xor cancels when a duplicated
+            # (doc_id, n_tok) pair changes identically in both copies
+            # (h^h = 0 before and after), which would keep the
+            # snapshot_id stable across a real content change;
+            # decimal(38) cannot overflow under ANSI at any row count
+            F.expr(
+                "sum(cast(xxhash64(doc_id, coalesce(n_tok, -1)) "
+                "as decimal(38,0)))"
+            ).alias("_idh"),
         )
         .select(
             "partition",
-            F.abs(F.xxhash64(F.col("_cnt"), F.col("_idh"))).alias("snapshot_id"),
+            # _idh hashed via its canonical string form — decimal
+            # hashing semantics stay explicit and engine-stable
+            F.abs(
+                F.xxhash64(F.col("_cnt"), F.col("_idh").cast("string"))
+            ).alias("snapshot_id"),
             F.sha2(F.concat_ws(",", F.col("_cnt"), F.col("_idh")), 256).alias("file_list_hash"),
         )
     )

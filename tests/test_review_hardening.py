@@ -370,6 +370,160 @@ def test_write_dedup_index_rejects_object_store_paths(spark):
         dedup.write_dedup_index(df, "s3a://bucket/idx")
 
 
+# ------------------------------------------------- orchestration hardening
+
+
+def test_content_digest_detects_paired_identical_edits(spark):
+    """xor-based digests cancel under even multiplicity: a duplicated
+    row edited identically in BOTH copies left count and xor unchanged.
+    The decimal-sum digest must move."""
+    from teleharvest_spark import pipeline
+    from teleharvest_spark.plans import manifest as mf
+
+    a = spark.createDataFrame(
+        [("d1", 5, "s"), ("d1", 5, "s"), ("d2", 9, "s")],
+        "doc_id string, n_tok int, source string",
+    )
+    b = spark.createDataFrame(
+        [("d1", 7, "s"), ("d1", 7, "s"), ("d2", 9, "s")],
+        "doc_id string, n_tok int, source string",
+    )
+    assert pipeline.content_digest(a) != pipeline.content_digest(b)
+    snap_a = mf.snapshot_of_partitions(a).collect()[0]
+    snap_b = mf.snapshot_of_partitions(b).collect()[0]
+    assert snap_a["snapshot_id"] != snap_b["snapshot_id"]
+    # and identical content still matches (order-independent)
+    assert (
+        pipeline.content_digest(a.orderBy(F.desc("n_tok")))
+        == pipeline.content_digest(a)
+    )
+
+
+def test_hot_tokens_resume_refused(spark, suite, tmp_path):
+    from teleharvest_spark import cli
+
+    with pytest.raises(ValueError, match="hot-tokens.*incompatible"):
+        cli.run(
+            spark, str(tmp_path / "x"), str(tmp_path / "o"), suite,
+            run_id="h1", resume=True, hot_tokens=True,
+        )
+
+
+def test_sample_frac_verdicts_go_to_preflight(spark, suite, tmp_path):
+    import os
+
+    from teleharvest_spark import cli, datagen
+
+    inp, out = str(tmp_path / "seqs"), str(tmp_path / "out")
+    datagen.generate_sequences(spark, 2_000, suite).write.parquet(inp)
+    cli.run(spark, inp, out, suite, run_id="pf1", sample_frac=0.5)
+    assert os.path.isdir(f"{out}/verdicts_preflight/pf1")
+    assert not os.path.isdir(f"{out}/verdicts/pf1")
+
+
+def test_run_all_validate_digest_covers_drift_and_source_dim(
+    spark, suite, tmp_path
+):
+    from teleharvest_spark import cli, datagen, pipeline
+
+    inp, out = str(tmp_path / "seqs"), str(tmp_path / "out")
+    dimp = str(tmp_path / "dim")
+    datagen.generate_sequences(spark, 1_000, suite).write.parquet(inp)
+    spark.createDataFrame(
+        [("src_01", 8, 8192)], "source string, min_n_tok int, max_n_tok int"
+    ).write.parquet(dimp)
+    kw = dict(stages=("validate",), source_dim_path=dimp)
+    r1 = pipeline.run_all(spark, inp, out, suite, "ra1", **kw)
+    assert r1["stages"]["validate"] != {"skipped": True}
+    r2 = pipeline.run_all(spark, inp, out, suite, "ra2", **kw)
+    assert r2["stages"]["validate"] == {"skipped": True}
+    # toggling drift must re-validate, not skip
+    r3 = pipeline.run_all(spark, inp, out, suite, "ra3", drift=False, **kw)
+    assert r3["stages"]["validate"] != {"skipped": True}
+    # editing the source_dim CONTENT must re-validate, not skip
+    spark.createDataFrame(
+        [("src_01", 32, 8192)], "source string, min_n_tok int, max_n_tok int"
+    ).write.mode("overwrite").parquet(dimp)
+    r4 = pipeline.run_all(spark, inp, out, suite, "ra4", drift=False, **kw)
+    assert r4["stages"]["validate"] != {"skipped": True}
+
+
+def test_cli_main_refuses_run_all_with_unplumbed_flags(tmp_path):
+    from teleharvest_spark import cli
+
+    with pytest.raises(SystemExit):
+        cli.main([
+            "--input", str(tmp_path / "i"), "--output", str(tmp_path / "o"),
+            "--run-id", "x", "--run-all", "--emit-valid",
+            str(tmp_path / "c"),
+        ])
+    with pytest.raises(SystemExit):
+        cli.main([
+            "--input", str(tmp_path / "i"), "--output", str(tmp_path / "o"),
+            "--run-id", "x", "--corpus-stats",
+        ])
+
+
+def test_drift_fdr_resume_uses_full_baseline(spark, suite, tmp_path):
+    """Under --resume with the global baseline, the FDR pass must score
+    pending sources against the reconstructed FULL pool — re-pooling
+    the pending-only histogram would compare the drifted source against
+    itself (p≈1) and never reject."""
+    from teleharvest_spark import cli, datagen
+
+    inp, out = str(tmp_path / "seqs"), str(tmp_path / "out")
+    seqs = datagen.generate_sequences(spark, 5_000, suite)
+    seqs.write.parquet(inp)
+    cli.run(spark, inp, out, suite, run_id="f1", drift_fdr_alpha=0.05)
+
+    seqs.where(F.col("source") == "src_07").write.mode("append").parquet(inp)
+    r2 = cli.run(
+        spark, inp, out, suite, run_id="f2", resume=True,
+        drift_fdr_alpha=0.05,
+    )
+    assert r2["partitions"] == 1
+    rows = spark.read.parquet(f"{out}/drift_fdr/f2").collect()
+    assert len(rows) == 1 and rows[0]["source"] == "src_07"
+    # datagen plants src_07 at mean ×2 — vs the full pool it must
+    # reject; self-comparison would give p ≈ 1
+    assert rows[0]["reject"] is True
+
+
+def test_prep_mixture_packs_carry_copy(spark, tmp_path):
+    """Upsampled copies must stay distinguishable in the packs table:
+    pack on (doc_id, copy) per upsample_mixture's contract."""
+    from teleharvest_spark import pipeline
+
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "wh")
+    def _text(prefix, i):
+        return " ".join(f"{prefix}{i}w{j}" for j in range(24 + i))
+
+    docs = spark.createDataFrame(
+        [("b%02d" % i, _text("book", i), "books") for i in range(8)]
+        + [("w%02d" % i, _text("web", i), "web") for i in range(8)],
+        "doc_id string, text string, source string",
+    )
+    docs.write.parquet(inp)
+    pipeline.prep_corpus(
+        spark, inp, out, run_id="m1", capacity=64, train=0.8, val=0.1,
+        mixture_weights={"books": 2.0},
+        stages=("quality", "dedup", "tokenize", "split", "mixture", "pack"),
+    )
+    packs = spark.read.parquet(f"{out}/packs")
+    assert "copy" in packs.columns
+    # only the TRAIN split is mixture-weighted; val/test ride with copy 0
+    books = packs.where(
+        (F.col("source_dir") == "books") & (F.col("split") == "train")
+    )
+    # weight 2.0 → every train books doc exactly twice, distinct by copy
+    assert books.count() == 2 * books.select("doc_id").distinct().count()
+    assert (
+        books.select("doc_id", "copy").distinct().count() == books.count()
+    )
+    # full pack rows unique — (group, split, key, copy) is a key again
+    assert packs.distinct().count() == packs.count()
+
+
 # ------------------------------------------------------- span batch caching
 
 
