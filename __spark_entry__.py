@@ -551,14 +551,9 @@ def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     list-based recomputation. Real token arrays take the same path
     (pinned in tests/test_dedup.py over generated sequences)."""
     docs = _load(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TXT.WS + "+")
-    tok = F.transform(
-        words,
-        lambda w: (
-            F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long") % 50257
-        ).cast("int"),
-    )
-    toks = docs.select("doc_id", tok.alias("tokens"))
+    # the SHARED tokenizer stub (md5-of-word mod vocab, phantom ''
+    # words filtered) — one derivation for query, oracle, and pipeline
+    toks = docs.select("doc_id", TXT.hash_tokens(F.col("text")).alias("tokens"))
     return dedup.ngram_jaccard_pairs(
         toks,
         id_col="doc_id",
@@ -1665,8 +1660,11 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": r"""
             WITH t AS (
               SELECT doc_id, text,
-                     CASE WHEN trim(coalesce(text,'')) = '' THEN 0
-                          ELSE len(string_split_regex(trim(coalesce(text,'')), '[ \t\n\x0B\f\r]+')) END AS n_words,
+                     -- non-empty pieces only: mirrors token_count's
+                     -- phantom-token fix (trim is space-only on both
+                     -- engines, so 'hello\n' would count 2 otherwise)
+                     len(list_filter(string_split_regex(coalesce(text,''), '[ \t\n\x0B\f\r]+'),
+                                     w -> w <> '')) AS n_words,
                      len(regexp_extract_all(coalesce(text,''), '\w+|[^\w \t\n\x0B\f\r]')) AS n_bpe_ish,
                      len(regexp_extract_all(lower(coalesce(text,'')), '\b(the|and|of|to|is|that)\b')) AS h_en,
                      len(regexp_extract_all(lower(coalesce(text,'')), '\b(el|la|de|que|los|una)\b')) AS h_es,
@@ -1683,7 +1681,9 @@ def oracle_sql() -> dict[str, str]:
             ), lsig AS (
               SELECT doc_id,
                      sum(c) AS n_lines,
-                     sum(c) - count(*) AS n_dup_lines,
+                     -- empty lines excluded from the dup numerator
+                     -- (mirrors repetition_signals' blank-separator fix)
+                     sum(CASE WHEN line <> '' THEN c - 1 ELSE 0 END) AS n_dup_lines,
                      sum(length(line) * c) AS chars_lines,
                      sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END) AS chars_dup,
                      sum(CASE WHEN left(line, 1) IN ('-', '*', '•') THEN c ELSE 0 END) AS n_bullet,
@@ -1691,8 +1691,8 @@ def oracle_sql() -> dict[str, str]:
               FROM lc GROUP BY doc_id
             ), wl AS (
               SELECT doc_id,
-                     CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
-                          ELSE string_split_regex(trim(coalesce(text,'')), '[ \t\n\x0B\f\r]+') END AS w
+                     list_filter(string_split_regex(coalesce(text,''), '[ \t\n\x0B\f\r]+'),
+                                 x -> x <> '') AS w
               FROM documents
             ), bgr AS (
               SELECT doc_id,
@@ -1863,7 +1863,10 @@ def oracle_sql() -> dict[str, str]:
         # injectively fingerprinted on each side, so the values match)
         "token_jaccard": r"""
             WITH words AS (
-              SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0B\f\r]+') AS w
+              -- x <> '': mirrors hash_tokens' phantom-token filter
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0B\f\r]+'),
+                                 x -> x <> '') AS w
               FROM documents
             ), toks AS (
               SELECT doc_id,
@@ -2011,8 +2014,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_dups": r"""
             WITH n AS (
               SELECT doc_id,
-                     regexp_replace(lower(trim(substr(coalesce(text, ''), 1, 60))),
-                                    '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt
+                     -- collapse THEN trim (mirrors fingerprint():
+                     -- 'a b' and 'a b\n' must hash identically)
+                     trim(regexp_replace(lower(substr(coalesce(text, ''), 1, 60)),
+                                         '[ \t\n\x0B\f\r]+', ' ', 'g')) AS nt
               FROM documents
             )
             SELECT min(doc_id) AS group_min_doc, CAST(count(*) AS BIGINT) AS dup_count
@@ -2330,10 +2335,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source,
                      row_number() OVER (
                        PARTITION BY source
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
-                                doc_id NULLS FIRST
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                      ) AS sample_rank
-              FROM documents
+              -- NULL keys excluded (mirrors stratified_sample: a NULL
+              -- selection hash would tie nondeterministically)
+              FROM documents WHERE doc_id IS NOT NULL
             ) WHERE sample_rank <= 5
         """,
         # greedy packing recurrence replayed row-by-row per source

@@ -39,11 +39,13 @@ def strip_trailing_link(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count (0 for NULL/empty)."""
-    trimmed = F.trim(F.coalesce(col, F.lit("")))
-    return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, WS + "+"))
-    )
+    """Whitespace token count (0 for NULL/empty/whitespace-only).
+
+    Counts NON-EMPTY split pieces rather than trimming first: F.trim
+    strips only ASCII spaces, so 'hello\\n' would otherwise count a
+    phantom trailing token and '\\t\\n' would count 2 instead of 0."""
+    s = F.coalesce(col, F.lit(""))
+    return F.size(F.filter(F.split(s, WS + "+"), lambda w: w != ""))
 
 
 def bpe_ish_token_count(col: Column) -> Column:
@@ -102,9 +104,16 @@ def quality_score(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Deterministic 64-bit document fingerprint (content hash of the
     whitespace-normalized lowercased text) — the cheap rolling-hash
-    style identity used for shard-local dedup."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.coalesce(col, F.lit("")))), WS + "+", " ")
-    return F.xxhash64(normalized)
+    style identity used for shard-local dedup.
+
+    Collapse-then-trim, in that order: trimming first (space-only
+    F.trim) left a trailing '\\n' as a trailing ' ' after the
+    collapse, so 'a b' and 'a b\\n' fingerprinted DIFFERENTLY — the
+    single most common trivial variation in scraped text. After the
+    collapse every whitespace run is a plain space, which trim does
+    strip."""
+    collapsed = F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), WS + "+", " ")
+    return F.xxhash64(F.trim(collapsed))
 
 
 def parse_score(col: Column) -> Column:
@@ -117,13 +126,19 @@ def parse_score(col: Column) -> Column:
 
 def stop_word_check(col: Column, stop_words: list[str]) -> Column:
     """First matching stop word or NULL (reference F5 semantics:
-    contains_stop_words returns the matched word, processor.py:90-95)."""
+    contains_stop_words returns the matched word, processor.py:90-95).
+
+    Words are matched as LITERALS (java \\Q...\\E quoting): the
+    reference contract is substring containment, so a stop word
+    holding regex metacharacters ('c++', '(paid)') must not throw
+    PatternSyntaxException at task runtime or silently pattern-match
+    ('a.c' matching 'abc')."""
     if not stop_words:
         return F.lit(None).cast("string")
     s = F.coalesce(col, F.lit(""))
-    chain = F.when(s.rlike(stop_words[0]), F.lit(stop_words[0]))
+    chain = F.when(s.rlike("\\Q" + stop_words[0] + "\\E"), F.lit(stop_words[0]))
     for w in stop_words[1:]:
-        chain = chain.when(s.rlike(w), F.lit(w))
+        chain = chain.when(s.rlike("\\Q" + w + "\\E"), F.lit(w))
     return chain.otherwise(F.lit(None).cast("string"))
 
 
@@ -148,14 +163,16 @@ def hash_tokens(col: Column, vocab_size: int = 50257) -> Column:
     functions/vectors.py) — the pipeline contract (``tokens
     array<int>`` + ``n_tok``) is unchanged.
 
-    NULL / empty / whitespace-only text tokenizes to an EMPTY array
-    (``split('', ...)`` would yield ``['']`` — a phantom token that
-    inflates token counts, charges sampling budgets, and packs a bogus
-    id; the trim guard closes that)."""
-    s = F.trim(F.coalesce(col, F.lit("")))
-    words = F.when(
-        s == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.lower(s), WS + "+"))
+    NULL / empty / whitespace-only text tokenizes to an EMPTY array,
+    and NO position yields a phantom token: empty split pieces are
+    filtered out rather than trim-guarded (F.trim strips only ASCII
+    spaces, so 'hello\\n' would otherwise tokenize a trailing '' into
+    a bogus md5('')-derived id that inflates n_tok, charges sampling
+    budgets, and pollutes the k-gram/LM pipelines)."""
+    words = F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), WS + "+"),
+        lambda w: w != "",
+    )
     return F.transform(
         words,
         lambda w: (

@@ -35,21 +35,46 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 when either norm is 0 (guarded division,
-    reference C4 pattern: processor.py:116)."""
+    reference C4 pattern: processor.py:116); NULL when either INPUT is
+    NULL — an un-embeddable row is unscorable, not confirmed-orthogonal,
+    and collapsing the two would let similarity thresholds treat it as
+    confirmed-dissimilar."""
     d, na, nb = dot(a, b), norm(a), norm(b)
-    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
+        .when((na > 0) & (nb > 0), d / (na * nb))
+        .otherwise(F.lit(0.0))
+    )
 
 
 @F.pandas_udf(T.DoubleType())
 def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched cosine for wide vectors — ~10× the native
-    expression on dim ≥ 256 (single numpy matmul per batch)."""
-    am = np.stack(a.to_numpy())
-    bm = np.stack(b.to_numpy())
-    num = np.einsum("ij,ij->i", am, bm)
-    den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
-    out = np.where(den > 0, num / np.where(den == 0, 1, den), 0.0)
-    return pd.Series(out)
+    expression on dim ≥ 256 (single numpy matmul per batch).
+
+    NULL-and-ragged-safe: a batch containing a NULL or wrong-length
+    vector must not crash np.stack (embed_text_udf legitimately emits
+    NULL for empty text, so the module's own functions compose);
+    such rows score NULL, mirroring cosine()'s NULL-input contract."""
+    av, bv = a.to_numpy(), b.to_numpy()
+    n = len(av)
+    out = np.full(n, np.nan)
+    # group scorable rows by vector length: one stack+matmul per
+    # distinct dim in the batch (normally exactly one group)
+    by_len: dict[int, list[int]] = {}
+    for i, (x, y) in enumerate(zip(av, bv)):
+        lx = len(x) if x is not None else -1
+        ly = len(y) if y is not None else -2
+        if lx == ly and lx > 0:
+            by_len.setdefault(lx, []).append(i)
+    for idxs in by_len.values():
+        am = np.stack([np.asarray(av[i], dtype=np.float64) for i in idxs])
+        bm = np.stack([np.asarray(bv[i], dtype=np.float64) for i in idxs])
+        num = np.einsum("ij,ij->i", am, bm)
+        den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+        out[idxs] = np.where(den > 0, num / np.where(den == 0, 1, den), 0.0)
+    # NaN marks the unscorable rows; emit them as NULL, not NaN
+    return pd.Series(pd.arrays.FloatingArray(out, np.isnan(out)))
 
 
 def embed_text_udf(dim: int = 64):

@@ -69,6 +69,11 @@ def train_unigram_lm(
                 F.coalesce(F.col(tokens_col), F.array().cast("array<int>"))
             ).alias("token")
         )
+        # NULL elements never match the scoring join on `token`, so a
+        # (NULL, logp) row would inflate vocab_size and the smoothing
+        # denominator while the slot it reserves is unreachable —
+        # probabilities would no longer sum consistently
+        .where(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -77,6 +82,16 @@ def train_unigram_lm(
     ).collect()[0]  # bounded: one row of two scalars
     total = int(tot["total"] or 0)
     vocab = int(tot["vocab"] or 0)
+    if total == 0:
+        # an empty training corpus would give unseen_logp = 0 —
+        # p(unseen)=1, every later doc scores perplexity 1 and lands
+        # in the most-fluent bucket with no hint anything is wrong
+        # (misconfigured tokens_col, empty partition)
+        raise ValueError(
+            "train_unigram_lm: no tokens in the training corpus "
+            f"(tokens_col={tokens_col!r}) — scoring against an empty "
+            "model would rank every document maximally fluent"
+        )
     denom = math.log(total + alpha * (vocab + 1))
     lm = counts.select(
         "token",

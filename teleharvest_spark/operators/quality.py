@@ -126,9 +126,10 @@ def repetition_signals(
         ).alias("n_ellipsis"),
     )
 
-    trimmed = F.trim(F.col("_t"))
-    words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, WS + "+")
+    # non-empty pieces only (space-only F.trim would leave phantom ''
+    # words around tabs/newlines at the text edges — see token_count)
+    words = F.filter(
+        F.split(F.col("_t"), WS + "+"), lambda w: w != ""
     )
     n_w = F.size(words)
     bigrams = F.when(n_w < 2, F.array().cast("array<string>")).otherwise(

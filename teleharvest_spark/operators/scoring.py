@@ -33,6 +33,7 @@ pass a zero-arg factory; everything Spark-side stays unchanged.
 from __future__ import annotations
 
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Callable, Iterator, Sequence
 
@@ -119,23 +120,40 @@ class StubScorer(Scorer):
         return self.available
 
 
-# One client per (worker process, factory OBJECT): Spark reuses
-# workers across batches, and each stage's tasks hold one deserialized
-# factory object, so identity keying gives exactly per-stage-per-worker
-# reuse. The cache holds a strong reference to the factory itself —
-# keying by bare id() without it would let a freed factory's id be
-# recycled by a DIFFERENT factory, silently handing the new stage the
-# old stage's client (wrong backend/config, no error).
-_CLIENTS: dict[int, tuple[Callable, Scorer]] = {}
+# One client per (worker process, factory CONTENT): Spark reuses
+# workers across tasks, but EVERY task deserializes its own fresh
+# factory object — object-identity keying therefore missed on every
+# task (one new client per task, entries never evicted: unbounded
+# growth plus a fresh connection/auth per task, defeating the reuse
+# this cache exists for). The key is the sha256 of the factory's
+# cloudpickle bytes, recomputed per task (~µs): identical closures
+# rehydrate to identical bytes within a worker, so tasks of one stage
+# share one client, while two same-named factories with different
+# captured configs serialize differently and never collide. Bounded
+# LRU so a long-lived worker serving many distinct stages cannot grow
+# without limit; an unpicklable factory falls back to per-task
+# construction (correct, just unshared).
+_CLIENTS: OrderedDict = OrderedDict()
+_CLIENTS_MAX = 16
 
 
 def _client(factory: Callable[[], Scorer]) -> Scorer:
-    key = id(factory)
+    import hashlib
+
+    try:
+        from pyspark import cloudpickle
+
+        key = hashlib.sha256(cloudpickle.dumps(factory)).hexdigest()
+    except Exception:
+        return factory()
     hit = _CLIENTS.get(key)
-    if hit is not None and hit[0] is factory:
-        return hit[1]
+    if hit is not None:
+        _CLIENTS.move_to_end(key)
+        return hit
     c = factory()
-    _CLIENTS[key] = (factory, c)
+    _CLIENTS[key] = c
+    while len(_CLIENTS) > _CLIENTS_MAX:
+        _CLIENTS.popitem(last=False)
     return c
 
 
@@ -217,6 +235,16 @@ def score_stage(
     in_cols = df.columns
     if text_col not in in_cols:
         raise ValueError(f"text_col {text_col!r} not in {in_cols}")
+    reserved = {"score"} | ({"alt_text", "score_alt"} if with_alt else set())
+    clash = sorted(reserved & set(in_cols))
+    if clash:
+        # appending a second same-named StructField would fail (or
+        # mis-bind) only at Arrow conversion time, deep in the job —
+        # e.g. re-scoring an already-scored frame; fail at plan time
+        raise ValueError(
+            f"score_stage output column(s) {clash} already exist in the "
+            "input — drop/rename them before re-scoring"
+        )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         client = _client(scorer_factory)

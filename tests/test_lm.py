@@ -71,19 +71,16 @@ def test_train_rejects_bad_alpha_and_empty_corpus(spark):
     with pytest.raises(ValueError, match="alpha"):
         train_unigram_lm(df, alpha=0.0)
 
+    # an empty training corpus is refused: its unseen_logp degenerates
+    # to 0 (p(unseen)=1), so every later document would score
+    # perplexity 1 — confidently wrong, fail-open filtering with no
+    # hint the model is vacuous (misconfigured tokens_col, empty
+    # training partition)
     empty = spark.createDataFrame(
         [Row(doc_id=0, tokens=None)], "doc_id long, tokens array<int>"
     )
-    lm, meta = train_unigram_lm(empty)
-    assert meta["total_tokens"] == 0 and meta["vocab_size"] == 0
-    assert lm.count() == 0
-    # scoring against an empty lm: every token is unseen, ppl finite
-    out = score_unigram_lm(
-        spark.createDataFrame([Row(doc_id=0, tokens=[5, 6])]),
-        lm, meta["unseen_logp"],
-    ).collect()[0]
-    assert out["n_unseen"] == 2
-    assert out["mean_logp"] == pytest.approx(meta["unseen_logp"])
+    with pytest.raises(ValueError, match="no tokens"):
+        train_unigram_lm(empty)
 
 
 def _bi_fixture(spark):

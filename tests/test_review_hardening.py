@@ -370,6 +370,131 @@ def test_write_dedup_index_rejects_object_store_paths(spark):
         dedup.write_dedup_index(df, "s3a://bucket/idx")
 
 
+# ------------------------------------------------- text/vector hardening
+
+
+def test_text_functions_whitespace_edges(spark):
+    """F.trim strips only ASCII spaces — the text helpers must not
+    emit phantom tokens or distinct fingerprints for texts differing
+    only in edge tabs/newlines."""
+    from teleharvest_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [("a", "hello\n"), ("b", "\t\n"), ("c", "a b"), ("d", "a b\n"),
+         ("e", None), ("f", "\nx\ty ")],
+        "id string, t string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            TXT.token_count(F.col("t")).alias("n"),
+            TXT.fingerprint(F.col("t")).alias("fp"),
+            TXT.hash_tokens(F.col("t")).alias("toks"),
+        ).collect()
+    }
+    assert out["a"]["n"] == 1 and len(out["a"]["toks"]) == 1
+    assert out["b"]["n"] == 0 and out["b"]["toks"] == []
+    assert out["e"]["n"] == 0 and out["e"]["toks"] == []
+    assert out["f"]["n"] == 2 and len(out["f"]["toks"]) == 2
+    # trailing newline must not change the normalized fingerprint
+    assert out["c"]["fp"] == out["d"]["fp"]
+
+
+def test_stop_word_check_literal_metacharacters(spark):
+    from teleharvest_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [("1", "we know c++ here"), ("2", "abc only"), ("3", "a.c literal")],
+        "id string, t string",
+    )
+    hit = {
+        r["id"]: r["hit"]
+        for r in df.select(
+            "id", TXT.stop_word_check(F.col("t"), ["c++", "a.c"]).alias("hit")
+        ).collect()
+    }
+    assert hit["1"] == "c++"   # regex metachars match literally
+    assert hit["2"] is None    # 'a.c' must NOT pattern-match 'abc'
+    assert hit["3"] == "a.c"
+
+
+def test_cosine_null_propagation(spark):
+    from teleharvest_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [("ok", [1.0, 0.0], [1.0, 0.0]),
+         ("zero", [0.0, 0.0], [1.0, 0.0]),
+         ("nullb", [1.0, 0.0], None)],
+        "id string, a array<double>, b array<double>",
+    )
+    rows = {
+        r["id"]: (r["c"], r["cu"])
+        for r in df.select(
+            "id",
+            V.cosine(F.col("a"), F.col("b")).alias("c"),
+            V.cosine_udf(F.col("a"), F.col("b")).alias("cu"),
+        ).collect()
+    }
+    assert rows["ok"][0] == pytest.approx(1.0)
+    assert rows["ok"][1] == pytest.approx(1.0)
+    assert rows["zero"][0] == 0.0 and rows["zero"][1] == 0.0
+    # NULL input → NULL out (unscorable ≠ orthogonal), and the batched
+    # UDF must not crash on the NULL in its Arrow batch
+    assert rows["nullb"][0] is None
+    assert rows["nullb"][1] is None
+
+
+def test_lm_training_ignores_null_token_elements(spark):
+    from pyspark.sql import Row
+
+    from teleharvest_spark.operators.lm import train_unigram_lm
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, tokens=[1, None, 2]), Row(doc_id=1, tokens=[1])],
+        "doc_id long, tokens array<int>",
+    )
+    lm, meta = train_unigram_lm(df)
+    assert meta["vocab_size"] == 2      # NULL is not a vocab entry
+    assert meta["total_tokens"] == 3
+    assert {r["token"] for r in lm.collect()} == {1, 2}
+
+
+def test_scorer_client_cache_shared_across_rehydrated_factories():
+    """Tasks deserialize fresh factory objects — content-keyed caching
+    must share one client across them while keeping differently-
+    configured same-shaped closures apart."""
+    from pyspark import cloudpickle
+
+    from teleharvest_spark.operators import scoring
+
+    scoring._CLIENTS.clear()
+
+    def make(fail_every):
+        return lambda: scoring.StubScorer(fail_every=fail_every)
+
+    f0 = make(0)
+    # simulate two tasks rehydrating the same serialized factory
+    t1 = cloudpickle.loads(cloudpickle.dumps(f0))
+    t2 = cloudpickle.loads(cloudpickle.dumps(f0))
+    c1, c2 = scoring._client(t1), scoring._client(t2)
+    assert c1 is c2
+    # same-shaped closure, different captured config → different client
+    c3 = scoring._client(make(7))
+    assert c3 is not c1
+    assert len(scoring._CLIENTS) == 2
+
+
+def test_score_stage_rejects_reserved_columns(spark):
+    from teleharvest_spark.operators import scoring
+
+    df = spark.createDataFrame(
+        [("d1", "text", 1.0)], "doc_id string, text string, score double"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        scoring.score_stage(df, lambda: scoring.StubScorer())
+
+
 # ------------------------------------------------- orchestration hardening
 
 
