@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..config import CheckSuite
 from ..functions.text import WS as TXT_WS
@@ -29,6 +29,30 @@ TOKEN_ID_BUCKETS = 64
 _PSI_EPS = 1e-6
 
 
+def ntok_bucket_col(n_tok: Column | None = None) -> Column:
+    """THE n_tok bucketing expression — shared by the batch histogram
+    and the streaming windowed histogram so the two can never fork
+    (misaligned bucket spaces would make every streaming KS/PSI
+    silently compare against a baseline in a different space)."""
+    width = N_TOK_MAX_FOR_BUCKETS // N_TOK_BUCKETS
+    col = n_tok if n_tok is not None else F.col("n_tok")
+    return F.least(
+        F.floor(F.coalesce(col, F.lit(0)) / width), F.lit(N_TOK_BUCKETS - 1)
+    ).cast("int")
+
+
+def token_bucket_array(tokens: Column, vocab: int) -> Column:
+    """Per-row token-id bucket array (narrow ``transform`` before any
+    explode) — the shared bucketing for batch ``token_id_histogram``
+    and the streaming token histogram; same no-fork rationale as
+    :func:`ntok_bucket_col`."""
+    width = max(1, vocab // TOKEN_ID_BUCKETS)
+    return F.transform(
+        F.coalesce(tokens, F.array().cast("array<int>")),
+        lambda t: F.least(F.floor(t / width), F.lit(TOKEN_ID_BUCKETS - 1)).cast("int"),
+    )
+
+
 def ntok_histogram(df: DataFrame, key: str = "source") -> DataFrame:
     """Per-source bucket counts of n_tok (fixed-width buckets).
 
@@ -36,10 +60,7 @@ def ntok_histogram(df: DataFrame, key: str = "source") -> DataFrame:
     per-partition check and a NULL key is a referential violation for
     the cascade, not a partition to compare (the same exclusion policy
     as quantile_trim / top_terms)."""
-    width = N_TOK_MAX_FOR_BUCKETS // N_TOK_BUCKETS
-    bucket = F.least(
-        F.floor(F.coalesce(F.col("n_tok"), F.lit(0)) / width), F.lit(N_TOK_BUCKETS - 1)
-    ).cast("int")
+    bucket = ntok_bucket_col()
     return (
         df.where(F.col(key).isNotNull())
         .groupBy(F.col(key).alias(key), bucket.alias("bucket"))
@@ -56,11 +77,7 @@ def token_id_histogram(df: DataFrame, key: str = "source") -> DataFrame:
     """
     from ..datagen import VOCAB
 
-    width = max(1, VOCAB // TOKEN_ID_BUCKETS)
-    buckets = F.transform(
-        F.coalesce(F.col("tokens"), F.array().cast("array<int>")),
-        lambda t: F.least(F.floor(t / width), F.lit(TOKEN_ID_BUCKETS - 1)).cast("int"),
-    )
+    buckets = token_bucket_array(F.col("tokens"), VOCAB)
     return (
         df.select(F.col(key), F.explode(buckets).alias("bucket"))
         .groupBy(key, "bucket")

@@ -11,11 +11,24 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+# Base conf WITHOUT the warehouse path — see iceberg_conf(): a
+# hadoop-type SparkCatalog REQUIRES spark.sql.catalog.local.warehouse
+# and fails at first catalog use without it, so the complete dict can
+# only be built once the deployment names its warehouse location.
 ICEBERG_CONF = {
     "spark.sql.extensions": "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
     "spark.sql.catalog.local": "org.apache.iceberg.spark.SparkCatalog",
     "spark.sql.catalog.local.type": "hadoop",
 }
+
+
+def iceberg_conf(warehouse: str) -> dict:
+    """The COMPLETE session conf for the local hadoop catalog: the
+    static extension/catalog entries plus the mandatory warehouse
+    path (an hdfs://, s3a://, or file:/ location). Apply at
+    SparkSession build time — ``spark.sql.extensions`` is a static
+    conf, inert if set on a running session."""
+    return {**ICEBERG_CONF, "spark.sql.catalog.local.warehouse": warehouse}
 
 CREATE_SEQUENCES_DDL = """
 CREATE TABLE IF NOT EXISTS local.db.sequences (

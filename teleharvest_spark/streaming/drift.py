@@ -49,11 +49,10 @@ def streaming_ntok_histogram(
     """
     if ts_col not in stream.columns:
         stream = stream.withColumn(ts_col, F.current_timestamp())
-    width = drift_ops.N_TOK_MAX_FOR_BUCKETS // drift_ops.N_TOK_BUCKETS
-    bucket = F.least(
-        F.floor(F.coalesce(F.col("n_tok"), F.lit(0)) / width),
-        F.lit(drift_ops.N_TOK_BUCKETS - 1),
-    ).cast("int")
+    # THE shared bucketing expression (operators/drift.ntok_bucket_col)
+    # — a fork here would silently compare streaming windows against
+    # batch baselines in a different bucket space
+    bucket = drift_ops.ntok_bucket_col()
     return (
         stream.where(F.col("source").isNotNull())
         .withWatermark(ts_col, watermark)
@@ -77,19 +76,16 @@ def streaming_token_histogram(
     with a narrow ``transform`` before the explode, so the partial
     hash aggregation collapses each task's explosion to ≤
     TOKEN_ID_BUCKETS rows per (window, source) before any shuffle —
-    state stays |open windows| × |sources| × 128 regardless of tokens
-    per row."""
+    state stays |open windows| × |sources| × TOKEN_ID_BUCKETS (64;
+    the 128 figure applies to the n_tok path only) regardless of
+    tokens per row. Bucketing is the SHARED expression
+    (operators/drift.token_bucket_array) so it cannot fork from the
+    batch baseline's."""
     from ..datagen import VOCAB
 
     if ts_col not in stream.columns:
         stream = stream.withColumn(ts_col, F.current_timestamp())
-    width = max(1, VOCAB // drift_ops.TOKEN_ID_BUCKETS)
-    buckets = F.transform(
-        F.coalesce(F.col("tokens"), F.array().cast("array<int>")),
-        lambda t: F.least(F.floor(t / width), F.lit(drift_ops.TOKEN_ID_BUCKETS - 1)).cast(
-            "int"
-        ),
-    )
+    buckets = drift_ops.token_bucket_array(F.col("tokens"), VOCAB)
     return (
         stream.where(F.col("source").isNotNull())
         .withWatermark(ts_col, watermark)
@@ -116,7 +112,16 @@ def windowed_drift_sink(
 ):
     """foreachBatch body: each batch carries FINALIZED (window, source,
     bucket, cnt) rows (append mode); dense-align against the static
-    baseline and append (window, source, ks, psi[, verdict]).
+    baseline and write (window, source, ks, psi[, verdict]) under the
+    batch's own ``batch_id=<n>`` directory (overwrite).
+
+    The batch_id-dir overwrite layout is the package's replay
+    contract (violations/slices/scoring sinks use the same): the
+    aggregation emits each finalized window once, but foreachBatch is
+    AT-LEAST-ONCE — a crash after the write but before the checkpoint
+    commit replays the batch, and a bare append would duplicate every
+    metric row; the replay instead overwrites its own directory
+    idempotently. Readers see one hive tree with a batch_id column.
 
     The baseline may be GLOBAL (bucket, cnt — every source compared
     against the pooled histogram) or PER-SOURCE (source, bucket, cnt —
@@ -143,7 +148,9 @@ def windowed_drift_sink(
         )
         if suite is not None:
             metrics = drift_ops.drift_verdicts(metrics, suite)
-        metrics.write.mode("append").parquet(sink_path)
+        metrics.write.mode("overwrite").parquet(
+            f"{sink_path}/batch_id={batch_id}"
+        )
 
     return sink
 

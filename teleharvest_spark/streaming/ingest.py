@@ -86,6 +86,15 @@ def stateful_high_water(
     re-drops) are dropped, and the mark ratchets forward. Arrow-batched
     — the per-group work is a vectorized pandas filter, no per-row
     Python.
+
+    Emit-once holds WITHIN a micro-batch too: an original and its
+    re-drop often land in the same batch (both files present when an
+    availableNow query starts), where both are above the STORED mark —
+    filtering against that mark alone would emit every duplicate. A
+    per-batch seen-set (bounded by the batch's distinct seqs, which
+    are already materialized) drops intra-batch replays while genuine
+    out-of-order rows above the stored mark still emit; NULL seqs are
+    never treated as duplicates of each other.
     """
 
     def fn(
@@ -95,9 +104,16 @@ def stateful_high_water(
     ) -> Iterator[pd.DataFrame]:
         last = state.get[0] if state.exists else None
         high = last
+        seen: set = set()
         for pdf in pdfs:
             fresh = pdf if last is None else pdf[pdf[seq] > last]
+            if len(fresh) and seen:
+                fresh = fresh[~fresh[seq].isin(seen)]
             if len(fresh):
+                dup = fresh[seq].duplicated(keep="first") & fresh[seq].notna()
+                fresh = fresh[~dup]
+            if len(fresh):
+                seen.update(fresh[seq].dropna().tolist())
                 mx = int(fresh[seq].max())
                 high = mx if high is None else max(high, mx)
                 yield fresh.assign(**{key: key_tuple[0]})

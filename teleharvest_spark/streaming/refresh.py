@@ -89,7 +89,12 @@ def refresh_sink(
 
     ``obs_seq`` (observation sequence — e.g. fetch timestamp) picks the
     winner among same-key duplicates inside one micro-batch; absent,
-    ``seq`` itself is used.
+    the greatest metric struct decides — merge_upsert's documented
+    winner rule, shared so the two layers agree. (The earlier fallback
+    ordered by ``seq``, a PARTITION key of the dedup window: every
+    duplicate tied and row_number picked an arbitrary,
+    partitioning-dependent winner, so a replay could store a different
+    metric row than the crashed attempt.)
 
     Local no-MERGE emulation writes the merged table ONCE per batch to
     a batch-id-scoped version directory, then atomically flips the
@@ -108,11 +113,18 @@ def refresh_sink(
         vname = f"v{batch_id:012d}"
         if _latest_version(target_path) == vname:
             return  # at-least-once replay of a fully-applied batch
-        order_col = obs_seq if obs_seq in batch.columns else seq
         valid = batch.where(
             batch_refresh.metrics_validity(F.col("views"), F.col("reactions"))
         )
-        w = W.partitionBy(key, seq).orderBy(F.desc(order_col))
+        # deterministic total order: obs_seq when present, then the
+        # greatest metric STRUCT — the same winner rule merge_upsert
+        # documents and applies to duplicate update keys, so the two
+        # layers can never pick different rows; full ties are
+        # identical rows, any winner equal
+        order = (
+            [F.desc(obs_seq)] if obs_seq in batch.columns else []
+        ) + [F.desc(F.struct(*[F.col(c) for c in metric_cols]))]
+        w = W.partitionBy(key, seq).orderBy(*order)
         latest = (
             valid.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)

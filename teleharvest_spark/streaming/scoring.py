@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..config import CheckSuite
 from ..operators import cascade, scoring
 from ..sources.writer import source_dir_col, write_partitioned
+from .violations import _select_violations
 
 
 def scored_batch(
@@ -116,18 +117,21 @@ def scoring_sink(
                 sort_within="doc_id",
                 mode="overwrite",
             )
-            viols = ann.where(
-                F.col(cascade.FIRST_FAIL_COL).isNotNull()
-            ).select(
-                "doc_id",
-                "source",
-                F.col(cascade.FIRST_FAIL_COL).alias("check_name"),
-                F.col(cascade.REASON_COL).alias("reason"),
-            )
-            viols.withColumn("source_dir", source_dir_col()).write.mode(
-                "overwrite"
-            ).partitionBy("source_dir").parquet(
-                f"{sink_path}/score_violations/batch_id={batch_id}"
+            # the ONE violations projection (streaming/violations.py)
+            # — score violations land in the engine-wide violations
+            # schema (incl. the NULL-tokens column for text-only
+            # streams) instead of a drift-prone local copy, and the
+            # write goes through write_partitioned for the same
+            # bounded-file-count + doc_id-sorted layout as the scored
+            # rows two lines up
+            viols = _select_violations(ann, ann.columns)
+            write_partitioned(
+                viols.withColumn("source_dir", source_dir_col()),
+                f"{sink_path}/score_violations/batch_id={batch_id}",
+                partition_by=("source_dir",),
+                files_per_partition=files_per_partition,
+                sort_within="doc_id",
+                mode="overwrite",
             )
         finally:
             # release even on a failed write (retry builds a fresh

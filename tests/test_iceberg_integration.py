@@ -43,7 +43,7 @@ _BODY = textwrap.dedent(
     import json, sys
     from pyspark.sql import SparkSession
     from teleharvest_spark.sources.iceberg import (
-        ICEBERG_CONF, create_sequences_table, current_snapshot_id,
+        iceberg_conf, create_sequences_table, current_snapshot_id,
         read_incremental,
     )
     from teleharvest_spark.operators.merge import execute_iceberg_merge
@@ -52,11 +52,11 @@ _BODY = textwrap.dedent(
     b = (
         SparkSession.builder.master("local[2]")
         .appName("iceberg_integration")
-        .config("spark.sql.catalog.local.warehouse", wh)
         .config("spark.sql.shuffle.partitions", "2")
         .config("spark.ui.enabled", "false")
     )
-    for k, v in ICEBERG_CONF.items():
+    # the COMPLETE documented wiring (incl. the mandatory warehouse)
+    for k, v in iceberg_conf(wh).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
 

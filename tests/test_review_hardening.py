@@ -370,6 +370,69 @@ def test_write_dedup_index_rejects_object_store_paths(spark):
         dedup.write_dedup_index(df, "s3a://bucket/idx")
 
 
+# ---------------------------------------------------- streaming hardening
+
+
+def test_stateful_high_water_intra_batch_replays(spark, tmp_path):
+    """An original and its re-drop often land in the SAME micro-batch
+    (both files present when the query starts) — emit-once must hold
+    there too, not only across batches."""
+    from teleharvest_spark.streaming import ingest
+
+    drop = tmp_path / "hw2"
+    rows = [("a", s) for s in range(1, 6)] + [("b", 10)]
+    for _ in range(2):  # original + full re-drop, one batch
+        spark.createDataFrame(rows, "source string, seq long").write.mode(
+            "append"
+        ).parquet(str(drop))
+    stream = spark.readStream.schema("source string, seq long").parquet(str(drop))
+    hw = ingest.stateful_high_water(stream, key="source", seq="seq")
+    q = (
+        hw.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hw_intra")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r["source"], r["seq"])
+            for r in spark.sql("SELECT * FROM hw_intra").collect()
+        ]
+    finally:
+        q.stop()
+    assert sorted(got) == sorted(set(rows))  # each (key, seq) exactly once
+
+
+def test_refresh_sink_deterministic_winner_without_obs_seq(spark, tmp_path):
+    """Duplicate (key, seq) observations in one batch WITHOUT an
+    _obs_seq column: the stored winner must be content-determined, not
+    partition-order-determined — two runs over the same data (however
+    partitioned) store the same metrics."""
+    from teleharvest_spark.streaming import refresh as srefresh
+
+    batch_rows = [("ch", 3, 300, 1, 1), ("ch", 3, 333, 2, 2), ("ch", 4, 7, 1, 1)]
+    ddl = "source string, doc_seq int, views int, reactions int, forwards int"
+    # update-only semantics: observations upsert EXISTING rows
+    stored_rows = [("ch", 3, 1, 1, 1), ("ch", 4, 1, 1, 1)]
+
+    def run(tgt, parts):
+        spark.createDataFrame(stored_rows, ddl).write.parquet(tgt)
+        batch = spark.createDataFrame(batch_rows, ddl).repartition(parts)
+        srefresh.refresh_sink(spark, tgt)(batch, 0)
+        return {
+            (r["source"], r["doc_seq"]): (r["views"], r["reactions"], r["forwards"])
+            for r in srefresh.read_stored(spark, tgt).collect()
+        }
+
+    a = run(str(tmp_path / "t1"), 1)
+    b = run(str(tmp_path / "t2"), 7)
+    assert a == b
+    # merge_upsert's shared winner rule: greatest metric struct
+    assert a[("ch", 3)] == (333, 2, 2)
+    assert a[("ch", 4)] == (7, 1, 1)
+
+
 # ------------------------------------------------- text/vector hardening
 
 
