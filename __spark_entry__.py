@@ -1653,7 +1653,11 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_orderkey % 10 = 0
             )
             SELECT o.o_orderkey,
-                   coalesce(u.new_price, o.o_totalprice) AS o_totalprice,
+                   -- presence-based, not coalesce: a matched update
+                   -- applies even when its value is NULL (mirrors
+                   -- merge_upsert / Iceberg MERGE `t.c = s.c`)
+                   CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_price
+                        ELSE o.o_totalprice END AS o_totalprice,
                    o.o_orderstatus
             FROM orders o LEFT JOIN u ON o.o_orderkey = u.o_orderkey
         """,
@@ -2175,9 +2179,11 @@ def oracle_sql() -> dict[str, str]:
                 AND f.reactions IS NOT NULL AND f.reactions != 0
             )
             SELECT s.event_id, s.event_type,
-                   coalesce(u.views, s.views) AS views,
-                   coalesce(u.reactions, s.reactions) AS reactions,
-                   coalesce(u.forwards, s.forwards) AS forwards
+                   -- presence-based (mirrors merge_upsert): a matched
+                   -- update applies even if its value were NULL
+                   CASE WHEN u.event_id IS NOT NULL THEN u.views ELSE s.views END AS views,
+                   CASE WHEN u.event_id IS NOT NULL THEN u.reactions ELSE s.reactions END AS reactions,
+                   CASE WHEN u.event_id IS NOT NULL THEN u.forwards ELSE s.forwards END AS forwards
             FROM stored s LEFT JOIN upd u
               ON s.event_id = u.event_id AND s.event_type = u.event_type
         """,

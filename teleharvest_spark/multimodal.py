@@ -114,15 +114,28 @@ def decode_assets(assets: DataFrame, codec: str = "fake") -> DataFrame:
     return assets.mapInPandas(batches, schema=DECODE_SCHEMA)
 
 
-def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame-sampling plan for video assets: decode → explode sampled
-    frame indices. Codec stubbed; the plan (explode of a sequence
-    column, no Python in the row expansion) is the real design."""
-    decoded = decode_assets(assets).where(F.col("modality") == "video")
-    return decoded.select(
+def frame_sample(
+    assets: DataFrame, every_n: int = 10, codec: str = "fake"
+) -> DataFrame:
+    """Frame-sampling plan for video assets: filter → decode → explode
+    sampled frame indices. Codec stubbed (``codec`` forwards to
+    decode_assets so the real path is reachable); the plan (explode of
+    a sequence column, no Python in the row expansion) is the real
+    design.
+
+    The modality filter runs BEFORE the decode: a filter after
+    mapInPandas cannot be pushed through it, so a mixed asset table
+    would ship every image/audio payload across the Arrow boundary
+    and decode it just to drop the row — on a real corpus the decode
+    IS the cost. Zero-frame assets (undecodable/NULL payloads decode
+    to n_frames=0) emit NO rows — there is no frame 0 to sample."""
+    decoded = decode_assets(
+        assets.where(F.col("modality") == "video"), codec=codec
+    )
+    return decoded.where(F.col("n_frames") >= 1).select(
         "asset_id",
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
 

@@ -59,6 +59,12 @@ def _positions(cols: list[Column], m_bits: int, k: int) -> list[Column]:
     """The k bit positions of a row's key tuple. Seeding with the hash
     index as the FIRST xxhash64 argument makes the k hashes
     independent; pmod keeps positions non-negative."""
+    if m_bits <= 0 or k < 1:
+        # pmod(x, 0) is NULL (non-ANSI) — a zero m_bits would build a
+        # word=NULL table whose prefilter drops EVERY probe row: total
+        # silent false negatives, the one failure mode this module
+        # promises away. Refuse loudly instead.
+        raise ValueError(f"bloom needs m_bits > 0 and k >= 1 (got {m_bits}, {k})")
     return [
         F.pmod(F.xxhash64(F.lit(j), *cols), F.lit(int(m_bits))) for j in range(k)
     ]
@@ -164,7 +170,14 @@ def write_bloom(
     with other artifacts). mode='overwrite' replaces the whole filter,
     params included — the old identity is retired with the old bits.
     meta is written LAST (the lm_store crash convention): a crash
-    beforehand leaves an index readers ignore."""
+    beforehand leaves an index readers ignore. On overwrite the OLD
+    meta is removed FIRST — otherwise a crash between the words
+    overwrite and the meta rewrite would pair NEW bits with STALE
+    params, and probes hashed under the old (m_bits, k) against the
+    new bit array would silently drop true members; with the meta
+    gone, readers see 'no complete bloom' and fail safe. The meta
+    itself lands via write-temp + atomic rename so a torn json can
+    never be read as a valid meta."""
     meta_path = os.path.join(path, BLOOM_META)
     if mode == "append" and os.path.exists(meta_path):
         with open(meta_path, encoding="utf-8") as f:
@@ -174,9 +187,13 @@ def write_bloom(
                 f"bloom param mismatch at {path}: stored {meta}, "
                 f"got m_bits={m_bits} k={k} cols={list(cols)}"
             )
+    if mode == "overwrite" and os.path.exists(meta_path):
+        os.remove(meta_path)
     bloom.write.mode(mode).parquet(os.path.join(path, "words"))
-    with open(meta_path, "w", encoding="utf-8") as f:
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"m_bits": m_bits, "k": k, "cols": list(cols)}, f)
+    os.replace(tmp, meta_path)
 
 
 def read_bloom(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:

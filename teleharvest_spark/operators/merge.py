@@ -40,7 +40,15 @@ def merge_upsert(
     if update_cols is None:
         update_cols = [c for c in updates.columns if c not in keys and c in tgt_cols]
     else:
-        update_cols = [c for c in update_cols if c in tgt_cols]
+        # the silent-ignore contract covers the DEFAULT column
+        # discovery only; an EXPLICITLY named column absent from the
+        # target is a typo that would otherwise turn the merge into a
+        # silent no-op for that column
+        missing = [c for c in update_cols if c not in tgt_cols]
+        if missing:
+            raise ValueError(
+                f"update_cols {missing} not in target columns {tgt_cols}"
+            )
 
     if update_cols:
         win = W.partitionBy(*keys).orderBy(
@@ -53,14 +61,27 @@ def merge_upsert(
         )
     else:
         updates = updates.dropDuplicates(keys)
+    # presence marker, not coalesce: MATCHED rows take the update value
+    # EVEN WHEN IT IS NULL — the reference's setattr-based update
+    # (models/message.py:176-183) and the Iceberg MERGE twin
+    # (`t.c = s.c`) both write NULL; a coalesce would silently keep the
+    # stale target value and the local emulation would diverge from
+    # the production path for any metric legitimately reset to NULL.
     upd = updates.select(
         *[F.col(k) for k in keys],
+        F.lit(1).alias("_u_present"),
         *[F.col(c).alias(f"_u_{c}") for c in update_cols],
     )
     joined = target.join(upd, keys, "left")
     merged = joined.select(
         *[
-            (F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c) if c in update_cols else F.col(c))
+            (
+                F.when(F.col("_u_present").isNotNull(), F.col(f"_u_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in update_cols
+                else F.col(c)
+            )
             for c in tgt_cols
         ]
     )

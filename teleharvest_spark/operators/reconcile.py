@@ -100,6 +100,13 @@ def column_checksums(
     value_cols = list(cols) if cols is not None else [
         c for c in df.columns if c != partition_col
     ]
+    if not value_cols:
+        # stack(0, ) would fail to PARSE deep in the job; surface the
+        # misuse (two tables sharing only the partition column) here
+        raise ValueError(
+            "column_checksums needs at least one value column besides "
+            f"the partition column {partition_col!r}"
+        )
     # checksum columns are aliased by INDEX (never by interpolating the
     # source column name into an identifier) and the name literal is
     # escaped — arbitrary column names (spaces, quotes) are in scope
@@ -119,7 +126,10 @@ def column_checksums(
             f"{lit_sql(c)}, _cs_{i}" for i, c in enumerate(value_cols)
         ),
     )
-    return wide.select(partition_col, "n_rows", F.expr(stack_expr))
+    # exact-name resolution (wide[...]), not the string form — a
+    # partition column with a dot in its name would otherwise parse as
+    # struct access and fail to resolve
+    return wide.select(wide[partition_col], F.col("n_rows"), F.expr(stack_expr))
 
 
 def reconcile_columns(
@@ -313,10 +323,15 @@ def targeted_diff(
     the semi-join condition).
     """
     cols = list(compare_cols) if compare_cols is not None else None
+    # default compare set INCLUDES the partition column (matching
+    # snapshot_diff's own default): a row whose only change is its
+    # partition value flags both partitions' checksums, and the
+    # row-level diff must then say WHICH rows moved — excluding the
+    # column would leave the drill-down empty for exactly that case
     cmp_cols = cols if cols is not None else [
         c
         for c in old.columns
-        if c not in keys and c != partition_col and c in set(new.columns)
+        if c not in keys and c in set(new.columns)
     ]
     # The checksum must cover the KEY columns too: a partition where
     # only keys changed (one row re-keyed) has identical non-key

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..config import CheckSuite
-from . import merge, watermark
+from . import merge
 from .cascade import Check
 
 
@@ -90,6 +90,12 @@ def metrics_refresh(
 ) -> DataFrame:
     """The full late-data refresh pipeline over a stored fact table.
 
+    ``limit`` is kept for call-site parity with the reference's
+    lookback API and is SEMANTICALLY INERT — the floor (min of the
+    first ``limit`` ids ascending) equals the per-key global min for
+    any limit ≥ 1, so no value of it changes the window (the same
+    documented inertness as watermark.lookback_floor).
+
     1. Per-key bounds from STORED state: lookback floor (A2) and
        high-water mark (A1) — both tiny aggregates.
     2. Bounded window: fresh rows with ``floor < seq < watermark``
@@ -111,6 +117,7 @@ def metrics_refresh(
     # separate stored scans (window+agg for floor, agg for watermark)
     # collapse into a single column-pruned scan with map-side partials.
     # lookback_floor stays as the standalone parity operator (A2/O2).
+    del limit  # semantically inert — see docstring
     bounds = stored.groupBy(key).agg(
         F.min(seq).alias("first_seq"), F.max(seq).alias("last_seq")
     )  # |keys| rows

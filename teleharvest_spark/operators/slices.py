@@ -362,15 +362,40 @@ def score_lattice(
     alpha: float = 1e-3,
     min_lift: float = 1.5,
     top_k: int | None = None,
+    group_keys: tuple[str, ...] = (),
 ) -> pd.DataFrame:
     """Score + dominance-mark + rank one collected lattice frame
     (:func:`slice_profile` / :func:`lattice_from_base` output,
     including the ``_pieces`` column, which is consumed here) — shared
     by the batch path and the streaming sink, which calls it once per
-    finalized window."""
+    finalized window.
+
+    ``group_keys`` — pass the grouping columns when the frame holds
+    SEVERAL lattices (lattice_from_base with group_keys, e.g. one per
+    window): scoring then runs per group. Without it, a multi-group
+    frame is REFUSED rather than mis-scored — the parent-dominance
+    dict is keyed by the slice string alone, so mixed groups would
+    dominance-mark arity-2 slices against an arbitrary group's
+    parents."""
+    if group_keys:
+        parts = [
+            score_lattice(g, alpha=alpha, min_lift=min_lift, top_k=top_k)
+            for _, g in pdf.groupby(list(group_keys), dropna=False, sort=True)
+        ]
+        if not parts:
+            return score_lattice(
+                pdf, alpha=alpha, min_lift=min_lift, top_k=top_k
+            )
+        return pd.concat(parts, ignore_index=True)
     if not len(pdf):
         pdf = pdf.assign(z=[], p_value=[], flagged=[], dominated=[])
         return pdf.drop(columns=[PIECES_COL], errors="ignore")
+    if pdf[pdf["arity"] == 1][SLICE_COL].duplicated().any():
+        raise ValueError(
+            "duplicate arity-1 slices in one frame — this looks like a "
+            "multi-group lattice (lattice_from_base with group_keys); "
+            "pass group_keys=... so each group is scored separately"
+        )
     pdf = _score_pdf(pdf, alpha, min_lift=min_lift)
 
     # parent dominance over the collected frame: an arity-k slice's

@@ -370,6 +370,134 @@ def test_write_dedup_index_rejects_object_store_paths(spark):
         dedup.write_dedup_index(df, "s3a://bucket/idx")
 
 
+# ---------------------------------------------------- operator hardening 2
+
+
+def test_merge_upsert_applies_null_updates(spark):
+    """A MATCHED update row's NULL value must be WRITTEN (reference
+    setattr semantics; Iceberg MERGE `t.c = s.c`) — coalesce would
+    keep the stale target value and the local emulation would diverge
+    from the production path."""
+    from teleharvest_spark.operators import merge
+
+    tgt = spark.createDataFrame(
+        [("k1", 5, 50), ("k2", 6, 60)], "k string, a int, b int"
+    )
+    upd = spark.createDataFrame([("k1", None, 99)], "k string, a int, b int")
+    got = {
+        r["k"]: (r["a"], r["b"])
+        for r in merge.merge_upsert(tgt, upd, keys=["k"]).collect()
+    }
+    assert got["k1"] == (None, 99)   # NULL applied, not coalesced away
+    assert got["k2"] == (6, 60)      # unmatched row untouched
+
+
+def test_merge_upsert_rejects_typoed_update_cols(spark):
+    from teleharvest_spark.operators import merge
+
+    tgt = spark.createDataFrame([("k1", 5)], "k string, views int")
+    upd = spark.createDataFrame([("k1", 9)], "k string, views int")
+    with pytest.raises(ValueError, match="veiws"):
+        merge.merge_upsert(tgt, upd, keys=["k"], update_cols=["veiws"])
+
+
+def test_bloom_rejects_degenerate_params(spark):
+    from teleharvest_spark.operators import bloom
+
+    df = spark.createDataFrame([("a", 1)], "x string, y int")
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom.bloom_build(df, ["x", "y"], m_bits=0)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom.bloom_build(df, ["x"], m_bits=1024, k=0)
+
+
+def test_write_bloom_overwrite_retires_old_meta_first(spark, tmp_path):
+    """Overwrite with changed params removes the old meta BEFORE the
+    words write: a crash in between must leave 'no complete bloom'
+    (fail-safe), never new bits under stale params (silent false
+    negatives)."""
+    import os
+
+    from teleharvest_spark.operators import bloom
+
+    path = str(tmp_path / "bl")
+    df = spark.createDataFrame([("a",), ("b",)], "x string")
+    b1 = bloom.bloom_build(df, ["x"], m_bits=1024)
+    bloom.write_bloom(b1, path, 1024, 5, ["x"], mode="overwrite")
+    assert bloom.bloom_meta_of(path)["m_bits"] == 1024
+    # simulate the crash window: overwrite already removed the meta,
+    # words not yet rewritten → readers must see no complete bloom
+    os.remove(os.path.join(path, bloom.BLOOM_META))
+    assert bloom.bloom_meta_of(path) is None
+    # a completed overwrite under NEW params reads back consistently
+    b2 = bloom.bloom_build(df, ["x"], m_bits=2048)
+    bloom.write_bloom(b2, path, 2048, 5, ["x"], mode="overwrite")
+    words, meta = bloom.read_bloom(spark, path)
+    assert meta["m_bits"] == 2048
+    kept = bloom.bloom_prefilter(df, words, ["x"], meta["m_bits"], meta["k"])
+    assert kept.count() == 2  # zero false negatives under the new params
+
+
+def test_frame_sample_zero_frame_assets_emit_no_rows(spark):
+    from teleharvest_spark import multimodal
+
+    assets = spark.createDataFrame(
+        [
+            ("v1", "video", bytearray(b"payload-bytes-1")),
+            ("v0", "video", None),           # undecodable → n_frames 0
+            ("i1", "image", bytearray(b"img")),  # filtered pre-decode
+        ],
+        "asset_id string, modality string, payload binary",
+    )
+    rows = multimodal.frame_sample(assets, every_n=1).collect()
+    ids = {r["asset_id"] for r in rows}
+    assert "v0" not in ids      # no phantom frame 0
+    assert "i1" not in ids
+    assert all(r["frame_idx"] >= 0 for r in rows)
+
+
+def test_targeted_diff_reports_moved_partition_rows(spark):
+    """A row whose ONLY change is its partition value must appear in
+    the row-level diff, not just as two count_mismatch verdicts."""
+    from teleharvest_spark.operators import reconcile
+
+    old = spark.createDataFrame(
+        [("X", "A", 1), ("Y", "A", 2)], "doc_id string, source string, v int"
+    )
+    new = spark.createDataFrame(
+        [("X", "B", 1), ("Y", "A", 2)], "doc_id string, source string, v int"
+    )
+    verdicts, diff = reconcile.targeted_diff(old, new, "source", keys=("doc_id",))
+    drows = {r["doc_id"]: r for r in diff.collect()}
+    assert "X" in drows
+    assert "Y" not in drows
+
+
+def test_score_lattice_refuses_multi_group_frame():
+    import pandas as pd
+
+    from teleharvest_spark.operators import slices
+
+    pdf = pd.DataFrame(
+        {
+            "slice": ["a=1", "a=1"],
+            "arity": [1, 1],
+            "n": [10, 12],
+            "k": [2, 3],
+            "rate": [0.2, 0.25],
+            "global_rate": [0.1, 0.1],
+            "lift": [2.0, 2.5],
+            "_pieces": [["a=1"], ["a=1"]],
+            "window": [1, 2],
+        }
+    )
+    with pytest.raises(ValueError, match="multi-group"):
+        slices.score_lattice(pdf)
+    # with group_keys the same frame scores per group
+    out = slices.score_lattice(pdf, group_keys=("window",))
+    assert len(out) == 2
+
+
 # ---------------------------------------------------- streaming hardening
 
 
