@@ -37,7 +37,9 @@ import os
 import queue
 import subprocess
 import sys
+import tempfile
 import threading
+import time
 
 CHILD_SOURCE = r'''
 import json, sys, time
@@ -104,17 +106,26 @@ class WarmedChild:
         if job not in ("suite", "scan"):
             raise ValueError(f"job must be 'suite' or 'scan', got {job!r}")
         repo = repo or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # stderr to a temp file, not DEVNULL: when the child dies
+        # during construction (import error, OOM, bad path) the
+        # traceback is the only diagnosis — its tail rides the raised
+        # error instead of vanishing
+        self._err = tempfile.TemporaryFile(mode="w+t")
         self._p = subprocess.Popen(
             [sys.executable, "-c", CHILD_SOURCE, str(cores), data, str(rows),
              "gen" if gen else "read", job, repo, str(warm_max)],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, cwd=repo,
+            stderr=self._err, text=True, cwd=repo,
         )
         self.pid = self._p.pid
         self._lines: queue.Queue[str | None] = queue.Queue()
         threading.Thread(target=self._pump, daemon=True).start()
         try:
-            while self._next_line(warm_deadline) != "READY":
+            expires = (
+                None if warm_deadline is None
+                else time.monotonic() + warm_deadline
+            )
+            while self._next_line(expires) != "READY":
                 pass
         except Exception:
             self.kill()  # no orphan JVM when warmup fails/overruns
@@ -125,20 +136,51 @@ class WarmedChild:
             self._lines.put(ln.strip())
         self._lines.put(None)
 
-    def _next_line(self, deadline: float | None) -> str:
-        ln = self._lines.get(timeout=deadline)
+    def _stderr_tail(self, n: int = 12) -> str:
+        try:
+            self._err.seek(0)
+            lines = self._err.read().strip().splitlines()
+            return "\n".join(lines[-n:])
+        except Exception:
+            return ""
+
+    def _next_line(self, expires: float | None) -> str:
+        """Next child stdout line before the ABSOLUTE ``expires``
+        instant (time.monotonic domain).
+
+        Callers anchor the budget once per logical wait and pass the
+        same instant for every line — a per-line queue timeout would
+        restart the clock on each stray stdout line (Ivy progress, GC
+        noise, a stack trace printed line-by-line), so a wedged child
+        that keeps talking would never trip the caller's computed
+        warmup/run budget."""
+        per_get = (
+            None if expires is None else max(0.0, expires - time.monotonic())
+        )
+        try:
+            ln = self._lines.get(timeout=per_get)
+        except queue.Empty:
+            raise TimeoutError(
+                "warmed child produced no usable line within its "
+                f"deadline; stderr tail:\n{self._stderr_tail()}"
+            ) from None
         if ln is None:
-            raise RuntimeError("warmed child exited early")
+            raise RuntimeError(
+                "warmed child exited early; stderr tail:\n"
+                + self._stderr_tail()
+            )
         return ln
 
     def run(self, deadline: float | None = None) -> float:
         """One timed pass; returns the child-measured wall seconds.
         Skips any stray JVM stdout between samples (Ivy lines, stack
-        traces) — only a JSON object line is a sample."""
+        traces) — only a JSON object line is a sample. ``deadline``
+        bounds the WHOLE pass, stray lines included."""
         self._p.stdin.write("run\n")
         self._p.stdin.flush()
+        expires = None if deadline is None else time.monotonic() + deadline
         while True:
-            ln = self._next_line(deadline)
+            ln = self._next_line(expires)
             if ln.startswith("{"):
                 return json.loads(ln)["wall"]
 
@@ -155,10 +197,18 @@ class WarmedChild:
                 self._p.wait(timeout=5)
             except Exception:
                 pass
+        self._close_err()
 
     def kill(self) -> None:
         self._p.kill()
         try:
             self._p.wait(timeout=5)
+        except Exception:
+            pass
+        self._close_err()
+
+    def _close_err(self) -> None:
+        try:
+            self._err.close()
         except Exception:
             pass

@@ -64,8 +64,20 @@ def generate_sequences(
     ~50% of rows land in the hot source ``src_00`` (skew/salting path);
     ``src_07`` carries a drifted n_tok distribution (mean ×2) for the
     KS/PSI checks.
+
+    ``suite.min_n_tok`` must be ≥ 2: the planted too_short rows use
+    max(1, min//3) and boundary_under uses min−1 — at min ≤ 1 both
+    classes silently become PASSING rows (and sequence(1, 0) even
+    auto-steps to a 2-element array), so fixture assertions on
+    planted-violation counts would miscount with no error.
     """
     suite = suite or CheckSuite()
+    if suite.min_n_tok < 2:
+        raise ValueError(
+            f"generate_sequences needs suite.min_n_tok >= 2 (got "
+            f"{suite.min_n_tok}): the planted too_short/boundary_under "
+            "rows degenerate into passing rows below that"
+        )
     df = spark.range(0, n_rows, 1, num_partitions or max(8, n_rows // 250_000))
 
     # --- source: hot-key skew + planted bad keys -------------------------

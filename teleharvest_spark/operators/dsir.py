@@ -138,10 +138,14 @@ def dsir_log_weights(
     1-row collect per corpus, corpus-size-independent)."""
     t_counts = fit_feature_counts(target, text_col, n_buckets)
     r_counts = fit_feature_counts(raw, text_col, n_buckets)
-    # ≤ n_buckets rows cached: the totals collect below and the scoring
-    # job's broadcast must not each re-run the two corpus fit scans
-    # (lineage release is the engine-wide ContextCleaner convention)
-    dim = dsir_log_ratio_dim(t_counts, r_counts).persist()
+    # ≤ n_buckets rows, materialized EAGERLY via localCheckpoint: the
+    # totals collect below and the scoring job's broadcast must not
+    # each re-run the two corpus fit scans. localCheckpoint (not a
+    # bare persist): its blocks are RDD-owned and released by the
+    # ContextCleaner when the handle is GC'd, whereas a persist with
+    # no unpersist hook would leak one CacheManager entry per call in
+    # repeated-call paths (the lm.py convention).
+    dim = dsir_log_ratio_dim(t_counts, r_counts).localCheckpoint(eager=True)
 
     totals = dim.agg(
         F.sum("t_cnt").alias("t_total"), F.sum("r_cnt").alias("r_total")

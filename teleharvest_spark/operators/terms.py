@@ -60,8 +60,15 @@ def top_terms(
             F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TXT_WS + "+")
         ).alias("term"),
     ).where(F.col("term") != "")
+    # NULL groups excluded up front (the engine-wide NULL-stratum
+    # policy; n_groups below counts non-null keys for the same reason)
+    # — which makes tf rows distinct per (non-null group, term), so df
+    # is a plain count: countDistinct here forced an Expand/partial-
+    # distinct pass over the vocabulary-sized aggregate for a value a
+    # hash aggregate produces identically
+    words = words.where(F.col(group).isNotNull())
     tf = words.groupBy(group, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.countDistinct(group).alias("df"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N = distinct non-null group keys in the corpus (whether or not a
     # group contributes terms). Computed from the column-pruned base
     # scan — counting it from `tf` instead would execute the whole

@@ -92,9 +92,15 @@ def _strip_nullability(dt: T.DataType) -> T.DataType:
             _strip_nullability(dt.keyType), _strip_nullability(dt.valueType), True
         )
     if isinstance(dt, T.StructType):
+        # metadata dropped along with nullability: StructField.__eq__
+        # compares metadata, so a parquet/Iceberg field COMMENT would
+        # otherwise fail equality against the contract's comment-less
+        # parse and report a type_mismatch whose expected and observed
+        # simpleStrings are identical — the absurd-diff class this
+        # canonicalization exists to eliminate
         return T.StructType(
             [
-                T.StructField(f.name, _strip_nullability(f.dataType), True, f.metadata)
+                T.StructField(f.name, _strip_nullability(f.dataType), True)
                 for f in dt.fields
             ]
         )

@@ -43,7 +43,7 @@ single-group aggregate.
 from __future__ import annotations
 
 import math
-from dataclasses import asdict, fields
+from dataclasses import fields
 
 from pyspark.sql import DataFrame, functions as F
 

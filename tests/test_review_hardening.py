@@ -370,6 +370,40 @@ def test_write_dedup_index_rejects_object_store_paths(spark):
         dedup.write_dedup_index(df, "s3a://bucket/idx")
 
 
+# ------------------------------------------------------ fixture/contract
+
+
+def test_generate_sequences_rejects_degenerate_min_n_tok(spark):
+    from teleharvest_spark import datagen
+
+    with pytest.raises(ValueError, match="min_n_tok"):
+        datagen.generate_sequences(spark, 100, CheckSuite(min_n_tok=1))
+
+
+def test_schema_diff_tolerates_struct_field_metadata():
+    """A struct field carrying metadata (parquet/Iceberg comments) must
+    not produce a type_mismatch whose expected and observed
+    simpleStrings are identical."""
+    from pyspark.sql import types as T
+
+    from teleharvest_spark.plans import contract as ct
+
+    with_meta = T.StructType(
+        [
+            T.StructField(
+                "s",
+                T.StructType(
+                    [T.StructField("x", T.IntegerType(), True, {"comment": "hi"})]
+                ),
+                True,
+            )
+        ]
+    )
+    spec = (ct.ColumnSpec("s", "struct<x:int>"),)
+    diffs = ct.schema_diff(with_meta, spec, allow_widening=False)
+    assert diffs == []
+
+
 # ---------------------------------------------------- operator hardening 2
 
 
