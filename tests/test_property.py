@@ -114,14 +114,14 @@ def test_merge_upsert_matches_model(spark, target, updates):
             upd[k] = v
         elif upd[k] is None or (v is not None and v > upd[k]):
             upd[k] = v
-    # matched keys take the winning update value UNLESS it is NULL
-    # (coalesce keeps the old value); unmatched update keys skipped;
+    # matched keys take the winning update value EVEN WHEN NULL
+    # (presence semantics — the reference's setattr update and the
+    # Iceberg MERGE twin both write NULL; a NULL winner only occurs
+    # when EVERY duplicate update for the key is NULL, since the
+    # winner rule prefers non-NULL); unmatched update keys skipped;
     # target multiplicity preserved — NEVER inflated by duplicates
     model = sorted(
-        (
-            (k, (upd[k] if upd.get(k) is not None else v) if k in upd else v)
-            for (k, v) in target
-        ),
+        ((k, upd[k] if k in upd else v) for (k, v) in target),
         key=skey,
     )
     assert got == model
