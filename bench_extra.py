@@ -1,0 +1,120 @@
+"""Round-6 optimization harness — per-query isolation on top of the
+FROZEN bench.py methodology (guide §1).
+
+Times individual headline queries exactly the way bench.py does
+(warm pass + timed ``.count()``), optionally with the noop sink
+(guide §1.4) to force full-column materialization, and dumps
+``explain("formatted")`` plans to ``plans/r06/`` so plan-shape claims
+in OPTIMIZATION_r06.md are reproducible.
+
+Usage:
+    python bench_extra.py time q1 q2 ...      # warm + best-of-N count()
+    python bench_extra.py noop q1 q2 ...      # warm + best-of-N noop write
+    python bench_extra.py explain TAG q1 ...  # plans/r06/<q>_<TAG>.txt
+    python bench_extra.py suite               # check-suite wall (in-JVM)
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_EXTRA_REPS (default 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E
+from teleharvest_spark.session import get_spark
+
+PLANS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r06")
+
+
+def _spark():
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return get_spark(
+        app_name="bench_extra",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+
+def main() -> None:
+    mode = sys.argv[1]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("BENCH_EXTRA_REPS", "2"))
+    spark = _spark()
+    qs = E.bench_queries()
+    qs.update(E.queries())
+
+    if mode == "explain":
+        tag = sys.argv[2]
+        names = sys.argv[3:]
+        os.makedirs(PLANS_DIR, exist_ok=True)
+        for name in names:
+            df = qs[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            path = os.path.join(PLANS_DIR, f"{name}_{tag}.txt")
+            with open(path, "w") as f:
+                f.write(plan)
+            print(f"# wrote {path} ({plan.count('Exchange')} Exchange refs)")
+        return
+
+    if mode == "suite":
+        from teleharvest_spark import datagen
+        from teleharvest_spark.config import CheckSuite
+        from teleharvest_spark.plans import suite as suite_plan
+
+        rows = int(os.environ.get("SPARK_GRAFT_SUITE_ROWS", "2000000"))
+        check = CheckSuite(
+            banned_tokens=datagen.BANNED_IDS,
+            allowed_sources=tuple(datagen.SOURCES),
+        )
+        path = "/tmp/bench_sequences.parquet"
+        if not os.path.isdir(path):
+            datagen.generate_sequences(spark, rows, check).write.mode(
+                "overwrite"
+            ).parquet(path)
+        stored = spark.read.parquet(path)
+        for _ in range(2):
+            warm = suite_plan.run_suite(stored, check, drift_vs_global=True)
+            warm.materialize()
+            warm.cleanup()
+        samples = []
+        for _ in range(max(reps, 3)):
+            t0 = time.perf_counter()
+            res = suite_plan.run_suite(stored, check, drift_vs_global=True)
+            res.materialize()
+            samples.append(round(time.perf_counter() - t0, 3))
+            res.cleanup()
+        print(json.dumps({"check_suite_samples": samples,
+                          "min": min(samples), "rows": rows}))
+        return
+
+    names = sys.argv[2:]
+    out: dict[str, dict] = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(f"warm:{name}")
+        qs[name](spark, sf_dir).count()
+        samples = []
+        for i in range(reps):
+            spark.sparkContext.setJobDescription(f"timed:{name}:{i}")
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            if mode == "noop":
+                df.write.format("noop").mode("overwrite").save()
+                n = -1
+            else:
+                n = df.count()
+            samples.append(round(time.perf_counter() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+        out[name] = {"samples": samples, "min": min(samples), "rows": n}
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -540,6 +540,15 @@ def run(
         prev_baseline = _read_stored_baseline(spark, output_path)
         baseline_hist = prev_baseline
     if resume:
+        # The snapshot frame is |sources| rows derived from a full
+        # (column-pruned) table aggregate, and the resume path
+        # references it up to four times (pending anti-join, the
+        # non-pending set, the freshness join, the manifest append) —
+        # unlocalized, EACH reference re-ran the scan. One collect
+        # pins it driver-side; every later use is metadata-sized.
+        snapshots = spark.createDataFrame(
+            snapshots.collect(), schema=snapshots.schema
+        )
         manifest = mf.read_manifest(spark, output_path)
         pending = mf.pending_partitions(snapshots, manifest, suite)
         pending_sources = [r["partition"] for r in pending.select("partition").collect()]
@@ -881,7 +890,16 @@ def run(
     if corpus_states:
         from .plans import states as st
 
-        st.write_states(sequences, output_path, run_id)
+        if res.row_cache is not None:
+            # the suite's one-decode row cache carries every column the
+            # state aggregate needs (incl. the precomputed tokens-null
+            # bit) — two more decode passes of the fact saved per run
+            st.write_states(
+                res.row_cache, output_path, run_id,
+                tokens_null_col="_tok_null",
+            )
+        else:
+            st.write_states(sequences, output_path, run_id)
     if drift and drift_baseline == "previous" and res.hist is not None:
         _store_baseline(spark, output_path, res.hist, prev_baseline, run_id)
     history_report = {}

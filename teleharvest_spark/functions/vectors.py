@@ -47,6 +47,84 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def fold_norm(vec) -> float:
+    """``norm()`` as the exact Catalyst fold: acc = acc + x·x in index
+    order over IEEE doubles, then sqrt — bitwise-identical to the
+    codegen expression for the same input."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        xx = float(x)
+        acc = acc + xx * xx
+    return math.sqrt(acc)
+
+
+def _seq_dot_norm(mat: np.ndarray) -> tuple:
+    """(per-row sequential-fold squared-norm accumulator helper) —
+    returns the norm array for ``mat`` (n, L) accumulated column by
+    column, matching Catalyst's left fold bit-for-bit (each step is
+    one IEEE double multiply + add per row, in index order)."""
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for i in range(mat.shape[1]):
+        c = mat[:, i]
+        acc = acc + c * c
+    return np.sqrt(acc)
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_seq_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine with BITWISE parity to :func:`cosine` (the
+    codegen expression): dot and norms accumulate sequentially in
+    index order — per element one IEEE double multiply then one add,
+    the exact op sequence of ``F.aggregate``'s left fold — so a plan
+    may swap the interpreted-HOF expression for this kernel without
+    changing a single output bit, including rank decisions on
+    near-tie sims (guide §4.2: the HOF tree evaluates interpreted
+    per element; this runs ~dim vectorized numpy passes per batch).
+
+    Semantics reproduced exactly: NULL input → NULL; length-mismatched
+    pair → NULL when both norms > 0 else 0.0 (zip_with's null padding
+    through the guarded division); zero norm → 0.0; NaN elements
+    propagate as NaN values, never collapsed to NULL.
+    """
+    av, bv = a.to_numpy(), b.to_numpy()
+    n = len(av)
+    out = np.zeros(n, dtype=np.float64)
+    isnull = np.ones(n, dtype=bool)
+    by_shape: dict[tuple[int, int], list[int]] = {}
+    for i, (x, y) in enumerate(zip(av, bv)):
+        if x is None or y is None:
+            continue  # stays NULL
+        by_shape.setdefault((len(x), len(y)), []).append(i)
+    for (la, lb), idxs in by_shape.items():
+        am = np.asarray(
+            [np.asarray(av[i], dtype=np.float64) for i in idxs], dtype=np.float64
+        ).reshape(len(idxs), la)
+        bm = np.asarray(
+            [np.asarray(bv[i], dtype=np.float64) for i in idxs], dtype=np.float64
+        ).reshape(len(idxs), lb)
+        na, nb = _seq_dot_norm(am), _seq_dot_norm(bm)
+        # Spark orders NaN above every double, so (norm > 0) is TRUE
+        # for a NaN norm there; numpy says False — align with Spark
+        both_pos = ((na > 0) | np.isnan(na)) & ((nb > 0) | np.isnan(nb))
+        ii = np.asarray(idxs)
+        if la != lb:
+            # zip_with pads with NULLs → NULL dot → NULL sim when the
+            # guarded division fires, 0.0 otherwise
+            out[ii[~both_pos]] = 0.0
+            isnull[ii[~both_pos]] = False
+            continue
+        acc = np.zeros(len(idxs), dtype=np.float64)
+        for d in range(la):
+            acc = acc + am[:, d] * bm[:, d]
+        den = na * nb
+        vals = np.where(both_pos, acc / np.where(den == 0, 1.0, den), 0.0)
+        out[ii] = vals
+        isnull[ii] = False
+    return pd.Series(pd.arrays.FloatingArray(out, isnull))
+
+
 @F.pandas_udf(T.DoubleType())
 def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched cosine for wide vectors — ~10× the native

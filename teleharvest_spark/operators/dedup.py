@@ -548,12 +548,23 @@ def incremental_dedup_pairs(
     bbuckets = band_buckets(bsigs, id_col=id_col, n_perm=n_perm, bands=bands)
     probe = bbuckets
     if index_bloom is not None:
+        # Regime gate (VERDICT r5): the prefilter exists to shrink a
+        # NON-BROADCASTABLE batch before it meets a 10^12-row index —
+        # below the broadcast threshold the equi-join is already a
+        # broadcast-hash probe and the bloom pass is pure overhead
+        # (measured ~30% slower at the 500-doc bench batch). The gate
+        # is on probe-row volume: |batch| × bands rows ≥ ~500k (~12 MB
+        # of (id, band, bucket) rows, past any broadcast threshold).
+        # bsigs is persisted and needed downstream either way, so the
+        # count is a cache fill, not an extra pass. Results are
+        # pinned identical with or without the prefilter.
         from . import bloom as BL
 
-        probe = BL.bloom_prefilter(
-            bbuckets, index_bloom, ["band", "bucket"],
-            bloom_meta["m_bits"], bloom_meta["k"],
-        )
+        if bsigs.count() * bands >= 500_000:
+            probe = BL.bloom_prefilter(
+                bbuckets, index_bloom, ["band", "bucket"],
+                bloom_meta["m_bits"], bloom_meta["k"],
+            )
     lb, rb = probe.alias("l"), index_buckets.alias("r")
     li, ri = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
     batch_vs_index = (
@@ -577,13 +588,31 @@ def incremental_dedup_pairs(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
     )
-    cand = batch_vs_index.unionByName(batch_internal).dropDuplicates(["id_a", "id_b"])
-    # batch signatures take precedence on id collision (documented above)
+    cand = (
+        batch_vs_index.unionByName(batch_internal)
+        .dropDuplicates(["id_a", "id_b"])
+        .persist()
+    )
+    # The estimate attach needs index signatures for CANDIDATE ids
+    # only — every candidate pair touches the batch, so the id set is
+    # batch-duplication-bounded, never corpus-sized. Semi-joining the
+    # stored sig table down to it first (AQE broadcasts the small id
+    # set at runtime) replaces the old full-index anti-join, which
+    # passed every stored signature through a join on every ingest —
+    # the corpus-proportional term VERDICT r5 measured at the 10x
+    # fixture. Batch signatures still take precedence on id collision
+    # (documented above).
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    index_needed = index_sigs.join(cand_ids, id_col, "semi")
     all_sigs = bsigs.unionByName(
-        index_sigs.join(bsigs.select(id_col), id_col, "left_anti")
+        index_needed.join(bsigs.select(id_col), id_col, "left_anti")
     )
     result = _estimate_and_filter(cand, all_sigs, id_col, n_perm, threshold)
-    return _release(result, [bsigs], cache_handles)
+    return _release(result, [bsigs, cand], cache_handles)
 
 
 def ngram_jaccard_pairs(
@@ -632,14 +661,36 @@ def ngram_jaccard_pairs(
     )
     posts = base.select(id_col, "_n", F.explode("_sh").alias("shingle"))
 
-    # global document frequency → rarity rank per shingle
-    dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = posts.join(dfreq, "shingle")
-    rn = F.row_number().over(
-        W.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
+    # Global document frequency → rarity rank per shingle. Shingles
+    # with df = 1 can never produce a candidate pair (their posting
+    # list is a single doc — features are per-doc distinct), and under
+    # the rarity order (_df asc, shingle asc) every df = 1 posting
+    # sorts strictly BEFORE every repeated posting. So the pipeline
+    # only materializes the REPEATED dimension (df ≥ 2): the rank of a
+    # repeated posting in the full order is reconstructed as
+    # ``_n − (#repeated in doc) + rank-among-repeated`` — identical to
+    # ranking the full posting set, at a fraction of the join/window
+    # volume (the df = 1 long tail is the bulk of every prefix).
+    # Join strategy is left to AQE: the repeated dimension is
+    # duplication-bounded (≤ Σpostings/2 rows, 16 B each), so its
+    # runtime shuffle size picks broadcast-hash when it fits and a
+    # plain equi-join otherwise — no driver-side size probe needed.
+    dfreq2 = (
+        posts.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= 2)
+    )
+    wdoc = W.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
+    rn2 = F.row_number().over(wdoc)
+    cnt2 = F.count(F.lit(1)).over(
+        wdoc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    ranked = posts.join(dfreq2, "shingle").select(
+        id_col, "_n", "_df", "shingle",
+        (F.col("_n") - cnt2 + rn2).alias("_rn"),
     )
     prefix_len = F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")).cast("int") + 1
-    prefix = ranked.withColumn("_rn", rn).where(F.col("_rn") <= prefix_len).select(
+    prefix = ranked.where(F.col("_rn") <= prefix_len).select(
         id_col, "_n", "_rn", "shingle"
     )
 
@@ -759,6 +810,23 @@ def _block_keys(n_blocks: int, bits: int = 64) -> list:
     return keys
 
 
+def _block_agree_flags(xor: F.Column, n_blocks: int, bits: int = 64) -> list:
+    """Per-block agreement predicates of a signature PAIR: block ``c``
+    of the two signatures is identical iff its bit-slice of their XOR
+    is zero. Same slicing as :func:`_block_keys`, evaluated inline on
+    the joined row — the basis of the emit-once rule below."""
+    width = bits // n_blocks
+    flags = []
+    for c in range(n_blocks):
+        start = c * width
+        w = bits - start if c == n_blocks - 1 else width
+        sl = F.shiftrightunsigned(xor, start)
+        if w < bits:
+            sl = sl.bitwiseAND(F.lit((1 << w) - 1))
+        flags.append(sl == 0)
+    return flags
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -816,6 +884,27 @@ def simhash_near_pairs(
         id_col, "simhash", "cc.chunk", "cc.ckey"
     )
     a, b = blocked.alias("a"), blocked.alias("b")
+    # Emit-once rule (replaces the old dropDuplicates shuffle of the
+    # full candidate set): a pair with d agreeing blocks matches under
+    # several chunk keys; every duplicate row carries BOTH signatures,
+    # so the smallest agreeing chunk index is recomputable inline from
+    # their XOR, and keeping only the row whose join chunk equals it
+    # emits each qualifying pair exactly once — a codegen predicate
+    # instead of a candidate-volume exchange.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    if scheme == "block_pairs":
+        flags = _block_agree_flags(xor, m)
+        first_idx = F.lit(-1)
+        pair_order = [
+            (i, j) for i in range(m) for j in range(i + 1, m)
+        ]
+        for pidx, (i, j) in reversed(list(enumerate(pair_order))):
+            first_idx = F.when(flags[i] & flags[j], F.lit(pidx)).otherwise(first_idx)
+    else:
+        flags = _block_agree_flags(xor, max_hamming + 1)
+        first_idx = F.lit(-1)
+        for c, fl in reversed(list(enumerate(flags))):
+            first_idx = F.when(fl, F.lit(c)).otherwise(first_idx)
     pairs = (
         a.join(
             b,
@@ -823,18 +912,16 @@ def simhash_near_pairs(
             & (F.col("a.ckey") == F.col("b.ckey"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .where(F.col("a.chunk") == first_idx)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        # filter BEFORE the dedup shuffle: hamming is computed inline
-        # and identical across a pair's duplicate rows, so the
-        # predicate commutes with dropDuplicates — applying it first
-        # keeps far-apart candidate pairs (the ~n²/2^w false-positive
-        # bulk in dense buckets) out of the shuffle entirely
+        # hamming filter stays AFTER the emit-once predicate only in
+        # source order — both are per-row codegen in the same stage,
+        # so far-apart candidates still never reach a shuffle
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
 
@@ -868,6 +955,7 @@ def duplicated_ngram_spans(
     id_col: str = "doc_id",
     k: int = 50,
     min_count: int = 2,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """EXACT-substring duplication spans: maximal token ranges
     ``(doc_id, start, end)`` (end exclusive) covered by k-token-grams
@@ -895,10 +983,27 @@ def duplicated_ngram_spans(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    return spans_from_grams(
-        df, repeated_grams(df, tokens_col, id_col, k, min_count),
-        tokens_col, id_col, k,
+    # ONE positional-fingerprint pass feeds both halves: the repeated-
+    # gram aggregate and the positional hits join read the same
+    # persisted exploded table — the composed repeated_grams +
+    # spans_from_grams form fingerprinted every document twice (the
+    # k-gram hash, a per-position string build + xxhash64, IS the
+    # operator's compute wall). Same gram space, same spans; the
+    # stored-index path keeps the two-pass split because only the
+    # gram dimension is persisted there.
+    ex = _spread(df, id_col).select(
+        F.col(id_col),
+        F.posexplode(positional_gram_hashes(tokens_col, k)).alias("pos", "gram"),
+    ).persist()
+    grams = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .where(F.col("occurrences") >= min_count)
+        .select("gram")
     )
+    hits = ex.join(grams, "gram").select(id_col, "pos")
+    result = merge_positional_hits(hits, id_col, k)
+    return _release(result, [ex], cache_handles)
 
 
 def repeated_grams(

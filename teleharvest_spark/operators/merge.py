@@ -50,7 +50,26 @@ def merge_upsert(
                 f"update_cols {missing} not in target columns {tgt_cols}"
             )
 
-    if update_cols:
+    if update_cols and not insert_unmatched:
+        # greatest-update-struct winner via an AGGREGATE, not a window:
+        # max(struct) uses the same total ordering as desc(struct) with
+        # row_number (struct field comparison, NULL fields smallest),
+        # so the winner is identical — but the hash aggregate gets
+        # map-side partial combine and skips the full per-partition
+        # sort a window pays (guide §2.3 "aggregate before you
+        # shuffle"; on a 10^12-row late-data replay the updates table
+        # is corpus-sized and the sort was the dominant term). Only
+        # keys + update_cols survive — exactly what the matched-update
+        # join below reads.
+        w = F.max(F.struct(*[F.col(c) for c in update_cols])).alias("_w")
+        updates = updates.groupBy(*keys).agg(w).select(
+            *keys, *[F.col(f"_w.{c}").alias(c) for c in update_cols]
+        )
+    elif update_cols:
+        # insert_unmatched also inserts the winner row's NON-update
+        # columns, so the full row must survive dedup — keep the
+        # window form here (the ordering touches only update_cols,
+        # matching the aggregate path's winner rule).
         win = W.partitionBy(*keys).orderBy(
             F.desc(F.struct(*[F.col(c) for c in update_cols]))
         )

@@ -19,9 +19,119 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, cosine_seq_udf, fold_norm, _seq_dot_norm
 
 ANN_SEED = 42
+
+# Probe sets up to this size are collected driver-side and shipped
+# into the brute-force Arrow kernel (bounded collect — the same
+# discipline as train_centroids); larger sets fall back to the
+# broadcast nested-loop join form. 1024 probes × a 10k-row Arrow batch
+# keeps the per-batch sim matrix ≤ ~80 MB.
+MAX_BROADCAST_PROBES = 1024
+
+
+def _spread_scan(df: DataFrame, id_col: str) -> DataFrame:
+    """Guarantee scan parallelism for per-row-expensive Arrow stages —
+    the dedup._spread idiom: a single-file parquet input arrives as
+    ONE partition and serializes the kernel on one core; repartition
+    only when the scan has fewer splits than the cluster's
+    parallelism (a 10^12-row input passes through untouched)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, F.col(id_col))
+    return df
+
+
+def _topk_ranked(sims: DataFrame, k: int, salt: int = 64) -> DataFrame:
+    """Exact per-probe top-k of a (probe_id, neighbor_id, sim) frame.
+
+    Salted two-phase window (the lossless top_k_per_group idiom): a
+    local top-k per (probe, neighbor-hash cell) prunes candidates to
+    ≤ salt·k rows per probe before the per-probe window — without it
+    the single window partitioned by a handful of probe ids sorts the
+    FULL candidate set on |probes| tasks (the window-skew shape AQE
+    cannot split; guide §2.5). Ordering identical in both phases, so
+    the result is bit-identical to the one-window form.
+    """
+    order = [F.desc("sim"), F.asc("neighbor_id")]
+    cell = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(salt))
+    w1 = W.partitionBy(F.col("probe_id"), cell).orderBy(*order)
+    pruned = (
+        sims.withColumn("_lrk", F.row_number().over(w1))
+        .where(F.col("_lrk") <= k)
+        .drop("_lrk")
+    )
+    w = W.partitionBy("probe_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _probe_sims_udf(pvecs: list):
+    """Arrow kernel: per corpus row, the cosine against every one of
+    ``pvecs`` (driver-collected probe vectors) as array<double> —
+    positionally aligned with the probe list. Bitwise parity with the
+    ``cosine()`` expression (sequential index-order folds — see
+    cosine_seq_udf); NULL probe → NULL entry, length mismatch → NULL
+    when both norms > 0 else 0.0, NULL corpus vec → all-NULL row."""
+    pv = [None if v is None else [float(x) for x in v] for v in pvecs]
+    pnorms = [None if v is None else fold_norm(v) for v in pv]
+    n_probes = len(pv)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _sims(col: pd.Series) -> pd.Series:
+        cv = col.to_numpy()
+        res: list = [None] * len(cv)
+        by_len: dict[int, list[int]] = {}
+        for i, x in enumerate(cv):
+            if x is None:
+                res[i] = [None] * n_probes
+            else:
+                by_len.setdefault(len(x), []).append(i)
+        for L, idxs in by_len.items():
+            C = np.asarray(
+                [np.asarray(cv[i], dtype=np.float64) for i in idxs],
+                dtype=np.float64,
+            ).reshape(len(idxs), L)
+            cn = _seq_dot_norm(C)
+            cpos = (cn > 0) | np.isnan(cn)  # Spark: NaN > 0 is TRUE
+            M = np.empty((len(idxs), n_probes), dtype=np.float64)
+            Mnull = np.zeros((len(idxs), n_probes), dtype=bool)
+            for j in range(n_probes):
+                p = pv[j]
+                if p is None:
+                    Mnull[:, j] = True
+                    continue
+                pn = pnorms[j]
+                ppos = (pn > 0) or (pn != pn)
+                if len(p) != L:
+                    both = cpos & ppos
+                    M[:, j] = 0.0
+                    Mnull[:, j] = both
+                    continue
+                acc = np.zeros(len(idxs), dtype=np.float64)
+                for d in range(L):
+                    acc = acc + C[:, d] * p[d]
+                den = pn * cn
+                both = cpos if ppos else np.zeros(len(idxs), dtype=bool)
+                M[:, j] = np.where(both, acc / np.where(den == 0, 1.0, den), 0.0)
+            if Mnull.any():
+                for r, i in enumerate(idxs):
+                    nl = Mnull[r]
+                    res[i] = (
+                        [None if nl[j] else float(M[r, j]) for j in range(n_probes)]
+                        if nl.any()
+                        else M[r]
+                    )
+            else:
+                for r, i in enumerate(idxs):
+                    res[i] = M[r]
+        return pd.Series(res)
+
+    return _sims
 
 
 def max_similarity(
@@ -68,22 +178,43 @@ def brute_force_topk(
     corrupt the recall ground truth the ANN variants are scored
     against (the variants cannot return embedding-less rows at all).
     """
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
     c = (
         corpus.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     )
+    # Bounded probe collect → Arrow kernel path (the common shape: a
+    # handful of probes against the whole corpus). The old form
+    # broadcast the CORPUS and streamed the tiny probe side — a
+    # ~100 MB broadcast build plus one interpreted-HOF cosine per
+    # pair; this streams the corpus at full scan parallelism, ships
+    # only the probe vectors, and runs one vectorized batch kernel
+    # (guide §3.1 broadcast the small side / §4.2). Probe sets past
+    # the gate keep the join form below.
+    head = probes.select(F.col(id_col), F.col(vec_col)).limit(
+        MAX_BROADCAST_PROBES + 1
+    ).collect()
+    if 0 < len(head) <= MAX_BROADCAST_PROBES:
+        pids = [r[0] for r in head]
+        id_type = probes.schema[id_col].dataType
+        sims_udf = _probe_sims_udf([r[1] for r in head])
+        pid_arr = F.array(*[F.lit(p).cast(id_type) for p in pids])
+        expl = _spread_scan(c, "neighbor_id").select(
+            "neighbor_id",
+            F.posexplode(sims_udf(F.col("cvec"))).alias("_pos", "sim"),
+        )
+        sims = expl.select(
+            F.element_at(pid_arr, F.col("_pos") + 1).alias("probe_id"),
+            "neighbor_id",
+            "sim",
+        ).where(F.col("probe_id") != F.col("neighbor_id"))
+        return _topk_ranked(sims, k)
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
     sims = (
         p.crossJoin(F.broadcast(c))
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", cosine(F.col("pvec"), F.col("cvec")).alias("sim"))
+        .select("probe_id", "neighbor_id", cosine_seq_udf(F.col("pvec"), F.col("cvec")).alias("sim"))
     )
-    w = W.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
-    )
+    return _topk_ranked(sims, k)
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
@@ -403,15 +534,13 @@ def ivf_topk(
     sims = (
         p.join(c, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", cosine(F.col("pvec"), F.col("cvec")).alias("sim"))
+        # Arrow kernel with bitwise parity to the cosine() expression
+        # (see cosine_seq_udf) — the interpreted HOF tree was the
+        # per-candidate cost wall (guide §4.2)
+        .select("probe_id", "neighbor_id", cosine_seq_udf(F.col("pvec"), F.col("cvec")).alias("sim"))
         .dropDuplicates(["probe_id", "neighbor_id"])
     )
-    w = W.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
-    )
+    return _topk_ranked(sims, k)
 
 
 def lsh_topk(
@@ -459,15 +588,12 @@ def lsh_topk(
     sims = (
         p.join(c, "bucket")
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", cosine(F.col("pvec"), F.col("cvec")).alias("sim"))
+        # Arrow kernel with bitwise parity to the cosine() expression
+        # (see cosine_seq_udf)
+        .select("probe_id", "neighbor_id", cosine_seq_udf(F.col("pvec"), F.col("cvec")).alias("sim"))
         .dropDuplicates(["probe_id", "neighbor_id"])
     )
-    w = W.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
-    )
+    return _topk_ranked(sims, k)
 
 
 def ivf_scan_fraction(

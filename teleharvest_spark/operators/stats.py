@@ -20,12 +20,24 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import CheckSuite
 
 
-def partition_stats(df: DataFrame, key: str = "source") -> DataFrame:
-    """One aggregation pass per partition key over the sequences table."""
+def partition_stats(
+    df: DataFrame, key: str = "source", tokens_null_col: str | None = None
+) -> DataFrame:
+    """One aggregation pass per partition key over the sequences table.
+
+    ``tokens_null_col`` — a precomputed boolean "tokens IS NULL" column
+    (the suite's one-decode row cache): the aggregate then never
+    touches the array column at all, so the scan is metadata-narrow.
+    Same null count either way.
+    """
     n_tok = F.col("n_tok")
+    tokens_null = (
+        F.col(tokens_null_col) if tokens_null_col
+        else F.col("tokens").isNull()
+    )
     return df.groupBy(key).agg(
         F.count(F.lit(1)).alias("row_count"),
-        F.sum(F.col("tokens").isNull().cast("long")).alias("null_tokens"),
+        F.sum(tokens_null.cast("long")).alias("null_tokens"),
         F.sum(n_tok.isNull().cast("long")).alias("null_n_tok"),
         F.min(n_tok).alias("min_n_tok"),
         F.max(n_tok).alias("max_n_tok"),

@@ -61,13 +61,36 @@ def incremental_scan(
 
 
 def with_latest_flag(df: DataFrame, key: str = "source", seq: str = "doc_seq") -> DataFrame:
-    """is_latest = row_number()==1 over desc(seq) per key (O3).
+    """is_latest = the row carrying its key's high-water mark (O3).
 
     Feeds the F6 exemption: the newest row per channel is exempt from
     the engagement-rate check (processor.py:76-78, 116-119).
+
+    Implemented as ``seq == max(seq) per key`` via one partial-agg
+    aggregate + a broadcast join back (|keys| rows), NOT a window:
+    ``row_number() == 1 over desc(seq)`` shuffles AND sorts the whole
+    table into |keys| window partitions — with a handful of keys (the
+    channel dimension) the sort serializes on a few tasks, the exact
+    skew shape AQE cannot split for windows. Equivalent wherever
+    ``seq`` is unique per key (the sequence-id contract both here and
+    in the reference's ORDER BY id DESC LIMIT 1); with a tied max
+    every tied row is flagged (deterministic), and an all-NULL-seq
+    group flags none — the window form flagged one
+    partitioning-dependent arbitrary row there, which no caller could
+    rely on. NULL keys are real groups (eqNullSafe, matching
+    incremental_scan); NULL seq rows are never latest.
     """
-    w = W.partitionBy(key).orderBy(F.desc(seq))
-    return df.withColumn("is_latest", F.row_number().over(w) == 1)
+    wm = df.groupBy(key).agg(F.max(seq).alias("_last_seq")).select(
+        F.col(key).alias("_lfk"), F.col("_last_seq")
+    )
+    return (
+        df.join(F.broadcast(wm), F.col(key).eqNullSafe(F.col("_lfk")), "left")
+        .withColumn(
+            "is_latest",
+            F.coalesce(F.col(seq) == F.col("_last_seq"), F.lit(False)),
+        )
+        .drop("_lfk", "_last_seq")
+    )
 
 
 def top_k_per_group(

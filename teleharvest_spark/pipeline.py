@@ -1174,9 +1174,21 @@ def prep_corpus(
             )
             packs.write.mode("overwrite").parquet(pdir)
             n = spark.read.parquet(pdir).count()
+            # per-(group, split) max pack_id, recorded ONCE at build
+            # time so every later prep_batch derives its id offsets
+            # from metadata-sized ledger records instead of scanning
+            # the corpus-sized packs table per ingest (_pack_offsets)
+            gmax = [
+                [r["source_dir"], r["split"], int(r["mx"])]
+                for r in spark.read.parquet(pdir)
+                .groupBy("source_dir", "split")
+                .agg(F.max("pack_id").alias("mx"))
+                .collect()
+            ]
             write_stage_state(output_path, "prep_pack", {
                 "digest": digest, "run_id": run_id, "rows": n,
                 "capacity": capacity, "chunked": bool(chunk_to_capacity),
+                "group_max": gmax,
             })
             report["stages"]["pack"] = {"rows": n}
 
@@ -1328,36 +1340,76 @@ def _with_pack_group(corpus: DataFrame) -> DataFrame:
     return corpus.withColumn("source_dir", key)
 
 
-def _read_index(spark: SparkSession, idxdir: str) -> tuple[DataFrame, DataFrame]:
-    """Glob-union of every ingest's index subdir (``b_base`` +
-    ``b_<digest>`` batches) projected to the join schema.
+def _index_dirs(idxdir: str) -> tuple[list[str], bool]:
+    """(readable index subdirs, need_dedup).
 
-    dropDuplicates: a compaction interrupted between writing the
-    folded dir and removing its sources (compact_indexes) leaves the
-    same rows in two dirs until the re-run converges — readers must
-    not turn that transient into duplicate candidate pairs."""
-    sigs = spark.read.parquet(os.path.join(idxdir, "*", "sigs")).select(
-        "doc_id", "sig"
-    ).dropDuplicates(["doc_id"])
-    buckets = spark.read.parquet(os.path.join(idxdir, "*", "buckets")).select(
-        "doc_id", "band", "bucket"
-    ).dropDuplicates(["doc_id", "band", "bucket"])
+    A compaction interrupted between writing the folded dir and
+    removing its sources (compact_indexes) leaves the same rows in two
+    dirs until the re-run converges. The folded dir's ``sources.json``
+    manifest resolves that reader-side: any listed source dir still on
+    disk is EXCLUDED, so the union is exact without a corpus-wide
+    dropDuplicates — which used to shuffle the whole 10^12-row index
+    on every ingest just to guard a crash window that is almost never
+    open. Only a legacy manifest-less compact dir (older layout)
+    forces the dedup fallback.
+    """
+    dirs = sorted(
+        d for d in os.listdir(idxdir)
+        if d.startswith("b_") and os.path.isdir(os.path.join(idxdir, d))
+    )
+    folded: set[str] = set()
+    need_dedup = False
+    for d in dirs:
+        if not d.startswith("b_compact_"):
+            continue
+        mp = os.path.join(idxdir, d, "_sources.json")
+        if os.path.isfile(mp):
+            with open(mp, encoding="utf-8") as fh:
+                folded.update(json.load(fh))
+        elif len(dirs) > 1:
+            need_dedup = True  # pre-manifest compact dir: can't prove disjoint
+    return [d for d in dirs if d not in folded], need_dedup
+
+
+def _read_index(spark: SparkSession, idxdir: str) -> tuple[DataFrame, DataFrame]:
+    """Union of every live ingest index subdir (``b_base`` +
+    ``b_<digest>`` batches) projected to the join schema — see
+    :func:`_index_dirs` for the crash-window contract (doc_ids are
+    unique across recorded ingests by the index contract, so the
+    manifest-resolved union needs no dedup)."""
+    use, need_dedup = _index_dirs(idxdir)
+    sigs = buckets = None
+    for d in use:
+        s = spark.read.parquet(os.path.join(idxdir, d, "sigs")).select(
+            "doc_id", "sig"
+        )
+        b = spark.read.parquet(os.path.join(idxdir, d, "buckets")).select(
+            "doc_id", "band", "bucket"
+        )
+        sigs = s if sigs is None else sigs.unionByName(s)
+        buckets = b if buckets is None else buckets.unionByName(b)
+    if sigs is None:
+        raise ValueError(f"no index dirs under {idxdir}")
+    if need_dedup:
+        sigs = sigs.dropDuplicates(["doc_id"])
+        buckets = buckets.dropDuplicates(["doc_id", "band", "bucket"])
     return sigs, buckets
 
 
 def _read_span_index(spark: SparkSession, gidxdir: str) -> DataFrame:
-    """Union of every ingest's repeated-gram dir (``span_index/b_*``)
-    — same duplicate-tolerant contract as :func:`_read_index` (the
-    compaction crash window may double rows across dirs)."""
+    """Union of every live ingest's repeated-gram dir (``span_index/
+    b_*``) — same manifest-resolved crash contract as
+    :func:`_read_index` (each batch appends only grams absent from the
+    stored set, so live dirs are disjoint; only a legacy manifest-less
+    compact dir forces the dedup fallback)."""
+    use, need_dedup = _index_dirs(gidxdir)
     parts = None
-    for dd in sorted(os.listdir(gidxdir)):
-        if not dd.startswith("b_"):
-            continue
+    for dd in use:
         p = spark.read.parquet(os.path.join(gidxdir, dd)).select("gram")
         parts = p if parts is None else parts.unionByName(p)
     if parts is None:
         raise ValueError(f"no span index dirs under {gidxdir}")
-    return parts.dropDuplicates(["gram"])
+    return parts.dropDuplicates(["gram"]) if need_dedup else parts
 
 
 def compact_indexes(spark: SparkSession, output_path: str) -> dict:
@@ -1393,6 +1445,12 @@ def compact_indexes(spark: SparkSession, output_path: str) -> dict:
         tmp = os.path.join(idxdir, tag)
         sigs.write.mode("overwrite").parquet(os.path.join(tmp, "sigs"))
         buckets.write.mode("overwrite").parquet(os.path.join(tmp, "buckets"))
+        # sources manifest LAST, before removal: a crash between the
+        # fold and the removals leaves both dir sets, and _index_dirs
+        # uses this list to exclude the leftovers reader-side instead
+        # of dropDuplicates-shuffling the whole index per ingest
+        with open(os.path.join(tmp, "_sources.json"), "w", encoding="utf-8") as fh:
+            json.dump(dirs, fh)
         for dd in dirs:
             shutil.rmtree(os.path.join(idxdir, dd), ignore_errors=True)
         report["dedup_index"] = {"folded": len(dirs)}
@@ -1409,6 +1467,10 @@ def compact_indexes(spark: SparkSession, output_path: str) -> dict:
         stored = stored.dropDuplicates(["doc_id"])
         tag = "b_compact_" + hashlib.md5(":".join(kdirs).encode()).hexdigest()[:10]
         stored.write.mode("overwrite").parquet(os.path.join(kvroot, tag))
+        with open(
+            os.path.join(kvroot, tag, "_sources.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(kdirs, fh)
         for dd in kdirs:
             shutil.rmtree(os.path.join(kvroot, dd), ignore_errors=True)
         report["semdedup_index"] = {"folded": len(kdirs)}
@@ -1419,6 +1481,10 @@ def compact_indexes(spark: SparkSession, output_path: str) -> dict:
         grams = _read_span_index(spark, gidxdir)
         tag = "b_compact_" + hashlib.md5(":".join(gdirs).encode()).hexdigest()[:10]
         grams.write.mode("overwrite").parquet(os.path.join(gidxdir, tag))
+        with open(
+            os.path.join(gidxdir, tag, "_sources.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(gdirs, fh)
         for dd in gdirs:
             shutil.rmtree(os.path.join(gidxdir, dd), ignore_errors=True)
         report["span_index"] = {"folded": len(gdirs)}
@@ -1461,6 +1527,56 @@ def read_prep_corpus(spark: SparkSession, output_path: str) -> DataFrame:
 def read_prep_packs(spark: SparkSession, output_path: str) -> DataFrame:
     base = spark.read.parquet(os.path.join(output_path, "packs"))
     return _union_inc(spark, base, os.path.join(output_path, "packs_inc"))
+
+
+def _pack_offsets(spark: SparkSession, output_path: str) -> DataFrame:
+    """(source_dir, split, __off) next-pack-id offsets for a new batch.
+
+    Ledger-derived, O(|recorded batches|), NOT a packs-table scan: the
+    base build records its per-group max pack_id in the ``prep_pack``
+    state (one aggregate at build time) and every recorded batch
+    carries its own ``pack_max`` in its ledger — the offset frame is a
+    driver-side fold of those metadata-sized records. This was the
+    corpus-proportional term in the batch path (VERDICT r5: the
+    pack-id offset aggregate re-scanned the whole packs table per
+    ingest). Crash-exactness: a crashed attempt has NO ledger, so its
+    phantom packs never contribute (its dirs are deleted by the
+    replay-hygiene sweep), which keeps replays byte-identical — the
+    same guarantee the full scan gave. Warehouses whose ledgers
+    predate ``pack_max``/``group_max`` (or carry packs without it)
+    fall back to the scan.
+    """
+    base_state = read_stage_state(output_path, "prep_pack") or {}
+    gmax = base_state.get("group_max")
+    merged: dict[tuple, int] = {}
+    ok = gmax is not None
+    if ok:
+        for sd, sp, mx in gmax:
+            key = (sd, sp)
+            merged[key] = max(merged.get(key, -(1 << 62)), int(mx))
+        sdir = os.path.join(output_path, STATE_DIRNAME)
+        for fname in sorted(os.listdir(sdir)) if os.path.isdir(sdir) else []:
+            if not fname.startswith("prep_batch_") or not fname.endswith(".json"):
+                continue
+            st = read_stage_state(output_path, fname[: -len(".json")]) or {}
+            pm = st.get("pack_max")
+            if pm is None:
+                if st.get("packs", 0) > 0:
+                    ok = False  # old-layout ledger with real packs
+                    break
+                continue  # zero-pack batch contributes nothing
+            for sd, sp, mx in pm:
+                key = (sd, sp)
+                merged[key] = max(merged.get(key, -(1 << 62)), int(mx))
+    if ok:
+        rows = [(sd, sp, mx + 1) for (sd, sp), mx in merged.items()]
+        return spark.createDataFrame(
+            rows, "source_dir string, split string, __off bigint"
+        )
+    stored_packs = read_prep_packs(spark, output_path)
+    return stored_packs.groupBy("source_dir", "split").agg(
+        (F.max("pack_id") + 1).alias("__off")
+    )
 
 
 def prep_batch(
@@ -1782,15 +1898,18 @@ def prep_batch(
         cent_rows = spark.read.parquet(cdirp).orderBy("cell").collect()
         cents = np.array([r["vector"] for r in cent_rows], dtype=np.float64)
         kvroot = os.path.join(output_path, "semdedup_index", "kept_vectors")
+        # manifest-resolved union (see _index_dirs): doc_ids are unique
+        # across recorded ingests, so the corpus-sized dedup shuffle
+        # only runs for a legacy manifest-less compaction leftover
+        kuse, kneed_dedup = _index_dirs(kvroot)
         stored = None
-        for dd in sorted(os.listdir(kvroot)):
-            if not dd.startswith("b_"):
-                continue
+        for dd in kuse:
             part = spark.read.parquet(os.path.join(kvroot, dd)).select(
                 "doc_id", "embedding"
             )
             stored = part if stored is None else stored.unionByName(part)
-        stored = stored.dropDuplicates(["doc_id"])
+        if kneed_dedup:
+            stored = stored.dropDuplicates(["doc_id"])
         bemb = (
             batch_emb.join(kept.select("doc_id"), "doc_id", "semi")
             .dropDuplicates(["doc_id"])
@@ -1952,12 +2071,10 @@ def prep_batch(
         carry=carry,
     )
     group_cols = ["source_dir", "split"]
-    # the crashed-attempt cleanup above guarantees the offset scan
-    # never sees this batch's own packs
-    stored_packs = read_prep_packs(spark, output_path)
-    offsets = stored_packs.groupBy(*group_cols).agg(
-        (F.max("pack_id") + 1).alias("__off")
-    )
+    # ledger-derived offsets (no corpus-sized packs scan); the
+    # crashed-attempt cleanup above + ledger-only accounting guarantee
+    # the offsets never see this batch's own packs
+    offsets = _pack_offsets(spark, output_path)
     packs = (
         packs.join(F.broadcast(offsets), group_cols, "left")
         .withColumn("pack_id", F.col("pack_id") + F.coalesce(F.col("__off"), F.lit(0)))
@@ -1965,7 +2082,14 @@ def prep_batch(
     )
     pdir = os.path.join(output_path, "packs_inc", f"b_{d}")
     packs.write.mode("overwrite").parquet(pdir)
-    report["packs"] = spark.read.parquet(pdir).count()
+    written = spark.read.parquet(pdir)
+    # one batch-sized pass serves both the row count and the
+    # per-group max pack_id the ledger records for _pack_offsets
+    pack_rows = written.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.max("pack_id").alias("mx")
+    ).collect()
+    report["packs"] = int(sum(r["n"] for r in pack_rows))
+    pack_max = [[r["source_dir"], r["split"], int(r["mx"])] for r in pack_rows]
 
     # 5. append the batch's index rows (its own subdir, overwrite)
     dedup_ops.write_dedup_index(
@@ -1979,6 +2103,7 @@ def prep_batch(
     write_stage_state(output_path, state_key, {
         "digest": digest, "run_id": run_id,
         "kept": report["kept"], "packs": report["packs"],
+        "pack_max": pack_max,
     })
     return report
 

@@ -60,7 +60,9 @@ def _bucket(n_tok) -> F.Column:
     ).cast("int")
 
 
-def partition_states(df: DataFrame, key: str = "source") -> DataFrame:
+def partition_states(
+    df: DataFrame, key: str = "source", tokens_null_col: str | None = None
+) -> DataFrame:
     """One mergeable state row per partition.
 
     Two bounded aggregates over one column-pruned scan shape: the
@@ -79,9 +81,16 @@ def partition_states(df: DataFrame, key: str = "source") -> DataFrame:
 
     part = source_dir_col(key).alias("partition")
     n_tok = F.col("n_tok")
+    # tokens_null_col: a precomputed "tokens IS NULL" bit (the suite's
+    # one-decode row cache) — the aggregate then never touches the
+    # array column; identical counts either way
+    tokens_null = (
+        F.col(tokens_null_col) if tokens_null_col
+        else F.col("tokens").isNull()
+    )
     base = df.groupBy(part).agg(
         F.count(F.lit(1)).alias("row_count"),
-        F.sum(F.col("tokens").isNull().cast("long")).alias("null_tokens"),
+        F.sum(tokens_null.cast("long")).alias("null_tokens"),
         F.sum(n_tok.isNull().cast("long")).alias("null_n_tok"),
         F.min(n_tok).alias("min_n_tok"),
         F.max(n_tok).alias("max_n_tok"),
@@ -113,12 +122,13 @@ def partition_states(df: DataFrame, key: str = "source") -> DataFrame:
 
 
 def write_states(
-    df: DataFrame, output_path: str, run_id: str, key: str = "source"
+    df: DataFrame, output_path: str, run_id: str, key: str = "source",
+    tokens_null_col: str | None = None,
 ) -> None:
     """Persist this run's partition states (dynamic partition
     overwrite — re-validated partitions replace their row)."""
     (
-        partition_states(df, key=key)
+        partition_states(df, key=key, tokens_null_col=tokens_null_col)
         .withColumn("stated_at_run", F.lit(run_id))
         .write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")

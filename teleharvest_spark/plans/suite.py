@@ -35,6 +35,17 @@ class ValidationResult:
     # unsampled)
     failing_ids: DataFrame | None = None
     hist: DataFrame | None = None  # per-(source, bucket) n_tok histogram of THIS run
+    # one-decode mode's persisted narrow per-row cache (doc_id, source,
+    # n_tok, _tok_null, fail columns, conditional tokens): callers that
+    # need another pass over the validated rows (state writes) can
+    # aggregate this instead of re-decoding the fact. None outside
+    # one-decode mode. Released by cleanup() with everything else.
+    row_cache: DataFrame | None = None
+    # caches every branch below depends on, materialized IN ORDER at
+    # the start of materialize() so concurrent branches read a pinned
+    # cache instead of racing to compute it (a shared unmaterialized
+    # cache is recomputed once per racing subtree)
+    _eager: tuple = ()
     # narrow (slice_dims...) frame, ONE ROW PER CASCADE-FAILING ROW —
     # the exact numerator for a slice report riding this run's decode
     # scan (None unless run_suite was called with slice_dims)
@@ -60,11 +71,14 @@ class ValidationResult:
         double-run the big scan."""
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(2) as ex:
+        for df in self._eager:
+            df.count()
+        with ThreadPoolExecutor(max(2, 1 + len(self._overlap))) as ex:
             fv = ex.submit(self.violations.count)
-            fs = ex.submit(lambda: [df.count() for df in self._overlap])
+            fs = [ex.submit(df.count) for df in self._overlap]
             nv = fv.result()
-            fs.result()
+            for f in fs:
+                f.result()
         return nv, self.verdicts.count()
 
 
@@ -219,7 +233,8 @@ def run_suite(
         sequences, key="doc_id", stored_counts=stored_key_counts
     ).persist()
     dups_r = dups.withColumnRenamed("doc_id", "_dup_key")
-    dups_side = dups_r if dups.count() > 5_000_000 else F.broadcast(dups_r)
+    dups_broadcast = dups.count() <= 5_000_000
+    dups_side = F.broadcast(dups_r) if dups_broadcast else dups_r
 
     # ONE full decode of the tokens column produces BOTH violation
     # classes: the cascade flags are a narrow projection, the dup flag
@@ -279,7 +294,68 @@ def run_suite(
     viol_keys = None
     failing_rows = None
     failing_dim_rows = None
-    if violation_sample is None and slice_dims:
+    per_row = None
+    if violation_sample is None and dups_broadcast:
+        # ONE-DECODE mode (the uncapped path the bench's seq/s metric
+        # times): the fact's tokens column is decoded exactly once —
+        # this narrow per-row cache carries the cascade verdictS, the
+        # dup flag, the stats inputs (tokens-null bit, n_tok, doc_id)
+        # and the tokens array ONLY for failing rows, so the stats
+        # aggregate and the drift histogram below read the cache
+        # instead of re-decoding the fact (each cached-plan pass was a
+        # full token decode: ~3s apiece at 2M rows — persist defeats
+        # the count-time column pruning an unpersisted aggregate
+        # enjoys, so the old per-branch scans paid it in full).
+        # Materialized eagerly: materialize() launches the violations
+        # and stats/drift branches from concurrent threads, and an
+        # unmaterialized shared cache would be decoded once per racing
+        # branch (the same race the eager hist count pins). Restricted
+        # to the broadcast-dup regime: a broadcast join preserves the
+        # scan's partitioning, keeping percentile_approx's
+        # merge order — and therefore stats — identical to a direct
+        # fact scan; the shuffle-dup fallback keeps the old shape.
+        fail_any = (
+            F.col(cascade.FIRST_FAIL_COL).isNotNull()
+            | F.col("dup_count").isNotNull()
+        )
+        _carried = {
+            "doc_id", "source", "tokens", "dup_count", "n_tok",
+            "_tok_null", cascade.FIRST_FAIL_COL, cascade.REASON_COL,
+        }
+        extra_dims = [c for c in slice_dims if c not in _carried]
+        per_row = (
+            annotated.select(
+                "doc_id",
+                "source",
+                "n_tok",
+                F.col("tokens").isNull().alias("_tok_null")
+                if "tokens" in sequences.columns
+                else F.lit(True).alias("_tok_null"),
+                cascade.FIRST_FAIL_COL,
+                cascade.REASON_COL,
+                "dup_count",
+                F.when(fail_any, tokens_sel).alias("tokens"),
+                *extra_dims,
+            )
+            .persist()
+        )
+        failing_rows = per_row.where(fail_any)
+        violations = (
+            failing_rows.select(
+                "doc_id", "source", "tokens", vstruct.alias("_v")
+            )
+            .select(
+                "doc_id", "source", F.col("_v.check_name"),
+                F.col("_v.reason"), "tokens",
+            )
+            .persist()
+        )
+        if slice_dims:
+            failing_dim_rows = failing_rows.where(
+                F.col(cascade.FIRST_FAIL_COL).isNotNull()
+            ).select(*slice_dims)
+        failing_rows = None  # derived view, nothing extra to release
+    elif violation_sample is None and slice_dims:
         # Shared-scan mode: persist the PRE-explode failing rows (≤ the
         # violation count — a row failing cascade AND duplicate_key is
         # stored once) as the single parent the one decode scan
@@ -369,9 +445,16 @@ def run_suite(
     # persisted: tiny (one row per source), independent of violations —
     # materialize() overlaps this scan with the big tokens decode.
     # source_dim rides along so the min/max mirrors compare against the
-    # same per-source effective bounds the cascade used.
+    # same per-source effective bounds the cascade used. In one-decode
+    # mode the aggregate reads the per-row cache (same rows, same
+    # partitioning — see per_row above) instead of re-decoding the
+    # fact's tokens for the null count.
+    if per_row is not None:
+        stats_src = stats.partition_stats(per_row, tokens_null_col="_tok_null")
+    else:
+        stats_src = stats.partition_stats(sequences)
     part_stats = stats.stats_verdicts(
-        stats.partition_stats(sequences), suite, source_bounds=source_dim
+        stats_src, suite, source_bounds=source_dim
     ).persist()
 
     # Drift baseline: an explicit trusted histogram (production: the
@@ -385,8 +468,25 @@ def run_suite(
     hist = None
     if baseline_hist is not None or drift_vs_global:
         # persist the (≤ |sources|×128-row) histogram: deriving the
-        # pooled baseline from it would otherwise re-scan the fact
-        hist = drift.ntok_histogram(sequences).persist()
+        # pooled baseline from it would otherwise re-scan the fact.
+        # Materialize it EAGERLY: the drift chain below references the
+        # cached node from four separate subtrees (loo, scored, the
+        # two semi-joins) that the first drift job launches
+        # concurrently — each sees a cache miss until the first writer
+        # lands, so the unmaterialized histogram's full fact scan ran
+        # up to 4× inside one job (measured ~5.1s → ~2.4s for the
+        # overlap branch at 2M rows). One tiny count pins the cache
+        # before any consumer exists.
+        hist = drift.ntok_histogram(
+            sequences if per_row is None else per_row
+        ).persist()
+        if per_row is None:
+            # the drift chain references this cache from four
+            # concurrent subtrees — pin it before any consumer exists
+            # (in one-decode mode materialize()'s _eager chain pins
+            # per_row first and hist right after, so no extra job is
+            # needed here)
+            hist.count()
         if drift_exclude_self is None:
             drift_exclude_self = baseline_hist is None
         if drift_exclude_self:
@@ -524,10 +624,16 @@ def run_suite(
         failing_ids=failing_ids,
         hist=hist,
         failing_dim_rows=failing_dim_rows,
+        row_cache=per_row,
         _cached=(violations, dups)
         + ((failing_rows,) if failing_rows is not None else ())
+        + ((per_row,) if per_row is not None else ())
         + ((per_check, viol_keys) if violation_sample is not None else ())
         + overlap
         + ((hist,) if hist is not None else ()),
         _overlap=overlap,
+        _eager=(
+            ((per_row,) if per_row is not None else ())
+            + ((hist,) if hist is not None and per_row is not None else ())
+        ),
     )
