@@ -21,7 +21,8 @@ from ..config import CheckSuite
 
 
 def partition_stats(
-    df: DataFrame, key: str = "source", tokens_null_col: str | None = None
+    df: DataFrame, key: str = "source", tokens_null_col: str | None = None,
+    quantile_accuracy: int = 2500,
 ) -> DataFrame:
     """One aggregation pass per partition key over the sequences table.
 
@@ -29,6 +30,18 @@ def partition_stats(
     (the suite's one-decode row cache): the aggregate then never
     touches the array column at all, so the scan is metadata-narrow.
     Same null count either way.
+
+    ``quantile_accuracy`` — GK epsilon⁻¹. The mix of percentile_approx
+    (TypedImperativeAggregate) with the other functions forces the
+    whole aggregate into ObjectHashAggregate's interpreted per-row
+    path, so GK update cost dominates the pass: accuracy 10000 → 2500
+    measured 24.7 s → 11.7 s over the 20M-row suite cache (2.2 s →
+    1.3 s at 2M) while the rank error bound stays ≤ 4e-4 — far inside
+    anything the verdict thresholds or the manifest's history bands
+    resolve. approx_count_distinct hashes xxhash64(doc_id) rather than
+    the raw string for the same per-row-cost reason (longs hash
+    cheaper than strings; distinct-count semantics unchanged, 64-bit
+    collisions ≪ the sketch's own 1% rsd).
     """
     n_tok = F.col("n_tok")
     tokens_null = (
@@ -42,8 +55,12 @@ def partition_stats(
         F.min(n_tok).alias("min_n_tok"),
         F.max(n_tok).alias("max_n_tok"),
         F.avg(n_tok).alias("avg_n_tok"),
-        F.percentile_approx(n_tok, [0.5, 0.95, 0.99], 10000).alias("ntok_quantiles"),
-        F.approx_count_distinct("doc_id", 0.01).alias("approx_distinct_doc_id"),
+        F.percentile_approx(
+            n_tok, [0.5, 0.95, 0.99], quantile_accuracy
+        ).alias("ntok_quantiles"),
+        F.approx_count_distinct(F.xxhash64("doc_id"), 0.01).alias(
+            "approx_distinct_doc_id"
+        ),
         F.sum(F.coalesce(n_tok.cast("long"), F.lit(0))).alias("total_tokens"),
     ).withColumn(
         "null_rate",
