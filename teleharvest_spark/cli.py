@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .config import CheckSuite
 from .plans import manifest as mf
 from .plans import suite as suite_plan
-from .session import get_spark
+from .session import get_spark, local_df
 from .sources.writer import write_partitioned
 
 BASELINE_DIRNAME = "_drift_baseline"
@@ -546,10 +546,14 @@ def run(
         # non-pending set, the freshness join, the manifest append) —
         # unlocalized, EACH reference re-ran the scan. One collect
         # pins it driver-side; every later use is metadata-sized.
-        snapshots = spark.createDataFrame(
-            snapshots.collect(), schema=snapshots.schema
+        snapshots = local_df(spark, snapshots.collect(), snapshots.schema)
+        # the manifest is metadata-sized (one row per validated
+        # partition-snapshot); localized, the pending anti-join and the
+        # states freshness join below become LocalRelation-only jobs
+        # instead of re-reading the manifest parquet per reference
+        manifest = local_df(
+            spark, mf.read_manifest(spark, output_path).collect(), mf.MANIFEST
         )
-        manifest = mf.read_manifest(spark, output_path)
         pending = mf.pending_partitions(snapshots, manifest, suite)
         pending_sources = [r["partition"] for r in pending.select("partition").collect()]
         if not pending_sources:
@@ -854,9 +858,10 @@ def run(
             "flagged boolean, dominated boolean, spec string"
         )
         spec_str = ",".join(slice_spec)
-        spark.createDataFrame(
+        local_df(
+            spark,
             pdf.astype({"arity": "int64"}).assign(spec=spec_str),
-            schema=slice_schema,
+            slice_schema,
         ).coalesce(1).write.mode("overwrite").parquet(out_dir)
         slices_report = {
             "slice_dims": dims,
@@ -1364,8 +1369,8 @@ def slice_pass(
     # later --slice-compare can refuse a cross-spec diff instead of
     # reporting phantom absent->hot regressions when the dims differ
     spec_str = ",".join(spec) + (f"|check={check}" if check else "")
-    spark.createDataFrame(
-        pdf.astype({"arity": "int64"}).assign(spec=spec_str), schema=schema
+    local_df(
+        spark, pdf.astype({"arity": "int64"}).assign(spec=spec_str), schema
     ).coalesce(1).write.mode("overwrite").parquet(out_dir)
     churn_report = {}
     if compare_to is not None:
@@ -1419,8 +1424,8 @@ def slice_pass(
             "z_prev double, flagged_prev boolean, rate_delta double, "
             "z_delta double, prev_run string"
         )
-        spark.createDataFrame(
-            trans.assign(prev_run=compare_to), schema=diff_schema
+        local_df(
+            spark, trans.assign(prev_run=compare_to), diff_schema
         ).coalesce(1).write.mode("overwrite").parquet(diff_dir)
         counts = trans["transition"].value_counts().to_dict()
         regressions = trans[

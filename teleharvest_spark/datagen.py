@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import CheckSuite
+from .session import local_df
 
 VOCAB = 50257
 SOURCES = [f"src_{i:02d}" for i in range(8)]
@@ -154,10 +155,10 @@ def allowed_sources_dim(spark: SparkSession, suite: CheckSuite | None = None) ->
     """T2 — allowed-source dimension (excludes the rogue source)."""
     suite = suite or CheckSuite()
     rows = [(s, suite.min_n_tok, suite.max_n_tok) for s in SOURCES]
-    return spark.createDataFrame(rows, "source string, min_n_tok int, max_n_tok int")
+    return local_df(spark, rows, "source string, min_n_tok int, max_n_tok int")
 
 
 def banned_tokens_dim(spark: SparkSession) -> DataFrame:
     """T3 — disallowed token ids."""
     rows = [(int(t), "planted_banned") for t in BANNED_IDS]
-    return spark.createDataFrame(rows, "token_id int, reason string")
+    return local_df(spark, rows, "token_id int, reason string")

@@ -117,7 +117,9 @@ def _driver_union_find(cur: DataFrame) -> DataFrame:
         f"node {cur.schema['src'].dataType.simpleString()}, "
         f"component {cur.schema['dst'].dataType.simpleString()}"
     )
-    out = cur.sparkSession.createDataFrame(data, schema)
+    from ..session import local_df
+
+    out = local_df(cur.sparkSession, data, schema)
     cur.unpersist()
     return out
 

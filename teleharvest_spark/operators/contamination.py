@@ -270,9 +270,12 @@ def semantic_contamination(
     # array expression would bloat the plan at max_eval_rows)
     spark = train_emb.sparkSession
     id_type = eval_emb.schema[eval_id_col].dataType.simpleString()
-    id_dim = spark.createDataFrame(
+    from ..session import local_df
+
+    id_dim = local_df(
+        spark,
         [(i, e) for i, e in enumerate(eval_ids)],
-        schema=f"eval_idx int, {eval_id_col} {id_type}",
+        f"eval_idx int, {eval_id_col} {id_type}",
     )
     return hit.join(F.broadcast(id_dim), "eval_idx").select(
         id_col, eval_id_col, "cosine"

@@ -751,7 +751,10 @@ def build_ivf_index(
     if _os.path.exists(old_meta):
         _os.remove(old_meta)
     spark = corpus.sparkSession
-    cdf = spark.createDataFrame(
+    from ..session import local_df
+
+    cdf = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents_unit)],
         "cell int, centroid array<double>",
     )

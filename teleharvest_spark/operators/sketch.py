@@ -217,7 +217,9 @@ def heavy_hitters(
         schema = topk.schema
     finally:
         summ.unpersist()
-    return df.sparkSession.createDataFrame(rows, schema=schema)
+    from ..session import local_df
+
+    return local_df(df.sparkSession, rows, schema)
 
 
 def token_heavy_hitters(

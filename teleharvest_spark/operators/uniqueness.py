@@ -194,7 +194,9 @@ def read_key_index(
         # silently treating an unreadable index as "empty" would make a
         # --resume run miss every cross-partition duplicate and report
         # clean verdicts with no hint the index was skipped.
-        return spark.createDataFrame([], schema)
+        from ..session import local_df
+
+        return local_df(spark, [], schema)
 
 
 def cross_partition_counts(

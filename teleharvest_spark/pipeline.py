@@ -45,6 +45,7 @@ from dataclasses import replace
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import CheckSuite
+from .session import local_df
 from .operators import refresh as refresh_ops
 from .operators import similarity as sim_ops
 from .streaming import refresh as vsink
@@ -827,7 +828,8 @@ def prep_corpus(
             # corpus without re-clustering it (prep_batch seeds the
             # greedy with these rows; corpus always wins)
             if cents.size:
-                spark.createDataFrame(
+                local_df(
+                    spark,
                     [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
                     "cell int, vector array<double>",
                 ).coalesce(1).write.mode("overwrite").parquet(
@@ -1273,7 +1275,8 @@ def _lm_policy_filter(
         thresholds = None
     if thresholds is None:
         by = None
-        thresholds = spark.createDataFrame(
+        thresholds = local_df(
+            spark,
             [(meta.get("global_lo"), meta.get("global_hi"))],
             "__lo double, __hi double",
         )
@@ -1570,8 +1573,8 @@ def _pack_offsets(spark: SparkSession, output_path: str) -> DataFrame:
                 merged[key] = max(merged.get(key, -(1 << 62)), int(mx))
     if ok:
         rows = [(sd, sp, mx + 1) for (sd, sp), mx in merged.items()]
-        return spark.createDataFrame(
-            rows, "source_dir string, split string, __off bigint"
+        return local_df(
+            spark, rows, "source_dir string, split string, __off bigint"
         )
     stored_packs = read_prep_packs(spark, output_path)
     return stored_packs.groupBy("source_dir", "split").agg(

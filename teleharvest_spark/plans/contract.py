@@ -312,11 +312,13 @@ REPORT_SCHEMA = T.StructType(
 
 
 def report_df(spark: SparkSession, diffs: list[dict]) -> DataFrame:
+    from ..session import local_df
+
     rows = [
         (d["column"], d["check_name"], d["severity"], d["expected"], d["observed"])
         for d in diffs
     ]
-    return spark.createDataFrame(rows, REPORT_SCHEMA)
+    return local_df(spark, rows, REPORT_SCHEMA)
 
 
 def schema_gate(

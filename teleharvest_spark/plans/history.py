@@ -122,7 +122,10 @@ def _rules_df(spark, rules: dict[str, AnomalyRule]) -> DataFrame:
          int(r.min_history), bool(r.absent_is_zero))
         for m, r in rules.items()
     ]
-    return spark.createDataFrame(
+    from ..session import local_df
+
+    return local_df(
+        spark,
         rows,
         "metric string, direction string, max_zscore double, "
         "max_rel_change double, min_history int, absent_is_zero boolean",

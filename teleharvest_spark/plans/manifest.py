@@ -31,7 +31,9 @@ def read_manifest(spark: SparkSession, table_path: str) -> DataFrame:
     try:
         return spark.read.schema(MANIFEST).parquet(path)
     except Exception:
-        return spark.createDataFrame([], MANIFEST)
+        from ..session import local_df
+
+        return local_df(spark, [], MANIFEST)
 
 
 def pending_partitions(

@@ -157,7 +157,9 @@ def read_states(spark: SparkSession, output_path: str) -> DataFrame:
     try:
         return spark.read.schema(schema).parquet(states_path(output_path))
     except Exception:
-        return spark.createDataFrame([], schema)
+        from ..session import local_df
+
+        return local_df(spark, [], schema)
 
 
 def merge_states(states: DataFrame) -> DataFrame:

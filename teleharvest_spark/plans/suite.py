@@ -466,6 +466,22 @@ def run_suite(
     # applyInPandas over ≤ |sources|×128 rows.
     drift_v = None
     hist = None
+    if baseline_hist is not None:
+        # The pool/baseline is metadata-sized by contract (≤ |sources|
+        # × |buckets| rows) but its LINEAGE may be a full-table scan
+        # (the resume rescan pool, the temporal baseline re-read), and
+        # the leave-one-out chain below references it from several
+        # subtrees — unlocalized, EACH reference re-ran that scan
+        # (measured: the pending-slice drift branch paid the 1M-row
+        # pool scan 2-3× per run). One bounded collect pins it
+        # driver-side as a pure LocalRelation.
+        from ..session import local_df
+
+        baseline_hist = local_df(
+            sequences.sparkSession,
+            baseline_hist.collect(),
+            baseline_hist.schema,
+        )
     if baseline_hist is not None or drift_vs_global:
         # persist the (≤ |sources|×128-row) histogram: deriving the
         # pooled baseline from it would otherwise re-scan the fact.

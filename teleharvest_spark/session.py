@@ -62,3 +62,47 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_df(spark: SparkSession, rows, schema):
+    """Driver-local rows → DataFrame WITHOUT Python-worker partitions.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows into
+    ``defaultParallelism`` Python-fed slices — on local[32] that is 32
+    Python worker round-trips (~3.5 s, measured) charged to EVERY job
+    whose plan scans the relation, even for an empty list. Metadata-
+    sized frames (schema reports, localized snapshots, driver
+    union-find output, IVF centroid dims, sketch summaries) pay it
+    constantly. This helper keeps the data JVM-side:
+
+    * non-empty → the Arrow ``createDataFrame(pandas)`` path (record
+      batches decoded in the JVM; ~0.15 s, no Python at execution);
+    * empty → a zero-partition ``range(0)`` projection with the target
+      schema (pure LocalRelation; nullability is relaxed to nullable,
+      which every downstream union/read tolerates).
+
+    ``schema`` may be a DDL string or StructType. ``rows`` is a list of
+    positional tuples/Rows (the createDataFrame(list) contract) or an
+    already-built pandas DataFrame (column-aligned; empty ones take the
+    LocalRelation branch — empty pandas input falls off Arrow onto the
+    slow path too).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    st = (
+        schema
+        if isinstance(schema, T.StructType)
+        else spark.createDataFrame([], schema).schema  # lazy: schema parse only
+    )
+    if isinstance(rows, pd.DataFrame):
+        if len(rows) == 0:
+            rows = []
+        else:
+            return spark.createDataFrame(rows, st)
+    if not rows:
+        return spark.range(0, 0, 1, 1).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+        )
+    pdf = pd.DataFrame(list(rows), columns=[f.name for f in st.fields], dtype=object)
+    return spark.createDataFrame(pdf, st)

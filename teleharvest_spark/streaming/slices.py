@@ -148,8 +148,10 @@ def windowed_slice_sink(
         # batch) — the replay rewrites this directory instead of
         # appending a duplicate lattice (the violations writer's
         # idempotence scheme)
-        spark.createDataFrame(
-            scored[cols].astype({"arity": "int64"}), schema=SINK_SCHEMA
+        from ..session import local_df
+
+        local_df(
+            spark, scored[cols].astype({"arity": "int64"}), SINK_SCHEMA
         ).write.mode("overwrite").parquet(f"{sink_path}/batch_id={batch_id}")
 
     return sink
