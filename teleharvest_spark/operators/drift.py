@@ -197,9 +197,15 @@ def drift_metrics(
     # same eps clamps) in codegen; the pandas helper stays as the
     # streaming micro-batch kernel and the parity oracle
     # (tests pin SQL ≡ pandas on dense/sparse/degenerate histograms).
+    return _metrics_from_aligned(_align_hist(hist, baseline_hist), include_w1)
+
+
+def _metrics_from_aligned(joined: DataFrame, include_w1: bool = False) -> DataFrame:
+    """KS/PSI[, W1] from an aligned (source, bucket, cnt, base_cnt)
+    frame — the shared kernel of :func:`drift_metrics` and
+    :func:`loo_drift_metrics`."""
     from pyspark.sql import Window
 
-    joined = _align_hist(hist, baseline_hist)
     w_all = Window.partitionBy("source")
     w_ord = (
         Window.partitionBy("source")
@@ -308,6 +314,121 @@ def leave_one_out_baseline(
             F.col("_pc").cast("long") - F.coalesce(F.col("_oc"), F.lit(0)).cast("long"),
         ).alias("cnt"),
     )
+
+
+def loo_drift_metrics(
+    hist: DataFrame, pooled: DataFrame | None = None
+) -> DataFrame:
+    """Fused leave-one-out drift scoring: per-source (ks, psi) of each
+    source's histogram vs "the rest of the corpus", with zero-rest
+    sources excluded — equivalent to the chain
+
+        scored = sources of leave_one_out_baseline(hist, pooled) with rest > 0
+        drift_metrics(hist ⋉ scored, leave_one_out_baseline(...) ⋉ scored)
+
+    but in ONE plan (a per-source dense frame + the shared windowed
+    kernel + a rest-mass filter on the aggregate). The unfused chain
+    cost ~6 join/aggregate stages of pure scheduling overhead per suite
+    run over a ≤|sources|×|buckets|-row histogram — ~1.0-1.5 s of the
+    2M-row suite wall (equivalence pinned in tests/test_drift.py).
+
+    ``pooled`` — an externally reconstructed FULL-corpus pool (resume);
+    defaults to pooling ``hist`` itself. Dense bucket domain per source
+    is pool-buckets ∪ own-buckets (full outer), matching the unfused
+    alignment even when a stale external pool lacks an own bucket.
+    """
+    if pooled is None:
+        pooled = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    pool = pooled.select(F.col("bucket").alias("_pb"), F.col("cnt").alias("_pc"))
+    dense = hist.select("source").distinct().crossJoin(F.broadcast(pool))
+    own = hist.select(
+        F.col("source").alias("_os"),
+        F.col("bucket").alias("_ob"),
+        F.col("cnt").alias("_oc"),
+    )
+    joined = dense.join(
+        own,
+        F.col("source").eqNullSafe(F.col("_os")) & (F.col("_pb") == F.col("_ob")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("source"), F.col("_os")).alias("source"),
+        F.coalesce(F.col("_pb"), F.col("_ob")).alias("bucket"),
+        F.coalesce(F.col("_oc"), F.lit(0)).cast("long").alias("cnt"),
+        # rest = pool − own, clamped (stale external pools); an
+        # own-only bucket reads pool 0 → rest 0, as in the unfused form
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.col("_pc"), F.lit(0)).cast("long")
+            - F.coalesce(F.col("_oc"), F.lit(0)).cast("long"),
+        ).alias("base_cnt"),
+    )
+    m = _metrics_from_aligned(joined)
+    # zero-rest sources (single-source corpus) are excluded from
+    # scoring, not flagged — the unfused chain's `scored` semi-join;
+    # the degenerate marker fires exactly when a sum is zero, and
+    # own-mass zero is impossible for a source present in hist, so
+    # filtering the degenerate rows removes precisely the rest==0 set
+    return m.where(F.col("psi") != float("inf"))
+
+
+def loo_drift_rows(
+    hist_rows: list, pooled_rows: list | None = None
+) -> list[tuple]:
+    """Driver-side twin of :func:`loo_drift_metrics` over COLLECTED
+    histogram rows — ``[(source, ks, psi), ...]``.
+
+    The histogram is metadata-sized (≤ |sources|×|buckets|), so the
+    suite computes LOO drift here and ships the result back as a
+    LocalRelation: the SQL chain, already fused, still cost ~1.0 s of
+    stage scheduling per run on a ~1k-row frame. Float parity: the
+    arithmetic replays the SQL kernel's exact operation sequence —
+    bucket-ordered running sums, the same eps clamps, plain sequential
+    accumulation (never ``math.fsum``/numpy pairwise) — pinned against
+    :func:`loo_drift_metrics` in tests/test_drift.py.
+
+    ``hist_rows``: rows with (source, bucket, cnt); ``pooled_rows``:
+    optional (bucket, cnt) external pool.
+    """
+    import math
+
+    own: dict = {}
+    for r in hist_rows:
+        own.setdefault(r["source"], {})[r["bucket"]] = r["cnt"]
+    if pooled_rows is None:
+        pool: dict = {}
+        for r in hist_rows:
+            pool[r["bucket"]] = pool.get(r["bucket"], 0) + r["cnt"]
+    else:
+        pool = {r["bucket"]: r["cnt"] for r in pooled_rows}
+    out: list[tuple] = []
+    for src, o in own.items():
+        buckets = sorted(set(pool) | set(o))
+        cnts = [o.get(b, 0) for b in buckets]
+        rests = [max(0, pool.get(b, 0) - o.get(b, 0)) for b in buckets]
+        pn = 0.0
+        for c in cnts:
+            pn += float(c)
+        qn = 0.0
+        for c in rests:
+            qn += float(c)
+        if qn == 0.0 or pn == 0.0:
+            continue  # zero-rest sources are excluded, not flagged
+        cum_p = cum_q = 0.0
+        max_gap = 0.0
+        psi = 0.0
+        for c, rc in zip(cnts, rests):
+            p = float(c) / pn
+            q = float(rc) / qn
+            cum_p += p
+            cum_q += q
+            gap = abs(cum_p - cum_q)
+            if gap > max_gap:
+                max_gap = gap
+            pc = p if p > _PSI_EPS else _PSI_EPS
+            qc = q if q > _PSI_EPS else _PSI_EPS
+            psi += (pc - qc) * math.log(pc / qc)
+        out.append((src, min(1.0, max_gap), psi))
+    return out
 
 
 def drift_verdicts(metrics: DataFrame, suite: CheckSuite) -> DataFrame:

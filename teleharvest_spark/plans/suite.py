@@ -509,29 +509,31 @@ def run_suite(
             # leave-one-out: pool (explicit full-corpus pool under
             # resume, else pooled from hist) minus each source's own
             # counts — all metadata-sized arithmetic on the persisted
-            # histogram, zero extra passes over the fact
-            loo = drift.leave_one_out_baseline(hist, baseline_hist)
-            scored = (
-                loo.groupBy("source")
-                .agg(F.sum("cnt").alias("_rest"))
-                .where(F.col("_rest") > 0)
-                .select(F.col("source").alias("_rs"))
-            )
-            # both sides restricted: the alignment join is full-outer,
-            # so an excluded source left in the BASELINE would re-enter
-            # with a degenerate all-zero pair and fail
-            drift_hist = hist.join(
-                F.broadcast(scored),
-                F.col("source").eqNullSafe(F.col("_rs")),
-                "semi",
-            )
-            loo_scored = loo.join(
-                F.broadcast(scored),
-                F.col("source").eqNullSafe(F.col("_rs")),
-                "semi",
-            )
+            # histogram, zero extra passes over the fact. Round 6: the
+            # scoring runs DRIVER-side over the collected histogram
+            # (drift.loo_drift_rows — float-parity-pinned twin of the
+            # loo_drift_metrics SQL chain, which itself pins the old
+            # loo → semi-join → drift_metrics form); the old chain was
+            # ~1.0-1.5 s of stage scheduling per run on a ≤1k-row
+            # frame. The collect is bounded by |sources|×|buckets| —
+            # the snapshot-localization argument. hist must be
+            # materialized first: in one-decode mode the _eager chain
+            # has not run yet at build time, so the collect doubles as
+            # the cache pin (the hist.count() above covers the other
+            # mode).
+            from ..session import local_df
+
             drift_v = drift.drift_verdicts(
-                drift.drift_metrics(drift_hist, loo_scored), suite
+                local_df(
+                    sequences.sparkSession,
+                    drift.loo_drift_rows(
+                        hist.collect(),
+                        None if baseline_hist is None
+                        else baseline_hist.collect(),
+                    ),
+                    "source string, ks double, psi double",
+                ),
+                suite,
             ).persist()
         else:
             drift_v = drift.drift_verdicts(

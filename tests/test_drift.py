@@ -124,3 +124,98 @@ def test_w1_default_schema_unchanged(spark):
         include_w1=True,
     ).collect()[0]
     assert empty["w1"] == float("inf")
+
+
+def _unfused_loo(hist, pooled=None):
+    """The pre-round-6 leave-one-out chain — the equivalence oracle for
+    loo_drift_metrics."""
+    loo = drift.leave_one_out_baseline(hist, pooled)
+    scored = (
+        loo.groupBy("source")
+        .agg(F.sum("cnt").alias("_rest"))
+        .where(F.col("_rest") > 0)
+        .select(F.col("source").alias("_rs"))
+    )
+    cond = F.col("source").eqNullSafe(F.col("_rs"))
+    return drift.drift_metrics(
+        hist.join(F.broadcast(scored), cond, "semi"),
+        loo.join(F.broadcast(scored), cond, "semi"),
+    )
+
+
+def test_loo_drift_metrics_matches_unfused_chain(spark, sequences):
+    hist = drift.ntok_histogram(sequences).persist()
+    hist.count()
+    want = {r["source"]: r for r in _unfused_loo(hist).collect()}
+    got = {r["source"]: r for r in drift.loo_drift_metrics(hist).collect()}
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s]["ks"] == want[s]["ks"], s
+        assert got[s]["psi"] == want[s]["psi"], s
+    hist.unpersist()
+
+
+def test_loo_drift_metrics_single_source_excluded(spark):
+    df = spark.createDataFrame(
+        [(f"d{i}", [1] * 5, 5, "only") for i in range(50)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    hist = drift.ntok_histogram(df)
+    # rest-mass is zero for a single-source corpus: excluded, not flagged
+    assert drift.loo_drift_metrics(hist).collect() == []
+    assert _unfused_loo(hist).collect() == []
+
+
+def test_loo_drift_metrics_external_stale_pool(spark):
+    # external pool MISSING one of the source's own buckets (stale):
+    # the own-only bucket must still enter the dense domain with rest 0
+    hist = spark.createDataFrame(
+        [("a", 0, 30), ("a", 5, 10), ("b", 0, 25), ("b", 1, 15)],
+        "source string, bucket int, cnt long",
+    )
+    pooled = spark.createDataFrame(
+        [(0, 55), (1, 15)], "bucket int, cnt long"  # bucket 5 absent
+    )
+    want = {r["source"]: r for r in _unfused_loo(hist, pooled).collect()}
+    got = {r["source"]: r for r in drift.loo_drift_metrics(hist, pooled).collect()}
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s]["ks"] == want[s]["ks"], s
+        assert got[s]["psi"] == want[s]["psi"], s
+
+
+def _psi_close(a, b):
+    # the driver-side twin replays the SQL operation sequence, but
+    # Math.log (JVM) and math.log (libm) may differ in the final ulp —
+    # observed 2-ulp psi drift on the bench fixture; ks (no log) is
+    # exactly equal
+    import math
+
+    return math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-15)
+
+
+def test_loo_drift_rows_matches_sql_kernel(spark, sequences):
+    hist = drift.ntok_histogram(sequences).persist()
+    hist.count()
+    want = {r["source"]: r for r in drift.loo_drift_metrics(hist).collect()}
+    got = {s: (ks, psi) for s, ks, psi in drift.loo_drift_rows(hist.collect())}
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == want[s]["ks"], s
+        assert _psi_close(got[s][1], want[s]["psi"]), s
+    # external-pool form, including a stale pool missing an own bucket
+    pool = [
+        {"bucket": r["bucket"], "cnt": r["cnt"]}
+        for r in hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+        if r["bucket"] != 0
+    ]
+    pooled_df = spark.createDataFrame(
+        [(p["bucket"], p["cnt"]) for p in pool], "bucket int, cnt long"
+    )
+    want2 = {r["source"]: r for r in drift.loo_drift_metrics(hist, pooled_df).collect()}
+    got2 = {s: (ks, psi) for s, ks, psi in drift.loo_drift_rows(hist.collect(), pool)}
+    assert set(got2) == set(want2)
+    for s in want2:
+        assert got2[s][0] == want2[s]["ks"], s
+        assert _psi_close(got2[s][1], want2[s]["psi"]), s
+    hist.unpersist()
