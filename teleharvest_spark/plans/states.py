@@ -65,11 +65,19 @@ def partition_states(
 ) -> DataFrame:
     """One mergeable state row per partition.
 
-    Two bounded aggregates over one column-pruned scan shape: the
-    scalar/sketch pass (groupBy partition — map-side partials collapse
-    everything, the shuffle is |partitions| × sketch bytes) and the
-    histogram pass (groupBy (partition, bucket) → ≤128 rows per
-    partition, densified to a fixed array so merging is element-wise).
+    ONE two-level aggregate over one column-pruned scan: level 1 groups
+    by (partition, bucket) and computes every scalar/sketch partial at
+    bucket granularity (map-side partials collapse the fact rows; the
+    shuffle is ≤ |partitions| × 128 rows); level 2 folds buckets back
+    to the partition row — sums/min/max merge algebraically, the
+    per-bucket HLL sub-sketches merge by ``hll_union_agg`` (register-
+    wise max, so the result equals the direct whole-partition sketch —
+    the same losslessness the module docstring pins for cross-partition
+    merges), and the per-bucket counts densify into the fixed histogram
+    array. The previous shape (scalar aggregate + separate histogram
+    aggregate + join) scanned the input twice and paid a join per
+    ``write_states`` call — pure fixed overhead on the resume path's
+    pending-slice writes.
     NULL partition keys state under ``__null__`` and empty strings
     under ``__empty__`` (the source_dir convention — hive encoding
     maps both to __HIVE_DEFAULT_PARTITION__ otherwise); unlike the
@@ -88,8 +96,8 @@ def partition_states(
         F.col(tokens_null_col) if tokens_null_col
         else F.col("tokens").isNull()
     )
-    base = df.groupBy(part).agg(
-        F.count(F.lit(1)).alias("row_count"),
+    per_bucket = df.groupBy(part, _bucket(n_tok).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
         F.sum(tokens_null.cast("long")).alias("null_tokens"),
         F.sum(n_tok.isNull().cast("long")).alias("null_n_tok"),
         F.min(n_tok).alias("min_n_tok"),
@@ -100,25 +108,30 @@ def partition_states(
         ).alias("sum_sq_n_tok"),
         F.hll_sketch_agg(F.col("doc_id"), F.lit(HLL_LG_K)).alias("doc_id_hll"),
     )
-    hist = (
-        df.groupBy(
-            source_dir_col(key).alias("partition"),
-            _bucket(n_tok).alias("bucket"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("partition")
+    return (
+        per_bucket.groupBy("partition")
         .agg(
-            F.map_from_entries(F.collect_list(F.struct("bucket", "cnt"))).alias("__m")
+            F.sum("cnt").alias("row_count"),
+            F.sum("null_tokens").alias("null_tokens"),
+            F.sum("null_n_tok").alias("null_n_tok"),
+            F.min("min_n_tok").alias("min_n_tok"),
+            F.max("max_n_tok").alias("max_n_tok"),
+            F.sum("sum_n_tok").alias("sum_n_tok"),
+            F.sum("sum_sq_n_tok").alias("sum_sq_n_tok"),
+            F.hll_union_agg(F.col("doc_id_hll")).alias("doc_id_hll"),
+            F.map_from_entries(F.collect_list(F.struct("bucket", "cnt"))).alias(
+                "__m"
+            ),
         )
-        .select(
-            "partition",
+        .withColumn(
+            "ntok_hist",
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_TOK_BUCKETS - 1)),
                 lambda i: F.coalesce(F.try_element_at(F.col("__m"), i), F.lit(0)),
-            ).alias("ntok_hist"),
+            ),
         )
+        .drop("__m")
     )
-    return base.join(hist, "partition")
 
 
 def write_states(
