@@ -63,6 +63,22 @@ def main() -> None:
             print(f"# wrote {path} ({plan.count('Exchange')} Exchange refs)")
         return
 
+    if mode == "resume10x":
+        # VERDICT r5 item 3: the resume bench at 10x the frozen
+        # section's fixture (10M rows instead of 1M). The states mode
+        # replaces the rescan mode's one O(|table|) baseline scan with
+        # O(|delta|) state maintenance; at 1M rows the avoided scan
+        # (~0.3 s) is cheaper than the fixed state-write cost (~1 s),
+        # so the crossover only shows at larger tables. Reuses the
+        # frozen bench's own section body so the protocol (seed /
+        # restore / best-of-2) is identical — only the row count moves.
+        import bench as B
+
+        B.SUITE_ROWS = int(os.environ.get("RESUME10X_ROWS", "20000000"))
+        out = B.resume_bench(spark, sf_dir)
+        print(json.dumps({"resume_10x": out}))
+        return
+
     if mode == "suite":
         from teleharvest_spark import datagen
         from teleharvest_spark.config import CheckSuite

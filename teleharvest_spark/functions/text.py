@@ -128,17 +128,22 @@ def stop_word_check(col: Column, stop_words: list[str]) -> Column:
     """First matching stop word or NULL (reference F5 semantics:
     contains_stop_words returns the matched word, processor.py:90-95).
 
-    Words are matched as LITERALS (java \\Q...\\E quoting): the
-    reference contract is substring containment, so a stop word
-    holding regex metacharacters ('c++', '(paid)') must not throw
+    Words are matched as LITERALS via ``instr`` (plain substring
+    search, no regex engine at all): the reference contract is
+    substring containment, so a stop word holding regex
+    metacharacters ('c++', '(paid)') must not throw
     PatternSyntaxException at task runtime or silently pattern-match
-    ('a.c' matching 'abc')."""
+    ('a.c' matching 'abc'). The earlier ``\\Q...\\E`` quoting had one
+    hole — a stop word containing the literal sequence ``\\E``
+    terminated the quote early and the remainder ran as a regex
+    (ADVICE r5); ``instr`` has no quoting to escape, and drops the
+    regex engine from the per-row path as a bonus."""
     if not stop_words:
         return F.lit(None).cast("string")
     s = F.coalesce(col, F.lit(""))
-    chain = F.when(s.rlike("\\Q" + stop_words[0] + "\\E"), F.lit(stop_words[0]))
+    chain = F.when(F.instr(s, stop_words[0]) > 0, F.lit(stop_words[0]))
     for w in stop_words[1:]:
-        chain = chain.when(s.rlike("\\Q" + w + "\\E"), F.lit(w))
+        chain = chain.when(F.instr(s, w) > 0, F.lit(w))
     return chain.otherwise(F.lit(None).cast("string"))
 
 

@@ -351,6 +351,15 @@ def _estimate_and_filter(
     )
 
 
+# Version of the shingling/tokenization semantics the stored dedup
+# index's signatures were computed under. Bump whenever the word/token
+# derivation feeding minhash_signatures changes meaning (v2 = the
+# round-5 phantom-empty-token filter: whitespace-edge texts shingle
+# differently than v1). write_dedup_index refuses appends across
+# versions — mixed token spaces in one index silently miss duplicates.
+INDEX_SEMANTICS_VERSION = 2
+
+
 def write_dedup_index(
     df: DataFrame,
     path: str,
@@ -424,6 +433,29 @@ def write_dedup_index(
             "crashed between the sigs and buckets writes; rebuild with "
             "mode='overwrite'"
         )
+    # Token-space guard (ADVICE r5): the marker records the signature
+    # params AND the tokenizer-semantics version; an append whose
+    # params or semantics differ from the stored index would silently
+    # mix incompatible signature spaces in one table (e.g. pre-/post-
+    # phantom-''-token shingles for whitespace-edge texts). Markers
+    # written before the version field existed read as version 1 and
+    # refuse the append, forcing an explicit overwrite rebuild.
+    if mode == "append" and os.path.exists(commit_marker):
+        with open(commit_marker, encoding="utf-8") as f:
+            prev = json.load(f)
+        stored_key = (
+            prev.get("n_perm"), prev.get("bands"), prev.get("k"),
+            prev.get("semantics", 1),
+        )
+        want_key = (n_perm, bands, k, INDEX_SEMANTICS_VERSION)
+        if stored_key != want_key:
+            raise ValueError(
+                f"index at {path} was written with (n_perm, bands, k, "
+                f"semantics)={stored_key}; this append would use "
+                f"{want_key} — mixed signature/token spaces in one "
+                "index silently miss duplicates; rebuild with "
+                "mode='overwrite'"
+            )
     # Bloom/bucket COVERAGE invariant, enforced BEFORE any write: a
     # stored bloom that covers only some appends silently drops true
     # candidates in the prefilter (false negatives — the one failure
@@ -486,7 +518,16 @@ def write_dedup_index(
     if bloom_bits is not None:
         buckets.unpersist()
     with open(commit_marker, "w", encoding="utf-8") as f:
-        json.dump({"mode": mode, "n_perm": n_perm, "bands": bands, "k": k}, f)
+        json.dump(
+            {
+                "mode": mode,
+                "n_perm": n_perm,
+                "bands": bands,
+                "k": k,
+                "semantics": INDEX_SEMANTICS_VERSION,
+            },
+            f,
+        )
 
 
 def read_dedup_index(spark, path: str) -> tuple[DataFrame, DataFrame]:

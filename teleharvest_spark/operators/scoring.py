@@ -129,9 +129,13 @@ class StubScorer(Scorer):
 # cloudpickle bytes, recomputed per task (~µs): identical closures
 # rehydrate to identical bytes within a worker, so tasks of one stage
 # share one client, while two same-named factories with different
-# captured configs serialize differently and never collide. Bounded
-# LRU so a long-lived worker serving many distinct stages cannot grow
-# without limit; an unpicklable factory falls back to per-task
+# captured configs serialize differently and never collide. The
+# pickling cost scales with the factory's captured state (~µs for a
+# config-sized closure; a factory capturing megabytes pays
+# proportionally — keep heavyweight state inside the client, not the
+# closure). Bounded LRU so a long-lived worker serving many distinct
+# stages cannot grow without limit (evicted clients get an optional
+# close() call); an unpicklable factory falls back to per-task
 # construction (correct, just unshared).
 _CLIENTS: OrderedDict = OrderedDict()
 _CLIENTS_MAX = 16
@@ -153,7 +157,16 @@ def _client(factory: Callable[[], Scorer]) -> Scorer:
     c = factory()
     _CLIENTS[key] = c
     while len(_CLIENTS) > _CLIENTS_MAX:
-        _CLIENTS.popitem(last=False)
+        _, evicted = _CLIENTS.popitem(last=False)
+        # a real backend client may hold connections — give it a
+        # shutdown hook instead of relying on GC (ADVICE r5); eviction
+        # must never fail the scoring task over cleanup
+        close = getattr(evicted, "close", None)
+        if callable(close):
+            try:
+                close()
+            except Exception:
+                pass
     return c
 
 

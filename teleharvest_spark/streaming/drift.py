@@ -129,6 +129,27 @@ def windowed_drift_sink(
     store produces): mirror of drift_metrics' branch, a per-source
     baseline joins on source instead of cross-joining (a crossJoin
     there would duplicate the source column and mis-align buckets)."""
+    # Legacy-layout guard (ADVICE r5): this sink once wrote flat
+    # mode('append') parquet directly under sink_path; the current
+    # batch_id=<n> subdirectory layout cannot coexist with those flat
+    # files (Spark refuses mixed flat/partitioned trees with a
+    # conflicting-directory-structure error at READ time, long after
+    # the writes landed). Fail at sink construction with a migration
+    # hint instead.
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(sink_path) and _glob.glob(
+        _os.path.join(sink_path, "*.parquet")
+    ):
+        raise ValueError(
+            f"drift sink at {sink_path} holds flat parquet files from "
+            "the legacy append layout; the sink now writes per-batch "
+            "batch_id=<n> directories and the two layouts cannot be "
+            "read as one tree — move the legacy files into a "
+            "batch_id=-1/ subdirectory (or point the sink at a fresh "
+            "path) before restarting the stream"
+        )
     per_source = "source" in baseline_hist.columns
     base = baseline_hist.withColumnRenamed("cnt", "base_cnt")
 
