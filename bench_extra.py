@@ -79,6 +79,87 @@ def main() -> None:
         print(json.dumps({"resume_10x": out}))
         return
 
+    if mode == "resume_crossover":
+        # VERDICT r5 item 3, the regime demonstration: the frozen
+        # resume section's arriving partition is ~1/16 of the corpus,
+        # and the measured constants (pool rescan ≈ 0.13 µs/table-row
+        # pruned-scan vs state maintenance ≈ 2.7 µs/delta-row incl.
+        # HLL + state write) put the states-vs-rescan crossover at
+        # |table|/|delta| ≈ 21 — just past the fixture. A nightly
+        # ingest's ratio is 100-1000. This mode reruns the identical
+        # seed/restore/best-of-2 protocol with the SAME table but a
+        # 1/10-sized delta (|table|/|delta| ≈ 160): the regime the
+        # states machinery exists for.
+        import shutil
+
+        import bench as B
+        from pyspark.sql import functions as F
+
+        from teleharvest_spark import cli, datagen
+        from teleharvest_spark.config import CheckSuite
+
+        rows = int(os.environ.get("RESUME_CROSSOVER_ROWS", "10000000"))
+        check = CheckSuite(
+            banned_tokens=datagen.BANNED_IDS,
+            allowed_sources=tuple(datagen.SOURCES) + ("src_new",),
+        )
+        v1, v2 = "/tmp/bx_resume_v1", "/tmp/bx_resume_v2"
+        shutil.rmtree(v1, ignore_errors=True)
+        shutil.rmtree(v2, ignore_errors=True)
+        datagen.generate_sequences(spark, rows, check).write.parquet(v1)
+        base = spark.read.parquet(v1)
+        newp = (
+            base.where(F.col("source") == datagen.SOURCES[3])
+            .where(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0)
+            .withColumn("source", F.lit("src_new"))
+            .withColumn("doc_id", F.concat(F.lit("new_"), F.col("doc_id")))
+        )
+        base.unionByName(newp).write.parquet(v2)
+        out = {"table_rows": rows, "new_partition_rows": newp.count()}
+        wh, snap = "/tmp/bx_resume_wh", "/tmp/bx_resume_wh_snap"
+
+        def seed(flag):
+            shutil.rmtree(wh, ignore_errors=True)
+            cli.run(spark, v1, wh, check, run_id="r1", corpus_states=flag)
+            shutil.rmtree(snap, ignore_errors=True)
+            shutil.copytree(wh, snap)
+
+        def restore():
+            shutil.rmtree(wh, ignore_errors=True)
+            shutil.copytree(snap, wh)
+
+        def best2(fn, setup):
+            setup()
+            fn()
+            samples = []
+            for _ in range(2):
+                setup()
+                t0 = time.perf_counter()
+                fn()
+                samples.append(time.perf_counter() - t0)
+            return round(min(samples), 3)
+
+        for name, flag in (
+            ("resume_rescan_sec", False),
+            ("resume_states_sec", True),
+        ):
+            seed(flag)
+            out[name] = best2(
+                lambda: cli.run(
+                    spark, v2, wh, check, run_id="r2",
+                    resume=True, corpus_states=flag,
+                ),
+                restore,
+            )
+        out["speedup_states_vs_rescan"] = round(
+            out["resume_rescan_sec"] / max(out["resume_states_sec"], 1e-9), 2
+        )
+        for p in (v1, v2, wh, snap):
+            shutil.rmtree(p, ignore_errors=True)
+        del B
+        print(json.dumps({"resume_crossover": out}))
+        return
+
     if mode == "suite":
         from teleharvest_spark import datagen
         from teleharvest_spark.config import CheckSuite

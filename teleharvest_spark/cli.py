@@ -546,14 +546,15 @@ def run(
         # non-pending set, the freshness join, the manifest append) —
         # unlocalized, EACH reference re-ran the scan. One collect
         # pins it driver-side; every later use is metadata-sized.
-        snapshots = local_df(spark, snapshots.collect(), snapshots.schema)
+        snap_rows = snapshots.collect()
+        snapshots = local_df(spark, snap_rows, snapshots.schema)
         # the manifest is metadata-sized (one row per validated
         # partition-snapshot); localized, the pending anti-join and the
-        # states freshness join below become LocalRelation-only jobs
-        # instead of re-reading the manifest parquet per reference
-        manifest = local_df(
-            spark, mf.read_manifest(spark, output_path).collect(), mf.MANIFEST
-        )
+        # states freshness bookkeeping below become LocalRelation-only
+        # (or pure-driver) work instead of re-reading the manifest
+        # parquet per reference
+        manifest_rows = mf.read_manifest(spark, output_path).collect()
+        manifest = local_df(spark, manifest_rows, mf.MANIFEST)
         pending = mf.pending_partitions(snapshots, manifest, suite)
         pending_sources = [r["partition"] for r in pending.select("partition").collect()]
         if not pending_sources:
@@ -581,35 +582,45 @@ def run(
 
                 from .sources.writer import dir_key_value
 
-                stored = st.read_states(spark, output_path)
+                # ONE bounded collect of the (|partitions|-row) state
+                # table; every decision below — freshness, coverage,
+                # the pooled histogram itself — is pure driver
+                # arithmetic over already-local rows (snapshots and
+                # the manifest were collected above). The previous
+                # shape ran three extra metadata-sized Spark jobs per
+                # resume (state_run collect, freshness join collect,
+                # pooled-hist aggregate) — fixed scheduling overhead
+                # the states mode paid on every run.
+                stored_rows = (
+                    st.read_states(spark, output_path)
+                    .select("partition", "stated_at_run", "ntok_hist")
+                    .collect()
+                )
                 state_run = {
-                    r["partition"]: r["stated_at_run"]
-                    for r in stored.select(
-                        "partition", "stated_at_run"
-                    ).collect()
+                    r["partition"]: r["stated_at_run"] for r in stored_rows
                 }
                 non_pending = {
-                    dir_key_value(r["partition"])
-                    for r in snapshots.select("partition").collect()
+                    dir_key_value(r["partition"]) for r in snap_rows
                 } - {dir_key_value(p) for p in pending_sources} - {"__null__"}
                 # FRESHNESS, not just existence: a partition
                 # re-validated by a later run WITHOUT --corpus-states
                 # has a manifest row for its current snapshot whose
                 # validated_at_run the state's stated_at_run no longer
                 # matches — pooling that state would bake a pre-change
-                # histogram into the baseline. All metadata-sized.
+                # histogram into the baseline. All metadata-sized —
+                # the (partition, snapshot_id, file_list_hash) inner
+                # join runs as a set probe over the collected rows.
+                snap_keys = {
+                    (r["partition"], r["snapshot_id"], r["file_list_hash"])
+                    for r in snap_rows
+                }
                 cur_runs: dict[str, set] = {}
-                for r in (
-                    manifest.join(
-                        snapshots,
-                        ["partition", "snapshot_id", "file_list_hash"],
-                    )
-                    .select("partition", "validated_at_run")
-                    .collect()
-                ):
-                    cur_runs.setdefault(
-                        dir_key_value(r["partition"]), set()
-                    ).add(r["validated_at_run"])
+                for r in manifest_rows:
+                    key = (r["partition"], r["snapshot_id"], r["file_list_hash"])
+                    if key in snap_keys:
+                        cur_runs.setdefault(
+                            dir_key_value(r["partition"]), set()
+                        ).add(r["validated_at_run"])
                 fresh = {
                     p
                     for p in non_pending
@@ -619,12 +630,23 @@ def run(
                     # restrict to CURRENT non-pending partitions: a
                     # source whose data vanished from the input keeps
                     # its stored state row, and pooling it would add a
-                    # ghost source's mass to the baseline
-                    pooled_stored = st.pooled_hist_from_states(
-                        stored.where(
-                            F.col("partition").isin(sorted(non_pending))
-                        ),
-                        exclude_partitions=pending_sources,
+                    # ghost source's mass to the baseline. Pooling =
+                    # element-wise sum of the stored arrays, driver-
+                    # side (mirrors states.pooled_hist_from_states,
+                    # whose __null__/pending exclusions are already
+                    # folded into non_pending), shipped back as a
+                    # LocalRelation.
+                    from .operators.drift import N_TOK_BUCKETS
+
+                    pooled = [0] * N_TOK_BUCKETS
+                    for r in stored_rows:
+                        if r["partition"] in non_pending:
+                            for i, c in enumerate(r["ntok_hist"] or []):
+                                pooled[i] += c
+                    pooled_stored = local_df(
+                        spark,
+                        [(i, c) for i, c in enumerate(pooled) if c > 0],
+                        "bucket int, cnt bigint",
                     )
             if pooled_stored is not None:
                 pending_seq = sequences.where(
@@ -713,8 +735,7 @@ def run(
         # real violations table keeps its append contract
         mode="overwrite" if sample_frac is not None else "append",
     )
-    certified_report = {}
-    if emit_valid:
+    def _certify_write() -> dict:
         # The reference's insert path (S4): failing rows are SKIPPED,
         # passing rows persist (processor.py:81-137 writes only
         # messages that clear the cascade). Certified rows = this
@@ -725,6 +746,10 @@ def run(
         # overwrite: a re-validated partition replaces its certified
         # dir, untouched partitions keep theirs — the certified table
         # stays consistent under --resume.
+        # Runs in the overlapped write tail (below): every input it
+        # reads (failing_ids ← the violations cache, res.stats) is
+        # pinned by the violations/verdicts writes that precede the
+        # tail, so no concurrent cache-fill race exists.
         from pyspark.sql import Observation
 
         from .sources.writer import dir_key_value
@@ -803,10 +828,11 @@ def run(
                 shutil.rmtree(
                     f"{emit_valid}/source_dir={d}", ignore_errors=True
                 )
-        certified_report = {
+        return {
             "certified_rows": n_cert,
             "certified_layout": "inline" if inline else "clustered",
         }
+
     slices_report = {}
     if slice_plan is not None:
         # Shared-scan slice report: the numerator (per-dim-bucket
@@ -879,19 +905,39 @@ def run(
         else f"{output_path}/verdicts/{run_id}"
     )
     res.verdicts.write.mode("overwrite").parquet(verdicts_root)
+
+    # Overlapped write tail (guide §2.6): the remaining result writes
+    # are independent jobs on DISJOINT directories whose inputs are all
+    # pinned by now — the violations write filled the violations/
+    # row-cache entries, the verdicts write filled part_stats/drift.
+    # Submitting them from a thread pool lets the scheduler back-fill
+    # the tail of each job with the next one's tasks (FIFO), so the
+    # wall is max(job) instead of sum(job); the certified-table write
+    # (the one big job — a full re-encode of the passing corpus)
+    # overlaps the metadata-sized manifest/key-index/states writes.
+    # Ordering notes preserved from the serial form: the key-index
+    # dynamic overwrite cannot feed back into this run because the dup
+    # set that read the old index rows was materialized with the first
+    # suite job; a sampled run must NOT append manifest rows (the
+    # manifest is the resume contract for FULL validations only).
+    tail_jobs: list = []
+    if emit_valid:
+        tail_jobs.append(("certify", _certify_write))
     if sample_frac is None:
-        # a sampled run must NOT mark partitions validated — the
-        # manifest is the resume contract for FULL validations only
-        mf.append_manifest_rows(
-            spark, output_path, res.verdicts, snapshots, suite, run_id
+        tail_jobs.append(
+            (
+                "manifest",
+                lambda: mf.append_manifest_rows(
+                    spark, output_path, res.verdicts, snapshots, suite, run_id
+                ),
+            )
         )
     if key_index:
-        # AFTER the result writes: the dup set that read the old index
-        # rows is already persisted+materialized, so the dynamic
-        # partition overwrite below can't feed back into this run
         from .operators import uniqueness
 
-        uniqueness.write_key_index(sequences, output_path)
+        tail_jobs.append(
+            ("key_index", lambda: uniqueness.write_key_index(sequences, output_path))
+        )
     if corpus_states:
         from .plans import states as st
 
@@ -899,12 +945,29 @@ def run(
             # the suite's one-decode row cache carries every column the
             # state aggregate needs (incl. the precomputed tokens-null
             # bit) — two more decode passes of the fact saved per run
-            st.write_states(
-                res.row_cache, output_path, run_id,
-                tokens_null_col="_tok_null",
+            tail_jobs.append(
+                (
+                    "states",
+                    lambda: st.write_states(
+                        res.row_cache, output_path, run_id,
+                        tokens_null_col="_tok_null",
+                    ),
+                )
             )
         else:
-            st.write_states(sequences, output_path, run_id)
+            tail_jobs.append(
+                ("states", lambda: st.write_states(sequences, output_path, run_id))
+            )
+    certified_report = {}
+    if tail_jobs:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(len(tail_jobs)) as ex:
+            futures = [(label, ex.submit(fn)) for label, fn in tail_jobs]
+            for label, fut in futures:
+                out = fut.result()
+                if label == "certify":
+                    certified_report = out
     if drift and drift_baseline == "previous" and res.hist is not None:
         _store_baseline(spark, output_path, res.hist, prev_baseline, run_id)
     history_report = {}
