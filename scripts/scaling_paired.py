@@ -117,8 +117,8 @@ def main() -> None:
         w32, ext32 = timed_run(n32, kids)
         eff = round(w8 / (4 * w32), 3)
         pairs.append({
-            "wall_8": w8, "wall_32": w32, "efficiency": eff,
-            "ext_cores_8": ext8, "ext_cores_32": ext32,
+            "wall_N": w8, "wall_4N": w32, "efficiency": eff,
+            "ext_cores_N": ext8, "ext_cores_4N": ext32,
         })
         print(json.dumps(pairs[-1]), flush=True)
     for p in (n8, n32):
@@ -126,7 +126,7 @@ def main() -> None:
     effs = [p["efficiency"] for p in pairs]
     best_pair = max(pairs, key=lambda p: p["efficiency"])
     # quiet pairs: both runs saw < 1 external core busy on average
-    quiet = [p for p in pairs if p["ext_cores_8"] < 1.0 and p["ext_cores_32"] < 1.0]
+    quiet = [p for p in pairs if p["ext_cores_N"] < 1.0 and p["ext_cores_4N"] < 1.0]
     report = {
         "protocol": (
             "paired alternating runs, one warmed JVM per level "
@@ -151,8 +151,8 @@ def main() -> None:
         "best_pair": best_pair,
         "N_cores": N_CORES,
         "4N_cores": N4_CORES,
-        "median_seq_per_sec_N": round(ROWS / statistics.median([p["wall_8"] for p in pairs]), 1),
-        "median_seq_per_sec_4N": round(ROWS / statistics.median([p["wall_32"] for p in pairs]), 1),
+        "median_seq_per_sec_N": round(ROWS / statistics.median([p["wall_N"] for p in pairs]), 1),
+        "median_seq_per_sec_4N": round(ROWS / statistics.median([p["wall_4N"] for p in pairs]), 1),
     }
     print(json.dumps(report, indent=2))
     with open(OUT, "w") as f:
